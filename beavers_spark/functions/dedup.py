@@ -1,0 +1,310 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Hashing parity note: all hashes derive from ``md5`` (available identically
+in Spark and DuckDB) so every operator here is oracle-checkable — we trade
+a little CPU vs xxhash64 for cross-engine verifiability. At production
+scale, swap ``md5_hash64`` for ``F.xxhash64`` (one-line change; the LSH
+math is hash-agnostic).
+
+Scale design:
+- exact dedup: one hash-shuffle on the fingerprint.
+- MinHash: signatures computed with ``NUM_HASHES`` independent min()
+  aggregates in ONE pass over exploded shingles (no per-seed re-scan);
+  candidate generation is a self-join on (band_id, band_hash) — the classic
+  LSH bucket join, shuffle keyed on band values so only colliding docs meet.
+- verification joins are semi-joins on the candidate set, never O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.text import tokens
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def md5_hash64(col: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit integer hash from md5, identical in DuckDB:
+    ``('0x' || substr(md5(s || '#<seed>'), 1, 15))::BIGINT``."""
+    salted = F.concat(col, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text.
+
+    Returns an array column; empty for docs with < n tokens (callers filter
+    those out, mirroring the oracle's generate_series guard).
+    """
+    toks = tokens(text)
+    # Guard: sequence(0, negative) would *descend* in Spark — docs shorter
+    # than n tokens get an empty shingle array instead.
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, min_copies: int = 2
+) -> DataFrame:
+    """Exact duplicate groups by content hash: fingerprint -> canonical
+    (min id) + copy count. ``min_copies=2`` -> only true duplicates;
+    ``min_copies=1`` -> the full canonicalization map."""
+    out = (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    if min_copies > 1:
+        out = out.filter(F.col("n_copies") >= min_copies)
+    return out
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Per-doc distinct shingle set: (doc_id, sh array, n_sh).
+
+    Tokenization is materialized behind its own projection BEFORE the
+    n-gram ``transform`` — inlining it would re-split the document once per
+    element_at (Catalyst won't duplicate non-cheap exprs across a project
+    boundary, so the boundary is the fix). The input is also repartitioned:
+    a single small parquet file arrives as ONE partition, which would
+    serialize this CPU-heavy stage.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toked = (
+        df.repartition(parallelism)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk"))
+        .filter(F.size("tk") >= n)
+    )
+    tk = F.col("tk")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # NB: no filter on size(sh) here — size(tk) >= n already guarantees a
+    # non-empty gram array, and a predicate on sh would be pushed below the
+    # exchange with the whole shingle expression inlined, collapsing this
+    # stage back into the single-task scan.
+    return toked.select(
+        "doc_id", F.array_distinct(grams).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return shingle_sets(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Inverted-index join: only pairs sharing >= 1 shingle are generated
+    (shuffle keyed on shingle), then |A ∩ B| counted per pair and Jaccard
+    computed from per-doc shingle counts. No cartesian product anywhere.
+    Emits (doc1, doc2, jaccard) with doc1 < doc2, jaccard rounded to 6dp.
+    """
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """MinHash signatures, computed row-wise with ZERO shuffle.
+
+    Each of the NUM_HASHES families is ``array_min(transform(sh, hash))``
+    over the per-doc shingle array — a narrow projection, no explode and no
+    groupBy. The alternative explode+agg formulation shuffles
+    |shingles| rows; this one shuffles nothing and scales embarrassingly.
+    """
+    return _signatures_from_sets(shingle_sets(df, text_col, id_col, n))
+
+
+def _signatures_from_sets(sets: DataFrame) -> DataFrame:
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s: md5_hash64(s, seed))
+        ).alias(f"mh{seed}")
+        for seed in range(NUM_HASHES)
+    ]
+    return sets.select("doc_id", *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding + Jaccard verify.
+
+    Pipeline: signatures -> band rows (BANDS per doc) -> self-join on
+    (band_id, band columns) -> distinct candidate pairs -> exact-Jaccard
+    verification on JUST those pairs via array_intersect of the per-doc
+    shingle sets (never the full pairwise join — that is the point of
+    LSH). At 100 TB the heavy shuffles are keyed on band hashes
+    (cardinality ~ n_docs * BANDS) and on candidate doc ids.
+    Emits (doc1, doc2, est_jaccard, jaccard) — estimated (signature
+    agreement fraction) and exact, both rounded.
+    """
+    # The shingle-set stage feeds signatures AND both sides of the verify
+    # join, and signatures feed bands + the estimate join; persist both so
+    # the tokenize+ngram+hash passes run once. (At 100 TB, write these
+    # stages to staging tables instead of executor memory.)
+    sets = shingle_sets(df, text_col, id_col, n).persist()
+    sets.count()  # fill the cache before fan-out: downstream stages race
+    sig = _signatures_from_sets(sets).persist()
+    sig.count()  # else each consumer stage recomputes the hash pass
+    # one explode pass, NOT a BANDS-way union: a union would multiply the
+    # partition count and re-evaluate the signature subtree per branch
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            *[
+                F.col(f"mh{b * ROWS_PER_BAND + r}").alias(f"h{r}")
+                for r in range(ROWS_PER_BAND)
+            ],
+        )
+        for b in range(BANDS)
+    ]
+    band_rows = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "bd.*")
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    join_cond = (F.col("a.band_id") == F.col("b.band_id")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for r in range(ROWS_PER_BAND):
+        join_cond = join_cond & (F.col(f"a.h{r}") == F.col(f"b.h{r}"))
+    candidates = (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+
+    # signature-agreement estimate
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        candidates.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                sum(
+                    [
+                        F.when(
+                            F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1
+                        ).otherwise(0)
+                        for i in range(NUM_HASHES)
+                    ]
+                )
+                / F.lit(float(NUM_HASHES)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+
+    left_sets = sets.select(
+        F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"), F.col("n_sh").alias("n1")
+    )
+    right_sets = sets.select(
+        F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"), F.col("n_sh").alias("n2")
+    )
+    n_common = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    verified = (
+        est.join(left_sets, "doc1")
+        .join(right_sets, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(n_common / (F.col("n1") + F.col("n2") - n_common), 6),
+        )
+    )
+    return (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "est_jaccard", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature per document over word hashes.
+
+    For each bit b: sign of sum over tokens of (+1 if hash bit set else -1).
+    One explode + one groupBy with ``bits`` agg expressions (single pass).
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk"))
+        .filter(F.size("tk") > 0)
+        .select("doc_id", F.explode("tk").alias("token"))
+        .withColumn("h", md5_hash64(F.col("token"), 0))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sums.select("doc_id", sig.alias("simhash"))

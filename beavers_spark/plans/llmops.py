@@ -1,0 +1,387 @@
+"""Beyond-reference plans: training-data pipeline operators over the
+``documents`` and ``embeddings`` tables, each with a DuckDB oracle built
+from the SAME md5-derived hashing so results are cross-engine checkable.
+
+Oracle SQL for the hash-heavy operators (MinHash, SimHash) is generated
+programmatically to keep the seed/band layout in one place
+(beavers_spark.functions.dedup NUM_HASHES/BANDS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.dedup import (
+    BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from beavers_spark.functions.similarity import brute_force_topk, lsh_bucketed_topk
+from beavers_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    tokens,
+)
+from beavers_spark.functions.text import token_count_bpe_ish
+from beavers_spark.plans.common import t
+from beavers_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (mirror the Spark-side token/shingle/hash defs)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+)
+
+
+def _sql_hash64(expr: str, seed: int) -> str:
+    """DuckDB twin of dedup.md5_hash64."""
+    return f"(('0x' || substr(md5({expr} || '#{seed}'), 1, 15))::BIGINT)"
+
+
+_SQL_SHINGLES_CTE = f"""
+toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+    FROM toks WHERE len(tk) >= 3
+)
+"""
+
+_SQL_JACCARD_CTES = f"""
+WITH {_SQL_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT doc1, doc2,
+           round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes s1 ON common.doc1 = s1.doc_id
+    JOIN sizes s2 ON common.doc2 = s2.doc_id
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Exact dedup / fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash — one shuffle keyed on the fingerprint,
+    the canonical large-scale first pass."""
+    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id", min_copies=1)
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark, sf_dir):
+    """Normalized content fingerprint (rolling-hash analog)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dedup: n-gram Jaccard, MinHash-LSH, SimHash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SQL_JACCARD_CTES
+    + """
+    SELECT doc1, doc2, jaccard FROM exact WHERE jaccard >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-duplicate pairs by exact 3-gram Jaccard via inverted-index
+    join — no cartesian product; shuffle keyed on shingle."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"min({_sql_hash64('shingle', s)}) AS mh{s}" for s in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        hs = ", ".join(
+            f"mh{b * ROWS_PER_BAND + r} AS h{r}" for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band_id, {hs} FROM sig")
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    band_eq = " AND ".join(f"a.h{r} = b.h{r}" for r in range(ROWS_PER_BAND))
+    est_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ),
+    sets AS (
+        SELECT doc_id, sh, len(sh) AS n_sh FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM toks WHERE len(tk) >= 3)
+        WHERE len(sh) > 0
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    sig AS (
+        SELECT doc_id, {sig_cols}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS ({bands_sql}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND {band_eq} AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT doc1, doc2, round(({est_sum}) / {float(NUM_HASHES)}, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON cand.doc1 = sa.doc_id
+        JOIN sig sb ON cand.doc2 = sb.doc_id
+    )
+    SELECT est.doc1, est.doc2, est_jaccard,
+           round(len(list_intersect(a.sh, b.sh))
+                 / (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))), 6)
+               AS jaccard
+    FROM est
+    JOIN sets a ON est.doc1 = a.doc_id
+    JOIN sets b ON est.doc2 = b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))
+                / (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash({n}) banding -> candidate pairs -> exact-Jaccard verify.
+    The scale path for near-dedup: only band-colliding docs are compared."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    s_cols = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig_sum = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    h AS (SELECT doc_id, {_sql_hash64('token', 0)} AS h FROM tok),
+    sums AS (SELECT doc_id, {s_cols} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({sig_sum} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (single pass: explode + 16 agg exprs)."""
+    return simhash(t(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(
+            f"len(list_filter(tk, w -> w IN ({lst}))) AS {lang}_hits"
+        )
+    hits_sql = ",\n           ".join(hit_cols)
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join(f'{lang}_hits' for lang in langs)})"
+    cases = "\n        ".join(
+        f"WHEN {lang}_hits > 0 AND {lang}_hits = best THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents),
+    hits AS (SELECT doc_id, lang, {hits_sql} FROM toks),
+    scored AS (SELECT *, {best} AS best FROM hits)
+    SELECT doc_id, lang,
+        CASE {cases} ELSE 'und' END AS pred_lang
+    FROM scored
+    """
+
+
+@query("lang_id", oracle=_lang_oracle())
+def lang_id_q(spark, sf_dir):
+    """Heuristic marker-word language ID (JVM-side, no UDF)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(tk) AS n_tokens,
+           round(length(regexp_replace(text, '[^!?.,;:]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(tk, w -> w IN ({stop_list})))
+                 / greatest(len(tk), 1), 6) AS stopword_ratio
+    FROM toks
+    """
+
+
+@query("quality_score", oracle=_quality_oracle())
+def quality_score_q(spark, sf_dir):
+    """Document quality signals: length, tokens, punctuation + stopword
+    ratios — pure codegen'd expressions."""
+    docs = t(spark, sf_dir, "documents")
+    qs = quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        qs["n_chars"].alias("n_chars"),
+        qs["n_tokens"].alias("n_tokens"),
+        F.round(qs["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(qs["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        token_count_bpe_ish(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))), 6) AS sim
+    FROM c CROSS JOIN q
+    WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored)
+WHERE rnk <= 10
+"""
+
+
+@query("ann_cosine_topk", oracle=_ANN_ORACLE)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-10 for 10 query vectors: broadcast queries, scan
+    the corpus once, per-query window top-k."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", k=10
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@query("ann_lsh_topk")  # no SQL oracle: approximate op, rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN — the 100 TB scale path (equi-join on
+    bucket id instead of a cross join). Approximate by construction, so no
+    SQL oracle; recall vs brute force is asserted in tests/."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", k=10, dim=64, n_planes=8
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (payload = utf-8 bytes of text as a stand-in blob)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def binary_meta(spark, sf_dir):
+    """Opaque-binary column handling: byte length + content digest computed
+    JVM-side; the decode path (Pandas UDF plumbing) is exercised in tests
+    with an injected fake decoder (no image libs in this container)."""
+    docs = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha"),
+    )

@@ -1,0 +1,605 @@
+"""Core relational plans — one per operator row of SURVEY.md §2.
+
+Each plan cites the reference usage it re-expresses (file:line into
+/root/reference) and is paired with a DuckDB oracle. Spark-first: every
+plan is pure DataFrame API, so Catalyst handles pushdown/pruning/join
+strategy; ``F.broadcast`` marks the genuinely small dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from beavers_spark.operators import (
+    concat_streams,
+    filter_stream,
+    join_counts,
+    last_by_keys,
+    topk,
+    weighted_average,
+)
+from beavers_spark.plans.common import t
+from beavers_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: the ETF-valuation shape (join -> arithmetic -> keyed sum)
+# Reference: examples/pyarrow_concepts.py:64-74 (ops #27-29)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "etf_valuation",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_value,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def etf_valuation(spark, sf_dir):
+    """Composition x price -> value -> sum per basket, on lineitem x part.
+
+    Scale: ``part`` is the small dimension -> broadcast join (no shuffle of
+    the fact table); the groupBy is one hash shuffle with map-side partials.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("value", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projection (ops #17, #23, #34, #35)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_partkey, round(l_quantity, 6) AS qty
+    FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_predicate(spark, sf_dir):
+    """Predicate filter with kwargs equality (reference:
+    pyarrow_wrapper.py:112-125, polars_wrapper.py:75-86). Both predicates
+    reach the parquet scan as PushedFilters."""
+    li = t(spark, sf_dir, "lineitem")
+    return filter_stream(
+        li, F.col("l_quantity") > 45, l_returnflag="R"
+    ).select("l_orderkey", "l_partkey", F.round("l_quantity", 6).alias("qty"))
+
+
+@query(
+    "projection_rename",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def projection_rename(spark, sf_dir):
+    """Projection + rename (reference: tests/test_pyarrow_wrapper.py:44-47,
+    examples/pyarrow_concepts.py:73). Column pruning reaches the scan."""
+    return t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyed latest state (op #18/#24/#31) — the reference's flagship state op
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "last_by_keys",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           round(value, 6) AS last_value,
+           epoch_us(ts) AS last_ts_us
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def last_by_keys_q(spark, sf_dir):
+    """Latest row per key with explicit arrival order (ts, event_id).
+
+    Reference: pa.last_by_keys (pyarrow_wrapper.py:127-133) keyed on max
+    row index; Spark needs the order explicit (SURVEY §4.1.5)."""
+    ev = t(spark, sf_dir, "events")
+    return last_by_keys(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+        F.unix_micros("ts").alias("last_ts_us"),
+    )
+
+
+@query(
+    "argmax_latest",
+    oracle="""
+    SELECT event_type, round(value, 6) AS latest_value, n FROM (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def argmax_latest(spark, sf_dir):
+    """Ordered last()-style aggregation per group (reference:
+    polars_wrapper.py:22-26 maintain_order last; op #31) via max_by with a
+    composite order key — single shuffle, no window pass."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.max_by("value", F.struct("ts", "event_id")), 6
+        ).alias("latest_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Union / distinct / set ops (ops #20, #25, #32, #39, #42)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "concat_streams",
+    oracle="""
+    SELECT event_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_type = 'view'
+    """,
+)
+def concat_streams_q(spark, sf_dir):
+    """Type-checked stream concat (reference: pyarrow_wrapper.py:143-159)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "event_type")
+    return concat_streams(clicks, views)
+
+
+@query(
+    "distinct_values",
+    oracle="SELECT DISTINCT event_type FROM events",
+)
+def distinct_values(spark, sf_dir):
+    """Distinct/unique (reference: examples/pyarrow_concepts.py:143-147)."""
+    return t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@query(
+    "set_dedup_batch",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def set_dedup_batch(spark, sf_dir):
+    """Set-valued stream: dedup within batch (reference:
+    examples/dag_concepts.py:58-63 set-stream)."""
+    return t(spark, sf_dir, "events").dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+@query(
+    "merge_sorted_union",
+    oracle="""
+    SELECT epoch_us(ts) AS ts_us, 'events' AS src FROM events
+    UNION ALL
+    SELECT epoch_us(o_orderdate) AS ts_us, 'orders' AS src FROM orders
+    """,
+)
+def merge_sorted_union(spark, sf_dir):
+    """Merge-sorted union by timestamp (reference:
+    scripts/kafka_test_bench.py:20-22). orderBy range-partitions at scale."""
+    ev = t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"), F.lit("events").alias("src")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.unix_micros("o_orderdate").alias("ts_us"), F.lit("orders").alias("src")
+    )
+    return concat_streams(ev, orders).orderBy("ts_us")
+
+
+# ---------------------------------------------------------------------------
+# Joins (ops #27, #33, #40)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def semi_join(spark, sf_dir):
+    """Semi-join / IN-list filter (reference:
+    examples/pyarrow_concepts.py:144-148 is_in). left_semi never
+    duplicates rows and only shuffles the key column of the right side."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def anti_join(spark, sf_dir):
+    """NOT EXISTS complement of the semi-join (beyond-reference set op)."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "delta_fanout",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'purchase')
+    GROUP BY user_id
+    """,
+)
+def delta_fanout(spark, sf_dir):
+    """Changed-key -> affected-group fan-out recompute (reference:
+    examples/pyarrow_concepts.py:140-180: changed tickers -> affected ETFs).
+    The updated-key set is tiny -> broadcast semi-join, then one agg."""
+    ev = t(spark, sf_dir, "events")
+    changed = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        ev.join(F.broadcast(changed), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "isin_filter",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events
+    WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+    """,
+)
+def isin_filter(spark, sf_dir):
+    """Literal IN-list filter (reference: pc.is_in,
+    examples/pyarrow_concepts.py:163-170); pushed to the scan."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (ops #29, #30, #37, #38, #44)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "groupby_sum",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def groupby_sum(spark, sf_dir):
+    """Hash aggregation sum-by-key (reference:
+    examples/pyarrow_concepts.py:70-73)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "groupby_max",
+    oracle="""
+    SELECT l_partkey, round(max(l_extendedprice), 6) AS max_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def groupby_max(spark, sf_dir):
+    """Max-by-key (reference: argmax index agg, pyarrow_wrapper.py:26-29)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "word_count",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def word_count(spark, sf_dir):
+    """The reference's streaming word-count example in batch form
+    (examples/kafka_concepts.py:12-18, tests/test_util.py:67-75)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "weighted_average",
+    oracle="""
+    SELECT p_brand,
+           round(sum(p_retailprice * l_quantity) / sum(l_quantity), 4) AS wavg
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def weighted_average_q(spark, sf_dir):
+    """NAV-style weighted average Σ(p·w)/Σw per basket (reference:
+    examples/etfs.py:70-91). Missing-component->null branch is exercised in
+    unit tests (no nulls in this dataset)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    wavg = weighted_average(
+        joined, ["p_brand"], "p_retailprice", "l_quantity", out_col="wavg_raw"
+    )
+    return wavg.select("p_brand", F.round("wavg_raw", 4).alias("wavg"))
+
+
+@query(
+    "join_counts_pivot",
+    oracle="""
+    SELECT coalesce(c.user_id, v.user_id) AS user_id,
+           coalesce(c.n, 0) AS clicks,
+           coalesce(v.n, 0) AS views
+    FROM (SELECT user_id, count(*) AS n FROM events
+          WHERE event_type = 'click' GROUP BY user_id) c
+    FULL OUTER JOIN
+         (SELECT user_id, count(*) AS n FROM events
+          WHERE event_type = 'view' GROUP BY user_id) v
+    ON c.user_id = v.user_id
+    """,
+)
+def join_counts_pivot(spark, sf_dir):
+    """Cross-tab of two counters, absent side = 0 (reference:
+    tests/test_util.py:78-81 join_counts via pandas concat+fillna)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    return join_counts(clicks, views, "user_id", "clicks", "views")
+
+
+@query(
+    "pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark, sf_dir):
+    """Pivot/cross-tab (op #44 generalized): one shuffle, pivot values
+    declared up front so no extra distinct-discovery job runs."""
+    li = t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.round(F.col("O"), 4).alias("O"),
+        F.round(F.col("F"), 4).alias("F"),
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    """Hierarchical rollup totals (beyond-reference; Catalyst expands to a
+    single expand+agg, one shuffle)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time & windows (ops #43, #45, #46; beyond-reference analytic windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_delay",
+    oracle="""
+    SELECT event_type, round(avg(delay_us), 4) AS avg_delay_us
+    FROM (SELECT event_type,
+                 epoch_us(ts) - min(epoch_us(ts))
+                     OVER (PARTITION BY user_id) AS delay_us
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def time_delay(spark, sf_dir):
+    """Per-row time-delay vs a reference clock (reference:
+    examples/advanced_concepts.py:67-87 now - timestamp)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn(
+            "delay_us", F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w)
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.avg("delay_us"), 4).alias("avg_delay_us"))
+    )
+
+
+@query(
+    "topk_customers",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+)
+def topk_customers(spark, sf_dir):
+    """Sort+limit view (reference: perspective table definition
+    perspective_wrapper.py:52-57). Compiles to TakeOrderedAndProject."""
+    cust = t(spark, sf_dir, "customer")
+    return topk(
+        cust, [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 10
+    ).select("c_custkey", "c_name", F.round("c_acctbal", 6).alias("acctbal"))
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_rank(spark, sf_dir):
+    """Top-N per group via ranking window (beyond-reference: SURVEY §2.7
+    notes the reference lacks window ranking; Spark-native)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4
+           ) AS running_value
+    FROM events
+    """,
+)
+def running_sum(spark, sf_dir):
+    """Running per-key cumulative sum (beyond-reference analytic window)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+@query(
+    "tumbling_window",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregation (reference analog: yearly
+    timer bucket, examples/advanced_concepts.py:94-115; Spark-native
+    ``window()`` is the streaming-compatible form)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract(spark, sf_dir):
+    """JSON deserialization of the message payload (reference:
+    JsonDeserializer, pyarrow_kafka.py:16-34 -> from_json)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )

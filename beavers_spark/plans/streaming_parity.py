@@ -1,0 +1,105 @@
+"""Stream-shaped operators checked in batch form (replay parity).
+
+The reference's promise is "same DAG in live and replay" (README.md:32-39);
+these plans are the batch twins of stream operators, so the driver's oracle
+can verify the event-time semantics relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from beavers_spark.operators import asof_join
+from beavers_spark.plans.common import t
+from beavers_spark.plans.registry import query
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH quotes AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS qvalue
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    trades AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us,
+           round(q.qvalue, 6) AS last_view_value
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND q.ts <= t.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """Point-in-time join: each purchase picks up the latest prior view's
+    value per user (quote/trade shape). Quotes are deduped to one row per
+    (key, ts) first so ties are deterministic. Union+window merge-asof —
+    one shuffle on the key, no range explosion (operators/asof.py)."""
+    ev = t(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("qvalue"))
+    )
+    trades = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        trades, quotes, on=["user_id"], left_ts="ts", right_ts="ts",
+        direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("qvalue_right", 6).alias("last_view_value"),
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization (1h inactivity): the batch twin of
+    Structured Streaming's ``session_window``. lag -> gap flag -> running
+    sum = session id -> per-session agg; one shuffle on user_id reused by
+    both window passes and the final agg."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 3_600_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 0)
+        .when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us, 1
+        )
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(run).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+    )

@@ -1,0 +1,81 @@
+"""SparkSession bootstrap tuned for this engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+same config block is what we would ship to a real cluster, where the
+partition counts scale with cluster cores instead (AQE coalescing makes the
+static number a ceiling, not a constant).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "beavers_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Create (or reuse) the tuned SparkSession.
+
+    Scale notes (100 TB posture):
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy switching replace hand-tuned shuffle sizing.
+    - ``spark.sql.shuffle.partitions`` is a local-mode default; on a real
+      cluster AQE's ``advisoryPartitionSizeInBytes`` governs post-shuffle
+      sizing, so plans survive a 1000x scale-up without re-tuning.
+    - Arrow enabled for every Python<->JVM hop (Pandas UDFs, toPandas).
+    - UTC session timezone: the reference's time domain is UTC throughout
+      (reference: beavers/dag.py:46-47 UTC_EPOCH/UTC_MAX).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); surface as BIGINT
+        # nanos (plans/common.t converts back to TimestampType at us)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the test tables as a dict of DataFrames and register temp views.
+
+    Tables: region nation customer supplier part orders lineitem events
+    documents embeddings (TESTDATA.md).
+    """
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

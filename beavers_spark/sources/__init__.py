@@ -1,0 +1,19 @@
+"""Source/sink configuration: Kafka mapping, parquet/CSV/JSON readers.
+
+The Kafka live path maps the reference's consumer-driver machinery
+(beavers/kafka.py) onto Structured Streaming options — offset policies,
+batch admission, serde — rather than re-implementing a consumer loop.
+"""
+
+from beavers_spark.sources.kafka import (  # noqa: F401
+    KafkaSinkConfig,
+    KafkaSourceConfig,
+    OffsetPolicy,
+    kafka_reader,
+    kafka_writer,
+)
+from beavers_spark.sources.files import (  # noqa: F401
+    read_csv_source,
+    read_json_source,
+    read_parquet_source,
+)

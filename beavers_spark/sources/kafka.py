@@ -1,0 +1,188 @@
+"""Kafka live-mode integration expressed as Structured Streaming options.
+
+The reference implements a consumer manager with six start-offset
+policies, timestamp-aligned priming, partition-pause backpressure and a
+fire-and-forget producer (beavers/kafka.py:45-141, 247-396, 181-221).
+Spark's Kafka source subsumes most of that machinery natively:
+
+| reference mechanism                | Spark equivalent (set here)        |
+|------------------------------------|------------------------------------|
+| OffsetPolicy latest/earliest       | ``startingOffsets``                |
+| relative-time / start-of-day / abs | ``startingOffsetsByTimestamp``     |
+| committed group offsets            | checkpointed offsets (stronger)    |
+| batch_size admission (5000/cycle)  | ``maxOffsetsPerTrigger``           |
+| partition pause/resume             | built-in admission control         |
+| JSON<->Arrow serde                 | ``from_json`` / ``to_json``        |
+
+The cross-topic priming watermark (kafka.py:298-346) has no Spark knob;
+event-time watermarks + the replay driver give the equivalent ordering
+guarantee during catch-up (documented deviation, SURVEY §4.1.3).
+
+No Kafka broker exists in this container: ``kafka_reader`` builds and
+returns the configured reader/plan; integration is exercised against the
+option dict in tests and would run unchanged on a real cluster.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from enum import Enum
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class OffsetPolicy(Enum):
+    """Start-position policies (reference: kafka.py:45-141)."""
+
+    LATEST = "latest"
+    EARLIEST = "earliest"
+    RELATIVE_TIME = "relative_time"
+    START_OF_DAY = "start_of_day"
+    ABSOLUTE_TIME = "absolute_time"
+    COMMITTED = "committed"
+
+
+@dataclasses.dataclass(frozen=True)
+class KafkaSourceConfig:
+    """One subscribed topic and how to start reading it."""
+
+    topic: str
+    policy: OffsetPolicy = OffsetPolicy.LATEST
+    relative: pd.Timedelta | None = None  # for RELATIVE_TIME
+    timezone: str = "UTC"  # for START_OF_DAY (reference: kafka.py:655-664)
+    absolute: pd.Timestamp | None = None  # for ABSOLUTE_TIME
+    value_schema: str | None = None  # spark DDL for from_json
+
+    def starting_timestamp(self, now: pd.Timestamp) -> int | None:
+        """Millisecond start timestamp for timestamp-based policies."""
+        if self.policy == OffsetPolicy.RELATIVE_TIME:
+            if self.relative is None:
+                raise ValueError("RELATIVE_TIME needs relative=")
+            return int((now - self.relative).timestamp() * 1000)
+        if self.policy == OffsetPolicy.START_OF_DAY:
+            local = now.tz_convert(self.timezone)
+            start = local.normalize()
+            return int(start.timestamp() * 1000)
+        if self.policy == OffsetPolicy.ABSOLUTE_TIME:
+            if self.absolute is None:
+                raise ValueError("ABSOLUTE_TIME needs absolute=")
+            return int(self.absolute.timestamp() * 1000)
+        return None
+
+
+@dataclasses.dataclass(frozen=True)
+class KafkaSinkConfig:
+    topic: str
+    key_column: str | None = None
+
+
+def reader_options(
+    configs: list[KafkaSourceConfig],
+    bootstrap_servers: str,
+    batch_size: int = 5000,
+    now: pd.Timestamp | None = None,
+) -> dict[str, str]:
+    """Build the Structured Streaming option dict for N topics on one
+    consumer (reference: one consumer, N topics, kafka.py:463-527;
+    batch_size default 5000, kafka.py:493)."""
+    now = now or pd.Timestamp.now(tz="UTC")
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(c.topic for c in configs),
+        "maxOffsetsPerTrigger": str(batch_size),
+        "failOnDataLoss": "false",
+    }
+    by_ts: dict[str, dict[str, int]] = {}
+    simple: dict[str, str] = {}
+    for c in configs:
+        ts = c.starting_timestamp(now)
+        if ts is not None:
+            by_ts[c.topic] = {"-1": ts}
+        elif c.policy == OffsetPolicy.EARLIEST:
+            simple[c.topic] = "earliest"
+        else:
+            # LATEST and COMMITTED both start at the log head on a fresh
+            # checkpoint; COMMITTED resumes from checkpointed offsets.
+            simple[c.topic] = "latest"
+    if by_ts:
+        opts["startingOffsetsByTimestamp"] = json.dumps(by_ts)
+        if simple:
+            opts["startingOffsetsByTimestampStrategy"] = "latest"
+    elif simple:
+        vals = set(simple.values())
+        opts["startingOffsets"] = vals.pop() if len(vals) == 1 else "earliest"
+    return opts
+
+
+def kafka_reader(
+    spark: SparkSession,
+    configs: list[KafkaSourceConfig],
+    bootstrap_servers: str,
+    batch_size: int = 5000,
+    now: pd.Timestamp | None = None,
+) -> DataFrame:
+    """Streaming reader over the configured topics, payload deserialized
+    per-topic when a value_schema is declared (reference serde:
+    pyarrow_kafka.py:16-34 -> from_json)."""
+    opts = reader_options(configs, bootstrap_servers, batch_size, now)
+    reader = spark.readStream.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    out = df.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("ts"),
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    parsed = None
+    for c in configs:
+        if c.value_schema:
+            branch = out.filter(F.col("topic") == c.topic).withColumn(
+                "payload", F.from_json(F.col("value"), c.value_schema)
+            )
+            parsed = branch if parsed is None else parsed.unionByName(branch)
+    return parsed if parsed is not None else out
+
+
+def serialize_for_kafka(
+    df: DataFrame, config: KafkaSinkConfig, key_expr: Column | None = None
+) -> DataFrame:
+    """Project to the (key, value) shape the Kafka sink requires
+    (reference: _RuntimeSinkTopic.serialize, kafka.py:449-460 ->
+    to_json of the full row)."""
+    key = (
+        key_expr
+        if key_expr is not None
+        else (
+            F.col(config.key_column).cast("string")
+            if config.key_column
+            else F.lit(None).cast("string")
+        )
+    )
+    return df.select(
+        key.alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+        F.lit(config.topic).alias("topic"),
+    )
+
+
+def kafka_writer(
+    df: DataFrame,
+    config: KafkaSinkConfig,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+):
+    """Configured writeStream for a serialized frame; caller ``.start()``s
+    it (no broker in this container)."""
+    return (
+        serialize_for_kafka(df, config)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -1,0 +1,19 @@
+"""Replay + live streaming drivers.
+
+- ``replay``: historical replay with a quantized virtual clock
+  (reference: beavers/replay.py).
+- ``live``: Structured Streaming integration — foreachBatch kernel driver
+  and streaming query helpers.
+"""
+
+from beavers_spark.streaming.replay import (  # noqa: F401
+    DataSink,
+    DataSource,
+    IteratorDataSourceAdapter,
+    ListDataSink,
+    ListDataSource,
+    ParquetDataSource,
+    ParquetDataSink,
+    ReplayContext,
+    ReplayDriver,
+)

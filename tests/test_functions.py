@@ -1,0 +1,135 @@
+"""LLM-pipeline function library: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beavers_spark.functions import (
+    brute_force_topk,
+    exact_dedup,
+    lsh_bucketed_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from beavers_spark.functions.multimodal import (
+    attach_media_meta,
+    decode_image_batch,
+    fake_image_decoder,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    other = "completely different content about spark query engines here"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = exact_dedup(docs, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0].canonical_id == 1 and out[0].n_copies == 2
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.3 <= pairs[(1, 3)] < 1.0  # near-dup
+    assert (1, 4) not in pairs  # unrelated
+
+
+def test_minhash_lsh_candidates_contain_true_dups(spark, docs):
+    pairs = {
+        (r.doc1, r.doc2): (r.est_jaccard, r.jaccard)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs
+    est, exact = pairs[(1, 2)]
+    assert est == 1.0 and exact == 1.0
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sigs[1], sigs[2]) == 0  # identical text
+    assert hamming(sigs[1], sigs[3]) <= hamming(sigs[1], sigs[4])
+
+
+@pytest.fixture()
+def embeddings(spark, sf_dir):
+    from beavers_spark.plans.common import t
+
+    return t(spark, sf_dir, "embeddings")
+
+
+def test_brute_force_topk_shape(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(queries, embeddings, "vec_id", "vec_id", k=5).collect()
+    assert len(out) == 15  # 3 queries x 5 neighbors
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        sims = [r.sim for r in sorted(rows, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)  # ranked by similarity
+        assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    """LSH is approximate: assert bucket-mates are truly ranked and that
+    recall@5 against brute force is nonzero (sanity, not a guarantee)."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(queries, embeddings, "vec_id", "vec_id", k=5).collect()
+    approx = lsh_bucketed_topk(
+        queries, embeddings, "vec_id", "vec_id", k=5, dim=64, n_planes=6
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert approx_set  # buckets are non-degenerate
+    assert len(exact_set & approx_set) > 0
+
+
+def test_multimodal_decode_with_fake_decoder(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef" * 50)), (2, bytearray(b"xy"))],
+        "doc_id long, payload binary",
+    )
+    out = decode_image_batch(df, "doc_id", "payload", decoder=fake_image_decoder)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].width == 16 + (300 % 64)
+    assert 0.0 <= rows[1].mean_luma <= 1.0
+    assert rows[2].height == 16
+
+
+def test_multimodal_decode_without_decoder_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(Exception) as err:
+        decode_image_batch(df, "doc_id", "payload").collect()
+    assert "NotImplementedError" in str(err.value) or "no image decoder" in str(err.value)
+
+
+def test_media_meta_and_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"v" * 100))], "doc_id long, payload binary"
+    )
+    with_meta = attach_media_meta(df, "payload", "video")
+    meta = with_meta.select("media_meta.*").collect()[0]
+    assert meta.media_type == "video" and meta.n_bytes == 100
+    # metadata-only plan: inject a duration and expand to frames
+    vids = with_meta.withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(3500).cast("bigint")),
+    )
+    frames = frame_sample_plan(vids, "doc_id", "payload", every_ms=1000).collect()
+    assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]

@@ -1,0 +1,93 @@
+"""Kafka option mapping (reference behaviors: offset-policy resolution
+tests/test_kafka.py:950-1278; batching kafka.py:493). No broker in this
+container — we verify the generated Structured Streaming configuration
+and the serde projections, which is the integration surface Spark owns.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from beavers_spark.sources import (
+    KafkaSinkConfig,
+    KafkaSourceConfig,
+    OffsetPolicy,
+)
+from beavers_spark.sources.kafka import reader_options, serialize_for_kafka
+
+NOW = pd.Timestamp("2024-06-15T12:30:00Z")
+
+
+def test_latest_and_earliest_policies():
+    opts = reader_options(
+        [
+            KafkaSourceConfig("a", OffsetPolicy.LATEST),
+            KafkaSourceConfig("b", OffsetPolicy.LATEST),
+        ],
+        "broker:9092",
+        now=NOW,
+    )
+    assert opts["subscribe"] == "a,b"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "5000"  # reference default batch_size
+
+
+def test_relative_time_policy():
+    opts = reader_options(
+        [KafkaSourceConfig("t", OffsetPolicy.RELATIVE_TIME, relative=pd.Timedelta(hours=2))],
+        "broker:9092",
+        now=NOW,
+    )
+    by_ts = json.loads(opts["startingOffsetsByTimestamp"])
+    assert by_ts["t"]["-1"] == int((NOW - pd.Timedelta(hours=2)).timestamp() * 1000)
+
+
+def test_start_of_day_policy_respects_timezone():
+    # reference: start-of-day in a configured tz (kafka.py:655-664)
+    cfg = KafkaSourceConfig("t", OffsetPolicy.START_OF_DAY, timezone="America/New_York")
+    start_ms = cfg.starting_timestamp(NOW)
+    start = pd.Timestamp(start_ms, unit="ms", tz="UTC").tz_convert("America/New_York")
+    assert (start.hour, start.minute) == (0, 0)
+    assert start.date() == NOW.tz_convert("America/New_York").date()
+
+
+def test_absolute_time_policy():
+    at = pd.Timestamp("2024-06-01T00:00:00Z")
+    opts = reader_options(
+        [KafkaSourceConfig("t", OffsetPolicy.ABSOLUTE_TIME, absolute=at)],
+        "broker:9092",
+        now=NOW,
+    )
+    by_ts = json.loads(opts["startingOffsetsByTimestamp"])
+    assert by_ts["t"]["-1"] == int(at.timestamp() * 1000)
+
+
+def test_mixed_policies_across_topics():
+    opts = reader_options(
+        [
+            KafkaSourceConfig("hist", OffsetPolicy.EARLIEST),
+            KafkaSourceConfig("live", OffsetPolicy.RELATIVE_TIME, relative=pd.Timedelta(minutes=5)),
+        ],
+        "broker:9092",
+        now=NOW,
+    )
+    assert "startingOffsetsByTimestamp" in opts
+    assert json.loads(opts["startingOffsetsByTimestamp"]).keys() == {"live"}
+
+
+def test_kafka_serialization_shape(spark):
+    df = spark.createDataFrame([("w1", 3)], "word string, n long")
+    out = serialize_for_kafka(df, KafkaSinkConfig("counts", key_column="word"))
+    row = out.collect()[0]
+    assert row.key == "w1"
+    assert json.loads(row.value) == {"word": "w1", "n": 3}
+    assert row.topic == "counts"
+
+
+def test_kafka_serialization_without_key(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    row = serialize_for_kafka(df, KafkaSinkConfig("t")).collect()[0]
+    assert row.key is None

@@ -1,0 +1,143 @@
+"""Tabular operator semantics (reference golden-table tests:
+tests/test_pyarrow_wrapper.py, tests/test_polars_wrapper.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import utils  # noqa: F401
+
+from beavers_spark.operators import (
+    asof_join,
+    concat_streams,
+    filter_stream,
+    join_counts,
+    last_by_keys,
+    merge_sorted,
+    topk,
+    weighted_average,
+    with_seq,
+)
+
+
+@pytest.fixture()
+def simple(spark):
+    # reference fixture F1: two batches keyed by col1
+    return spark.createDataFrame(
+        [
+            (0, 1, "a"),
+            (1, 2, "b"),
+            (2, 3, "c"),
+            (3, 1, "d"),
+            (4, 2, "e"),
+        ],
+        "seq long, col1 int, col2 string",
+    )
+
+
+def test_last_by_keys_upsert(spark, simple):
+    out = last_by_keys(simple, ["col1"], ["seq"]).select("col1", "col2")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, "d"),
+        (2, "e"),
+        (3, "c"),
+    ]
+
+
+def test_last_by_keys_multi_key(spark):
+    df = spark.createDataFrame(
+        [(0, "e1", "a", 1.0), (1, "e1", "a", 2.0), (2, "e2", "a", 3.0)],
+        "seq long, etf string, ticker string, qty double",
+    )
+    out = last_by_keys(df, ["etf", "ticker"], ["seq"])
+    assert sorted(tuple(r) for r in out.select("etf", "qty").collect()) == [
+        ("e1", 2.0),
+        ("e2", 3.0),
+    ]
+
+
+def test_filter_stream_predicates_and_kwargs(spark, simple):
+    out = filter_stream(simple, F.col("col1") > 1, col2="e")
+    assert [tuple(r) for r in out.select("col1", "col2").collect()] == [(2, "e")]
+
+
+def test_concat_streams_schema_check(spark, simple):
+    a = simple.select("col1")
+    b = simple.select("col2")
+    with pytest.raises(Exception):
+        concat_streams(a, b).collect()  # mismatched schemas must fail
+    both = concat_streams(a, a)
+    assert both.count() == 10
+
+
+def test_merge_sorted(spark):
+    a = spark.createDataFrame([(3, "a"), (1, "a")], "ts long, src string")
+    b = spark.createDataFrame([(2, "b")], "ts long, src string")
+    out = merge_sorted([a, b], "ts")
+    assert [r.ts for r in out.collect()] == [1, 2, 3]
+
+
+def test_topk_deterministic(spark, simple):
+    out = topk(simple, [F.col("col1").desc(), F.col("seq").asc()], 2)
+    assert [r.seq for r in out.collect()] == [2, 1]
+
+
+def test_weighted_average_null_on_missing(spark):
+    df = spark.createDataFrame(
+        [("e1", 1.0, 2.0), ("e1", None, 3.0), ("e2", 4.0, 1.0)],
+        "etf string, price double, weight double",
+    )
+    out = {r.etf: r.wavg for r in weighted_average(df, ["etf"], "price", "weight").collect()}
+    assert out["e1"] is None  # any missing component -> null (etfs.py:70-91)
+    assert out["e2"] == 4.0
+
+
+def test_join_counts_zero_fill(spark):
+    left = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    right = spark.createDataFrame([("b",), ("c",)], "k string")
+    out = {r.k: (r.left_count, r.right_count) for r in join_counts(left, right, "k").collect()}
+    assert out == {"a": (2, 0), "b": (1, 1), "c": (0, 1)}
+
+
+def test_with_seq_monotone_within_partition(spark):
+    df = spark.range(100).repartition(4)
+    seqs = [r._seq for r in with_seq(df).collect()]
+    assert len(set(seqs)) == 100  # unique
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, 2.0), ("B", 15, 3.0)],
+        "k string, ts long, qty double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 15, 110.0), ("A", 20, 120.0), ("B", 30, 200.0)],
+        "k string, ts long, px double",
+    )
+    out = asof_join(trades, quotes, ["k"], "ts", "ts", direction="backward")
+    got = {(r.k, r.ts): r.px_right for r in out.collect()}
+    assert got == {
+        ("A", 10): 100.0,  # latest quote <= 10
+        ("A", 20): 120.0,  # quote AT 20 matches (<=)
+        ("B", 15): None,  # no prior quote
+    }
+
+
+def test_asof_join_forward(spark):
+    trades = spark.createDataFrame([("A", 10, 1.0)], "k string, ts long, qty double")
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 12, 110.0)], "k string, ts long, px double"
+    )
+    out = asof_join(trades, quotes, ["k"], "ts", "ts", direction="forward")
+    assert out.collect()[0].px_right == 110.0  # earliest quote >= 10
+
+
+def test_asof_join_preserves_left_rows(spark):
+    trades = spark.createDataFrame(
+        [("A", i, float(i)) for i in range(50)], "k string, ts long, qty double"
+    )
+    quotes = spark.createDataFrame([("A", 25, 1.0)], "k string, ts long, px double")
+    out = asof_join(trades, quotes, ["k"], "ts", "ts")
+    assert out.count() == 50
+    nulls = out.filter(F.col("px_right").isNull()).count()
+    assert nulls == 25  # ts 0..24 precede the only quote

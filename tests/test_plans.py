@@ -1,0 +1,32 @@
+"""Smoke every registered plan at sf0.001: runs, stable schema, sane rows.
+
+The full DuckDB hash parity lives in tools/check_oracle.py (the driver's
+t2 replica); this keeps `pytest -x -q` fast while still executing every
+plan end-to-end.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beavers_spark.plans import ORACLES, QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    schema_first = df.schema
+    rows = df.count()
+    assert rows >= 0
+    # column names must be oracle-compatible: no spark-generated names
+    for field in schema_first.fields:
+        assert "(" not in field.name, f"unaliased column {field.name!r} in {name}"
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_rows_only_queries_are_documented():
+    # approximate ops are the only ones allowed to skip the SQL oracle
+    assert set(QUERIES) - set(ORACLES) == {"ann_lsh_topk"}

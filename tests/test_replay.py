@@ -1,0 +1,177 @@
+"""Replay driver semantics (reference: tests/test_replay.py — pass-through
+e2e, no-update corner case, source stitching, virtual-clock skip-ahead)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from beavers_spark.dag import UTC_MAX, Dag
+from beavers_spark.streaming import (
+    IteratorDataSourceAdapter,
+    ListDataSink,
+    ListDataSource,
+    ParquetDataSource,
+    ReplayContext,
+    ReplayDriver,
+)
+
+T0 = pd.Timestamp("2023-01-01T00:00:00Z")
+
+
+def ts(minutes: int) -> pd.Timestamp:
+    return T0 + pd.Timedelta(minutes=minutes)
+
+
+def passthrough_dag() -> Dag:
+    dag = Dag()
+    src = dag.source_stream(name="messages")
+    out = dag.stream(lambda xs: list(xs)).map(src)
+    dag.sink("out", out)
+    return dag
+
+
+def test_replay_passthrough():
+    dag = passthrough_dag()
+    source = ListDataSource([(ts(60), "hello"), (ts(61), "world"), (ts(200), "late")])
+    sink = ListDataSink()
+    driver = ReplayDriver(
+        dag,
+        ReplayContext(T0, ts(300), pd.Timedelta(hours=1)),
+        {"messages": source},
+        {"out": sink},
+    )
+    driver.run()
+    values = [v for _, v in sink.appended]
+    # hello lands exactly on the 01:00 quantum; world (01:01) waits for the
+    # next hourly cycle; late warps the clock to its own quantum
+    assert values == [["hello"], ["world"], ["late"]]
+    assert sink.closed
+
+
+def test_replay_no_data_never_fires():
+    dag = passthrough_dag()
+    sink = ListDataSink()
+    driver = ReplayDriver(
+        dag,
+        ReplayContext(T0, ts(120), pd.Timedelta(hours=1)),
+        {"messages": ListDataSource([])},
+        {"out": sink},
+    )
+    driver.run()
+    assert sink.appended == []
+
+
+def test_replay_clock_skips_over_gaps():
+    dag = passthrough_dag()
+    # one event at +1min, then nothing until +10h
+    source = ListDataSource([(ts(1), "a"), (ts(600), "b")])
+    driver = ReplayDriver(
+        dag,
+        ReplayContext(T0, ts(700), pd.Timedelta(minutes=1)),
+        {"messages": source},
+        {"out": ListDataSink()},
+    )
+    driver.run()
+    # the clock warps: far fewer cycles than 700 one-minute steps
+    assert len(driver.metrics) < 20
+
+
+def test_replay_respects_frequency_quantization():
+    dag = passthrough_dag()
+    source = ListDataSource([(ts(90), "x")])  # lands mid-quantum
+    seen = []
+    dagsink = ListDataSink()
+    driver = ReplayDriver(
+        dag,
+        ReplayContext(T0, ts(240), pd.Timedelta(hours=1)),
+        {"messages": source},
+        {"out": dagsink},
+    )
+    while not driver.is_done():
+        driver.run_cycle()
+        seen.append(driver.current_time)
+    # times stay on the hourly grid
+    assert all(t.minute == 0 and t.second == 0 for t in seen)
+    assert dagsink.appended and dagsink.appended[0][0] == ts(120)
+
+
+def test_unknown_source_name_rejected():
+    dag = passthrough_dag()
+    with pytest.raises(ValueError):
+        ReplayDriver(
+            dag,
+            ReplayContext(T0, ts(60), pd.Timedelta(hours=1)),
+            {"nope": ListDataSource([])},
+        )
+
+
+def test_iterator_adapter_stitches_days():
+    daily = iter(
+        [
+            ListDataSource([(ts(10), "d1a"), (ts(20), "d1b")]),
+            ListDataSource([]),  # empty middle day
+            ListDataSource([(ts(30), "d3a")]),
+        ]
+    )
+    adapter = IteratorDataSourceAdapter(daily, [], lambda a, b: a + b)
+    assert adapter.get_next() == ts(10)
+    assert adapter.read_to(ts(25)) == ["d1a", "d1b"]
+    assert adapter.read_to(ts(35)) == ["d3a"]
+    assert adapter.get_next() == UTC_MAX
+    assert adapter.read_to(ts(60)) == []
+
+
+def test_parquet_source_searchsorted(tmp_path):
+    path = str(tmp_path / "events.parquet")
+    table = pa.table(
+        {
+            "ts": pa.array(
+                [ts(5).tz_convert(None), ts(1).tz_convert(None), ts(9).tz_convert(None)],
+                type=pa.timestamp("us"),
+            ),
+            "v": ["b", "a", "c"],
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, path)
+    src = ParquetDataSource(path, "ts")
+    assert src.get_next() == ts(1)
+    first = src.read_to(ts(5))
+    assert first["v"].to_pylist() == ["a", "b"]  # sorted by ts, sliced
+    assert src.get_next() == ts(9)
+    assert src.read_to(ts(4)).num_rows == 0  # nothing new before ts 9
+    assert src.read_to(ts(10))["v"].to_pylist() == ["c"]
+    assert src.get_next() == UTC_MAX
+
+
+def test_replay_with_timers():
+    """Timers fire during replay even when no data is due
+    (reference: replay.py:230 timer-or-records gate)."""
+    dag = Dag()
+    src = dag.source_stream(name="messages")
+    tm = dag.timer_manager()
+    fired = []
+
+    def fn(xs, timer):
+        if xs:
+            timer.set_next_timer(ts(180))
+            return []
+        fired.append("timer")
+        return ["timer"]
+
+    node = dag.stream(fn).map(src, tm)
+    dag.sink("out", node)
+
+    sink = ListDataSink()
+    driver = ReplayDriver(
+        dag,
+        ReplayContext(T0, ts(400), pd.Timedelta(hours=1)),
+        {"messages": ListDataSource([(ts(30), "x")])},
+        {"out": sink},
+    )
+    driver.run()
+    assert fired == ["timer"]
+    assert [v for _, v in sink.appended] == [["timer"]]

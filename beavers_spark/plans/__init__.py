@@ -22,3 +22,4 @@ from beavers_spark.plans import relational  # noqa: E402,F401
 from beavers_spark.plans import tpch  # noqa: E402,F401
 from beavers_spark.plans import llmops  # noqa: E402,F401
 from beavers_spark.plans import streaming_parity  # noqa: E402,F401
+from beavers_spark.plans import views_setops  # noqa: E402,F401

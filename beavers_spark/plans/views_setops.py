@@ -1,0 +1,184 @@
+"""Plans: declarative latest-state views (perspective analog) and the
+set/analytic operators the reference lacks but Spark provides natively
+(SURVEY §2.7 scope boundary — exposed as engine bonuses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beavers_spark.operators import TableView, ViewFilter
+from beavers_spark.plans.common import t
+from beavers_spark.plans.registry import query
+
+
+@query(
+    "live_view",
+    oracle="""
+    SELECT user_id, event_type, round(value, 6) AS value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND value >= 10 AND event_type IN ('click', 'purchase')
+    ORDER BY value DESC, user_id
+    LIMIT 20
+    """,
+)
+def live_view(spark, sf_dir):
+    """Perspective-style dashboard view: indexed latest state + declarative
+    filters/sort/limit (reference: perspective_wrapper.py:43-57). The
+    whole definition compiles to one Catalyst plan ending in
+    TakeOrderedAndProject."""
+    ev = t(spark, sf_dir, "events")
+    view = TableView(
+        index_columns=["user_id"],
+        order_by=["ts", "event_id"],
+        filters=(
+            ViewFilter("value", ">=", 10),
+            ViewFilter("event_type", "in", ["click", "purchase"]),
+        ),
+        sort=(("value", "desc"), ("user_id", "asc")),
+        limit=20,
+        columns=["user_id", "event_type", "value"],
+    )
+    out = view.apply(ev)
+    return out.select("user_id", "event_type", F.round("value", 6).alias("value"))
+
+
+@query(
+    "except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def except_all(spark, sf_dir):
+    """Multiset difference (beyond-reference set op)."""
+    orders = t(spark, sf_dir, "orders").select(F.col("o_custkey"))
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.exceptAll(cust)
+
+
+@query(
+    "intersect_distinct",
+    oracle="""
+    SELECT l_partkey AS key FROM lineitem
+    INTERSECT
+    SELECT p_partkey AS key FROM part
+    """,
+)
+def intersect_distinct(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    part = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("key"))
+    return li.intersect(part)
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    """Explicit grouping sets via SQL (Catalyst expands to one
+    expand+aggregate, a single shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct(spark, sf_dir):
+    """Exact multi-column distinct counts (expand-based, 2-phase agg)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query("approx_distinct")  # algorithms differ across engines: rows-only
+def approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    distinct would shuffle every key. No SQL oracle: DuckDB's estimator
+    differs by design; accuracy is asserted against the exact count in
+    tests/ instead."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"))
+    )
+
+
+@query(
+    "lead_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id) OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lead_lag(spark, sf_dir):
+    """Neighbor-row analytics (beyond-reference window functions)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@query(
+    "median_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_quantile(spark, sf_dir):
+    """Exact interpolated quantiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The approximate sketch path for 100 TB is
+    ``approx_percentile`` (not oracle-matchable, same reasoning as
+    approx_distinct)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        )
+    )

@@ -6,6 +6,11 @@
   and streaming query helpers.
 """
 
+from beavers_spark.streaming.live import (  # noqa: F401
+    StreamingDagDriver,
+    streaming_last_by_key,
+    windowed_counts,
+)
 from beavers_spark.streaming.replay import (  # noqa: F401
     DataSink,
     DataSource,

@@ -29,4 +29,4 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_queries_are_documented():
     # approximate ops are the only ones allowed to skip the SQL oracle
-    assert set(QUERIES) - set(ORACLES) == {"ann_lsh_topk"}
+    assert set(QUERIES) - set(ORACLES) == {"ann_lsh_topk", "approx_distinct"}

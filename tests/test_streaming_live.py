@@ -1,0 +1,122 @@
+"""Live-mode (Structured Streaming) integration: file-source streams
+driven through the dag kernel and the native streaming operators."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beavers_spark.dag import Dag
+from beavers_spark.streaming import (
+    StreamingDagDriver,
+    streaming_last_by_key,
+    windowed_counts,
+)
+
+SCHEMA = "ts timestamp, user string, value double"
+
+
+def _write_batch(dir_path: str, name: str, rows: list[dict]) -> None:
+    with open(os.path.join(dir_path, name), "w") as fh:
+        for row in rows:
+            fh.write(json.dumps(row) + "\n")
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_batch(
+        d,
+        "b0.json",
+        [
+            {"ts": "2024-01-01T00:00:00Z", "user": "a", "value": 1.0},
+            {"ts": "2024-01-01T00:05:00Z", "user": "a", "value": 2.0},
+            {"ts": "2024-01-01T00:06:00Z", "user": "b", "value": 5.0},
+        ],
+    )
+    return d
+
+
+def test_streaming_dag_driver_foreachbatch(spark, stream_dir, tmp_path):
+    """Same dag code as replay mode, driven by a real streaming query."""
+    dag = Dag(spark)
+    src = dag.source_table(SCHEMA, "events")
+    totals = dag.table_stream(
+        lambda df: df.groupBy("user").agg(F.sum("value").alias("total")),
+        "user string, total double",
+    ).map(src)
+    dag.sink("totals", totals)
+
+    captured = []
+    driver = StreamingDagDriver(
+        dag,
+        "events",
+        sink_handler=lambda name, df, bid: captured.append(
+            (name, sorted(tuple(r) for r in df.collect()))
+        ),
+        event_time_column="ts",
+    )
+    stream = spark.readStream.schema(SCHEMA).json(stream_dir)
+    query = driver.attach(stream, str(tmp_path / "ckpt")).trigger(
+        availableNow=True
+    ).start()
+    query.awaitTermination(120)
+    assert driver.cycles == 1
+    assert captured == [("totals", [("a", 3.0), ("b", 5.0)])]
+    # the dag's clock advanced to the batch's max event time (replay parity)
+    assert str(dag.now().get_value()) == "2024-01-01 00:06:00+00:00"
+
+
+def test_windowed_counts_with_watermark(spark, stream_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).json(stream_dir)
+    out = windowed_counts(stream, "ts", "5 minutes", ["user"], watermark="1 minute")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    # append mode only emits closed windows; re-trigger with late watermark
+    rows = spark.sql("SELECT user, n, total FROM win_counts").collect()
+    # with availableNow + watermark, the final window may be withheld;
+    # assert the closed 00:00-00:05 window for user a
+    got = {(r.user, r.n, r.total) for r in rows}
+    assert ("a", 1, 1.0) in got
+
+
+def test_streaming_last_by_key(spark, stream_dir, tmp_path):
+    _write_batch(
+        stream_dir,
+        "b1.json",
+        [
+            {"ts": "2024-01-01T00:07:00Z", "user": "a", "value": 9.0},
+            {"ts": "2024-01-01T00:04:00Z", "user": "b", "value": 0.5},  # stale
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(stream_dir)
+    latest = streaming_last_by_key(stream, ["user"], "ts", ["value"])
+    query = (
+        latest.writeStream.format("memory")
+        .queryName("latest_by_user")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user, value FROM latest_by_user"
+    ).collect()
+    # final emission per key must reflect the true latest value
+    final = {}
+    for r in rows:
+        final[r.user] = r.value
+    assert final["a"] == 9.0
+    assert final["b"] == 5.0  # the 00:04 stale row never wins

@@ -1,0 +1,94 @@
+"""Physical-plan audit: check that headline queries compile to the plans
+we want at scale — filters pushed to the parquet scan, small dimensions
+broadcast, sort+limit as TakeOrderedAndProject, no accidental cartesian
+products, whole-stage codegen present.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from beavers_spark.session import get_spark  # noqa: E402
+
+# query -> (must_contain regexes, must_not_contain regexes)
+EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    # NB: WholeStageCodegen spans only appear in the post-execution AQE
+    # final plan; pre-execution we assert the structural properties.
+    "tpch_q1": [
+        [r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", r"partial_sum"],
+        [r"CartesianProduct"],
+    ],
+    "tpch_q3": [
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*GreaterThan\(l_shipdate"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ],
+    "tpch_q5": [
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ],
+    "tpch_q6": [
+        [r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"],
+        [r"Exchange hashpartitioning"],  # global agg: no keyed shuffle
+    ],
+    "etf_valuation": [
+        [r"BroadcastHashJoin", r"partial_sum|partial_count"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ],
+    "filter_predicate": [
+        [r"PushedFilters: \[.*GreaterThan\(l_quantity,45", r"EqualTo\(l_returnflag,R\)"],
+        [],
+    ],
+    "semi_join": [[r"LeftSemi"], [r"CartesianProduct"]],
+    "topk_customers": [[r"TakeOrderedAndProject"], [r"Exchange rangepartitioning"]],
+    "live_view": [[r"TakeOrderedAndProject"], []],
+    "last_by_keys": [
+        [r"row_number", r"Exchange hashpartitioning\(user_id"],
+        [],
+    ],
+    "delta_fanout": [[r"BroadcastHashJoin.*LeftSemi|LeftSemi.*Broadcast"], []],
+    "ann_cosine_topk": [
+        [r"BroadcastNestedLoopJoin"],  # intended: tiny query side x corpus
+        [r"SortMergeJoin"],
+    ],
+    "dedup_exact": [[r"partial_", r"Exchange hashpartitioning"], [r"CartesianProduct"]],
+    "word_count": [[r"Generate explode", r"partial_count"], []],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from beavers_spark.plans import QUERIES
+
+    spark = get_spark("plan-audit")
+    failures = 0
+    for name, (must, must_not) in EXPECTATIONS.items():
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # also the full formatted string with datasource details
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore
+            df._jdf.queryExecution(), "formatted"
+        )
+        blob = plan + "\n" + formatted
+        problems = []
+        for pat in must:
+            if not re.search(pat, blob):
+                problems.append(f"missing /{pat}/")
+        for pat in must_not:
+            if re.search(pat, blob):
+                problems.append(f"unwanted /{pat}/")
+        if problems:
+            failures += 1
+            print(f"AUDIT-FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"AUDIT-ok   {name}")
+    print(f"\n{len(EXPECTATIONS) - failures}/{len(EXPECTATIONS)} plans as designed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

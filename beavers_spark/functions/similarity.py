@@ -51,11 +51,18 @@ def brute_force_topk(
     keyed on query_id (cardinality = |queries|), so for large query sets
     switch to ``lsh_bucketed_topk``.
     """
+    # Precompute each side's norm ONCE behind a projection boundary —
+    # inlining cosine_sim would re-fold both norms per pair. Repartition
+    # the corpus: a single parquet file scans as one partition, which
+    # would serialize the (CPU-heavy) higher-order dot products.
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = (
+        corpus.repartition(parallelism)
+        .select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cn", _norm(F.col("cv")))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -63,7 +70,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
         )
     )
     w = F.row_number().over(
@@ -116,26 +125,46 @@ def lsh_bucketed_topk(
     k: int = 10,
     dim: int = 64,
     n_planes: int = 8,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucketing, candidates restricted
-    to the query's bucket, then exact cosine rerank within the bucket.
+    """Approximate top-k: hyperplane-LSH bucketing with multi-probe,
+    candidates restricted to probed buckets, exact cosine rerank inside.
 
     The scale path: the corpus is hashed once (narrow map), the join is an
     equi-join on bucket id (hash shuffle on a 2^n_planes-ary key), and the
-    rerank only touches bucket-mates. Recall < 1.0 by construction; raise
-    n_planes for precision/bucket-size trade-off, or probe multiple buckets
-    (multi-probe LSH) for higher recall.
+    rerank only touches bucket-mates. ``multi_probe`` additionally probes
+    every bucket at Hamming distance 1 from the query's bucket (a near
+    neighbor falling on the wrong side of ONE hyperplane is the dominant
+    miss mode) — recall rises steeply for (n_planes+1)x more candidate
+    volume, still an equi-join, never a cross join.
     """
     planes = _hyperplanes(dim, n_planes)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("qv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    if multi_probe:
+        probe_offsets = F.array(
+            F.lit(0), *[F.lit(1 << i) for i in range(n_planes)]
+        )
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.transform(
+                    probe_offsets, lambda m: F.col("bucket").bitwiseXOR(m)
+                )
+            ),
+        )
+    c = (
+        corpus.repartition(parallelism)
+        .select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        .withColumn("cn", _norm(F.col("cv")))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -143,7 +172,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
         )
     )
     w = F.row_number().over(

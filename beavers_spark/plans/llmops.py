@@ -348,15 +348,64 @@ def ann_cosine_topk(spark, sf_dir):
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 
+_COS_DEDUP_ORACLE = """
+WITH a AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE vec_id % 20 = 0
+),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM a CROSS JOIN b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_COS_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: a probe block (every 20th
+    vector, broadcast) against the full corpus, exact cosine, threshold.
+    The full-corpus scale path replaces the probe block with LSH buckets
+    (functions/similarity.lsh_bucketed_topk) — same rerank kernel."""
+    from beavers_spark.functions.similarity import _dot, _norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    parallelism = spark.sparkContext.defaultParallelism
+    a = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("v1")
+    ).withColumn("n1", _norm(F.col("v1")))
+    b = (
+        emb.repartition(parallelism)
+        .select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+        .withColumn("n2", _norm(F.col("v2")))
+    )
+    return (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .select("id1", "id2", "sim")
+    )
+
+
 @query("ann_lsh_topk")  # no SQL oracle: approximate op, rows-only check
 def ann_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN — the 100 TB scale path (equi-join on
-    bucket id instead of a cross join). Approximate by construction, so no
+    """Hyperplane-LSH bucketed ANN with multi-probe — the 100 TB scale
+    path (equi-join on bucket id instead of a cross join; probes the
+    Hamming-1 bucket ring for recall). Approximate by construction, so no
     SQL oracle; recall vs brute force is asserted in tests/."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(
-        queries, emb, "vec_id", "vec_id", "embedding", k=10, dim=64, n_planes=8
+        queries, emb, "vec_id", "vec_id", "embedding", k=10, dim=64, n_planes=4
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 

@@ -363,10 +363,10 @@ def word_count(spark, sf_dir):
     """The reference's streaming word-count example in batch form
     (examples/kafka_concepts.py:12-18, tests/test_util.py:67-75)."""
     docs = t(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
     return (
-        docs.select(
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
-        )
+        docs.repartition(parallelism)  # one small file = one partition
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -585,6 +585,29 @@ def tumbling_window(spark, sf_dir):
             "n",
             "total",
         )
+    )
+
+
+@query(
+    "scalar_transform",
+    oracle="""
+    SELECT event_id,
+           round(value * 2 + 1, 6) AS scaled,
+           round(sqrt(abs(value)), 6) AS root,
+           CAST(floor(value) AS BIGINT) AS floored
+    FROM events
+    """,
+)
+def scalar_transform(spark, sf_dir):
+    """Map-side per-element arithmetic (reference: multiply_by_2 et al,
+    examples/dag_concepts.py:39-47; op #41). Pure codegen'd projection —
+    zero shuffle, the shape that must never become a Python UDF."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") * 2 + 1, 6).alias("scaled"),
+        F.round(F.sqrt(F.abs("value")), 6).alias("root"),
+        F.floor("value").cast("bigint").alias("floored"),
     )
 
 

@@ -38,6 +38,9 @@ def get_spark(app_name: str = "beavers_spark", extra_conf: dict | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # NB: testdata parquet is one row group per file, so scans cannot
+        # be split (row group = atomic unit); CPU-heavy stages explicitly
+        # repartition after the scan instead of tuning maxPartitionBytes
         # testdata events.parquet stores TIMESTAMP(NANOS); surface as BIGINT
         # nanos (plans/common.t converts back to TimestampType at us)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -283,6 +283,56 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list (doc1, doc2):
+    cluster_id = min doc id reachable in the component.
+
+    Pregel-style iterative min-label propagation — the standard
+    large-graph formulation (each iteration is one join+agg, state
+    localCheckpoint'ed to truncate lineage). Near-dup graphs are shallow
+    (duplicate clusters are cliques-ish), so iterations ≈ component
+    diameter, typically < 5. Deterministic fixpoint regardless of
+    iteration order.
+    """
+    fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    rev = pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neighbor_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash signature per document over word hashes.
 

@@ -198,6 +198,39 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+_CLUSTERS_ORACLE = (
+    _SQL_JACCARD_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    pairs AS (SELECT doc1, doc2 FROM exact WHERE jaccard >= 0.2),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """
+)
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: connected components over the 3-gram
+    Jaccard pair graph (cluster_id = min doc id in component). The Spark
+    side is an iterative Pregel-style min-label loop; the oracle is a
+    recursive-CTE reachability closure — same deterministic fixpoint, so
+    even this iterative algorithm is hash-checked."""
+    from beavers_spark.functions.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+    ).select("doc1", "doc2")
+    return connected_components(pairs)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     s_cols = ",\n           ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"

@@ -9,6 +9,7 @@
 from beavers_spark.streaming.live import (  # noqa: F401
     StreamingDagDriver,
     streaming_last_by_key,
+    streaming_timeout_monitor,
     windowed_counts,
 )
 from beavers_spark.streaming.replay import (  # noqa: F401

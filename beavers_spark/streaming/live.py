@@ -85,6 +85,59 @@ class StreamingDagDriver:
         return writer
 
 
+def streaming_timeout_monitor(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    timeout_ms: int,
+) -> DataFrame:
+    """Per-key staleness watchdog — the live twin of the kernel's
+    TimerManager (reference: dag.py:95-154, one pending timer per node;
+    here one pending processing-time timeout per KEY, fully distributed).
+
+    Emits ``(keys..., last_seen, stale)``: stale=false rows on every
+    update (timer re-armed, reference `set_next_timer` semantics), and a
+    stale=true row when a key goes ``timeout_ms`` without updates. State
+    is one timestamp per key in the state store — bounded, no driver
+    involvement.
+    """
+    key_schema = ", ".join(
+        f"{c} {stream_df.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    out_schema = f"{key_schema}, last_seen timestamp, stale boolean"
+    state_schema = "last_seen timestamp"
+
+    def monitor(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            (last_seen,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[*key, last_seen, True]],
+                columns=[*key_cols, "last_seen", "stale"],
+            )
+            return
+        newest = None
+        for pdf in batches:
+            batch_max = pdf[ts_col].max()
+            if newest is None or batch_max > newest:
+                newest = batch_max
+        if newest is None:
+            return
+        state.update((newest,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [[*key, newest, False]], columns=[*key_cols, "last_seen", "stale"]
+        )
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        monitor,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_counts(
     stream_df: DataFrame,
     ts_col: str,

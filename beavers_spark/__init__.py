@@ -19,6 +19,8 @@ Apache Spark DataFrame / SQL / Structured Streaming:
   (beyond-reference surface for large-scale training-data pipelines).
 - ``beavers_spark.plans``      — named query plans over the test tables,
   each paired with a DuckDB oracle for correctness checking.
+- ``beavers_spark.serving``    — HTTP latest-state dashboard serving
+  (reference: beavers/perspective_wrapper.py), Arrow IPC wire format.
 
 Design stance: DataFrame-first so Catalyst gets predicate pushdown, column
 pruning, join planning and whole-stage codegen; Python only at the driver

@@ -13,6 +13,9 @@ from beavers_spark.streaming.live import (  # noqa: F401
     windowed_counts,
 )
 from beavers_spark.streaming.replay import (  # noqa: F401
+    ArrowTableDataSource,
+    CsvDataSink,
+    CsvDataSource,
     DataSink,
     DataSource,
     IteratorDataSourceAdapter,

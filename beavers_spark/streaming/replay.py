@@ -89,14 +89,14 @@ class ListDataSink:
         self.closed = True
 
 
-class ParquetDataSource:
-    """Time-sliced parquet source with searchsorted semantics
-    (reference: ArrowTableDataSource, pyarrow_replay.py:11-42).
+class ArrowTableDataSource:
+    """Time-sliced source over an in-memory Arrow table with searchsorted
+    semantics (reference: ArrowTableDataSource, pyarrow_replay.py:11-42).
 
-    Loads the file once as an Arrow table sorted by ``ts_column`` and
-    serves zero-copy slices per cycle. ``to_value`` adapts each slice to
-    the dag's payload type (e.g. ``lambda t: spark.createDataFrame(
-    t.to_pandas())`` for DataFrame dags; identity for Arrow dags).
+    Sorts once by ``ts_column`` and serves zero-copy slices per cycle.
+    ``to_value`` adapts each slice to the dag's payload type (e.g.
+    ``lambda t: spark.createDataFrame(t.to_pandas())`` for DataFrame dags;
+    identity for Arrow dags).
 
     Scale note: this is the *driver* of a replay loop, not the data path —
     for 100 TB replays the payload conversion should hand Spark a parquet
@@ -106,11 +106,10 @@ class ParquetDataSource:
 
     def __init__(
         self,
-        path: str,
+        table: pa.Table,
         ts_column: str,
         to_value: Callable[[pa.Table], Any] = lambda t: t,
     ) -> None:
-        table = pq.read_table(path)
         order = pc.sort_indices(table[ts_column])
         self._table = table.take(order)
         self._ts = self._table[ts_column].to_pandas()
@@ -129,6 +128,56 @@ class ParquetDataSource:
         if self._pos >= len(self._table):
             return UTC_MAX
         return pd.Timestamp(self._ts.iloc[self._pos])
+
+
+class ParquetDataSource(ArrowTableDataSource):
+    """Parquet file replay source (reference: ArrowTableDataSource +
+    parquet read, pyarrow_replay.py:11-42)."""
+
+    def __init__(
+        self,
+        path: str,
+        ts_column: str,
+        to_value: Callable[[pa.Table], Any] = lambda t: t,
+    ) -> None:
+        super().__init__(pq.read_table(path), ts_column, to_value)
+
+
+class CsvDataSource(ArrowTableDataSource):
+    """CSV file replay source (reference example: CsvDataSourceProvider,
+    examples/replay_concepts.py:78-92 — read whole file, sort by
+    timestamp, replay time-sliced)."""
+
+    def __init__(
+        self,
+        path: str,
+        ts_column: str,
+        to_value: Callable[[pa.Table], Any] = lambda t: t,
+    ) -> None:
+        df = pd.read_csv(path, parse_dates=[ts_column])
+        super().__init__(
+            pa.Table.from_pandas(df, preserve_index=False), ts_column, to_value
+        )
+
+
+class CsvDataSink:
+    """Buffered CSV sink: per-cycle chunks concatenated and written once
+    on close (reference example: CsvDataSink,
+    examples/replay_concepts.py:95-110)."""
+
+    def __init__(self, path: str, to_table: Callable[[Any], pa.Table] = lambda v: v):
+        self._path = path
+        self._to_table = to_table
+        self._chunks: list[pa.Table] = []
+
+    def append(self, timestamp: pd.Timestamp, data: Any) -> None:
+        self._chunks.append(self._to_table(data))
+
+    def close(self) -> None:
+        if self._chunks:
+            pa.concat_tables(self._chunks).to_pandas().to_csv(
+                self._path, index=False
+            )
 
 
 class ParquetDataSink:

@@ -1,0 +1,72 @@
+"""Training-data pipeline over the documents table: quality scoring,
+token counting, exact dedup, near-dup clustering — the beyond-reference
+operator family for 100 TB corpus curation (COVERAGE.md bonus section).
+
+Everything stays Catalyst-visible (no row-at-a-time Python): hashes,
+regex token counts and ratio features are JVM expressions; near-dup
+clustering is an iterative join+agg fixpoint.
+
+Run: ``python examples/training_pipeline.py``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from beavers_spark.functions.dedup import (  # noqa: E402
+    connected_components,
+    exact_dedup,
+    ngram_jaccard_pairs,
+)
+from beavers_spark.functions.text import quality_score, token_count_bpe_ish  # noqa: E402
+from beavers_spark.plans.common import t  # noqa: E402
+from beavers_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+spark = get_spark("training_pipeline_example")
+docs = t(spark, SF_DIR, "documents")
+n_docs = docs.count()
+assert n_docs > 0
+
+# 1. quality + token features, all JVM-side expressions
+scored = docs.select(
+    "doc_id",
+    *[expr.alias(name) for name, expr in quality_score(F.col("text")).items()],
+    token_count_bpe_ish(F.col("text")).alias("bpe_tokens"),
+)
+feats = scored.agg(
+    F.count(F.lit(1)).alias("n"),
+    F.min("n_tokens").alias("min_tok"),
+    F.sum(F.when(F.col("stopword_ratio") > 1, 1).otherwise(0)).alias("bad_ratio"),
+).first()
+assert feats.n == n_docs
+assert feats.bad_ratio == 0  # ratios stay in range
+
+# 2. quality filter — the pushdown-friendly curation gate
+kept = scored.filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.5))
+assert 0 < kept.count() <= n_docs
+
+# 3. exact dedup: canonicalization map by content hash
+canon = exact_dedup(docs, "text", "doc_id", min_copies=1)
+assert canon.count() <= n_docs  # one row per distinct content
+
+# 4. near-dup clusters: 3-gram Jaccard pairs -> connected components
+pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).select(
+    "doc1", "doc2"
+)
+clusters = connected_components(pairs)
+if clusters.count():
+    # every member maps to the minimum doc_id of its component
+    bad = clusters.filter(F.col("cluster_id") > F.col("doc_id")).count()
+    assert bad == 0
+
+print(
+    f"training_pipeline: all asserts passed "
+    f"({n_docs} docs, {kept.count()} kept, {canon.count()} distinct)"
+)

@@ -1,0 +1,27 @@
+"""Docs-as-tests: every file in examples/ is executable with inline
+asserts and runs in CI (reference pattern: `just examples`,
+justfile:16-24, and tests/test_docs.py keeping docs honest)."""
+
+from __future__ import annotations
+
+import os
+import runpy
+
+import pytest
+
+EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+EXAMPLES = sorted(f for f in os.listdir(EXAMPLES_DIR) if f.endswith(".py"))
+
+NEEDS_SPARK = {
+    "etf_pipeline.py",
+    "serving_dashboard.py",
+    "training_pipeline.py",
+}
+
+
+@pytest.mark.parametrize("example", EXAMPLES)
+def test_example_runs(example, request):
+    if example in NEEDS_SPARK:
+        # reuse the session fixture so examples share the test JVM
+        request.getfixturevalue("spark")
+    runpy.run_path(os.path.join(EXAMPLES_DIR, example), run_name="__main__")

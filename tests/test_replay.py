@@ -175,3 +175,45 @@ def test_replay_with_timers():
     driver.run()
     assert fired == ["timer"]
     assert [v for _, v in sink.appended] == [["timer"]]
+
+
+def test_csv_replay_end_to_end(tmp_path):
+    """CSV in -> dag transform -> CSV out across virtual-clock cycles
+    (reference example: examples/replay_concepts.py:78-121 CSV adapters)."""
+    import pyarrow.compute as pc
+
+    from beavers_spark.streaming import CsvDataSink, CsvDataSource
+
+    src_path = str(tmp_path / "in.csv")
+    out_path = str(tmp_path / "out.csv")
+    pd.DataFrame(
+        {
+            "timestamp": [ts(90), ts(5), ts(130)],  # unsorted on purpose
+            "message": ["mid", "early", "late"],
+        }
+    ).to_csv(src_path, index=False)
+
+    dag = Dag()
+    src = dag.source_stream(
+        name="messages", empty_factory=lambda: pa.table({"timestamp": [], "message": []})
+    )
+    upper = dag.stream(
+        lambda t: t.set_column(
+            1, "message", pc.utf8_upper(t.column("message"))
+        )
+    ).map(src)
+    dag.sink("out", upper)
+
+    sink = CsvDataSink(out_path)
+    driver = ReplayDriver(
+        dag,
+        ReplayContext(start=ts(0), end=ts(180), frequency=pd.Timedelta(hours=1)),
+        sources={"messages": CsvDataSource(src_path, "timestamp")},
+        sinks={"out": sink},
+    )
+    driver.run()
+
+    out = pd.read_csv(out_path, parse_dates=["timestamp"])
+    # rows arrive sorted by timestamp and transformed
+    assert out["message"].tolist() == ["EARLY", "MID", "LATE"]
+    assert out["timestamp"].tolist() == [ts(5), ts(90), ts(130)]

@@ -20,7 +20,11 @@ from beavers_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from beavers_spark.functions.similarity import brute_force_topk, lsh_bucketed_topk
+from beavers_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from beavers_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -439,6 +443,21 @@ def ann_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(
         queries, emb, "vec_id", "vec_id", "embedding", k=10, dim=64, n_planes=4
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@query("ann_ivf_topk")  # no SQL oracle: approximate op, rows-only check
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: KMeans-quantized corpus cells, queries probe the nearest
+    n_probe cells, exact cosine rerank inside — candidate volume ~
+    n_probe/n_cells of the corpus, an equi-join on cell id. Approximate
+    by construction (quantizer-dependent), so no SQL oracle; recall vs
+    brute force is asserted in tests/."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=3,
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 

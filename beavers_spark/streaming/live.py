@@ -100,6 +100,12 @@ def streaming_timeout_monitor(
     stale=true row when a key goes ``timeout_ms`` without updates. State
     is one timestamp per key in the state store — bounded, no driver
     involvement.
+
+    Note: Spark 4's ``transformWithStateInPandas`` (arbitrary state v2,
+    first-class ``registerTimer``) is the successor API for this
+    pattern; its Python side needs protobuf, which this environment
+    doesn't ship, so the GroupState timeout formulation here is the
+    portable implementation.
     """
     key_schema = ", ".join(
         f"{c} {stream_df.schema[c].dataType.simpleString()}" for c in key_cols

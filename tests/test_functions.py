@@ -139,3 +139,34 @@ def test_media_meta_and_frame_sampling(spark):
     )
     frames = frame_sample_plan(vids, "doc_id", "payload", every_ms=1000).collect()
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    """IVF recall@10 against brute force, and the n_probe dial: probing
+    ALL cells must reproduce exact brute-force results (the rerank inside
+    cells is exact cosine), fewer probes trade recall for candidate
+    volume."""
+    from beavers_spark.functions.similarity import ivf_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, embeddings, "vec_id", "vec_id", k=10).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+
+    # n_probe == n_cells degenerates to exact search
+    full = ivf_topk(
+        queries, embeddings, "vec_id", "vec_id", k=10, n_cells=4, n_probe=4
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == exact_set
+
+    # partial probing: valid ranked output with nonzero recall
+    approx = ivf_topk(
+        queries, embeddings, "vec_id", "vec_id", k=10, n_cells=8, n_probe=3
+    ).collect()
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.2
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        sims = [r.sim for r in sorted(rows, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)

@@ -29,4 +29,8 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_queries_are_documented():
     # approximate ops are the only ones allowed to skip the SQL oracle
-    assert set(QUERIES) - set(ORACLES) == {"ann_lsh_topk", "approx_distinct"}
+    assert set(QUERIES) - set(ORACLES) == {
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "approx_distinct",
+    }

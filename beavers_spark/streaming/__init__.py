@@ -7,6 +7,8 @@
 """
 
 from beavers_spark.streaming.live import (  # noqa: F401
+    CycleMetrics,
+    ProgressCollector,
     StreamingDagDriver,
     streaming_last_by_key,
     streaming_timeout_monitor,

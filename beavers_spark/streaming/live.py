@@ -23,9 +23,29 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from beavers_spark.dag import Dag
+
+
+import dataclasses
+import time
+
+
+@dataclasses.dataclass
+class CycleMetrics:
+    """Per-batch driver-loop accounting — the live twin of the
+    reference's ExecutionMetrics (kafka.py:399-446: poll/execute timings
+    and counts) and of ReplayCycleMetrics on the replay side."""
+
+    batch_id: int
+    cycle_time: pd.Timestamp
+    execute_seconds: float
+    flush_seconds: float
+    updated_sinks: int
+    dag_notifications: int
+    dag_updated_nodes: int
 
 
 class StreamingDagDriver:
@@ -36,6 +56,10 @@ class StreamingDagDriver:
     Timestamps: cycle time is the batch's max event time when an
     ``event_time_column`` is configured (replay parity), else wall clock
     (reference dual-clock: kafka.py:570-572).
+
+    ``metrics`` accumulates one :class:`CycleMetrics` per non-empty batch;
+    source-level rates (input rows/sec, batch duration) come from Spark's
+    own ``query.lastProgress`` / :class:`ProgressCollector`.
     """
 
     def __init__(
@@ -50,6 +74,7 @@ class StreamingDagDriver:
         self.sink_handler = sink_handler
         self.event_time_column = event_time_column
         self.cycles = 0
+        self.metrics: list[CycleMetrics] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -65,14 +90,30 @@ class StreamingDagDriver:
         else:
             now = pd.Timestamp.now(tz="UTC")
         self.dag.get_sources()[self.source_name].set_stream(batch_df)
+        t0 = time.perf_counter()
         self.dag.execute(now)
+        t1 = time.perf_counter()
         self.cycles += 1
-        if self.sink_handler is not None:
-            cycle = self.dag.get_cycle_id()
-            for name, nodes in self.dag.get_sinks().items():
-                for node in nodes:
-                    if node.get_cycle_id() == cycle:
+        updated = 0
+        cycle = self.dag.get_cycle_id()
+        for name, nodes in self.dag.get_sinks().items():
+            for node in nodes:
+                if node.get_cycle_id() == cycle:
+                    updated += 1
+                    if self.sink_handler is not None:
                         self.sink_handler(name, node.get_value(), batch_id)
+        dag_metrics = self.dag.flush_metrics()
+        self.metrics.append(
+            CycleMetrics(
+                batch_id=batch_id,
+                cycle_time=now,
+                execute_seconds=t1 - t0,
+                flush_seconds=time.perf_counter() - t1,
+                updated_sinks=updated,
+                dag_notifications=dag_metrics.notifications,
+                dag_updated_nodes=dag_metrics.updated_nodes,
+            )
+        )
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str, **options):
         """Build the writeStream for this driver; caller ``.start()``s."""
@@ -83,6 +124,43 @@ class StreamingDagDriver:
         for k, v in options.items():
             writer = writer.option(k, v)
         return writer
+
+
+class ProgressCollector(StreamingQueryListener):
+    """Source/sink-level engine counters in live mode, straight from
+    Spark's streaming progress events — the analog of the reference's
+    ConsumerMetrics/ProducerMetrics/ExecutionMetrics counters
+    (kafka.py:235-244, 170-178, 399-446), which Spark already measures:
+    input rows per trigger, processing rates, batch durations, state
+    rows. Register with ``spark.streams.addListener(collector)``.
+    """
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+
+    def onQueryStarted(self, event: Any) -> None:  # noqa: N802 (listener API)
+        pass
+
+    def onQueryProgress(self, event: Any) -> None:  # noqa: N802
+        p = event.progress
+        self.progress.append(
+            {
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "input_rows_per_second": p.inputRowsPerSecond,
+                "duration_ms": dict(p.durationMs),
+            }
+        )
+
+    def onQueryIdle(self, event: Any) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event: Any) -> None:  # noqa: N802
+        pass
+
+    @property
+    def total_input_rows(self) -> int:
+        return sum(p["num_input_rows"] for p in self.progress)
 
 
 def streaming_timeout_monitor(

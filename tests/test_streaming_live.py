@@ -69,6 +69,43 @@ def test_streaming_dag_driver_foreachbatch(spark, stream_dir, tmp_path):
     assert captured == [("totals", [("a", 3.0), ("b", 5.0)])]
     # the dag's clock advanced to the batch's max event time (replay parity)
     assert str(dag.now().get_value()) == "2024-01-01 00:06:00+00:00"
+    # per-cycle driver metrics (live ExecutionMetrics twin)
+    (m,) = driver.metrics
+    assert m.updated_sinks == 1 and m.execute_seconds > 0
+    assert m.dag_updated_nodes > 0
+    assert str(m.cycle_time) == "2024-01-01 00:06:00+00:00"
+
+
+def test_progress_collector_listener(spark, stream_dir, tmp_path):
+    """Engine counters via StreamingQueryListener (BASELINE.md parity)."""
+    import time as _time
+
+    from beavers_spark.streaming import ProgressCollector
+
+    collector = ProgressCollector()
+    spark.streams.addListener(collector)
+    try:
+        stream = spark.readStream.schema(SCHEMA).json(stream_dir)
+        query = (
+            stream.groupBy("user")
+            .count()
+            .writeStream.format("memory")
+            .queryName("pc_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_pc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        # listener events are delivered asynchronously
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline and collector.total_input_rows < 3:
+            _time.sleep(0.2)
+        assert collector.total_input_rows == 3
+        batch = collector.progress[0]
+        assert "triggerExecution" in batch["duration_ms"]
+    finally:
+        spark.streams.removeListener(collector)
 
 
 def test_windowed_counts_with_watermark(spark, stream_dir, tmp_path):

@@ -23,8 +23,12 @@ from beavers_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q22",
     "etf_valuation",
     "last_by_keys",
     "groupby_sum",

@@ -141,3 +141,36 @@ def test_asof_join_preserves_left_rows(spark):
     assert out.count() == 50
     nulls = out.filter(F.col("px_right").isNull()).count()
     assert nulls == 25  # ts 0..24 precede the only quote
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics — only the shuffle layout."""
+    from beavers_spark.operators import salted_join
+
+    # skewed: 90% of rows share key 'hot'
+    skewed = spark.createDataFrame(
+        [("hot", i) for i in range(90)] + [("cold", i) for i in range(10)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unmatched", "U")], "k string, label string"
+    )
+    plain = skewed.join(dim, ["k"], "inner")
+    salted = salted_join(skewed, dim, ["k"], n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert salted.columns == plain.columns
+
+    # left join keeps unmatched skewed rows exactly once
+    skewed2 = skewed.unionByName(
+        spark.createDataFrame([("orphan", 1)], "k string, v int")
+    )
+    left_plain = skewed2.join(dim, ["k"], "left")
+    left_salted = salted_join(skewed2, dim, ["k"], n_salts=8, how="left")
+    assert sorted(map(tuple, left_salted.collect())) == sorted(
+        map(tuple, left_plain.collect())
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(skewed, dim, ["k"], how="full")

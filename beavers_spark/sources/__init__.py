@@ -12,6 +12,10 @@ from beavers_spark.sources.kafka import (  # noqa: F401
     kafka_reader,
     kafka_writer,
 )
+from beavers_spark.sources.bucketing import (  # noqa: F401
+    bucketed_join,
+    write_bucketed,
+)
 from beavers_spark.sources.files import (  # noqa: F401
     read_csv_source,
     read_json_source,

@@ -10,6 +10,7 @@ from beavers_spark.streaming.live import (  # noqa: F401
     CycleMetrics,
     ProgressCollector,
     StreamingDagDriver,
+    session_windowed_counts,
     streaming_last_by_key,
     streaming_timeout_monitor,
     windowed_counts,

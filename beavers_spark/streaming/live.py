@@ -249,6 +249,38 @@ def windowed_counts(
     )
 
 
+def session_windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation: per-key sessions that close after
+    ``gap`` of event-time silence — the streaming twin of the batch
+    ``sessionize`` plan (there: lag + cumulative-sum session ids; here:
+    Spark's native ``session_window``, which merges/extends sessions in
+    the state store and emits them when the watermark passes the gap).
+
+    Beyond the reference's surface (it has no windowing at all,
+    SURVEY §2.7) — included because session analytics is the canonical
+    stateful-streaming workload the dag kernel would otherwise push into
+    a driver-side UDF.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            *keys,
+            "n",
+            "total",
+        )
+    )
+
+
 def streaming_last_by_key(
     stream_df: DataFrame,
     key_cols: list[str],

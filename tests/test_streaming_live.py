@@ -157,3 +157,41 @@ def test_streaming_last_by_key(spark, stream_dir, tmp_path):
         final[r.user] = r.value
     assert final["a"] == 9.0
     assert final["b"] == 5.0  # the 00:04 stale row never wins
+
+
+def test_session_windowed_counts(spark, tmp_path):
+    """Sessions close after a gap of event-time silence; a new event
+    within the gap extends the session."""
+    from beavers_spark.streaming import session_windowed_counts
+
+    d = str(tmp_path / "sess_in")
+    os.makedirs(d)
+    _write_batch(
+        d,
+        "b0.json",
+        [
+            # user a: two events 2 min apart -> ONE session (gap 5m)
+            {"ts": "2024-01-01T00:00:00Z", "user": "a", "value": 1.0},
+            {"ts": "2024-01-01T00:02:00Z", "user": "a", "value": 2.0},
+            # then 10 min silence -> a SECOND session
+            {"ts": "2024-01-01T00:12:00Z", "user": "a", "value": 4.0},
+            # watermark pusher so both sessions close
+            {"ts": "2024-01-01T01:00:00Z", "user": "z", "value": 0.0},
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(d)
+    out = session_windowed_counts(stream, "ts", "5 minutes", ["user"], watermark="1 minute")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user, n, total FROM sessions WHERE user = 'a'"
+    ).collect()
+    got = sorted((r.user, r.n, r.total) for r in rows)
+    assert got == [("a", 1, 4.0), ("a", 2, 3.0)]

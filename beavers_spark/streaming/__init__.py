@@ -28,4 +28,5 @@ from beavers_spark.streaming.replay import (  # noqa: F401
     ParquetDataSink,
     ReplayContext,
     ReplayDriver,
+    SparkSliceSource,
 )

@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from beavers_spark.dag import UTC_MAX, Dag
 
@@ -101,7 +102,7 @@ class ArrowTableDataSource:
     Scale note: this is the *driver* of a replay loop, not the data path —
     for 100 TB replays the payload conversion should hand Spark a parquet
     path + timestamp predicate instead of materializing rows
-    (see ``spark_slice_source``).
+    (see :class:`SparkSliceSource`).
     """
 
     def __init__(
@@ -196,6 +197,55 @@ class ParquetDataSink:
     def close(self) -> None:
         if self._chunks:
             pq.write_table(pa.concat_tables(self._chunks), self._path)
+
+
+class SparkSliceSource:
+    """Scale-path replay source: each cycle's batch is a **lazy**
+    DataFrame ``prev < ts <= now`` over a parquet path — the slice
+    predicate reaches the parquet scan (PushedFilters + row-group
+    pruning on min/max stats), so the data plane never touches the
+    driver. This is the 100 TB twin of :class:`ArrowTableDataSource`
+    (which materializes the file driver-side — fine for test fixtures,
+    wrong at scale).
+
+    Control plane: ``get_next`` runs one tiny min-aggregation above the
+    cursor per cycle (a driver-paced scheduling query whose filter also
+    prunes row groups); ``read_to`` uses the cached next-event time to
+    return ``None`` for empty slices without touching data, so the
+    replay driver skips the cycle entirely (reference gate:
+    replay.py:230 records-or-timer).
+    """
+
+    def __init__(self, spark: Any, path: str, ts_column: str) -> None:
+        self._df = spark.read.parquet(path)
+        self._ts = ts_column
+        self._cursor: pd.Timestamp | None = None  # exclusive lower bound
+        self._next: pd.Timestamp | None = None  # cached next event time
+
+    def _above_cursor(self):
+        if self._cursor is None:
+            return self._df
+        return self._df.filter(F.col(self._ts) > self._cursor.tz_convert(None))
+
+    def get_next(self) -> pd.Timestamp:
+        if self._next is None:
+            row = self._above_cursor().agg(F.min(self._ts).alias("m")).first()
+            if row["m"] is None:
+                self._next = UTC_MAX
+            else:
+                nxt = pd.Timestamp(row["m"])
+                self._next = nxt.tz_localize("UTC") if nxt.tzinfo is None else nxt
+        return self._next
+
+    def read_to(self, timestamp: pd.Timestamp) -> Any:
+        if self.get_next() > timestamp:
+            return None  # no rows in slice: zero Spark jobs this cycle
+        batch = self._above_cursor().filter(
+            F.col(self._ts) <= timestamp.tz_convert(None)
+        )
+        self._cursor = timestamp
+        self._next = None
+        return batch
 
 
 class IteratorDataSourceAdapter(Generic[T]):

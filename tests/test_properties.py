@@ -1,0 +1,83 @@
+"""Property-based checks (hypothesis) against independent pure-Python
+models — beyond the reference's example-based style (SURVEY §5: no
+property testing there), cheap insurance for the trickiest operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from beavers_spark.functions.dedup import connected_components
+from beavers_spark.operators import last_by_keys
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {node: find(node) for node in parent}
+
+
+@_SETTINGS
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc1 int, doc2 int"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # key
+        st.integers(0, 100),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_SETTINGS
+@given(rows=rows_strategy)
+def test_last_by_keys_matches_pandas_model(spark, rows):
+    """last_by_keys == pandas 'last row per key in seq order'."""
+    data = [(seq, k, v) for seq, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "seq long, k int, v int")
+    got = {
+        (r.k): (r.seq, r.v)
+        for r in last_by_keys(df, ["k"], ["seq"]).collect()
+    }
+    model = (
+        pd.DataFrame(data, columns=["seq", "k", "v"])
+        .sort_values("seq")
+        .groupby("k")
+        .last()
+    )
+    expected = {k: (row["seq"], row["v"]) for k, row in model.iterrows()}
+    assert got == expected

@@ -217,3 +217,47 @@ def test_csv_replay_end_to_end(tmp_path):
     # rows arrive sorted by timestamp and transformed
     assert out["message"].tolist() == ["EARLY", "MID", "LATE"]
     assert out["timestamp"].tolist() == [ts(5), ts(90), ts(130)]
+
+
+def test_spark_slice_source_replay(spark, tmp_path):
+    """Scale-path replay: lazy pushdown-sliced DataFrames through the
+    dag; empty cycles cost zero Spark jobs (read_to returns None)."""
+    import pyarrow.parquet as pq
+
+    from beavers_spark.streaming import SparkSliceSource
+
+    path = str(tmp_path / "trades.parquet")
+    table = pa.table(
+        {
+            "ts": pa.array(
+                [ts(m).tz_convert(None) for m in (5, 65, 70, 200)],
+                type=pa.timestamp("us"),
+            ),
+            "qty": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    pq.write_table(table, path)
+
+    from beavers_spark.dag import Dag
+
+    dag = Dag(spark)
+    src = dag.source_table("ts timestamp, qty double", "trades")
+    totals = dag.state(
+        lambda df, acc=[0.0]: (
+            acc.__setitem__(0, acc[0] + df.agg({"qty": "sum"}).first()[0]),
+            acc[0],
+        )[1]
+    ).map(src)
+    dag.sink("total", totals)
+
+    driver = ReplayDriver(
+        dag,
+        ReplayContext(start=ts(0), end=ts(240), frequency=pd.Timedelta(hours=1)),
+        sources={"trades": SparkSliceSource(spark, path, "ts")},
+    )
+    source = driver.sources["trades"]
+    assert source.get_next() == ts(5)
+    driver.run()
+    assert dag.get_sink_value("total") == 10.0
+    # cycles with data: 0-60 (ts5), 60-120 (ts65,70), 180-240 (ts200)
+    assert sum(1 for m in driver.metrics if m.records) == 3

@@ -249,6 +249,68 @@ def windowed_counts(
     )
 
 
+def streaming_event_timeout_monitor(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    timeout_ms: int,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Event-time twin of :func:`streaming_timeout_monitor`: the stale
+    marker fires when the stream's WATERMARK (not the wall clock) passes
+    ``last_seen + timeout_ms`` — fully deterministic, so replaying the
+    same data yields the same stale markers (the reference's replay
+    parity promise applied to timers; its replay timers are likewise
+    event-time driven, replay.py:230).
+    """
+    key_schema = ", ".join(
+        f"{c} {stream_df.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    out_schema = f"{key_schema}, last_seen timestamp, stale boolean"
+    state_schema = "last_seen timestamp"
+
+    def monitor(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            (last_seen,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[*key, last_seen, True]],
+                columns=[*key_cols, "last_seen", "stale"],
+            )
+            return
+        newest = None
+        for pdf in batches:
+            batch_max = pdf[ts_col].max()
+            if newest is None or batch_max > newest:
+                newest = batch_max
+        if newest is None:
+            return
+        state.update((newest,))
+        # fire when the watermark passes this event-time deadline; for a
+        # LATE row whose deadline is already behind the watermark, clamp
+        # to just past it (Spark rejects deadlines <= watermark) — the
+        # key goes stale at the next watermark advance, which is the
+        # earliest legal firing
+        deadline = int(newest.value // 1_000_000) + timeout_ms
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline, wm + 1))
+        yield pd.DataFrame(
+            [[*key, newest, False]], columns=[*key_cols, "last_seen", "stale"]
+        )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            monitor,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def session_windowed_counts(
     stream_df: DataFrame,
     ts_col: str,

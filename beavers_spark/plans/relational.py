@@ -626,3 +626,67 @@ def json_extract(spark, sf_dir):
         "event_id",
         F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
     )
+
+
+@query(
+    "hourly_rollup",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_rollup(spark, sf_dir):
+    """Time-bucketed rollup: date_trunc-hour x event_type aggregation —
+    the canonical time-series downsample. One hash shuffle with map-side
+    partials; at scale the hour bucket doubles as the natural write
+    partition for the rollup table."""
+    from beavers_spark.plans.common import ts_us
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(ts_us("h").alias("hour_us"), "event_type", "n", "total")
+    )
+
+
+@query(
+    "stats_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(stddev_samp(o_totalprice), 4) AS sd_price,
+           round(corr(o_totalprice, c_acctbal), 4) AS price_bal_corr
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stats_by_segment(spark, sf_dir):
+    """Statistical aggregates (stddev, correlation) per market segment:
+    broadcast the customer dimension, single-pass moment accumulation in
+    the agg (no second scan for the variance)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.corr("o_totalprice", "c_acctbal"), 4).alias(
+                "price_bal_corr"
+            ),
+        )
+    )

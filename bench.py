@@ -34,6 +34,8 @@ HEADLINE = [
     "groupby_sum",
     "window_rank",
     "sessionize",
+    "hourly_rollup",
+    "stats_by_segment",
     "asof_join_events",
     "word_count",
     "dedup_exact",

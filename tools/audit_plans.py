@@ -27,9 +27,36 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"PushedFilters: \[.*GreaterThan\(l_shipdate"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ],
+    "tpch_q4": [
+        # EXISTS must become a semi join, never an aggregate-then-join
+        [r"LeftSemi", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"],
+        [r"CartesianProduct"],
+    ],
     "tpch_q5": [
         [r"BroadcastHashJoin"],
         [r"CartesianProduct", r"SortMergeJoin"],
+    ],
+    "tpch_q10": [
+        # top-20 must be TakeOrderedAndProject, not a global sort
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"Exchange rangepartitioning"],
+    ],
+    "tpch_q14": [
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ],
+    "tpch_q22": [
+        # NOT EXISTS -> anti join; the scalar avg is a 1-row broadcast
+        [r"LeftAnti", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"],
+        [r"SortMergeJoin"],
+    ],
+    "hourly_rollup": [
+        [r"partial_count", r"Exchange hashpartitioning"],
+        [r"CartesianProduct"],
+    ],
+    "stats_by_segment": [
+        [r"BroadcastHashJoin", r"partial_"],
+        [r"SortMergeJoin", r"CartesianProduct"],
     ],
     "tpch_q6": [
         [r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"],

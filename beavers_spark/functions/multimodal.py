@@ -103,6 +103,119 @@ def decode_image_batch(
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def fake_image_resizer(
+    payload: bytes, width: int, height: int
+) -> bytes:
+    """Deterministic stand-in for a real resize kernel: emits a payload
+    whose size is proportional to the target area. Replace with
+    PIL.Image.resize / cv2.resize in production."""
+    target = max(1, (width * height) // 64)
+    reps = (target // max(1, len(payload))) + 1
+    return (payload * reps)[:target]
+
+
+def resize_image_batch(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` (binary in -> binary
+    out). Without a ``resizer`` kernel this raises NotImplementedError at
+    execution time — inject ``fake_image_resizer`` in tests.
+
+    Scale note: output rows carry the new payload; write them straight
+    back to parquet partitioned by ingest date rather than collecting —
+    the resize pass is embarrassingly parallel and shuffle-free.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if resizer is None:
+            raise NotImplementedError(
+                "no image resize kernel available in this environment; "
+                "inject resizer= (e.g. PIL-based) or fake_image_resizer"
+            )
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out = resizer(
+                    bytes(payload) if payload is not None else b"", width, height
+                )
+                rows.append((int(doc_id), out, width, height))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_IMAGE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def fake_audio_decoder(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for an audio decoder: derives
+    (sample_rate, duration_ms, rms) from the payload bytes. Replace with
+    soundfile/librosa in production."""
+    n = len(payload)
+    sample_rate = 8_000 if n % 2 else 16_000
+    duration_ms = n  # pretend 1 byte ~ 1 ms
+    rms = (
+        (sum(b * b for b in payload[:256]) / max(1, min(n, 256))) ** 0.5 / 255.0
+        if n
+        else 0.0
+    )
+    return sample_rate, duration_ms, rms
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: Callable[[bytes], tuple[int, int, float]] | None = None,
+) -> DataFrame:
+    """Audio feature extraction via ``mapInPandas`` — same plumbing
+    contract as :func:`decode_image_batch` (inject the kernel; the
+    Spark-side schema/batching is real)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder is None:
+            raise NotImplementedError(
+                "no audio decoder available in this environment; "
+                "inject decoder= (e.g. soundfile-based) or fake_audio_decoder"
+            )
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                sr, dur, rms = decoder(
+                    bytes(payload) if payload is not None else b""
+                )
+                rows.append((int(doc_id), sr, dur, rms))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "duration_ms", "rms"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, payload_col: str, every_ms: int = 1000
 ) -> DataFrame:

@@ -170,3 +170,39 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
     for rows in by_q.values():
         sims = [r.sim for r in sorted(rows, key=lambda r: r.rnk)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_resize_and_audio(spark):
+    """Resize + audio-feature plumbing with deterministic fake kernels
+    (real decoders aren't in this container; the Spark-side schema,
+    batching and UDF signatures are what's under test)."""
+    from beavers_spark.functions.multimodal import (
+        extract_audio_features,
+        fake_audio_decoder,
+        fake_image_resizer,
+        resize_image_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"x" * 100)), (3, None)],
+        "doc_id long, payload binary",
+    )
+
+    resized = {r.doc_id: r for r in resize_image_batch(
+        df, "doc_id", "payload", width=32, height=16, resizer=fake_image_resizer
+    ).collect()}
+    assert set(resized) == {1, 2, 3}
+    assert all(r.width == 32 and r.height == 16 for r in resized.values())
+    assert len(resized[1].payload) == (32 * 16) // 64  # deterministic size
+
+    audio = {r.doc_id: r for r in extract_audio_features(
+        df, "doc_id", "payload", decoder=fake_audio_decoder
+    ).collect()}
+    assert audio[2].duration_ms == 100
+    assert audio[3].rms == 0.0
+
+    # without a kernel the plumbing must fail loudly at execution time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplemented|no image resize"):
+        resize_image_batch(df, "doc_id", "payload", 8, 8).collect()

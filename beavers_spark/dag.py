@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import operator
+import traceback
 from collections.abc import Callable
 from typing import Any
 
@@ -124,6 +125,7 @@ class Node:
         "_pending",  # staged source value
         "_silent",
         "_cached_df",
+        "_call_site",
     )
 
     def __init__(
@@ -136,6 +138,7 @@ class Node:
         empty_factory: Callable[[], Any] | None = None,
         name: str | None = None,
         silent: bool = False,
+        call_site: str | None = None,
     ) -> None:
         self._dag = dag
         self._kind = kind
@@ -151,6 +154,7 @@ class Node:
         self._pending = None
         self._silent = silent
         self._cached_df: DataFrame | None = None
+        self._call_site = call_site
 
     # -- public accessors (reference: dag.py:264-286) ----------------------
 
@@ -228,7 +232,14 @@ class Node:
             return
         self._notified = False
         args, kwargs = self._gather()
-        result = self._fn(*args, **kwargs)
+        try:
+            result = self._fn(*args, **kwargs)
+        except Exception as exc:
+            # report the user's build-site, not just the kernel frame
+            # (reference: call-site traceback capture, dag.py:318-326, 373)
+            if self._call_site is not None:
+                exc.add_note(f"in dag node created at {self._call_site}")
+            raise
         self._dag._metrics.updated_nodes += 1
         if self._kind in ("stream", "sink"):
             if self._kind == "sink":
@@ -275,12 +286,14 @@ class _Prototype:
                 raise TypeError(f"inputs must be Nodes, got {type(n)!r}")
             if n._dag is not self._dag:
                 raise ValueError("input node belongs to a different Dag")
+        caller = traceback.extract_stack(limit=2)[0]
         return self._dag._add_node(
             kind=self._kind,
             fn=self._fn,
             inputs=nodes,
             kwargs=kw_nodes,
             empty_factory=self._empty_factory,
+            call_site=f"{caller.filename}:{caller.lineno}",
         )
 
 
@@ -507,6 +520,7 @@ class Dag:
         empty_factory,
         name: str | None = None,
         silent: bool = False,
+        call_site: str | None = None,
     ) -> Node:
         for n in (*inputs, *kwargs.values()):
             if n not in self._nodes_set():
@@ -514,6 +528,7 @@ class Dag:
         node = Node(
             self, kind, fn, inputs, kwargs,
             empty_factory=empty_factory, name=name, silent=silent,
+            call_site=call_site,
         )
         for n in {id(x): x for x in (*inputs, *kwargs.values())}.values():
             n._observe(node)

@@ -301,3 +301,48 @@ def test_cutoff_with_operator_module_comparator():
     src.set_stream(["a"])
     dag.execute(ts(0))
     assert dag.get_sink_value("out") == "a"
+
+
+def test_map_stream_with_async_calls():
+    """Async UDF bodies via a sync asyncio.run wrapper (reference parity:
+    tests/test_dag.py:208-239 — the engine only requires a callable; the
+    user fans out coroutines inside it)."""
+    import asyncio
+
+    async def get_square(x: int) -> int:
+        await asyncio.sleep(0.01)
+        return x * x
+
+    async def get_squares(xs: list[int]) -> list[int]:
+        return await asyncio.gather(*[get_square(x) for x in xs])
+
+    def run_get_squares(xs: list[int]) -> list[int]:
+        return list(asyncio.run(get_squares(xs)))
+
+    dag = Dag()
+    source = dag.source_stream(name="nums")
+    node = dag.stream(run_get_squares).map(source)
+    dag.sink("squares", node)
+    source.set_stream([0, 1, 2, 3])
+    dag.execute(ts(0))
+    assert dag.get_sink_value("squares") == [0, 1, 4, 9]
+
+
+def test_node_error_reports_map_call_site():
+    """A failing node function reports the user's .map() build site
+    (reference: call-site traceback capture, dag.py:318-326, 373)."""
+    dag = Dag()
+    src = dag.source_stream(name="in")
+
+    def boom(xs):
+        raise ValueError("kaput")
+
+    node = dag.stream(boom).map(src)  # <- this line must appear in the error
+    dag.sink("out", node)
+    src.set_stream([1])
+    try:
+        dag.execute(ts(0))
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        notes = "".join(getattr(exc, "__notes__", []))
+        assert "test_dag.py" in notes and "dag node created at" in notes

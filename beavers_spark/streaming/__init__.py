@@ -11,6 +11,7 @@ from beavers_spark.streaming.live import (  # noqa: F401
     ProgressCollector,
     StreamingDagDriver,
     session_windowed_counts,
+    streaming_dedup,
     streaming_event_timeout_monitor,
     streaming_last_by_key,
     streaming_timeout_monitor,

@@ -249,6 +249,33 @@ def windowed_counts(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup — the live twin of the batch
+    ``dedup_exact`` plan (functions/dedup.py) and of the reference's
+    set-valued stream dedup (SURVEY §2.4.42), but across the whole
+    stream, not just within one batch.
+
+    Without a watermark the state grows with the number of distinct keys
+    (exactly the reference's in-memory dict behavior). With
+    ``ts_col``/``watermark`` set it uses
+    ``dropDuplicatesWithinWatermark``: duplicates are only tracked
+    inside the watermark horizon, so state is BOUNDED — the only form
+    that survives 100 TB/unbounded retention.
+    """
+    if (ts_col is None) != (watermark is None):
+        raise ValueError("ts_col and watermark must be set together")
+    if ts_col is None:
+        return stream_df.dropDuplicates(key_cols)
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def streaming_event_timeout_monitor(
     stream_df: DataFrame,
     key_cols: list[str],

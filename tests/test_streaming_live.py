@@ -195,3 +195,53 @@ def test_session_windowed_counts(spark, tmp_path):
     ).collect()
     got = sorted((r.user, r.n, r.total) for r in rows)
     assert got == [("a", 1, 4.0), ("a", 2, 3.0)]
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Cross-batch exact dedup with bounded (watermarked) state."""
+    from beavers_spark.streaming import streaming_dedup
+
+    d = str(tmp_path / "dedup_in")
+    os.makedirs(d)
+    _write_batch(
+        d,
+        "b0.json",
+        [
+            {"ts": "2024-01-01T00:00:00Z", "user": "a", "value": 1.0},
+            {"ts": "2024-01-01T00:00:30Z", "user": "a", "value": 1.0},  # dup key
+            {"ts": "2024-01-01T00:01:00Z", "user": "b", "value": 2.0},
+        ],
+    )
+    _write_batch(
+        d,
+        "b1.json",
+        [
+            {"ts": "2024-01-01T00:02:00Z", "user": "a", "value": 9.0},  # dup, later batch
+            {"ts": "2024-01-01T00:03:00Z", "user": "c", "value": 3.0},
+        ],
+    )
+    for i, name in enumerate(["b0.json", "b1.json"]):
+        os.utime(os.path.join(d, name), (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(d)
+    )
+    out = streaming_dedup(stream, ["user"], "ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user, value FROM dedup_out").collect()
+    got = sorted((r.user, r.value) for r in rows)
+    # one row per key, first occurrence wins — across batches
+    assert got == [("a", 1.0), ("b", 2.0), ("c", 3.0)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="set together"):
+        streaming_dedup(stream, ["user"], ts_col="ts")

@@ -18,6 +18,7 @@ from beavers_spark.operators.tabular import (  # noqa: F401
     with_seq,
 )
 from beavers_spark.operators.asof import asof_join  # noqa: F401
+from beavers_spark.operators.interval import interval_join  # noqa: F401
 from beavers_spark.operators.skew import salted_join  # noqa: F401
 from beavers_spark.operators.view import (  # noqa: F401
     COMPARATORS,

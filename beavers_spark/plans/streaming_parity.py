@@ -103,3 +103,45 @@ def sessionize(spark, sf_dir):
         F.unix_micros(F.min("ts")).alias("session_start_us"),
         F.unix_micros(F.max("ts")).alias("session_end_us"),
     )
+
+
+@query(
+    "interval_join_events",
+    oracle="""
+    SELECT l.event_id AS err_id, r.event_id AS next_id,
+           epoch_us(r.ts) AS next_ts_us
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'error'
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    """,
+)
+def interval_join_events(spark, sf_dir):
+    """Range join: every event within 5 minutes AFTER an error by the
+    same user (error-impact analysis). Time-binned equi-join — candidate
+    volume O(rows per 5-min bucket), never the O(n^2) a bare inequality
+    join would plan (operators/interval.py)."""
+    import pandas as pd
+
+    from beavers_spark.operators import interval_join
+    from beavers_spark.plans.common import ts_us
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    return interval_join(
+        errors,
+        ev.select("event_id", "user_id", "ts"),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower=pd.Timedelta(0),
+        upper=pd.Timedelta(minutes=5),
+    ).select(
+        F.col("event_id").alias("err_id"),
+        F.col("r_event_id").alias("next_id"),
+        ts_us("r_ts").alias("next_ts_us"),
+    )

@@ -174,3 +174,45 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(skewed, dim, ["k"], how="full")
+
+
+def test_interval_join_matches_naive(spark):
+    """Binned interval join == naive inequality join, incl. matches that
+    cross bin boundaries."""
+    import pandas as pd
+
+    from beavers_spark.operators import interval_join
+
+    base = pd.Timestamp("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [
+            (i, "u", (base + pd.Timedelta(seconds=37 * i)).to_pydatetime())
+            for i in range(40)
+        ]
+        + [(100, "v", base.to_pydatetime())],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1000 + i, "u", (base + pd.Timedelta(seconds=13 * i)).to_pydatetime())
+            for i in range(120)
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    lower, upper = pd.Timedelta(0), pd.Timedelta(seconds=60)
+
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in interval_join(
+            left, right, ["user_id"], "ts", "ts", lower, upper
+        ).collect()
+    }
+    naive = {
+        (l.event_id, 1000 + i)
+        for l in left.collect()
+        for i in range(120)
+        if base + pd.Timedelta(seconds=13 * i) > l.ts
+        and base + pd.Timedelta(seconds=13 * i) <= l.ts + upper
+        and l.user_id == "u"
+    }
+    assert got == naive and len(naive) > 50

@@ -50,6 +50,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"LeftAnti", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"],
         [r"SortMergeJoin"],
     ],
+    "interval_join_events": [
+        # range join must be an equi-join on (keys, time bin), with the
+        # exact range predicate as a post-condition — never a BNLJ
+        [r"HashJoin \[user_id.*__bin"],
+        [r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    ],
     "hourly_rollup": [
         [r"partial_count", r"Exchange hashpartitioning"],
         [r"CartesianProduct"],

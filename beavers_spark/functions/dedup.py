@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.text import tokens
@@ -331,6 +331,56 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
             break
     edges.unpersist()
     return labels
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Karp-Rabin winnowing fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every char k-gram of the lowercased text, take the minimum hash
+    of each sliding window of ``window`` consecutive k-gram hashes, and
+    emit the distinct minima as ``(doc_id, fp)`` rows.
+
+    Guarantee: any substring shared between two documents of length
+    >= k + window - 1 contributes at least one shared fingerprint — the
+    classic plagiarism/near-copy detector, and the rolling-hash
+    fingerprint family the MinHash pipeline doesn't cover (MinHash is
+    order-blind; winnowing is position-local).
+
+    Plan shape: ONE projection computes each doc's k-gram hash array
+    (each md5 evaluated exactly once), ``posexplode`` flattens it, and
+    the window minima come from a ``min`` over a rows-window per doc —
+    one shuffle keyed on doc_id. The all-HOF alternative
+    (``transform(sequence, j -> array_min(slice(hs, j, w)))``) LOOKS
+    shuffle-free but CollapseProject inlines the hash-array expression
+    into every slice, going quadratic in document length (measured 165s
+    -> 3s at sf0.01). Docs shorter than k+window-1 chars are excluded.
+    Downstream: self-join on fp for candidate pairs.
+    """
+    w = window
+    t_norm = F.lower(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), t_norm.alias("t")
+    ).filter(F.length("t") >= k + w - 1)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - k + 1),
+                lambda i: md5_hash64(F.col("t").substr(i.cast("int"), F.lit(k))),
+            )
+        ).alias("pos", "h"),
+    )
+    per_doc = Window.partitionBy("doc_id")
+    win_min = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    wins = (
+        grams.withColumn("wmin", F.min("h").over(win_min))
+        .withColumn("max_pos", F.max("pos").over(per_doc))
+        .filter(F.col("pos") <= F.col("max_pos") - (w - 1))
+    )
+    return wins.select("doc_id", F.col("wmin").alias("fp")).distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

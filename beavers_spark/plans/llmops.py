@@ -486,3 +486,37 @@ def binary_meta(spark, sf_dir):
         F.octet_length(payload).cast("bigint").alias("n_bytes"),
         F.sha2(payload, 256).alias("sha"),
     )
+
+
+_WINNOW_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE doc_id % 10 = 0  -- deterministic sample: md5-per-gram oracle is costly
+          AND length(lower(text)) >= 11  -- k + window - 1
+    ),
+    grams AS (
+        SELECT doc_id,
+               [{_sql_hash64("substr(t, i, 8)", 0)}
+                FOR i IN range(1, length(t) - 8 + 2)] AS hs
+        FROM base
+    ),
+    wins AS (
+        SELECT doc_id,
+               list_distinct([list_min(hs[j:j+3])
+                              FOR j IN range(1, len(hs) - 4 + 2)]) AS fps
+        FROM grams
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wins
+"""
+
+
+@query("winnow_fingerprint", oracle=_WINNOW_ORACLE)
+def winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprints via winnowing (k=8 char grams,
+    window=4): position-local near-copy detection, complementary to the
+    order-blind MinHash family. Hash-checked against a DuckDB
+    list-comprehension twin of the same k-gram/window-min pipeline."""
+    from beavers_spark.functions.dedup import winnowing_fingerprints
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return winnowing_fingerprints(docs, "text", "doc_id", k=8, window=4)

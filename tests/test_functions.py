@@ -206,3 +206,27 @@ def test_multimodal_resize_and_audio(spark):
 
     with _pytest.raises(Exception, match="NotImplemented|no image resize"):
         resize_image_batch(df, "doc_id", "payload", 8, 8).collect()
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length >=
+    k + window - 1 share at least one fingerprint; disjoint docs with no
+    common k-grams share none."""
+    from beavers_spark.functions.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"XXXX {shared} YYYY"),
+            (3, "zzzzqqqqwwwweeeerrrrttttyyyyuuuu"),  # no common 8-grams
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, "text", "doc_id", k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]  # shared substring -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])

@@ -520,3 +520,38 @@ def winnow_fingerprint(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return winnowing_fingerprints(docs, "text", "doc_id", k=8, window=4)
+
+
+@query(
+    "winnow_near_dup",
+    oracle=_WINNOW_ORACLE.replace(
+        "SELECT doc_id, unnest(fps) AS fp FROM wins",
+        """, fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2""",
+    ),
+)
+def winnow_near_dup(spark, sf_dir):
+    """Near-copy candidate pairs: docs sharing >= 2 winnowing
+    fingerprints — an inverted-index equi-join on fp (the same
+    no-cartesian discipline as MinHash banding), position-local so it
+    catches copied PASSAGES that token-shingle Jaccard dilutes away."""
+    from beavers_spark.functions.dedup import winnowing_fingerprints
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    fp = winnowing_fingerprints(docs, "text", "doc_id", k=8, window=4)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )

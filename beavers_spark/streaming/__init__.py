@@ -17,6 +17,7 @@ from beavers_spark.streaming.live import (  # noqa: F401
     streaming_timeout_monitor,
     windowed_counts,
 )
+from beavers_spark.streaming.rollup import ContinuousRollup  # noqa: F401
 from beavers_spark.streaming.replay import (  # noqa: F401
     ArrowTableDataSource,
     CsvDataSink,

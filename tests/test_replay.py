@@ -261,3 +261,37 @@ def test_spark_slice_source_replay(spark, tmp_path):
     assert dag.get_sink_value("total") == 10.0
     # cycles with data: 0-60 (ts5), 60-120 (ts65,70), 180-240 (ts200)
     assert sum(1 for m in driver.metrics if m.records) == 3
+
+
+def test_cross_source_event_time_alignment():
+    """Two sources with interleaved timestamps are released in global
+    event-time order (quantized by frequency) — the replay analog of the
+    reference's cross-topic priming alignment (kafka.py:298-346): no
+    source ever runs ahead of the shared virtual clock."""
+    dag = Dag()
+    trades = dag.source_stream(name="trades")
+    quotes = dag.source_stream(name="quotes")
+    merged = dag.stream(
+        lambda t, q: sorted([*t, *q], key=lambda r: r[0])
+    ).map(trades, quotes)
+    dag.sink("merged", merged)
+
+    sink = ListDataSink()
+    driver = ReplayDriver(
+        dag,
+        ReplayContext(ts(0), ts(300), pd.Timedelta(minutes=30)),
+        sources={
+            # interleaved: trades at 10,100,250 / quotes at 40,70,220
+            "trades": ListDataSource([(ts(10), (ts(10), "T1")), (ts(100), (ts(100), "T2")), (ts(250), (ts(250), "T3"))]),
+            "quotes": ListDataSource([(ts(40), (ts(40), "Q1")), (ts(70), (ts(70), "Q2")), (ts(220), (ts(220), "Q3"))]),
+        },
+        sinks={"merged": sink},
+    )
+    driver.run()
+
+    released = [label for _, batch in sink.appended for _, label in batch]
+    # global event-time order across BOTH sources
+    assert released == ["T1", "Q1", "Q2", "T2", "Q3", "T3"]
+    # and no record was released before its cycle's virtual time
+    for cycle_time, batch in sink.appended:
+        assert all(r_ts <= cycle_time for r_ts, _ in batch)

@@ -338,3 +338,34 @@ def tpch_q22(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q2",
+    oracle="""
+    WITH min_price AS (
+        SELECT p_partkey AS mk, min(p_retailprice) AS mp
+        FROM part GROUP BY p_partkey
+    )
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part JOIN min_price ON p_partkey = mk AND p_retailprice = mp
+    WHERE p_size < 10 AND p_type = 'PROMO'
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Groupwise-min selection (q2's correlated `= (SELECT min(...))`
+    shape, adapted to this schema: cheapest row per part among small
+    PROMO parts). Decorrelated the way Catalyst likes it: a grouped-min
+    aggregate self-joined back — two scans of the filtered dim, no
+    correlated subquery execution per row."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "PROMO")
+    )
+    # NB: filter BEFORE the min so both engines agree on the group domain
+    min_price = part.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("p_retailprice").alias("mp")
+    )
+    return part.join(
+        F.broadcast(min_price),
+        (part.p_partkey == F.col("mk")) & (part.p_retailprice == F.col("mp")),
+    ).select("p_partkey", "p_name", "p_brand", "p_retailprice")

@@ -22,6 +22,7 @@ from beavers_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",

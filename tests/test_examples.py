@@ -16,6 +16,7 @@ NEEDS_SPARK = {
     "etf_pipeline.py",
     "kafka_concepts.py",
     "serving_dashboard.py",
+    "streaming_watchdog.py",
     "training_pipeline.py",
 }
 

@@ -27,6 +27,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"PushedFilters: \[.*GreaterThan\(l_shipdate"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ],
+    "tpch_q2": [
+        # groupwise-min must be agg + self-join, both scans filtered
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*LessThan\(p_size,10"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ],
     "tpch_q4": [
         # EXISTS must become a semi join, never an aggregate-then-join
         [r"LeftSemi", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"],

@@ -81,3 +81,54 @@ def test_last_by_keys_matches_pandas_model(spark, rows):
     )
     expected = {k: (row["seq"], row["v"]) for k, row in model.iterrows()}
     assert got == expected
+
+
+interval_strategy = st.tuples(
+    st.lists(st.integers(0, 500), min_size=1, max_size=15),  # left ts (s)
+    st.lists(st.integers(0, 500), min_size=1, max_size=25),  # right ts (s)
+    st.integers(0, 30),  # lower (s)
+    st.integers(31, 120),  # upper (s)
+)
+
+
+@_SETTINGS
+@given(data=interval_strategy)
+def test_interval_join_matches_model(spark, data):
+    """Binned interval join == brute-force model for random windows."""
+    from beavers_spark.operators import interval_join
+
+    left_ts, right_ts, lo, hi = data
+    base = pd.Timestamp("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [
+            (i, "k", (base + pd.Timedelta(seconds=s)).to_pydatetime())
+            for i, s in enumerate(left_ts)
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100 + j, "k", (base + pd.Timedelta(seconds=s)).to_pydatetime())
+            for j, s in enumerate(right_ts)
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in interval_join(
+            left,
+            right,
+            ["user_id"],
+            "ts",
+            "ts",
+            pd.Timedelta(seconds=lo),
+            pd.Timedelta(seconds=hi),
+        ).collect()
+    }
+    model = {
+        (i, 100 + j)
+        for i, ls in enumerate(left_ts)
+        for j, rs in enumerate(right_ts)
+        if ls + lo < rs <= ls + hi
+    }
+    assert got == model

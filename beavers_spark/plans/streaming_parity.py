@@ -145,3 +145,53 @@ def interval_join_events(spark, sf_dir):
         F.col("r_event_id").alias("next_id"),
         ts_us("r_ts").alias("next_ts_us"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS viewed,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                      THEN 1 END) AS purchased_after_click
+    FROM steps
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Event-sequence funnel (view -> click -> purchase, order-enforced):
+    per-user first-occurrence times via conditional min — ONE shuffle on
+    user_id, then a single global agg. The classic product-analytics /
+    conversion query; no joins, no window functions, so it scales as a
+    plain two-level aggregation."""
+    ev = t(spark, sf_dir, "events")
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), 1)
+        ).alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )

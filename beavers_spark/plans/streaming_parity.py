@@ -195,3 +195,51 @@ def funnel_conversion(spark, sf_dir):
             )
         ).alias("purchased_after_click"),
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               datediff('week', f.cohort, date_trunc('week', e.ts)) AS week_n
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT epoch_us(cohort) AS cohort_us, week_n,
+           count(*) AS active_users
+    FROM activity
+    GROUP BY cohort, week_n
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each subsequent week they were active. Two shuffles on user_id
+    (first-seen agg + the broadcast-joined activity dedup), then a small
+    rollup — the standard retention-curve input."""
+    from beavers_spark.plans.common import ts_us
+
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort"))
+                    / 7
+                ).cast("bigint")
+            ).alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_n").agg(
+        F.count(F.lit(1)).alias("active_users")
+    ).select(ts_us("cohort").alias("cohort_us"), "week_n", "active_users")

@@ -17,6 +17,7 @@ NEEDS_SPARK = {
     "kafka_concepts.py",
     "serving_dashboard.py",
     "streaming_watchdog.py",
+    "tabular_concepts.py",
     "training_pipeline.py",
 }
 

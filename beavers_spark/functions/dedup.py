@@ -333,6 +333,23 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
+def apply_dedup(
+    df: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """Curated corpus: drop every non-canonical member of a near-dup
+    cluster (keep rows whose id equals their cluster_id, plus all rows
+    in no cluster). ``clusters`` is ``connected_components`` output.
+
+    Plan: a broadcastable anti-join against just the non-canonical ids —
+    the drop list is |cluster members| - |clusters|, tiny relative to the
+    corpus, so the scan never shuffles.
+    """
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def winnowing_fingerprints(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, window: int = 4
 ) -> DataFrame:

@@ -555,3 +555,31 @@ def winnow_near_dup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 2)
     )
+
+
+@query(
+    "dedup_apply",
+    oracle=_CLUSTERS_ORACLE.replace(
+        "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
+        """, labels AS (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM labels l
+        WHERE l.doc_id = d.doc_id AND l.cluster_id <> l.doc_id
+    )""",
+    ),
+)
+def dedup_apply(spark, sf_dir):
+    """End-to-end curation: the corpus AFTER near-dup removal — every
+    cluster keeps only its canonical (min-id) member. The drop list is
+    tiny vs the corpus, so it broadcasts and the scan never shuffles."""
+    from beavers_spark.functions.dedup import apply_dedup, connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).select(
+        "doc1", "doc2"
+    )
+    clusters = connected_components(pairs)
+    return apply_dedup(docs, clusters, "doc_id").select("doc_id")

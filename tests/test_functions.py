@@ -230,3 +230,18 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2]  # shared substring -> shared fingerprint
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_apply_dedup_keeps_canonical_members(spark, docs):
+    """apply_dedup drops every non-canonical cluster member: docs 1,2,3
+    cluster together (canonical = min id 1); doc 4 is unclustered."""
+    from beavers_spark.functions.dedup import apply_dedup, connected_components
+
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).select(
+        "doc1", "doc2"
+    )
+    clusters = connected_components(pairs)
+    kept = sorted(
+        r.doc_id for r in apply_dedup(docs, clusters, "doc_id").collect()
+    )
+    assert kept == [1, 4]

@@ -369,3 +369,503 @@ def tpch_q2(spark, sf_dir):
         F.broadcast(min_price),
         (part.p_partkey == F.col("mk")) & (part.p_retailprice == F.col("mp")),
     ).select("p_partkey", "p_name", "p_brand", "p_retailprice")
+
+
+@query(
+    "tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """Volume shipping between two nations by year. Scale plan: both
+    nation filters reduce supplier/customer to ~1/25 each, so they
+    broadcast into the facts; the only big shuffle is lineitem join orders
+    on orderkey (both sides pre-reduced by their broadcast dim)."""
+    nation = t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    supp_n = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(pair))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(pair))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders_f = t(spark, sf_dir, "orders").join(
+        F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """National market share within a region. The p_type filter (1/6 of
+    part) broadcasts into lineitem; region->nation->customer broadcasts
+    into the date-filtered orders; supplier+nation broadcast for the
+    numerator tag. One orderkey shuffle joins the two reduced facts."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cust_asia = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_n = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders_f = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """Product-type profit (q9 adapted: this schema has no partsupp, so
+    supply cost := 10% of p_retailprice per unit). The p_name LIKE filter
+    broadcasts into lineitem; the unfiltered orders join is the one real
+    shuffle (orderkey), kept narrow by projecting orders to two columns."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp_n = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Shipping-mode priority (q12 adapted: no l_shipmode column, grouped
+    by l_returnflag). Fact-fact join on orderkey — the shipdate range
+    prunes lineitem at the scan, and orders is projected to two columns
+    before the exchange so the shuffle payload stays minimal."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (q13 adapted: the NOT LIKE
+    comment filter becomes a priority filter). Left outer join preserves
+    zero-order customers; count(o_orderkey) ignores the nulls they
+    produce. Two shuffles are inherent (custkey, then c_count) — the
+    second one is tiny (distinct counts only)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """Top supplier (q15): quarterly revenue per supplier, keep the max.
+    The revenue view is computed ONCE and cached across its two uses
+    (argmax scan + scalar max); the scalar max is a 1-row broadcast cross
+    join, never a collect. Rounded before the equality so both engines
+    compare identical doubles."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    revenue.count()  # fill the cache before the two downstream branches
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "supplier")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS ap, 0.2 * avg(l_quantity) AS aq
+        FROM lineitem GROUP BY l_partkey
+    ) pa ON ap = p_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < aq
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (q17): lineitems below 20% of their
+    part's average quantity. The correlated avg decorrelates to a grouped
+    aggregate; computing it AFTER semi-reducing lineitem to the brand's
+    parts (broadcast) keeps the partkey shuffle at 1/25 of the fact."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (0.2 * F.avg("l_quantity")).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("aq"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           round(o_totalprice, 4) AS totalprice,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """Large-volume customers (q18): orders whose total quantity exceeds
+    250 (~top 1%). The HAVING subquery and the outer sum are the SAME
+    aggregate — computed once on the orderkey shuffle, filtered, then the
+    now-tiny result broadcasts into orders and customer instead of
+    re-scanning lineitem."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ts_us("o_orderdate").alias("orderdate_us"),
+            F.round(F.col("o_totalprice"), 4).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """Discounted revenue under a disjunction of brand/size/quantity
+    conjuncts (q19). Catalyst does NOT derive the common p_brand IN (...)
+    / range bounds implied by an OR-of-ANDs, so we state the implied
+    single-table filters explicitly — they reach both parquet scans as
+    PushedFilters and the exact OR evaluates as a residual after the
+    broadcast join. (The canonical q19 rewrite.)"""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 50))
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_size").between(1, 40)
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(5, 20) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(10, 40) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (q21 adapted: no receipt/commit
+    dates — 'late' = shipped >60 days after order date). The EXISTS /
+    NOT EXISTS pair compiles to a LEFT SEMI then LEFT ANTI join of the
+    late lines against a 3-column projection of lineitem, both on the
+    orderkey the rows are already shuffled by; the final top-10 is
+    TakeOrderedAndProject with an s_name tiebreak."""
+    orders_f = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).filter(late)
+    others = li.select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("l_shipdate").alias("sd2"),
+    )
+    waiting = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        others,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("sk2"))
+        & (F.col("sd2") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        waiting.join(
+            F.broadcast(t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )

@@ -27,8 +27,14 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
     "tpch_q22",
     "etf_valuation",
     "last_by_keys",

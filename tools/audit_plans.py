@@ -55,6 +55,53 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"LeftAnti", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"],
         [r"SortMergeJoin"],
     ],
+    "tpch_q7": [
+        # nation-filtered supplier/customer broadcast; shipdate pruned scan
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"],
+        [r"CartesianProduct"],
+    ],
+    "tpch_q8": [
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*EqualTo\(p_type,STANDARD"],
+        [r"CartesianProduct"],
+    ],
+    "tpch_q9": [
+        # LIKE '%widget%' must reach the part scan as StringContains
+        [r"BroadcastHashJoin", r"StringContains\(p_name,widget\)"],
+        [r"CartesianProduct"],
+    ],
+    "tpch_q12": [
+        [r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", r"partial_sum"],
+        [r"CartesianProduct"],
+    ],
+    "tpch_q13": [
+        # zero-order customers must survive: outer join, not inner
+        [r"LeftOuter", r"partial_count"],
+        [r"CartesianProduct"],
+    ],
+    "tpch_q15": [
+        # the revenue view is reused: must read the cache, not rescan
+        [r"InMemoryTableScan"],
+        [r"CartesianProduct Inner"],
+    ],
+    "tpch_q17": [
+        [r"BroadcastHashJoin", r"partial_avg"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ],
+    "tpch_q18": [
+        # HAVING-filtered agg broadcasts back into orders
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"CartesianProduct"],
+    ],
+    "tpch_q19": [
+        # the OR-of-ANDs must leave a residual In(p_brand,...) at the scan
+        [r"BroadcastHashJoin", r"In\(p_brand"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ],
+    "tpch_q21": [
+        # EXISTS/NOT EXISTS pair -> semi + anti join
+        [r"LeftSemi", r"LeftAnti"],
+        [r"CartesianProduct"],
+    ],
     "interval_join_events": [
         # range join must be an equi-join on (keys, time bin), with the
         # exact range predicate as a post-condition — never a BNLJ

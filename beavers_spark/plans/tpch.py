@@ -869,3 +869,175 @@ def tpch_q21(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
+
+
+@query(
+    "tpch_q11",
+    oracle="""
+    WITH supplied AS (
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM supplied
+    WHERE value > (SELECT 0.001 * sum(value) FROM supplied)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Important-stock identification (q11 adapted: no partsupp table, so
+    'supplied value' := revenue shipped by the nation's suppliers, from
+    lineitem). The per-part aggregate is computed ONCE and cached across
+    its two uses (group scan + global total); the total is a 1-row
+    broadcast cross join. Per-part values are rounded identically on both
+    engines BEFORE the total/threshold so the > comparison is stable."""
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    supplied = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("value")
+        )
+        .persist()
+    )
+    supplied.count()  # fill the cache before the two downstream branches
+    total = supplied.agg((0.001 * F.sum("value")).alias("threshold"))
+    return (
+        supplied.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship (q16 adapted: the part-supplier pairs
+    come from lineitem instead of partsupp, and the 'customer complaints'
+    exclusion becomes negative-balance suppliers). The excluded-supplier
+    set broadcasts as a LEFT ANTI join; count(DISTINCT) shuffles once on
+    the (brand,type,size) group keys after a partial distinct."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM (
+              SELECT l_suppkey,
+                     sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                              AND l_shipdate < TIMESTAMP '1998-01-01'
+                              THEN l_quantity ELSE 0 END) AS q97,
+                     sum(l_quantity) AS qtot
+              FROM lineitem
+              WHERE l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+              )
+              GROUP BY l_suppkey
+          ) activity
+          WHERE q97 > 0.16 * qtot
+      )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """Potential part promotion (q20 adapted: no partsupp availqty, so
+    'excess stock' := suppliers whose 1997 widget shipments exceeded 16%
+    of their all-time widget quantity — shipdates span ~7 years, so a
+    uniform year is ~14%). The nested IN chain decorrelates to: broadcast
+    semi-join lineitem to widget parts, one suppkey-grouped conditional
+    aggregate, then the tiny qualifying-supplier set broadcast semi-joins
+    into the nation-filtered supplier dim. Quantities are exact integers,
+    so the 30% comparison is engine-stable without rounding."""
+    widget_parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    active = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(widget_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")),
+                    F.col("l_quantity"),
+                ).otherwise(0.0)
+            ).alias("q97"),
+            F.sum("l_quantity").alias("qtot"),
+        )
+        .filter(F.col("q97") > 0.16 * F.col("qtot"))
+        .select("l_suppkey")
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(active), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -102,6 +102,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"LeftSemi", r"LeftAnti"],
         [r"CartesianProduct"],
     ],
+    "tpch_q11": [
+        # the supplied view is reused: cache scan + 1-row broadcast total
+        [r"InMemoryTableScan", r"BroadcastHashJoin"],
+        [r"CartesianProduct Inner", r"SortMergeJoin"],
+    ],
+    "tpch_q16": [
+        # complaint suppliers excluded via broadcast anti; distinct agg
+        [r"LeftAnti", r"count\(distinct l_suppkey"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ],
+    "tpch_q20": [
+        # nested-IN chain -> two broadcast semi joins around one agg
+        [r"LeftSemi", r"StringContains\(p_name,widget\)"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ],
     "interval_join_events": [
         # range join must be an equi-join on (keys, time bin), with the
         # exact range predicate as a post-condition — never a BNLJ

@@ -51,9 +51,11 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             spark_rows = [r.asDict() for r in sdf.collect()]
@@ -83,7 +85,8 @@ def main() -> int:
                 print(f"  spark: {sn[i]}\n  duck : {dn[i]}")
         else:
             print(f"ok   {name}: {len(sn)} rows hash-match")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{checked - len(failures)}/{checked} pass"
+          + ("" if not only else f" (of {len(qs)} registered)"))
     return 1 if failures else 0
 
 

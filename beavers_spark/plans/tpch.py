@@ -8,6 +8,7 @@ demonstrate the Spark-native capability ceiling on the same data.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from beavers_spark.plans.common import t, ts_us
@@ -831,33 +832,39 @@ def tpch_q19(spark, sf_dir):
 def tpch_q21(spark, sf_dir):
     """Suppliers who kept orders waiting (q21 adapted: no receipt/commit
     dates — 'late' = shipped >60 days after order date). The EXISTS /
-    NOT EXISTS pair compiles to a LEFT SEMI then LEFT ANTI join of the
-    late lines against a 3-column projection of lineitem, both on the
-    orderkey the rows are already shuffled by; the final top-10 is
-    TakeOrderedAndProject with an s_name tiebreak."""
+    NOT EXISTS pair decorrelates into per-order window aggregates over a
+    SINGLE scan of lineitem: a late line qualifies iff its order has >1
+    distinct supplier (EXISTS) and exactly one distinct LATE supplier —
+    which, since the line itself is late, must be this one (NOT EXISTS).
+    The window partitions on the same l_orderkey the orders join shuffled
+    by, so the whole correlated pair costs one Exchange; the naive
+    semi+anti formulation scans lineitem three times and fact-fact joins
+    it twice, which cannot survive a 100 TB fact."""
     orders_f = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    li = t(spark, sf_dir, "lineitem")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    l1 = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).filter(late)
-    others = li.select(
-        F.col("l_orderkey").alias("k2"),
-        F.col("l_suppkey").alias("sk2"),
-        F.col("l_shipdate").alias("sd2"),
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    waiting = l1.join(
-        others,
-        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("sk2")),
-        "left_semi",
-    ).join(
-        others,
-        (F.col("l_orderkey") == F.col("k2"))
-        & (F.col("l_suppkey") != F.col("sk2"))
-        & (F.col("sd2") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
-        "left_anti",
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    waiting = flagged.filter(
+        F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
     return (
         waiting.join(

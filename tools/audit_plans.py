@@ -98,9 +98,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"SortMergeJoin"],
     ],
     "tpch_q21": [
-        # EXISTS/NOT EXISTS pair -> semi + anti join
-        [r"LeftSemi", r"LeftAnti"],
-        [r"CartesianProduct"],
+        # EXISTS/NOT EXISTS pair -> one-pass windowed decorrelation on
+        # the orderkey partitioning the join already produced
+        [r"Window", r"collect_set"],
+        [r"CartesianProduct", r"LeftSemi", r"LeftAnti"],
     ],
     "tpch_q11": [
         # the supplied view is reused: cache scan + 1-row broadcast total

@@ -181,6 +181,28 @@ def _signatures_from_sets(sets: DataFrame) -> DataFrame:
     return sets.select("doc_id", *sig_cols)
 
 
+def band_rows(sig: DataFrame) -> DataFrame:
+    """Explode a signature frame into LSH band rows
+    (doc_id, band_id, h0..h{ROWS_PER_BAND-1}).
+
+    One explode pass, NOT a BANDS-way union: a union would multiply the
+    partition count and re-evaluate the signature subtree per branch.
+    """
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            *[
+                F.col(f"mh{b * ROWS_PER_BAND + r}").alias(f"h{r}")
+                for r in range(ROWS_PER_BAND)
+            ],
+        )
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "bd.*")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -207,24 +229,10 @@ def minhash_lsh_pairs(
     sets.count()  # fill the cache before fan-out: downstream stages race
     sig = _signatures_from_sets(sets).persist()
     sig.count()  # else each consumer stage recomputes the hash pass
-    # one explode pass, NOT a BANDS-way union: a union would multiply the
-    # partition count and re-evaluate the signature subtree per branch
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            *[
-                F.col(f"mh{b * ROWS_PER_BAND + r}").alias(f"h{r}")
-                for r in range(ROWS_PER_BAND)
-            ],
-        )
-        for b in range(BANDS)
-    ]
-    band_rows = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
-    ).select("doc_id", "bd.*")
+    bands = band_rows(sig)
 
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    a = bands.alias("a")
+    b = bands.alias("b")
     join_cond = (F.col("a.band_id") == F.col("b.band_id")) & (
         F.col("a.doc_id") < F.col("b.doc_id")
     )

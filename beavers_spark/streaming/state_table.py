@@ -1,0 +1,119 @@
+"""Durable keyed-upsert state: the reference's ``last_by_keys`` /
+``GetLatest`` state node made distributed and at-rest.
+
+The reference keeps latest-row-per-key state in process memory
+(pyarrow_wrapper.py:82-91 ``_LastByKey``; examples/etfs.py:34-42
+``GetLatest``) — impossible at 100 TB. ``KeyedStateTable`` keeps the same
+semantics in a parquet table **partitioned by a key-hash bucket**, so a
+micro-batch upsert costs O(batch + touched-bucket rows), never a rescan
+of the full key space:
+
+1. the batch is reduced to its latest row per key (one window pass on
+   the arrival order column — same contract as ``operators.last_by_keys``);
+2. only the buckets containing batch keys are read back (partition
+   pruning on the bucket column) and merged, latest ``order_by`` wins —
+   ties go to the incoming batch, matching upsert expectations;
+3. dynamic partition overwrite replaces exactly those bucket
+   directories. Overwrites are idempotent, so checkpointed replays of a
+   batch are safe (at-least-once in, exactly-once effect out).
+
+``n_buckets`` sizes the unit of rewrite: more buckets = finer pruning
+but more small files; at 100 TB pick buckets so one bucket ≈ one
+executor-comfortable rewrite (hundreds of MB), and compact periodically.
+
+Readers see a plain parquet table, queryable mid-stream — the serving
+layer (``serving.ViewServer`` / ``operators.view.TableView``) can sit
+directly on ``read()``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beavers_spark.operators.tabular import last_by_keys
+
+_BUCKET = "__bucket"
+
+
+class KeyedStateTable:
+    """``foreachBatch`` callable maintaining latest-row-per-key state.
+
+    ::
+
+        state = KeyedStateTable(path, keys=["ticker"], order_by="seq",
+                                n_buckets=64)
+        stream.writeStream.foreachBatch(state).start()
+        latest = state.read(spark)   # one row per key, the latest
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str],
+        order_by: str,
+        n_buckets: int = 64,
+    ) -> None:
+        if not keys:
+            raise ValueError("keys must be non-empty")
+        self.path = path
+        self.keys = list(keys)
+        self.order_by = order_by
+        self.n_buckets = n_buckets
+        self._initialized = False
+
+    def _bucket(self) -> Column:
+        return F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
+
+    def _table_exists(self, spark: SparkSession) -> bool:
+        if self._initialized:
+            return True
+        try:
+            spark.read.parquet(self.path).schema
+            self._initialized = True
+        except Exception:  # noqa: BLE001 — path-not-found from the JVM
+            return False
+        return True
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current latest-row-per-key table (without the bucket column)."""
+        return spark.read.parquet(self.path).drop(_BUCKET)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # batch-local upsert first: one row per key leaves this stage
+        delta = last_by_keys(batch_df, self.keys, [self.order_by]).withColumn(
+            _BUCKET, self._bucket()
+        )
+        if self._table_exists(spark):
+            touched = [
+                r[_BUCKET]
+                for r in delta.select(_BUCKET).distinct().collect()
+            ]
+            # partition-pruned read of ONLY the touched buckets;
+            # localCheckpoint materializes them before their directories
+            # are overwritten (Spark refuses to overwrite a path its
+            # plan still reads)
+            current = (
+                spark.read.parquet(self.path)
+                .filter(F.col(_BUCKET).isin(touched))
+                .localCheckpoint()
+            )
+            # ties on order_by go to the batch: rank current rows below
+            # delta rows by a tiebreaker column
+            merged = last_by_keys(
+                delta.withColumn("__new", F.lit(1)).unionByName(
+                    current.withColumn("__new", F.lit(0))
+                ),
+                self.keys,
+                [self.order_by, "__new"],
+            ).drop("__new")
+        else:
+            merged = delta
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(self.path)
+        self._initialized = True

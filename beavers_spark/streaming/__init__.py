@@ -23,6 +23,7 @@ from beavers_spark.streaming.ann_index import (  # noqa: F401
 from beavers_spark.streaming.dedup_incremental import (  # noqa: F401
     IncrementalNearDedup,
 )
+from beavers_spark.streaming.maintenance import compact_parquet  # noqa: F401
 from beavers_spark.streaming.rollup import ContinuousRollup  # noqa: F401
 from beavers_spark.streaming.state_table import KeyedStateTable  # noqa: F401
 from beavers_spark.streaming.replay import (  # noqa: F401

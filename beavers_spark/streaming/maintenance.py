@@ -1,0 +1,68 @@
+"""State-table maintenance: small-file compaction for append-only state.
+
+Every ``foreachBatch`` appender (``IncrementalNearDedup`` state/pairs,
+``IncrementalIVFIndex`` cells) writes one file set per micro-batch;
+after thousands of batches the file count — not the data volume — starts
+to dominate scan planning and open() overhead. ``compact_parquet``
+rewrites a state directory to a bounded number of files, preserving
+partition columns (rows stay in their ``cell=``/``__bucket=``
+directories) and any ``_*.json`` sidecars (e.g. persisted IVF
+centroids).
+
+The rewrite is swap-based: the compacted copy is written next to the
+live directory, then the two are atomically exchanged, so readers never
+observe a half-written table and a crashed compaction leaves the
+original untouched. Run it from a maintenance schedule, between
+triggers, or whenever ``input_files()`` grows past taste — correctness
+never depends on it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_by: str | None = None,
+    files_per_partition: int = 1,
+) -> int:
+    """Rewrite a parquet directory with a bounded file count.
+
+    Returns the number of data files after compaction. With
+    ``partition_by``, each partition directory is rewritten to at most
+    ``files_per_partition`` files (repartition on the partition column
+    keeps the shuffle aligned with the directory layout); without it the
+    whole table is coalesced.
+    """
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    if partition_by:
+        (
+            df.repartition(files_per_partition, F.col(partition_by))
+            .write.mode("overwrite")
+            .partitionBy(partition_by)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
+
+    # carry sidecar metadata (e.g. _centroids.json) — Spark ignores
+    # underscore-prefixed files, but our operators depend on them
+    for name in os.listdir(path):
+        if name.startswith("_") and name.endswith(".json"):
+            shutil.copy2(os.path.join(path, name), os.path.join(tmp, name))
+
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(spark.read.parquet(path).inputFiles())

@@ -1,0 +1,77 @@
+"""compact_parquet: small-file compaction for append-only state tables,
+swap-based so readers never see a half-written table."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from beavers_spark.plans.common import t
+from beavers_spark.streaming import (
+    IncrementalIVFIndex,
+    IncrementalNearDedup,
+    compact_parquet,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_compact_dedup_state_preserves_results(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(150)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.2,
+    )
+    for wave in range(3):
+        dedup(docs.filter(F.col("doc_id") % 3 == wave), wave)
+
+    state = dedup.read_state(spark)
+    before_rows = state.count()
+    before_files = len(state.inputFiles())
+    assert before_files >= 3  # one file set per appended batch
+
+    after_files = compact_parquet(spark, str(tmp_path / "state"))
+    assert after_files < before_files
+    assert dedup.read_state(spark).count() == before_rows
+
+    # the compacted state still serves incremental batches correctly
+    pairs_before = dedup.read_pairs(spark).count()
+    dedup(docs.limit(0), 99)  # empty batch: no-op
+    assert dedup.read_pairs(spark).count() == pairs_before
+
+
+def test_compact_ivf_index_keeps_partitions_and_sidecar(spark, tmp_path):
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index = IncrementalIVFIndex(
+        str(tmp_path / "ivf"), id_col="vec_id", n_cells=4
+    )
+    for i in range(3):
+        index(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in index.search(queries, k=5, n_probe=4).collect()
+    }
+    n_files_before = len(index.read_index(spark).inputFiles())
+
+    after_files = compact_parquet(
+        spark, str(tmp_path / "ivf"), partition_by="cell"
+    )
+    assert after_files < n_files_before
+    # cell directories survive (partition pruning still applies)
+    cells = [
+        d for d in os.listdir(str(tmp_path / "ivf")) if d.startswith("cell=")
+    ]
+    assert len(cells) == 4
+    # the centroid sidecar survives: a fresh object can still search
+    fresh = IncrementalIVFIndex(str(tmp_path / "ivf"), id_col="vec_id", n_cells=4)
+    after = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in fresh.search(queries, k=5, n_probe=4).collect()
+    }
+    assert after == before

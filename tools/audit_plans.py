@@ -33,9 +33,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"SortMergeJoin", r"CartesianProduct"],
     ],
     "tpch_q4": [
-        # EXISTS must become a semi join, never an aggregate-then-join
-        [r"LeftSemi", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"],
-        [r"CartesianProduct"],
+        # EXISTS -> pre-aggregated max per orderkey (partial_max before
+        # the exchange), orders date filter pushed to its scan
+        [r"partial_max", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"],
+        [r"CartesianProduct", r"LeftSemi"],
     ],
     "tpch_q5": [
         [r"BroadcastHashJoin"],

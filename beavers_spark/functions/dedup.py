@@ -29,9 +29,17 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 def md5_hash64(col: Column, seed: int = 0) -> Column:
     """Deterministic 60-bit integer hash from md5, identical in DuckDB:
-    ``('0x' || substr(md5(s || '#<seed>'), 1, 15))::BIGINT``."""
-    salted = F.concat(col, F.lit(f"#{seed}"))
-    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+    ``('0x' || substr(md5(s || '#<salt>'), <start>, 15))::BIGINT``.
+
+    One md5 digest is 32 hex chars = TWO independent 60-bit hashes, so
+    consecutive seed pairs (2k, 2k+1) share the digest of salt ``k`` and
+    read halves 1-15 / 16-30 — seed 0 is byte-identical to the naive
+    per-seed scheme, and the MinHash family needs only NUM_HASHES/2 md5
+    evaluations per shingle.
+    """
+    salted = F.concat(col, F.lit(f"#{seed // 2}"))
+    start = 1 + 15 * (seed % 2)
+    return F.conv(F.substring(F.md5(salted), start, 15), 16, 10).cast("bigint")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -172,13 +180,40 @@ def minhash_signatures(
 
 
 def _signatures_from_sets(sets: DataFrame) -> DataFrame:
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s: md5_hash64(s, seed))
-        ).alias(f"mh{seed}")
-        for seed in range(NUM_HASHES)
-    ]
-    return sets.select("doc_id", *sig_cols)
+    # stage 1: one md5 digest array per SALT (= seed pair) — the
+    # projection boundary matters: computing digests and mins in one
+    # select would let each consumer lambda re-evaluate the md5 array.
+    # NB: the lambdas MUST be single-parameter — pyspark's transform
+    # passes (element, index) to 2-arg callables, so a `k=k` default-arg
+    # capture would silently receive the index column.
+    def _digest(k: int):
+        return lambda s: F.md5(F.concat(s, F.lit(f"#{k}")))
+
+    def _half(start: int):
+        return lambda d: F.conv(F.substring(d, start, 15), 16, 10).cast(
+            "bigint"
+        )
+
+    n_salts = (NUM_HASHES + 1) // 2
+    with_digests = sets.select(
+        "doc_id",
+        *[
+            F.transform(F.col("sh"), _digest(k)).alias(f"_d{k}")
+            for k in range(n_salts)
+        ],
+    )
+    # stage 2: each digest array yields two 60-bit hash families (hex
+    # chars 1-15 and 16-30) — same values as md5_hash64(s, seed)
+    sig_cols = []
+    for seed in range(NUM_HASHES):
+        sig_cols.append(
+            F.array_min(
+                F.transform(
+                    F.col(f"_d{seed // 2}"), _half(1 + 15 * (seed % 2))
+                )
+            ).alias(f"mh{seed}")
+        )
+    return with_digests.select("doc_id", *sig_cols)
 
 
 def band_rows(sig: DataFrame) -> DataFrame:

@@ -47,8 +47,13 @@ _SQL_TOKS = (
 
 
 def _sql_hash64(expr: str, seed: int) -> str:
-    """DuckDB twin of dedup.md5_hash64."""
-    return f"(('0x' || substr(md5({expr} || '#{seed}'), 1, 15))::BIGINT)"
+    """DuckDB twin of dedup.md5_hash64 (split-digest scheme: seed pair
+    (2k, 2k+1) shares the md5 of salt k, reading hex halves 1-15/16-30)."""
+    start = 1 + 15 * (seed % 2)
+    return (
+        f"(('0x' || substr(md5({expr} || '#{seed // 2}'), {start}, 15))"
+        "::BIGINT)"
+    )
 
 
 _SQL_SHINGLES_CTE = f"""

@@ -63,5 +63,27 @@ assert table.num_rows == 2
 registry = json.loads(urllib.request.urlopen(server.url + "/tables", timeout=10).read())
 assert registry["tables"][0]["schema"]["price"] == "float"
 
+# the same dashboard can sit on DURABLE upsert state: KeyedStateTable
+# keeps latest-row-per-key in bucketed parquet (survives restarts; at
+# 100 TB the dashboard reads a partition-pruned table, not process RAM)
+import tempfile  # noqa: E402
+
+from beavers_spark.streaming import KeyedStateTable  # noqa: E402
+
+with tempfile.TemporaryDirectory() as tmp:
+    state = KeyedStateTable(
+        os.path.join(tmp, "prices"), keys=["ticker"], order_by="seq",
+        n_buckets=8,
+    )
+    state(updates, 0)  # in live mode: writeStream.foreachBatch(state)
+    server.update("prices", state.read(spark))
+    page = json.loads(
+        urllib.request.urlopen(server.url + "/table/prices", timeout=10).read()
+    )
+    assert [(r["ticker"], r["price"]) for r in page["rows"]] == [
+        ("MSFT", 200.0),
+        ("AAPL", 150.0),
+    ]
+
 server.stop()
 print("serving_dashboard: all asserts passed")

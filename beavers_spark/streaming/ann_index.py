@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from beavers_spark.functions.similarity import _dot, _norm
+from beavers_spark.streaming.maintenance import BatchWatermark
 
 
 def _nearest_cell(vec_col, centroids: list[list[float]]):
@@ -91,6 +92,7 @@ class IncrementalIVFIndex:
         self.seed = seed
         self.train_fraction = train_fraction
         self._centroids: list[list[float]] | None = None
+        self._watermark = BatchWatermark(path)
 
     # -- quantizer --------------------------------------------------------
     @property
@@ -123,7 +125,8 @@ class IncrementalIVFIndex:
 
     # -- ingest -----------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        # append-mode state is not idempotent: skip replayed batches
+        if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
         if self.centroids() is None:
             self._train(batch_df)
@@ -135,6 +138,7 @@ class IncrementalIVFIndex:
             _nearest_cell(vec, self._centroids).alias("cell"),
         )
         rows.write.mode("append").partitionBy("cell").parquet(self.path)
+        self._watermark.mark(batch_id)
 
     # -- search -----------------------------------------------------------
     def read_index(self, spark: SparkSession) -> DataFrame:

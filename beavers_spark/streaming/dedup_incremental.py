@@ -46,6 +46,7 @@ from beavers_spark.functions.dedup import (
     band_rows,
     shingle_sets,
 )
+from beavers_spark.streaming.maintenance import BatchWatermark
 
 
 class IncrementalNearDedup:
@@ -77,6 +78,7 @@ class IncrementalNearDedup:
         self.n = n
         self.threshold = threshold
         self._has_state = False
+        self._watermark = BatchWatermark(state_path)
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -97,7 +99,8 @@ class IncrementalNearDedup:
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        # append-mode state is not idempotent: skip replayed batches
+        if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         sets = shingle_sets(batch_df, self.text_col, self.id_col, self.n)
@@ -183,5 +186,6 @@ class IncrementalNearDedup:
 
         new_state.write.mode("append").parquet(self.state_path)
         self._has_state = True
+        self._watermark.mark(batch_id)
         cand.unpersist()
         new_state.unpersist()

@@ -19,11 +19,47 @@ never depends on it.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+class BatchWatermark:
+    """Replay guard for ``foreachBatch`` state writers.
+
+    Structured Streaming re-invokes ``foreachBatch`` with the SAME
+    ``batch_id`` after a crash/restart (its offset log commits after the
+    sink runs). For sinks whose apply step is not idempotent — merge-in
+    aggregates, append-mode state — re-running a batch corrupts state.
+    The watermark records the highest applied batch id in a ``_``-sidecar
+    (invisible to Spark's parquet reader, preserved by
+    ``compact_parquet``); writers skip any batch at or below it.
+
+    Scope, honestly: this makes replays after CLEAN restarts and
+    post-commit crashes exactly-once. A crash in the middle of a batch's
+    writes (after some output, before ``mark``) still re-applies the
+    whole batch — full atomicity would need staged directory commits per
+    output. Batch ids are monotonic per checkpoint, which is what makes
+    a single high-watermark sufficient.
+    """
+
+    def __init__(self, state_dir: str) -> None:
+        self.state_dir = state_dir
+        self.file = os.path.join(state_dir, "_last_batch.json")
+
+    def is_applied(self, batch_id: int) -> bool:
+        if not os.path.exists(self.file):
+            return False
+        with open(self.file) as fh:
+            return batch_id <= json.load(fh)["last_batch"]
+
+    def mark(self, batch_id: int) -> None:
+        os.makedirs(self.state_dir, exist_ok=True)
+        with open(self.file, "w") as fh:
+            json.dump({"last_batch": batch_id}, fh)
 
 
 def compact_parquet(

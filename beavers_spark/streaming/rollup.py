@@ -13,14 +13,17 @@ At 100 TB: the rollup table is partitioned on the bucket column, so the
 merge reads only the touched partitions (partition pruning) and the
 overwrite replaces only those directories. Late data lands in its true
 bucket automatically — correctness does not depend on arrival order.
-For exactly-once on a real cluster, pair with checkpointed batch ids
-(idempotent overwrite makes replays safe).
+Merge-in aggregation is not idempotent, so a ``BatchWatermark``
+(maintenance.py) skips batch ids Structured Streaming replays after a
+restart — without it a replayed batch would double-count.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from beavers_spark.streaming.maintenance import BatchWatermark
 
 
 class ContinuousRollup:
@@ -49,6 +52,7 @@ class ContinuousRollup:
         self.sum_col = sum_col
         self.bucket = bucket
         self._initialized = False
+        self._watermark = BatchWatermark(path)
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
         return (
@@ -63,7 +67,9 @@ class ContinuousRollup:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        # merge-in aggregation is NOT idempotent (a replayed batch would
+        # double-count into the touched buckets): skip applied batches
+        if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         delta = self._aggregate(batch_df)
@@ -89,6 +95,7 @@ class ContinuousRollup:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         merged.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
         self._initialized = True
+        self._watermark.mark(batch_id)
 
     def _table_exists(self, spark: SparkSession) -> bool:
         try:

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beavers_spark.operators.tabular import last_by_keys
+from beavers_spark.streaming.maintenance import BatchWatermark
 
 _BUCKET = "__bucket"
 
@@ -63,6 +64,9 @@ class KeyedStateTable:
         self.order_by = order_by
         self.n_buckets = n_buckets
         self._initialized = False
+        # the merge itself is idempotent (latest-wins over the same
+        # batch converges), so the watermark only skips wasted replays
+        self._watermark = BatchWatermark(path)
 
     def _bucket(self) -> Column:
         return F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
@@ -82,7 +86,7 @@ class KeyedStateTable:
         return spark.read.parquet(self.path).drop(_BUCKET)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         # batch-local upsert first: one row per key leaves this stage
@@ -117,3 +121,4 @@ class KeyedStateTable:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(self.path)
         self._initialized = True
+        self._watermark.mark(batch_id)

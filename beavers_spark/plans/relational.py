@@ -468,7 +468,8 @@ def rollup_agg(spark, sf_dir):
 @query(
     "time_delay",
     oracle="""
-    SELECT event_type, round(avg(delay_us), 4) AS avg_delay_us
+    SELECT event_type,
+           round(sum(delay_us) / count(*), 4) AS avg_delay_us
     FROM (SELECT event_type,
                  epoch_us(ts) - min(epoch_us(ts))
                      OVER (PARTITION BY user_id) AS delay_us
@@ -478,7 +479,13 @@ def rollup_agg(spark, sf_dir):
 )
 def time_delay(spark, sf_dir):
     """Per-row time-delay vs a reference clock (reference:
-    examples/advanced_concepts.py:67-87 now - timestamp)."""
+    examples/advanced_concepts.py:67-87 now - timestamp).
+
+    The mean is computed as exact-integer sum / count, NOT avg(): both
+    engines sum int64 microseconds exactly (Spark long, DuckDB HUGEINT)
+    and perform ONE double division, so the result is bit-stable at any
+    scale — avg() accumulates in floating point, whose ~1e11-magnitude
+    drift flips the 4th decimal at sf0.1."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     return (
@@ -486,7 +493,11 @@ def time_delay(spark, sf_dir):
             "delay_us", F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w)
         )
         .groupBy("event_type")
-        .agg(F.round(F.avg("delay_us"), 4).alias("avg_delay_us"))
+        .agg(
+            F.round(
+                F.sum("delay_us") / F.count(F.lit(1)), 4
+            ).alias("avg_delay_us")
+        )
     )
 
 

@@ -159,6 +159,44 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ],
     "dedup_exact": [[r"partial_", r"Exchange hashpartitioning"], [r"CartesianProduct"]],
     "word_count": [[r"Generate explode", r"partial_count"], []],
+    "dedup_minhash_lsh": [
+        # LSH candidate generation must be the band equi-join; verify
+        # joins key on candidate doc ids — never an all-pairs product
+        [r"HashJoin \[band_id", r"HashJoin \[doc1", r"HashJoin \[doc2"],
+        [r"CartesianProduct"],
+    ],
+    "dedup_ngram_jaccard": [
+        # inverted-index join keyed on the shingle
+        [r"HashJoin \[shingle"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
+    "ann_lsh_topk": [
+        # hyperplane-bucket equi-join + per-query top-k window
+        [r"HashJoin \[bucket", r"row_number"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
+    "ann_ivf_topk": [
+        # probed-cell equi-join + per-query top-k window
+        [r"HashJoin \[cell", r"row_number"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
+    "winnow_near_dup": [
+        # shared-fingerprint equi-join; winnowing via window mins, not
+        # nested array HOFs (the 165s->3s posexplode rewrite)
+        [r"HashJoin \[fp", r"min\(h"],
+        [r"CartesianProduct"],
+    ],
+    "asof_join_events": [
+        # as-of = union + last-non-null window, no range join fallback
+        [r"Window \[last\("],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
+    "sessionize": [
+        # gap detection = lag + running sum over the same (user, ts)
+        # ordering — two windows, one exchange
+        [r"Window \[lag\(", r"Window \[sum\("],
+        [r"CartesianProduct"],
+    ],
 }
 
 

@@ -588,3 +588,59 @@ def dedup_apply(spark, sf_dir):
     )
     clusters = connected_components(pairs)
     return apply_dedup(docs, clusters, "doc_id").select("doc_id")
+
+
+_SQL_BUCKET = (
+    "((('0x' || substr(md5(doc_id::VARCHAR || '#0'), 1, 15))::BIGINT)"
+    " % 10000)"
+)
+
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, {_SQL_BUCKET} AS bucket
+    FROM documents
+    WHERE {_SQL_BUCKET} < 2000
+    """,
+)
+def deterministic_sample_q(spark, sf_dir):
+    """20% corpus sample by id-hash bucket: reproducible on any engine or
+    partitioning (the oracle computes the identical md5 buckets), stable
+    under corpus growth, and a pure scan-level filter — no shuffle, no
+    rand(). The standard way training pipelines subset a corpus."""
+    from beavers_spark.functions.sampling import deterministic_sample, hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.2).select(
+        "doc_id", hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT CASE WHEN {_SQL_BUCKET} < 9000 THEN 'train'
+                WHEN {_SQL_BUCKET} < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n,
+           count(DISTINCT doc_id) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def train_val_test_split_q(spark, sf_dir):
+    """90/5/5 split assignment by contiguous hash-bucket ranges — every
+    document lands in exactly one split, forever (membership never moves
+    when new documents arrive). A projection + one tiny count shuffle."""
+    from beavers_spark.functions.sampling import split_assign
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )

@@ -66,6 +66,21 @@ if clusters.count():
     bad = clusters.filter(F.col("cluster_id") > F.col("doc_id")).count()
     assert bad == 0
 
+# 4b. reproducible subset + split: id-hash buckets, not rand() — the
+# sample and split never change across reruns or corpus growth
+from beavers_spark.functions.sampling import (  # noqa: E402
+    deterministic_sample,
+    split_assign,
+)
+
+sample = deterministic_sample(docs, "doc_id", 0.2)
+assert 0 < sample.count() < n_docs
+splits = dict(
+    split_assign(docs, "doc_id").groupBy("split").count().collect()
+)
+assert set(splits) == {"train", "val", "test"}
+assert sum(splits.values()) == n_docs  # exactly one split per doc
+
 # 5. continuous ingest: the same near-dedup, incrementally — each wave
 # is checked against the whole corpus seen so far at O(batch) cost
 import tempfile  # noqa: E402

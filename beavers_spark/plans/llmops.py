@@ -644,3 +644,28 @@ def train_val_test_split_q(spark, sf_dir):
             F.count_distinct("doc_id").alias("n_docs"),
         )
     )
+
+
+@query(
+    "daily_uniques",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def daily_uniques(spark, sf_dir):
+    """Exact distinct users per (day, event_type) — the batch twin of
+    streaming/distinct_rollup.ContinuousDistinct (which trades exactness
+    for mergeable HLL state). One expand-free path: Spark plans
+    count_distinct as a two-stage aggregate (partial distinct on
+    (day, type, user), then count), both stages on the same keys."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

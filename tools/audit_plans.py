@@ -197,6 +197,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window \[lag\(", r"Window \[sum\("],
         [r"CartesianProduct"],
     ],
+    "deterministic_sample": [
+        # id-hash sampling must be a pure scan+filter+project: no
+        # exchange anywhere in the plan
+        [r"Scan parquet"],
+        [r"Exchange", r"CartesianProduct"],
+    ],
+    "daily_uniques": [
+        # count_distinct = two-stage agg (partial distinct then count)
+        [r"partial_count\(distinct", r"Exchange hashpartitioning"],
+        [r"CartesianProduct", r"Generate explode"],
+    ],
 }
 
 

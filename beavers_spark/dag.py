@@ -33,7 +33,9 @@ Spark-first differences (deliberate, SURVEY.md §3.1 "Spark mapping"):
 
 from __future__ import annotations
 
+import asyncio
 import dataclasses
+import inspect
 import operator
 import traceback
 from collections.abc import Callable
@@ -234,6 +236,13 @@ class Node:
         args, kwargs = self._gather()
         try:
             result = self._fn(*args, **kwargs)
+            if inspect.isawaitable(result):
+                # Async node UDFs (reference tests/test_dag.py:208-239 uses a
+                # sync asyncio.run wrapper; here coroutine functions are
+                # accepted directly): the coroutine runs on the dag-owned
+                # event loop so `await asyncio.gather(...)` inside a node
+                # overlaps per-element I/O within the cycle.
+                result = self._dag._run_awaitable(result)
         except Exception as exc:
             # report the user's build-site, not just the kernel frame
             # (reference: call-site traceback capture, dag.py:318-326, 373)
@@ -314,6 +323,7 @@ class Dag:
         )
         self._now_node._value = UTC_EPOCH
         self._metrics = DagMetrics()
+        self._loop: asyncio.AbstractEventLoop | None = None
 
     # -- builders ----------------------------------------------------------
 
@@ -510,6 +520,19 @@ class Dag:
         return removed
 
     # -- plumbing ----------------------------------------------------------
+
+    def _run_awaitable(self, awaitable: Any) -> Any:
+        """Drive an async node UDF to completion on the dag-owned loop.
+
+        One persistent loop per Dag (not ``asyncio.run`` per call) so
+        loop-bound resources a node caches — aiohttp sessions, DB pools —
+        survive across cycles. ``execute`` is synchronous by contract
+        (one cycle = one blocking call), so the loop is never running
+        re-entrantly here.
+        """
+        if self._loop is None or self._loop.is_closed():
+            self._loop = asyncio.new_event_loop()
+        return self._loop.run_until_complete(awaitable)
 
     def _add_node(
         self,

@@ -346,3 +346,106 @@ def test_node_error_reports_map_call_site():
     except ValueError as exc:
         notes = "".join(getattr(exc, "__notes__", []))
         assert "test_dag.py" in notes and "dag node created at" in notes
+
+
+def test_map_stream_with_async_wrapper():
+    """The reference pattern: a sync wrapper around asyncio.run
+    (reference tests/test_dag.py:208-239)."""
+    import asyncio
+    import time
+
+    async def get_square(x: int) -> int:
+        await asyncio.sleep(0.1)
+        return x * x
+
+    async def get_squares(xs: list[int]) -> list[int]:
+        return await asyncio.gather(*[get_square(x) for x in xs])
+
+    def run_get_squares(xs: list[int]) -> list[int]:
+        return asyncio.run(get_squares(xs))
+
+    dag = Dag()
+    source = dag.source_stream(name="in")
+    async_node = dag.stream(run_get_squares).map(source)
+    dag.sink("out", async_node)
+    source.set_stream([0, 1, 2, 3, 4, 5, 6])
+
+    start = time.time()
+    dag.execute(ts(0))
+    elapsed = time.time() - start
+
+    # concurrent: ~0.1s total, not 0.7s serial
+    assert 0.1 <= elapsed < 0.5
+    assert async_node.get_value() == [0, 1, 4, 9, 16, 25, 36]
+
+
+def test_map_stream_with_native_coroutine_function():
+    """Beyond the reference: coroutine functions are accepted directly as
+    node UDFs; the dag owns the event loop."""
+    import asyncio
+    import time
+
+    async def get_squares(xs: list[int]) -> list[int]:
+        async def sq(x: int) -> int:
+            await asyncio.sleep(0.1)
+            return x * x
+
+        return await asyncio.gather(*[sq(x) for x in xs])
+
+    dag = Dag()
+    source = dag.source_stream(name="in")
+    async_node = dag.stream(get_squares).map(source)
+    dag.sink("out", async_node)
+    source.set_stream([0, 1, 2, 3, 4, 5, 6])
+
+    start = time.time()
+    dag.execute(ts(0))
+    elapsed = time.time() - start
+
+    assert 0.1 <= elapsed < 0.5
+    assert async_node.get_value() == [0, 1, 4, 9, 16, 25, 36]
+
+    # the loop persists across cycles (loop-bound resources survive)
+    source.set_stream([8])
+    dag.execute(ts(1))
+    assert async_node.get_value() == [64]
+
+
+def test_async_state_node_accumulates():
+    """Coroutine state UDFs fold durably like sync ones."""
+
+    dag = Dag()
+    source = dag.source_stream(name="in")
+    # state carried in a closure-held box, folded by a coroutine UDF
+    box = {"total": 0}
+
+    async def fold(xs: list[int]) -> int:
+        box["total"] += sum(xs)
+        return box["total"]
+
+    node = dag.stream(fold, empty=0).map(source)
+    dag.sink("out", node)
+    source.set_stream([1, 2, 3])
+    dag.execute(ts(0))
+    assert node.get_value() == 6
+    source.set_stream([4])
+    dag.execute(ts(1))
+    assert node.get_value() == 10
+
+
+def test_async_node_error_reports_call_site():
+    """Exceptions raised inside a coroutine UDF still carry the build
+    site note."""
+
+    async def boom(xs):
+        raise ValueError("async kaput")
+
+    dag = Dag()
+    src = dag.source_stream(name="in")
+    node = dag.stream(boom).map(src)
+    dag.sink("out", node)
+    src.set_stream([1])
+    with pytest.raises(ValueError, match="async kaput") as excinfo:
+        dag.execute(ts(0))
+    notes = "".join(getattr(excinfo.value, "__notes__", []))
+    assert "dag node created at" in notes

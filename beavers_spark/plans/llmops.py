@@ -408,12 +408,30 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-@query("dedup_embedding_cosine", oracle=_COS_DEDUP_ORACLE)
+@query("dedup_embedding_cosine")  # approximate (LSH-banded): rows-only;
+# exactness is gated by dedup_embedding_recall and the exact oracle twin
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: a probe block (every 20th
-    vector, broadcast) against the full corpus, exact cosine, threshold.
-    The full-corpus scale path replaces the probe block with LSH buckets
-    (functions/similarity.lsh_bucketed_topk) — same rerank kernel."""
+    """Embedding-cosine near-duplicate pairs over the FULL corpus — the
+    registered 100 TB path: multi-table hyperplane-LSH banding generates
+    candidates via an equi-join on (table, bucket); only candidates are
+    verified with the exact cosine. Compare volume ~ colliding pairs, not
+    O(n^2); never a cross join (pinned by tools/audit_plans.py).
+
+    Recall >= 0.9 vs the exact all-pairs twin is enforced hash-visibly by
+    ``dedup_embedding_recall``; the probe-block exact variant survives as
+    ``dedup_embedding_cosine_exact`` (the small-scale oracle twin)."""
+    from beavers_spark.functions.similarity import lsh_near_dup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+
+
+@query("dedup_embedding_cosine_exact", oracle=_COS_DEDUP_ORACLE)
+def dedup_embedding_cosine_exact(spark, sf_dir):
+    """Exact-oracle twin of ``dedup_embedding_cosine``: a probe block
+    (every 20th vector, broadcast) against the full corpus, exact cosine,
+    threshold. O(n*n/20) compare volume — small-scale verification only;
+    the registered scale path is the LSH-banded variant above."""
     from beavers_spark.functions.similarity import _dot, _norm
 
     emb = t(spark, sf_dir, "embeddings")
@@ -438,32 +456,142 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_embedding_recall",
+    oracle="SELECT 'embedding_pair_recall_ge_0.9' AS metric, TRUE AS passed",
+)
+def dedup_embedding_recall(spark, sf_dir):
+    """Quantitative gate for the approximate LSH pair-dedup: pair recall
+    vs the exact all-pairs set, thresholded at 0.9 and emitted as a
+    boolean so the driver's hash compare goes red the moment a parameter
+    change drops recall. The exact side is all-pairs — affordable at
+    gate scale only (the gate runs where CORRECTNESS runs)."""
+    from beavers_spark.functions.similarity import (
+        _dot,
+        _norm,
+        lsh_near_dup_pairs,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    a, b = base.alias("a"), base.alias("b")
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            ),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    approx = lsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3).select(
+        "id1", "id2"
+    )
+    hit = approx.join(exact, ["id1", "id2"], "inner")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        F.lit("embedding_pair_recall_ge_0.9").alias("metric"),
+        (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact")).alias("passed"),
+    )
+
+
 @query("ann_lsh_topk")  # no SQL oracle: approximate op, rows-only check
 def ann_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN with multi-probe — the 100 TB scale
-    path (equi-join on bucket id instead of a cross join; probes the
-    Hamming-1 bucket ring for recall). Approximate by construction, so no
-    SQL oracle; recall vs brute force is asserted in tests/."""
+    """Multi-table hyperplane-LSH ANN — the 100 TB scale path (equi-join
+    on (table, bucket) instead of a cross join; 16 independent 3-plane
+    tables give recall@10 >= 0.9 even on this weakly-clustered synthetic
+    corpus, gated hash-visibly by ``ann_lsh_recall``). Approximate by
+    construction, so no SQL oracle on the result rows themselves."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(
-        queries, emb, "vec_id", "vec_id", "embedding", k=10, dim=64, n_planes=4
+        queries, emb, "vec_id", "vec_id", "embedding",
+        k=10, dim=64, n_planes=3, n_tables=16, multi_probe=False,
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 
 @query("ann_ivf_topk")  # no SQL oracle: approximate op, rows-only check
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: KMeans-quantized corpus cells, queries probe the nearest
-    n_probe cells, exact cosine rerank inside — candidate volume ~
-    n_probe/n_cells of the corpus, an equi-join on cell id. Approximate
-    by construction (quantizer-dependent), so no SQL oracle; recall vs
-    brute force is asserted in tests/."""
+    """IVF ANN: KMeans-quantized corpus cells with 2-way multi-assignment
+    (boundary vectors are indexed in both adjacent cells), queries probe
+    the 4 best cells by centroid cosine, exact rerank inside — candidate
+    generation is an equi-join on cell id, never a cross join. Recall@10
+    >= 0.9 is gated hash-visibly by ``ann_ivf_recall``. On a real
+    (clustered) corpus the same shape runs at n_cells=4096, n_probe~32
+    for a ~1% scan fraction; this synthetic corpus is near-uniform, the
+    adversarial case for any quantizer."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
-        k=10, n_cells=8, n_probe=3,
+        k=10, n_cells=8, n_probe=4, n_assign=2,
     ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+def _ann_recall_gate(spark, sf_dir, approx_fn, metric: str, gate: float):
+    """Shared recall@10 gate: |approx ∩ exact| / |exact| over the 10 query
+    vectors, emitted as (metric, passed) so hash-compare enforces it."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", k=10
+    ).select("query_id", "neighbor_id")
+    approx = approx_fn(queries, emb).select("query_id", "neighbor_id")
+    hit = approx.join(exact, ["query_id", "neighbor_id"], "inner")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.lit(metric).alias("metric"),
+            (F.col("n_hit") >= F.lit(gate) * F.col("n_exact")).alias("passed"),
+        )
+    )
+
+
+@query(
+    "ann_lsh_recall",
+    oracle="SELECT 'ann_lsh_recall_at_10_ge_0.9' AS metric, TRUE AS passed",
+)
+def ann_lsh_recall(spark, sf_dir):
+    """Recall@10 gate for the hyperplane-LSH ANN path (>= 0.9 vs brute
+    force), hash-visible to the driver so the approximate plan can never
+    silently degrade."""
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda q, c: lsh_bucketed_topk(
+            q, c, "vec_id", "vec_id", "embedding",
+            k=10, dim=64, n_planes=3, n_tables=16, multi_probe=False,
+        ),
+        "ann_lsh_recall_at_10_ge_0.9",
+        0.9,
+    )
+
+
+@query(
+    "ann_ivf_recall",
+    oracle="SELECT 'ann_ivf_recall_at_10_ge_0.9' AS metric, TRUE AS passed",
+)
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@10 gate for the IVF ANN path (>= 0.9 vs brute force at
+    n_cells=8, n_probe=4, n_assign=2 — the registered configuration),
+    hash-visible to the driver."""
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda q, c: ivf_topk(
+            q, c, "vec_id", "vec_id", "embedding",
+            k=10, n_cells=8, n_probe=4, n_assign=2,
+        ),
+        "ann_ivf_recall_at_10_ge_0.9",
+        0.9,
+    )
 
 
 # ---------------------------------------------------------------------------

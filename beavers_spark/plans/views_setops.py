@@ -135,6 +135,36 @@ def approx_distinct(spark, sf_dir):
 
 
 @query(
+    "approx_distinct_error",
+    oracle="SELECT 'approx_distinct_max_rel_err_le_0.05' AS metric,"
+    " TRUE AS passed",
+)
+def approx_distinct_error(spark, sf_dir):
+    """Quantitative gate for ``approx_distinct``: max relative error of
+    the HLL++ estimate vs the exact distinct count across groups must stay
+    <= 0.05 (2.5x the configured rsd=0.02), emitted as a boolean the
+    driver hash-checks. HLL is deterministic per dataset, so this never
+    flaps — it reddens only if the estimator config regresses."""
+    per_group = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .select(
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")).alias(
+                "rel_err"
+            )
+        )
+    )
+    return per_group.agg(F.max("rel_err").alias("max_rel_err")).select(
+        F.lit("approx_distinct_max_rel_err_le_0.05").alias("metric"),
+        (F.col("max_rel_err") <= 0.05).alias("passed"),
+    )
+
+
+@query(
     "lead_lag",
     oracle="""
     SELECT user_id, event_id,

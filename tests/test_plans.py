@@ -28,9 +28,19 @@ def test_every_oracle_has_a_query():
 
 
 def test_rows_only_queries_are_documented():
-    # approximate ops are the only ones allowed to skip the SQL oracle
+    # approximate ops are the only ones allowed to skip the SQL oracle —
+    # and each one has a hash-checked quantitative gate query
+    # (dedup_embedding_recall, ann_*_recall, approx_distinct_error)
     assert set(QUERIES) - set(ORACLES) == {
         "ann_lsh_topk",
         "ann_ivf_topk",
         "approx_distinct",
+        "dedup_embedding_cosine",
     }
+    for gate in (
+        "dedup_embedding_recall",
+        "ann_lsh_recall",
+        "ann_ivf_recall",
+        "approx_distinct_error",
+    ):
+        assert gate in ORACLES, f"{gate} gate must be hash-checked"

@@ -171,13 +171,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
     "ann_lsh_topk": [
-        # hyperplane-bucket equi-join + per-query top-k window
-        [r"HashJoin \[bucket", r"row_number"],
+        # multi-table (tbl, bucket) equi-join + per-query top-k window
+        [r"HashJoin \[tbl", r"row_number"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
     "ann_ivf_topk": [
         # probed-cell equi-join + per-query top-k window
         [r"HashJoin \[cell", r"row_number"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
+    "dedup_embedding_cosine": [
+        # the registered 100 TB path: multi-table LSH band equi-join for
+        # candidates, verify joins keyed on candidate ids — NO cross join
+        # (this plan replaced the probe-block crossJoin variant, which
+        # survives as dedup_embedding_cosine_exact, the oracle twin)
+        [r"HashJoin \[tbl", r"HashJoin.*\[id1|HashJoin \[id1"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
     "winnow_near_dup": [
@@ -246,7 +254,10 @@ def main() -> int:
     # similarity baselines, within-group pair generation).
     planned_cross = {
         "ann_cosine_topk",      # brute-force baseline: |queries| x corpus
-        "dedup_embedding_cosine",  # all-pairs within tiny candidate set
+        "dedup_embedding_cosine_exact",  # probe-block oracle twin
+        "dedup_embedding_recall",  # gate: exact all-pairs side + 1-row join
+        "ann_lsh_recall",       # gate: brute-force exact side + 1-row join
+        "ann_ivf_recall",       # gate: brute-force exact side + 1-row join
         "tpch_q11",             # 1-row broadcast threshold
         "tpch_q22",             # 1-row broadcast avg(acctbal)
     }

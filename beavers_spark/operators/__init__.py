@@ -16,6 +16,7 @@ from beavers_spark.operators.tabular import (  # noqa: F401
     topk,
     weighted_average,
     with_seq,
+    with_seq_unstable,
 )
 from beavers_spark.operators.asof import asof_join  # noqa: F401
 from beavers_spark.operators.interval import interval_join  # noqa: F401

@@ -19,16 +19,46 @@ from pyspark.sql import functions as F
 
 
 def with_seq(df: DataFrame, seq_col: str = "_seq") -> DataFrame:
-    """Attach a monotonically increasing arrival-sequence column.
+    """Attach a DETERMINISTIC arrival-sequence column to a file-source
+    DataFrame: ``struct(file_path, row_index)`` from the scan's hidden
+    ``_metadata`` column.
 
     Spark has no implicit row order (the reference's pyarrow variant keys
     "last" off the physical row index, pyarrow_wrapper.py:23-30). Any
-    operator with arrival-order semantics must thread an explicit sequence;
-    this produces one that is monotone *within* a partition and
-    partition-major across partitions — matching "file/batch order" for a
-    single-source read.
+    operator with arrival-order semantics must thread an explicit
+    sequence. This one orders rows file-major (path lexicographic — which
+    is write order for part-NNNNN files) then by physical position within
+    the file, i.e. "file/batch order", and it is a pure function of the
+    INPUT: two runs over the same files agree exactly, regardless of
+    partition layout, task retries, or speculative execution. Structs
+    order lexicographically in Spark, so the column works directly as an
+    ``order_by`` key in ``last_by_keys`` / ``merge_sorted``.
+
+    Only resolvable when ``df`` reads from a file source (parquet/csv/
+    json/orc); for non-file DataFrames use a real data column, a
+    ``(batch_id, offset)`` pair from the streaming layer, or — single
+    attempt only — ``with_seq_unstable``.
 
     At scale: zero shuffle (narrow), safe at any size.
+    """
+    return df.withColumn(
+        seq_col,
+        F.struct(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        ),
+    )
+
+
+def with_seq_unstable(df: DataFrame, seq_col: str = "_seq") -> DataFrame:
+    """``monotonically_increasing_id`` sequence — monotone within a
+    partition, partition-major across partitions, works on ANY DataFrame.
+
+    SINGLE-ATTEMPT ONLY: the assignment is a function of the runtime
+    partition layout, so a task retry, speculative duplicate, or
+    different parallelism can renumber rows between runs. Never persist
+    it, never key durable state on it; for anything replayed or retried
+    use ``with_seq`` (file sources) or an explicit (batch_id, offset).
     """
     return df.withColumn(seq_col, F.monotonically_increasing_id())
 

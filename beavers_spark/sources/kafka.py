@@ -84,10 +84,32 @@ def reader_options(
     bootstrap_servers: str,
     batch_size: int = 5000,
     now: pd.Timestamp | None = None,
+    topic_partitions: dict[str, int] | None = None,
 ) -> dict[str, str]:
     """Build the Structured Streaming option dict for N topics on one
     consumer (reference: one consumer, N topics, kafka.py:463-527;
-    batch_size default 5000, kafka.py:493)."""
+    batch_size default 5000, kafka.py:493).
+
+    Start-position resolution is broker-correct: Spark's
+    ``startingOffsetsByTimestamp`` JSON requires EXPLICIT partition
+    numbers (there is no ``-1`` wildcard), so:
+
+    - all topics LATEST/COMMITTED -> ``startingOffsets=latest``; all
+      topics EARLIEST -> ``startingOffsets=earliest``.
+    - all topics on timestamp policies resolving to the SAME millisecond
+      -> the global ``startingTimestamp`` option, which applies to every
+      partition without needing partition ids.
+    - any other mix needs real partition counts: pass ``topic_partitions``
+      ({topic: n_partitions}, e.g. from AdminClient.describe_topics) and
+      every topic is emitted into one explicit
+      ``startingOffsetsByTimestamp`` map — timestamp policies use their
+      resolved ms, EARLIEST uses ms 0 (``offsetsForTimes(0)`` = log
+      start), LATEST/COMMITTED use ``now`` ms — with
+      ``startingOffsetsByTimestampStrategy=latest`` so partitions with no
+      message at/after the timestamp start at the log end.
+    - otherwise raise. (Silently starting a LATEST topic at ``earliest``
+      — the round-1 behavior — replays the topic's full history.)
+    """
     now = now or pd.Timestamp.now(tz="UTC")
     opts: dict[str, str] = {
         "kafka.bootstrap.servers": bootstrap_servers,
@@ -95,25 +117,49 @@ def reader_options(
         "maxOffsetsPerTrigger": str(batch_size),
         "failOnDataLoss": "false",
     }
-    by_ts: dict[str, dict[str, int]] = {}
-    simple: dict[str, str] = {}
-    for c in configs:
-        ts = c.starting_timestamp(now)
-        if ts is not None:
-            by_ts[c.topic] = {"-1": ts}
-        elif c.policy == OffsetPolicy.EARLIEST:
-            simple[c.topic] = "earliest"
-        else:
-            # LATEST and COMMITTED both start at the log head on a fresh
-            # checkpoint; COMMITTED resumes from checkpointed offsets.
-            simple[c.topic] = "latest"
-    if by_ts:
-        opts["startingOffsetsByTimestamp"] = json.dumps(by_ts)
-        if simple:
-            opts["startingOffsetsByTimestampStrategy"] = "latest"
-    elif simple:
+    start_ms: dict[str, int | None] = {
+        c.topic: c.starting_timestamp(now) for c in configs
+    }
+    simple: dict[str, str] = {
+        c.topic: ("earliest" if c.policy == OffsetPolicy.EARLIEST else "latest")
+        # LATEST and COMMITTED both start at the log head on a fresh
+        # checkpoint; COMMITTED resumes from checkpointed offsets.
+        for c in configs
+        if start_ms[c.topic] is None
+    }
+    ts_values = {ms for ms in start_ms.values() if ms is not None}
+    if not ts_values:
         vals = set(simple.values())
-        opts["startingOffsets"] = vals.pop() if len(vals) == 1 else "earliest"
+        if len(vals) == 1:
+            opts["startingOffsets"] = vals.pop()
+            return opts
+    elif not simple and len(ts_values) == 1:
+        opts["startingTimestamp"] = str(ts_values.pop())
+        opts["startingOffsetsByTimestampStrategy"] = "latest"
+        return opts
+    if topic_partitions is None:
+        raise ValueError(
+            "mixed start policies across topics need explicit partition "
+            "counts: pass topic_partitions={topic: n_partitions} (Spark's "
+            "per-topic timestamp/offset JSON has no partition wildcard)"
+        )
+    missing = [c.topic for c in configs if c.topic not in topic_partitions]
+    if missing:
+        raise ValueError(f"topic_partitions missing entries for {missing}")
+    now_ms = int(now.timestamp() * 1000)
+    by_ts = {
+        topic: {
+            str(p): (
+                ms
+                if ms is not None
+                else (0 if simple.get(topic) == "earliest" else now_ms)
+            )
+            for p in range(topic_partitions[topic])
+        }
+        for topic, ms in start_ms.items()
+    }
+    opts["startingOffsetsByTimestamp"] = json.dumps(by_ts)
+    opts["startingOffsetsByTimestampStrategy"] = "latest"
     return opts
 
 

@@ -26,7 +26,11 @@ from beavers_spark.streaming.dedup_incremental import (  # noqa: F401
 from beavers_spark.streaming.distinct_rollup import (  # noqa: F401
     ContinuousDistinct,
 )
-from beavers_spark.streaming.maintenance import compact_parquet  # noqa: F401
+from beavers_spark.streaming.maintenance import (  # noqa: F401
+    BatchWatermark,
+    compact_parquet,
+    recover_compaction,
+)
 from beavers_spark.streaming.rollup import ContinuousRollup  # noqa: F401
 from beavers_spark.streaming.state_table import KeyedStateTable  # noqa: F401
 from beavers_spark.streaming.replay import (  # noqa: F401

@@ -103,7 +103,21 @@ class IncrementalNearDedup:
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        sets = shingle_sets(batch_df, self.text_col, self.id_col, self.n)
+        batch = batch_df
+        if self._state_exists(spark):
+            # BatchWatermark only guards same-batch replays: a doc_id
+            # redelivered in a LATER batch (producer retry, re-ingest)
+            # would duplicate its state row and from then on duplicate
+            # every pair it participates in. Anti-join the batch against
+            # the indexed ids — the state scan is doc_id-only (pruned).
+            seen = self.read_state(spark).select(
+                F.col("doc_id").alias(self.id_col)
+            )
+            batch = batch.join(seen, self.id_col, "left_anti")
+            if batch.isEmpty():
+                self._watermark.mark(batch_id)
+                return
+        sets = shingle_sets(batch, self.text_col, self.id_col, self.n)
         new_state = (
             sets.join(_signatures_from_sets(sets), "doc_id")
             .persist()
@@ -130,7 +144,9 @@ class IncrementalNearDedup:
                 self.read_state(spark).select(*sig_cols)
             ).alias("o")
             nb = new_bands.alias("n")
-            cross_cond = F.lit(True)
+            # != guard: belt-and-braces with the anti-join above — a
+            # self-collision would emit a (doc, doc, 1.0) pair
+            cross_cond = F.col("o.doc_id") != F.col("n.doc_id")
             for k in band_keys:
                 cross_cond = cross_cond & (F.col(f"o.{k}") == F.col(f"n.{k}"))
             cross = old_bands.join(nb, cross_cond).select(

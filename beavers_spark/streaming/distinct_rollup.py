@@ -105,8 +105,14 @@ class ContinuousDistinct:
             )
         else:
             merged = delta
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+        # per-write dynamic overwrite (replaces only the partitions in
+        # `merged`) without mutating the shared session's semantics
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
         self._initialized = True
         self._watermark.mark(batch_id)
 

@@ -9,12 +9,24 @@ partition columns (rows stay in their ``cell=``/``__bucket=``
 directories) and any ``_*.json`` sidecars (e.g. persisted IVF
 centroids).
 
-The rewrite is swap-based: the compacted copy is written next to the
-live directory, then the two are atomically exchanged, so readers never
-observe a half-written table and a crashed compaction leaves the
-original untouched. Run it from a maintenance schedule, between
-triggers, or whenever ``input_files()`` grows past taste — correctness
-never depends on it.
+The rewrite is swap-based: the compacted copy is fully written next to
+the live directory before the swap, so a crash DURING the rewrite leaves
+the original untouched. The swap itself is two renames — Python/POSIX
+has no atomic directory exchange — so there is a brief window where the
+live path does not exist: a concurrent reader can hit path-not-found
+(retry it), and a crash between the renames leaves the data in
+``.__compact_old``. ``recover_compaction`` (called automatically on the
+next compaction) restores from that directory; run it at startup if
+readers start before maintenance. Schedule compaction between triggers
+or whenever ``input_files()`` grows past taste — correctness never
+depends on it.
+
+Durability scope: this module (and the IVF centroid sidecar) uses
+driver-local ``os``/``open``/``shutil`` file APIs, so state directories
+must live on a POSIX-visible path (local disk, NFS). On an object store
+(S3/HDFS/abfs) route the sidecar I/O through the Hadoop FileSystem API
+(``spark._jvm.org.apache.hadoop.fs.FileSystem``) instead — otherwise the
+watermark is never found and replayed batches double-apply.
 """
 
 from __future__ import annotations
@@ -62,6 +74,18 @@ class BatchWatermark:
             json.dump({"last_batch": batch_id}, fh)
 
 
+def recover_compaction(path: str) -> bool:
+    """Restore a table lost to a crash between compact_parquet's two
+    renames: if ``path`` is missing but ``path.__compact_old`` exists,
+    rename it back. Returns True if a recovery happened. Idempotent;
+    call at startup when readers may precede maintenance."""
+    old = path.rstrip("/") + ".__compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -75,7 +99,11 @@ def compact_parquet(
     ``files_per_partition`` files (repartition on the partition column
     keeps the shuffle aligned with the directory layout); without it the
     whole table is coalesced.
+
+    The swap is NOT atomic (see module docstring): readers racing the
+    two renames must tolerate a transient path-not-found.
     """
+    recover_compaction(path)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp"
     old = path.rstrip("/") + ".__compact_old"

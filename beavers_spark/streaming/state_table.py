@@ -118,7 +118,15 @@ class KeyedStateTable:
             ).drop("__new")
         else:
             merged = delta
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(self.path)
+        # per-WRITE dynamic overwrite: only the touched bucket
+        # directories are replaced, and the shared session's overwrite
+        # semantics are left alone (a session-level conf.set here would
+        # silently change every other writer in the application)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET)
+            .parquet(self.path)
+        )
         self._initialized = True
         self._watermark.mark(batch_id)

@@ -90,3 +90,40 @@ def test_no_pair_emitted_twice_across_batches(spark, tmp_path):
     dedup(docs.filter(F.col("doc_id") % 2 == 1), 1)
     pairs = dedup.read_pairs(spark)
     assert pairs.count() == pairs.select("doc1", "doc2").distinct().count()
+
+
+def test_cross_batch_redelivery_is_ignored(spark, tmp_path):
+    """A doc_id redelivered in a LATER batch (producer retry, re-ingest)
+    must not create a (doc, doc) self-pair, a duplicate state row, or
+    duplicated future pairs."""
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(120)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    dedup(first, 0)
+    baseline_state = dedup.read_state(spark).count()
+    # batch 1 redelivers ALL of batch 0 alongside the genuinely new half
+    dedup(first.unionByName(second), 1)
+    # batch 2 is a full redelivery: nothing new at all
+    dedup(docs, 2)
+
+    pairs = dedup.read_pairs(spark)
+    assert pairs.filter(F.col("doc1") == F.col("doc2")).count() == 0
+    assert pairs.count() == pairs.select("doc1", "doc2").distinct().count()
+    state = dedup.read_state(spark)
+    assert state.select("doc_id").distinct().count() == state.count()
+    assert state.count() >= baseline_state
+
+    # and the result still equals the one-shot batch computation
+    got = _pair_set(pairs)
+    expected = _pair_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
+    )
+    assert got == expected

@@ -9,6 +9,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from beavers_spark.sources import (
@@ -35,14 +36,18 @@ def test_latest_and_earliest_policies():
     assert opts["maxOffsetsPerTrigger"] == "5000"  # reference default batch_size
 
 
-def test_relative_time_policy():
+def test_relative_time_policy_uses_global_starting_timestamp():
+    # a uniform timestamp policy needs no partition ids: the global
+    # startingTimestamp option applies to every partition
     opts = reader_options(
         [KafkaSourceConfig("t", OffsetPolicy.RELATIVE_TIME, relative=pd.Timedelta(hours=2))],
         "broker:9092",
         now=NOW,
     )
-    by_ts = json.loads(opts["startingOffsetsByTimestamp"])
-    assert by_ts["t"]["-1"] == int((NOW - pd.Timedelta(hours=2)).timestamp() * 1000)
+    expect = int((NOW - pd.Timedelta(hours=2)).timestamp() * 1000)
+    assert opts["startingTimestamp"] == str(expect)
+    assert opts["startingOffsetsByTimestampStrategy"] == "latest"
+    assert "startingOffsetsByTimestamp" not in opts
 
 
 def test_start_of_day_policy_respects_timezone():
@@ -61,21 +66,44 @@ def test_absolute_time_policy():
         "broker:9092",
         now=NOW,
     )
-    by_ts = json.loads(opts["startingOffsetsByTimestamp"])
-    assert by_ts["t"]["-1"] == int(at.timestamp() * 1000)
+    assert opts["startingTimestamp"] == str(int(at.timestamp() * 1000))
 
 
-def test_mixed_policies_across_topics():
+def test_mixed_policies_require_partition_counts():
+    # Spark's per-topic timestamp JSON has no partition wildcard, so a
+    # policy mix without real partition ids must raise, not silently
+    # replay LATEST topics from earliest (round-1 bug)
+    configs = [
+        KafkaSourceConfig("hist", OffsetPolicy.EARLIEST),
+        KafkaSourceConfig("live", OffsetPolicy.RELATIVE_TIME, relative=pd.Timedelta(minutes=5)),
+    ]
+    with pytest.raises(ValueError, match="topic_partitions"):
+        reader_options(configs, "broker:9092", now=NOW)
+
+
+def test_mixed_policies_with_partition_counts():
+    configs = [
+        KafkaSourceConfig("hist", OffsetPolicy.EARLIEST),
+        KafkaSourceConfig("tail", OffsetPolicy.LATEST),
+        KafkaSourceConfig("live", OffsetPolicy.RELATIVE_TIME, relative=pd.Timedelta(minutes=5)),
+    ]
     opts = reader_options(
-        [
-            KafkaSourceConfig("hist", OffsetPolicy.EARLIEST),
-            KafkaSourceConfig("live", OffsetPolicy.RELATIVE_TIME, relative=pd.Timedelta(minutes=5)),
-        ],
-        "broker:9092",
-        now=NOW,
+        configs, "broker:9092", now=NOW,
+        topic_partitions={"hist": 2, "tail": 1, "live": 3},
     )
-    assert "startingOffsetsByTimestamp" in opts
-    assert json.loads(opts["startingOffsetsByTimestamp"]).keys() == {"live"}
+    by_ts = json.loads(opts["startingOffsetsByTimestamp"])
+    live_ms = int((NOW - pd.Timedelta(minutes=5)).timestamp() * 1000)
+    now_ms = int(NOW.timestamp() * 1000)
+    # every partition id explicit, every topic covered by the ONE option
+    assert by_ts["hist"] == {"0": 0, "1": 0}  # offsetsForTimes(0) = log start
+    assert by_ts["tail"] == {"0": now_ms}  # nothing at/after now -> strategy
+    assert by_ts["live"] == {"0": live_ms, "1": live_ms, "2": live_ms}
+    assert opts["startingOffsetsByTimestampStrategy"] == "latest"
+
+    with pytest.raises(ValueError, match="missing entries"):
+        reader_options(
+            configs, "broker:9092", now=NOW, topic_partitions={"hist": 2}
+        )
 
 
 def test_kafka_serialization_shape(spark):

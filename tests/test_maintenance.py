@@ -75,3 +75,28 @@ def test_compact_ivf_index_keeps_partitions_and_sidecar(spark, tmp_path):
         for r in fresh.search(queries, k=5, n_probe=4).collect()
     }
     assert after == before
+
+
+def test_recover_compaction_restores_interrupted_swap(spark, tmp_path):
+    """A crash between compact_parquet's two renames leaves the table at
+    .__compact_old; recover_compaction (and the next compact_parquet)
+    must restore it."""
+    import shutil
+
+    from beavers_spark.streaming.maintenance import recover_compaction
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(path)
+    rows = spark.read.parquet(path).count()
+
+    # simulate the crash window: live dir renamed away, tmp never swapped in
+    os.rename(path, path + ".__compact_old")
+    assert recover_compaction(path)
+    assert spark.read.parquet(path).count() == rows
+    assert not recover_compaction(path)  # idempotent no-op when healthy
+
+    # compact_parquet self-heals the same state
+    os.rename(path, path + ".__compact_old")
+    compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == rows
+    shutil.rmtree(path)

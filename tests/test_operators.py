@@ -99,9 +99,33 @@ def test_join_counts_zero_fill(spark):
     assert out == {"a": (2, 0), "b": (1, 1), "c": (0, 1)}
 
 
-def test_with_seq_monotone_within_partition(spark):
+def test_with_seq_deterministic_across_runs(spark, tmp_path):
+    """with_seq is a pure function of the input files: two reads — even
+    with different partition layouts — assign identical sequences
+    (the monotonically_increasing_id retry hazard this replaces)."""
+    p = str(tmp_path / "seq_src")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4).write.parquet(p)
+
+    run1 = {r.id: r._seq for r in with_seq(spark.read.parquet(p)).collect()}
+    df2 = spark.read.option("maxSplitBytes", "1024").parquet(p)
+    run2 = {r.id: r._seq for r in with_seq(df2).collect()}
+    assert run1 == run2
+    assert len({tuple(s) for s in run1.values()}) == 100  # unique
+
+    # file-major order: sorting by the struct gives file order then
+    # in-file position — usable directly as last_by_keys order_by
+    from beavers_spark.operators import last_by_keys
+
+    tagged = with_seq(spark.read.parquet(p)).withColumn("k", F.col("id") % 5)
+    latest = last_by_keys(tagged, ["k"], ["_seq"])
+    assert latest.count() == 5
+
+
+def test_with_seq_unstable_monotone_within_partition(spark):
+    from beavers_spark.operators import with_seq_unstable
+
     df = spark.range(100).repartition(4)
-    seqs = [r._seq for r in with_seq(df).collect()]
+    seqs = [r._seq for r in with_seq_unstable(df).collect()]
     assert len(set(seqs)) == 100  # unique
 
 

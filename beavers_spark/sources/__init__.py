@@ -12,6 +12,11 @@ from beavers_spark.sources.kafka import (  # noqa: F401
     kafka_reader,
     kafka_writer,
 )
+from beavers_spark.sources.kafka_driver import (  # noqa: F401
+    KafkaDagDriver,
+    SinkTopicBinding,
+    SourceTopicBinding,
+)
 from beavers_spark.sources.bucketing import (  # noqa: F401
     bucketed_join,
     write_bucketed,

@@ -15,8 +15,11 @@ Spark's Kafka source subsumes most of that machinery natively:
 | JSON<->Arrow serde                 | ``from_json`` / ``to_json``        |
 
 The cross-topic priming watermark (kafka.py:298-346) has no Spark knob;
-event-time watermarks + the replay driver give the equivalent ordering
-guarantee during catch-up (documented deviation, SURVEY §4.1.3).
+``streaming.alignment.AlignedReleaseDriver`` implements it at the
+``foreachBatch`` boundary — wrap this reader's output in it during
+catch-up to release rows in global event-time order up to the lagging
+topic's low-water-mark (semantics mirrored from reference
+tests/test_kafka.py:194-285 in tests/test_kafka_alignment.py).
 
 No Kafka broker exists in this container: ``kafka_reader`` builds and
 returns the configured reader/plan; integration is exercised against the

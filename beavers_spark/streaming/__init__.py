@@ -17,6 +17,9 @@ from beavers_spark.streaming.live import (  # noqa: F401
     streaming_timeout_monitor,
     windowed_counts,
 )
+from beavers_spark.streaming.alignment import (  # noqa: F401
+    AlignedReleaseDriver,
+)
 from beavers_spark.streaming.ann_index import (  # noqa: F401
     IncrementalIVFIndex,
 )

@@ -1,0 +1,184 @@
+"""Cross-source priming alignment: release rows in GLOBAL event-time
+order while several sources replay history at different speeds.
+
+The reference's ``_ConsumerManager`` (kafka.py:280-396) solves this
+during Kafka catch-up: messages are buffered and sorted by event time,
+and only released up to the *low-water-mark* — the minimum last-seen
+timestamp across partitions that are still replaying — so a topic with
+2 days of history and a topic with 1 hour stay time-aligned until both
+are live. Spark's Kafka source has no such knob; this module is the
+Spark-first twin at the ``foreachBatch`` boundary:
+
+- the unioned stream (``kafka_reader`` over N topics, or any union of
+  timestamped sources) lands in ``AlignedReleaseDriver.process_batch``;
+- per-source progress (max event time, optional monotonic progress
+  column) is tracked driver-side — O(sources) values, never data;
+- arriving rows join a held buffer (a DataFrame, lineage-truncated per
+  cycle); rows with ``ts <= low_water_mark`` are released to the
+  downstream callable in event-time order, the rest stay held;
+- a source stops constraining the watermark when it is LIVE: its
+  progress passed ``live_marks`` (the startup high-water offsets, the
+  reference's ``is_live`` offset test, kafka.py:231-245) or its event
+  time passed ``cutoff``. When every source is live, rows flow through
+  unheld (micro-batch order).
+
+Semantics mirrored from reference tests/test_kafka.py:194-285
+(``test_consumer_manager_priming``), which tests/test_kafka_alignment.py
+replays step-for-step against this driver.
+
+Scale notes: the held buffer is bounded by (cutoff lag x ingest rate) —
+the same bound as the reference's ``max_held_messages``; admission is
+capped upstream by ``maxOffsetsPerTrigger``. Spark cannot pause ONE
+topic of a unioned source (the reference pauses partitions,
+kafka.py:349-381), so a runaway-fast source costs held-buffer memory
+rather than broker fetches; ``held_count`` in ``metrics()`` is the
+backpressure signal — wire it to ``maxOffsetsPerTrigger`` sizing. For
+multi-day catch-ups, replace the in-memory hold with a parquet staging
+directory (same release predicate); the release logic is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UTC_EPOCH = pd.Timestamp(0, tz="UTC")
+
+
+class AlignedReleaseDriver:
+    """``foreachBatch`` callable that re-orders a unioned multi-source
+    stream into global event-time order during priming.
+
+    ::
+
+        driver = AlignedReleaseDriver(
+            source_col="topic", ts_col="ts", cutoff=cutoff,
+            sources=["prices", "trades"], on_release=handle_df)
+        kafka_reader(spark, configs, servers).writeStream \\
+            .foreachBatch(driver.process_batch).start()
+
+    ``on_release`` receives each released slice sorted by
+    ``(ts_col, *order_tiebreak)``; slices are non-overlapping and their
+    concatenation is the globally time-ordered stream up to the current
+    low-water-mark.
+    """
+
+    def __init__(
+        self,
+        source_col: str,
+        ts_col: str,
+        cutoff: pd.Timestamp,
+        sources: Sequence[str],
+        on_release: Callable[[DataFrame], None],
+        order_tiebreak: Sequence[str] = (),
+        progress_col: str | None = None,
+        live_marks: dict[str, float] | None = None,
+    ) -> None:
+        if not sources:
+            raise ValueError("declare the expected sources up front")
+        self.source_col = source_col
+        self.ts_col = ts_col
+        self.cutoff = cutoff
+        self.on_release = on_release
+        self.order_tiebreak = list(order_tiebreak)
+        self.progress_col = progress_col
+        self.live_marks = dict(live_marks or {})
+        # a source nobody has heard from holds the watermark at epoch
+        # (reference: _PartitionInfo.timestamp_ns = 0)
+        self._max_ts: dict[str, pd.Timestamp] = {s: UTC_EPOCH for s in sources}
+        self._progress: dict[str, float] = {s: float("-inf") for s in sources}
+        self._held: DataFrame | None = None
+        self._released = 0
+
+    # -- liveness / watermark (reference kafka.py:231-245, 388-395) --------
+
+    def _is_live(self, source: str) -> bool:
+        mark = self.live_marks.get(source)
+        if (
+            mark is not None
+            and self.progress_col is not None
+            and self._progress[source] >= mark
+        ):
+            return True
+        return self._max_ts[source] >= self.cutoff
+
+    def low_water_mark(self) -> pd.Timestamp | None:
+        """Min event time over sources still replaying; None = all live."""
+        lagging = [s for s in self._max_ts if not self._is_live(s)]
+        if not lagging:
+            return None
+        return min(self._max_ts[s] for s in lagging)
+
+    def priming_watermark(self) -> pd.Timestamp | None:
+        """Reference ``_get_priming_watermark``: the alignment point while
+        priming, None once fully live."""
+        lwm = self.low_water_mark()
+        if lwm is not None and lwm == UTC_EPOCH:
+            return UTC_EPOCH
+        return lwm
+
+    def metrics(self) -> dict[str, int]:
+        held = 0 if self._held is None else self._held.count()
+        return {"held_count": held, "released_count": self._released}
+
+    # -- the kernel --------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One cycle: admit the batch, advance per-source progress,
+        release the time-ordered prefix up to the low-water-mark."""
+        cols = [self.source_col, self.ts_col, *self.order_tiebreak]
+        if self.progress_col:
+            cols.append(self.progress_col)
+        if not batch_df.isEmpty():
+            # per-source progress: one tiny agg, O(sources) rows
+            aggs = [F.max(self.ts_col).alias("__ts")]
+            if self.progress_col:
+                aggs.append(F.max(self.progress_col).alias("__prog"))
+            for row in batch_df.groupBy(self.source_col).agg(*aggs).collect():
+                src = row[self.source_col]
+                if src not in self._max_ts:
+                    raise ValueError(
+                        f"undeclared source {src!r} (declared: "
+                        f"{sorted(self._max_ts)})"
+                    )
+                ts = pd.Timestamp(row["__ts"])
+                ts = ts.tz_localize("UTC") if ts.tzinfo is None else ts
+                self._max_ts[src] = max(self._max_ts[src], ts)
+                if self.progress_col:
+                    self._progress[src] = max(
+                        self._progress[src], float(row["__prog"])
+                    )
+            incoming = batch_df
+            self._held = (
+                incoming
+                if self._held is None
+                else self._held.unionByName(incoming)
+            )
+        if self._held is None or self._held.isEmpty():
+            return
+        lwm = self.low_water_mark()
+        order = [F.col(self.ts_col).asc()] + [
+            F.col(c).asc() for c in self.order_tiebreak
+        ]
+        if lwm is None:
+            to_release, remainder = self._held, None
+        else:
+            naive = lwm.tz_convert("UTC").tz_localize(None)
+            # comparison in naive-UTC: Spark timestamps are session-tz
+            # naive, the driver state is tz-aware
+            released_pred = F.col(self.ts_col) <= F.lit(naive)
+            to_release = self._held.filter(released_pred)
+            remainder = self._held.filter(~released_pred)
+        if not to_release.isEmpty():
+            out = to_release.orderBy(*order)
+            self._released += out.count()
+            self.on_release(out)
+        # truncate lineage so the held plan does not deepen per cycle
+        self._held = (
+            None
+            if remainder is None or remainder.isEmpty()
+            else remainder.localCheckpoint(eager=True)
+        )

@@ -172,11 +172,13 @@ def kafka_reader(
     bootstrap_servers: str,
     batch_size: int = 5000,
     now: pd.Timestamp | None = None,
+    topic_partitions: dict[str, int] | None = None,
 ) -> DataFrame:
     """Streaming reader over the configured topics, payload deserialized
     per-topic when a value_schema is declared (reference serde:
-    pyarrow_kafka.py:16-34 -> from_json)."""
-    opts = reader_options(configs, bootstrap_servers, batch_size, now)
+    pyarrow_kafka.py:16-34 -> from_json). ``topic_partitions`` is required
+    when start policies mix across topics — see :func:`reader_options`."""
+    opts = reader_options(configs, bootstrap_servers, batch_size, now, topic_partitions)
     reader = spark.readStream.format("kafka")
     for k, v in opts.items():
         reader = reader.option(k, v)

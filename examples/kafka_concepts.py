@@ -38,6 +38,10 @@ NOW = pd.Timestamp("2024-06-15T12:30:00Z")
 # -- offset policies -> startingOffsets[ByTimestamp] -------------------
 # (reference: 6 policies, kafka.py:72-141; start-of-day honors a tz,
 # kafka.py:655-664)
+# Topics with DIFFERENT start timestamps need explicit partition counts:
+# Spark's startingOffsetsByTimestamp JSON has no partition wildcard, so
+# reader_options asks for {topic: n_partitions} (from AdminClient
+# metadata in production) and emits every partition explicitly.
 opts = reader_options(
     [
         KafkaSourceConfig("trades", OffsetPolicy.START_OF_DAY, timezone="America/New_York"),
@@ -45,14 +49,29 @@ opts = reader_options(
     ],
     bootstrap_servers="broker:9092",
     now=NOW,
+    topic_partitions={"trades": 2, "quotes": 1},
 )
 assert opts["subscribe"] == "trades,quotes"
 assert opts["maxOffsetsPerTrigger"] == "5000"  # reference batch_size default
 
 by_ts = json.loads(opts["startingOffsetsByTimestamp"])
 # NY start-of-day for 12:30Z on 2024-06-15 is 04:00Z (EDT)
-assert by_ts["trades"]["-1"] == int(pd.Timestamp("2024-06-15T04:00:00Z").timestamp() * 1000)
-assert by_ts["quotes"]["-1"] == int((NOW - pd.Timedelta(minutes=30)).timestamp() * 1000)
+sod_ms = int(pd.Timestamp("2024-06-15T04:00:00Z").timestamp() * 1000)
+rel_ms = int((NOW - pd.Timedelta(minutes=30)).timestamp() * 1000)
+assert by_ts["trades"] == {"0": sod_ms, "1": sod_ms}
+assert by_ts["quotes"] == {"0": rel_ms}
+
+# A single shared timestamp policy needs no partition metadata at all —
+# it maps to the global startingTimestamp option.
+uniform = reader_options(
+    [
+        KafkaSourceConfig("trades", OffsetPolicy.RELATIVE_TIME, relative=pd.Timedelta(minutes=30)),
+        KafkaSourceConfig("quotes", OffsetPolicy.RELATIVE_TIME, relative=pd.Timedelta(minutes=30)),
+    ],
+    bootstrap_servers="broker:9092",
+    now=NOW,
+)
+assert uniform["startingTimestamp"] == str(rel_ms)
 
 # -- sink projection: row -> (key, value JSON, topic) ------------------
 # (reference: _RuntimeSinkTopic.serialize, kafka.py:449-460)

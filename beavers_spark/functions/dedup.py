@@ -244,6 +244,7 @@ def minhash_lsh_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding + Jaccard verify.
 
@@ -255,15 +256,37 @@ def minhash_lsh_pairs(
     (cardinality ~ n_docs * BANDS) and on candidate doc ids.
     Emits (doc1, doc2, est_jaccard, jaccard) — estimated (signature
     agreement fraction) and exact, both rounded.
+
+    The shingle-set stage feeds signatures AND both sides of the verify
+    join, and signatures feed bands + the estimate join, so both stages
+    must be materialized once, not recomputed per consumer:
+
+    - ``staging_dir=None`` (default): ``persist()`` + a blocking
+      ``count()`` (the count fills the cache before the fan-out — the
+      downstream stages would otherwise race and each recompute the
+      tokenize+ngram+hash pass). Right for single-job runs where the
+      executors are stable.
+    - ``staging_dir=<path>``: the two stages are written to parquet
+      staging tables and read back. On a cluster, a lost executor drops
+      its cached partitions mid-fan-out and silently recomputes the hash
+      pass; staged parquet survives executor loss and lets the candidate
+      join start from columnar scans with pruned reads (the verify join
+      reads only its doc_id/sh columns). This is the 100 TB mode.
     """
-    # The shingle-set stage feeds signatures AND both sides of the verify
-    # join, and signatures feed bands + the estimate join; persist both so
-    # the tokenize+ngram+hash passes run once. (At 100 TB, write these
-    # stages to staging tables instead of executor memory.)
-    sets = shingle_sets(df, text_col, id_col, n).persist()
-    sets.count()  # fill the cache before fan-out: downstream stages race
-    sig = _signatures_from_sets(sets).persist()
-    sig.count()  # else each consumer stage recomputes the hash pass
+    sets = shingle_sets(df, text_col, id_col, n)
+    if staging_dir is not None:
+        spark = df.sparkSession
+        sets.write.mode("overwrite").parquet(f"{staging_dir}/minhash_sets")
+        sets = spark.read.parquet(f"{staging_dir}/minhash_sets")
+        _signatures_from_sets(sets).write.mode("overwrite").parquet(
+            f"{staging_dir}/minhash_sig"
+        )
+        sig = spark.read.parquet(f"{staging_dir}/minhash_sig")
+    else:
+        sets = sets.persist()
+        sets.count()  # fill the cache before fan-out: downstream stages race
+        sig = _signatures_from_sets(sets).persist()
+        sig.count()  # else each consumer stage recomputes the hash pass
     bands = band_rows(sig)
 
     a = bands.alias("a")

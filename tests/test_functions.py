@@ -58,6 +58,26 @@ def test_minhash_lsh_candidates_contain_true_dups(spark, docs):
     assert est == 1.0 and exact == 1.0
 
 
+def test_minhash_staging_mode_identical_output(spark, docs, tmp_path):
+    """staging_dir=parquet staging and the default persist() path are the
+    same computation — byte-identical pair lists (VERDICT r1 item 8)."""
+    cached = sorted(
+        map(tuple, minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3).collect())
+    )
+    staged = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, "text", "doc_id", threshold=0.3, staging_dir=str(tmp_path)
+            ).collect(),
+        )
+    )
+    assert staged == cached and len(staged) > 0
+    # the staging tables themselves landed as readable parquet
+    assert spark.read.parquet(str(tmp_path / "minhash_sets")).count() == 4
+    assert spark.read.parquet(str(tmp_path / "minhash_sig")).count() == 4
+
+
 def test_simhash_similar_docs_close(spark, docs):
     sigs = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
     def hamming(a, b):

@@ -10,6 +10,8 @@ stdlib ``http.server`` with the same contract:
 
 - named tables, each defined by a declarative :class:`TableView`
   (index/sort/filter/limit — operators/view.py);
+- ``GET /``                     -> bundled live dashboard page (HTML; the
+  analog of the reference's ``table.html`` assets);
 - ``GET /tables``               -> table registry + typed schema (JSON);
 - ``GET /table/<name>``         -> latest snapshot rows (JSON);
 - ``GET /table/<name>.arrow``   -> latest snapshot as an Arrow IPC stream
@@ -29,6 +31,7 @@ import dataclasses
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from typing import Any
 
 import pyarrow as pa
@@ -46,6 +49,16 @@ _DATA_TYPES = [
     (pa.types.is_string, "string"),
     (pa.types.is_timestamp, "datetime"),
 ]
+
+
+_ASSETS = Path(__file__).parent / "assets"
+
+
+def _dashboard_html() -> bytes:
+    """The bundled single-file dashboard page (reference ships table.html
+    + assets/, perspective_wrapper.py:235-285). Read per-request so edits
+    show on refresh; ~5 KB, so no caching is warranted."""
+    return (_ASSETS / "dashboard.html").read_bytes()
 
 
 def scalar_type_name(data_type: pa.DataType) -> str:
@@ -142,7 +155,10 @@ class ViewServer:
 
             def do_GET(self) -> None:  # noqa: N802 (http.server API)
                 path = self.path.rstrip("/")
-                if path in ("", "/tables"):
+                if path in ("", "/dashboard"):
+                    self._send(200, _dashboard_html(), "text/html; charset=utf-8")
+                    return
+                if path == "/tables":
                     self._json(200, server._registry_payload())
                     return
                 if path.startswith("/table/"):

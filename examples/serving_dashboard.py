@@ -63,6 +63,12 @@ assert table.num_rows == 2
 registry = json.loads(urllib.request.urlopen(server.url + "/tables", timeout=10).read())
 assert registry["tables"][0]["schema"]["price"] == "float"
 
+# GET / is a browsable live page (open server.url in a browser while the
+# pipeline runs): the bundled single-file dashboard polls /tables and
+# /table/<name>, with client-side sort — the table.html analog
+home = urllib.request.urlopen(server.url + "/", timeout=10).read().decode()
+assert "<!DOCTYPE html>" in home and "/tables" in home
+
 # the same dashboard can sit on DURABLE upsert state: KeyedStateTable
 # keeps latest-row-per-key in bucketed parquet (survives restarts; at
 # 100 TB the dashboard reads a partition-pruned table, not process RAM)

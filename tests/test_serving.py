@@ -68,6 +68,18 @@ def test_serves_view_snapshot_json_and_arrow(spark, server):
     assert table.column("ticker").to_pylist() == ["MSFT", "AAPL"]
 
 
+def test_dashboard_page_served_at_root(server):
+    """GET / is a browsable HTML page over the JSON endpoints (reference
+    ships table.html + assets/, perspective_wrapper.py:235-285)."""
+    for path in ("/", "/dashboard"):
+        with urllib.request.urlopen(server.url + path, timeout=10) as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        assert "<!DOCTYPE html>" in page
+        # the page drives the documented API, not a private one
+        assert "/tables" in page and "/table/" in page
+
+
 def test_unknown_table_404(server):
     server.register("known")
     req = urllib.request.Request(server.url + "/table/nope")

@@ -16,9 +16,12 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from beavers_spark.session import get_spark  # noqa: E402
 
@@ -54,6 +57,74 @@ HEADLINE = [
 ]
 
 
+#: waves per incremental-state scenario — each wave is one foreachBatch
+#: call, so a scenario measures N state merges, not one bulk load
+_WAVES = 4
+
+
+def _inc_keyed_state(spark, sf_dir: str, workdir: str) -> int:
+    """100k event upserts -> latest-row-per-user durable state, fed in
+    event-stream waves (KeyedStateTable merge path: touched-bucket
+    partition-pruned read + dynamic-partition overwrite per wave)."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import KeyedStateTable
+
+    state = KeyedStateTable(
+        os.path.join(workdir, "state"), keys=["user_id"], order_by="event_id"
+    )
+    events = t(spark, sf_dir, "events")
+    for i in range(_WAVES):
+        state(events.filter(F.pmod("event_id", F.lit(_WAVES)) == i), i)
+    return state.read(spark).count()
+
+
+def _inc_near_dedup(spark, sf_dir: str, workdir: str) -> int:
+    """documents fed in waves through IncrementalNearDedup: per wave, a
+    new-vs-new plus new-vs-state band join emits only pairs touching the
+    wave (O(batch + candidates), never a corpus rescan)."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalNearDedup
+
+    dedup = IncrementalNearDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "pairs"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.5,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(_WAVES):
+        dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+    return dedup.read_pairs(spark).count()
+
+
+def _inc_ivf_index(spark, sf_dir: str, workdir: str) -> int:
+    """embeddings ingested in waves into the cell-partitioned IVF index
+    (wave 0 trains the quantizer), then a 100-query top-10 probe search
+    over the built index."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalIVFIndex
+
+    index = IncrementalIVFIndex(
+        os.path.join(workdir, "index"), id_col="vec_id", n_cells=16
+    )
+    vecs = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for i in range(_WAVES):
+        index(vecs.filter(F.pmod("vec_id", F.lit(_WAVES)) == i), i)
+    queries = vecs.filter(F.col("vec_id") < 100)
+    return index.search(queries, k=10, n_probe=4).count()
+
+
+#: durable incremental-state scenarios (VERDICT r1 item 10) — timed as
+#: whole multi-wave runs into a fresh workdir per repetition, so
+#: round-over-round regressions in the state family are visible
+INCREMENTAL = [
+    ("inc_keyed_state", _inc_keyed_state),
+    ("inc_near_dedup", _inc_near_dedup),
+    ("inc_ivf_index", _inc_ivf_index),
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -82,6 +153,23 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    batch_total = total  # the 28 stateless queries — comparable r1<->rN
+    for name, scenario in INCREMENTAL:
+        times = []
+        for _ in range(2):
+            with tempfile.TemporaryDirectory() as workdir:
+                start = time.perf_counter()
+                n = scenario(spark, sf_dir, workdir)
+                times.append(time.perf_counter() - start)
+        cold, warm = times[0], min(times[1:])
+        per_query[name] = round(warm, 3)
+        total += warm
+        cold_total += cold
+        print(
+            f"# {name}: {warm:.3f}s warm / {cold:.3f}s cold ({n} rows)",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -90,6 +178,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "cold_value": round(cold_total, 3),
+                # r1's BENCH covered only the stateless batch queries; the
+                # inc_* scenarios were added in r2 — compare THIS subtotal
+                # against BENCH_r01's value for round-over-round drift
+                "batch_value": round(batch_total, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

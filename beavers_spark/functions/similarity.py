@@ -105,7 +105,8 @@ def ivf_topk(
     1. *Train*: fit a ``n_cells``-way KMeans quantizer (pyspark.ml, all
        JVM) — on a sample at scale (``train_fraction``), the standard IVF
        practice since the quantizer only needs the coarse density shape.
-    2. *Assign*: one narrow expression pass labels each corpus vector
+    2. *Assign*: one narrow Arrow-vectorized pass (``vectorized.best_cells``,
+       a numpy matmul per batch) labels each corpus vector
        with its ``n_assign`` best cells by centroid cosine — no shuffle,
        and at 100 TB the assignment can be written back as a partition
        column so later queries prune cells at the parquet-scan level
@@ -137,33 +138,13 @@ def ivf_topk(
     model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__fv")))
     centroids = [c.tolist() for c in model.clusterCenters()]
 
-    def _cent_cos(vec: str, vnorm: str, cent: list[float]) -> Column:
-        carr = F.array(*[F.lit(x) for x in cent])
-        cnorm = sum(x * x for x in cent) ** 0.5
-        return _dot(F.col(vec), carr) / (F.col(vnorm) * F.lit(cnorm))
-
-    def _cell_structs(vec: str, vnorm: str) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    (-_cent_cos(vec, vnorm, cent)).alias("dist"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, cent in enumerate(centroids)
-            ]
-        )
+    from beavers_spark.functions.vectorized import best_cells
 
     c = (
         corpus.repartition(parallelism)
         .select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"))
         .withColumn("cn", _norm(F.col("cv")))
-        .withColumn(
-            "assign",
-            F.explode(
-                F.slice(F.array_sort(_cell_structs("cv", "cn")), 1, n_assign)
-            ),
-        )
-        .select("neighbor_id", "cv", "cn", F.col("assign.cell").alias("cell"))
+        .withColumn("cell", F.explode(best_cells(F.col("cv"), centroids, n_assign)))
     )
 
     q = (
@@ -171,13 +152,7 @@ def ivf_topk(
             F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
         )
         .withColumn("qn", _norm(F.col("qv")))
-        .withColumn(
-            "probe",
-            F.explode(
-                F.slice(F.array_sort(_cell_structs("qv", "qn")), 1, n_probe)
-            ),
-        )
-        .select("query_id", "qv", "qn", F.col("probe.cell").alias("cell"))
+        .withColumn("cell", F.explode(best_cells(F.col("qv"), centroids, n_probe)))
     )
 
     scored = (
@@ -263,6 +238,8 @@ def lsh_near_dup_pairs(
     back just for the verify — the same candidates-only discipline as
     MinHash. Never a cross join.
     """
+    from beavers_spark.functions.vectorized import lsh_bucket_ids
+
     tables = [
         _hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
     ]
@@ -272,18 +249,9 @@ def lsh_near_dup_pairs(
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("n", _norm(F.col("v")))
     )
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col("v"), planes).alias("bkt"),
-            )
-            for t, planes in enumerate(tables)
-        ]
-    )
     hashed = base.select(
-        "id", F.explode(buckets).alias("tb")
-    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+        "id", F.posexplode(lsh_bucket_ids(F.col("v"), tables)).alias("tbl", "bkt")
+    )
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (
         a.join(
@@ -347,59 +315,46 @@ def lsh_bucketed_topk(
     without this, a pair colliding in several probes/tables occupies
     several top-k slots (duplicate output rows + depressed recall).
     """
+    from beavers_spark.functions.vectorized import lsh_bucket_ids
+
     tables = [
         _hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
     ]
     parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
-    def _probe_array(tno: int, bkt: Column) -> Column:
-        offsets = (
-            F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
-            if multi_probe
-            else F.array(F.lit(0))
+    offsets = (
+        F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
+        if multi_probe
+        else F.array(F.lit(0))
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
         )
-
-        def make(m: Column) -> Column:
-            return F.struct(
-                F.lit(tno).alias("tbl"),
-                bkt.bitwiseXOR(m).cast("bigint").alias("bkt"),
-            )
-
-        return F.transform(offsets, make)
-
-    probe_arrays = [
-        _probe_array(tno, lsh_bucket(F.col("qv"), planes))
-        for tno, planes in enumerate(tables)
-    ]
-    q = q.withColumn("tb", F.explode(F.flatten(F.array(*probe_arrays)))).select(
-        "query_id",
-        "qv",
-        "qn",
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bkt").alias("bkt"),
-    ).dropDuplicates(["query_id", "tbl", "bkt"])
-    c_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(tno).alias("tbl"),
-                lsh_bucket(F.col("cv"), planes).cast("bigint").alias("bkt"),
-            )
-            for tno, planes in enumerate(tables)
-        ]
+        .withColumn("qn", _norm(F.col("qv")))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.posexplode(lsh_bucket_ids(F.col("qv"), tables)).alias(
+                "tbl", "bkt0"
+            ),
+        )
+        .withColumn(
+            "bkt",
+            F.explode(F.transform(offsets, lambda m: F.col("bkt0").bitwiseXOR(m))),
+        )
+        .drop("bkt0")
+        .dropDuplicates(["query_id", "tbl", "bkt"])
     )
     c = (
         corpus.repartition(parallelism)
         .select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"))
         .withColumn("cn", _norm(F.col("cv")))
-        .withColumn("tb", F.explode(c_buckets))
         .select(
             "neighbor_id",
             "cv",
             "cn",
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bkt").alias("bkt"),
+            F.posexplode(lsh_bucket_ids(F.col("cv"), tables)).alias("tbl", "bkt"),
         )
     )
     scored = (

@@ -15,8 +15,8 @@ Lifecycle:
    assignment is restart-safe and deterministic forever after. At 100 TB
    the standard IVF practice applies — train on a sample (the quantizer
    only needs the coarse density shape) and retrain ⇒ rebuild, offline.
-2. *Assign + append*: each batch computes nearest-centroid labels as a
-   pure Catalyst expression over a broadcast centroid literal (no ML
+2. *Assign + append*: each batch computes nearest-centroid labels in one
+   Arrow-vectorized numpy pass (``vectorized.nearest_cells_l2`` — no ML
    model object needed after training), and appends
    ``(id, vector, norm, cell)`` rows into ``index_path/cell=<i>/``.
 3. *Search*: queries rank centroids, probe the ``n_probe`` nearest
@@ -39,30 +39,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from beavers_spark.functions.similarity import _dot, _norm
+from beavers_spark.functions.vectorized import nearest_cells_l2
 from beavers_spark.streaming.maintenance import BatchWatermark
 
 
 def _nearest_cell(vec_col, centroids: list[list[float]]):
-    """Index of the L2-nearest centroid, as a Catalyst expression."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(x) for x in cent]),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
-    )
-    return F.array_sort(dists)[0]["cell"]
+    """Index of the L2-nearest centroid (Arrow-vectorized: one numpy
+    matmul per batch instead of a ``n_cells × dim``-literal Catalyst
+    tree, which cost seconds of driver-side plan build per micro-batch)."""
+    return F.element_at(nearest_cells_l2(vec_col, centroids, 1), 1)
 
 
 class IncrementalIVFIndex:
@@ -162,24 +147,6 @@ class IncrementalIVFIndex:
         spark = queries.sparkSession
         n_probe = min(n_probe, len(cents))
 
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("qv"),
-                            F.array(*[F.lit(x) for x in cent]),
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, cent in enumerate(cents)
-            ]
-        )
         q = (
             queries.select(
                 F.col(self.id_col).alias("query_id"),
@@ -187,9 +154,9 @@ class IncrementalIVFIndex:
             )
             .withColumn("qn", _norm(F.col("qv")))
             .withColumn(
-                "probe", F.explode(F.slice(F.array_sort(dists), 1, n_probe))
+                "cell",
+                F.explode(nearest_cells_l2(F.col("qv"), cents, n_probe)),
             )
-            .select("query_id", "qv", "qn", F.col("probe.cell").alias("cell"))
         )
         scored = (
             self.read_index(spark)

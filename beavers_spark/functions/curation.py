@@ -1,0 +1,219 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, per-domain caps, deterministic global shuffle,
+within-document repetition scoring, stratified sampling, and sequence
+packing.
+
+All deterministic and engine-reproducible (hashing is the md5-derived
+family of ``functions.dedup``/``functions.sampling``, identical in
+DuckDB, so every operator here is oracle-checkable), and all expressed
+as shuffles keyed on bounded-cardinality columns — nothing global, no
+``rand()``, no driver-side state.
+
+Reference: the reference has no curation surface (README.md:43-50);
+this is part of the beyond-reference training-data tier alongside
+``functions.dedup`` and ``functions.sampling``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.dedup import md5_hash64, word_shingles
+from beavers_spark.functions.sampling import BUCKETS, hash_bucket
+
+
+def decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many distinct word
+    ``n``-grams it shares with the eval corpus.
+
+    Returns ``(doc_id, n_overlap)`` for CONTAMINATED docs only (n_overlap
+    >= 1); anti-join the result against the corpus to drop them. The
+    standard pre-training hygiene step — eval questions that leak into
+    training data inflate benchmark scores.
+
+    Scale shape: both sides explode to distinct (doc, ngram) rows; the
+    eval side collapses to DISTINCT ngrams (a small set — eval suites are
+    tiny next to a corpus) and the contamination check is an equi-join on
+    the ngram string — an inverted-index probe, never a scan of train ×
+    eval. The join key is content-hashed by the shuffle; hot ngrams are
+    impossible because the eval side is distinct.
+    """
+    grams = word_shingles(F.col(text_col), n)
+    t = train.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram")
+    )
+    e = evals.select(F.explode(grams).alias("ngram")).distinct()
+    return (
+        t.join(e, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def domain_cap(
+    df: DataFrame, domain_col: str, id_col: str, cap: int, salt: str = ""
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen deterministically by
+    id-hash order (ties by id) — the mixture-balancing step that stops a
+    single crawl domain from dominating the corpus.
+
+    Hash order (not arrival order) makes the survivor set reproducible on
+    any engine/partitioning and stable-ish under growth: a new doc evicts
+    at most one old one, it never reshuffles the whole domain. One
+    shuffle keyed on the domain; a domain whose row count explodes is the
+    classic skew key, which is exactly what AQE skew-join/window splitting
+    handles (session.py enables it) — and the window itself never
+    materializes more than ``cap`` survivors per domain downstream.
+    """
+    rank = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            F.col(id_col),
+        )
+    )
+    return (
+        df.withColumn("__r", rank).filter(F.col("__r") <= cap).drop("__r")
+    )
+
+
+def corpus_shuffle_key(id_col: Column, seed: str = "shuffle") -> Column:
+    """Deterministic global-shuffle sort key for training-order
+    randomization: the md5-derived hash of (id, seed).
+
+    The SHUFFLED ORDER of the corpus is "sort by this key" — realized at
+    scale as ``repartitionByRange(key).sortWithinPartitions(key)`` (range
+    exchange + local sort, never a single-partition global sort), which is
+    how :func:`corpus_shuffle` writes shuffled epochs. A different seed is
+    a fresh epoch permutation.
+    """
+    return md5_hash64(F.concat(id_col.cast("string"), F.lit("@"), F.lit(seed)))
+
+
+def corpus_shuffle(
+    df: DataFrame, id_col: str, seed: str = "shuffle", n_partitions: int | None = None
+) -> DataFrame:
+    """The corpus in deterministic shuffled training order: range-
+    partitioned and locally sorted by :func:`corpus_shuffle_key`.
+
+    Writing this frame to parquet yields files whose concatenation is the
+    shuffled epoch — no global sort bottleneck (the range exchange samples
+    key quantiles, then each partition sorts locally).
+    """
+    key = corpus_shuffle_key(F.col(id_col), seed)
+    out = df.withColumn("shuffle_key", key)
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(parts, "shuffle_key").sortWithinPartitions(
+        "shuffle_key"
+    )
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Within-document repetition: ``1 - distinct_ngrams / total_ngrams``
+    of the word ``n``-grams (0 = no repetition, → 1 = the same phrase
+    looping). The standard quality signal for filtering boilerplate and
+    generation loops. Pure projection — no explode, no shuffle.
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its id-hash
+    bucket falls under its stratum's rate — the mixture-reweighting step
+    (e.g. downsample boilerplate-heavy domains, keep all rare-language
+    docs). Same reproducibility/growth-stability as
+    ``sampling.deterministic_sample``; still a scan-level filter, no
+    shuffle, no per-stratum pass.
+    """
+    thresh = None
+    for name, rate in rates.items():
+        cond = F.col(strata_col) == name
+        bound = F.lit(int(round(rate * BUCKETS)))
+        thresh = F.when(cond, bound) if thresh is None else thresh.when(cond, bound)
+    thresh = (
+        F.lit(int(round(default_rate * BUCKETS)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_rate * BUCKETS)))
+    )
+    return df.filter(hash_bucket(F.col(id_col), salt) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    capacity: int,
+    n_streams: int = 16,
+    seed: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-capacity training sequences (context
+    windows) by concat-and-chunk packing: docs are concatenated in
+    deterministic hash order within ``n_streams`` independent streams,
+    and the resulting token stream is sliced at ``capacity`` boundaries —
+    the standard GPT-style packed-dataset layout (a doc whose span
+    crosses a boundary continues in the next pack; downstream tokenizers
+    split it there).
+
+    Emits ``(doc_id, stream, pack_id, offset)`` — ``pack_id`` is the
+    chunk in which the doc STARTS and ``offset`` its start position
+    inside that chunk.
+
+    Why not bin-closing FIFO/best-fit: closing a bin early depends on the
+    running assignment (a sequentially-dependent recurrence, not a window
+    aggregate), so it can't shuffle-parallelize; concat-and-chunk wastes
+    zero capacity instead of closing bins, and is what large pretraining
+    pipelines actually run. Sharding into ``n_streams`` keys every window
+    on the stream id, so per-stream data volume — not the corpus — bounds
+    each sort partition. Deterministic: stream and order both derive
+    from the id hash.
+    """
+    key = md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit("@"), F.lit(seed)))
+    w = Window.partitionBy("stream").orderBy("key", id_col)
+    staged = df.select(
+        F.col(id_col),
+        F.col(length_col).alias("__len"),
+        F.pmod(key, F.lit(n_streams)).alias("stream"),
+        key.alias("key"),
+    )
+    # FIFO chunking: pack boundary whenever the cumulative length crosses
+    # a capacity multiple. pack_id = floor((cumsum - len) / capacity) puts
+    # a doc in the pack where it STARTS; an oversized doc occupies its
+    # own pack span.
+    cum = F.sum("__len").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    packed = staged.withColumn(
+        "pack_id",
+        F.floor((cum - F.col("__len")) / F.lit(capacity)).cast("bigint"),
+    ).withColumn(
+        "offset",
+        ((cum - F.col("__len")) % F.lit(capacity)).cast("bigint"),
+    )
+    return packed.select(id_col, "stream", "pack_id", "offset")

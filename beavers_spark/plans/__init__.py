@@ -21,5 +21,6 @@ from beavers_spark.plans.registry import ORACLES, QUERIES, query  # noqa: F401
 from beavers_spark.plans import relational  # noqa: E402,F401
 from beavers_spark.plans import tpch  # noqa: E402,F401
 from beavers_spark.plans import llmops  # noqa: E402,F401
+from beavers_spark.plans import curation  # noqa: E402,F401
 from beavers_spark.plans import streaming_parity  # noqa: E402,F401
 from beavers_spark.plans import views_setops  # noqa: E402,F401

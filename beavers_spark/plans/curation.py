@@ -1,0 +1,213 @@
+"""Corpus-curation plans: the training-data pipeline steps between raw
+crawl and tokenizer — decontamination, mixture balancing, shuffling,
+repetition filtering, stratified reweighting, sequence packing. Each
+pairs a Spark plan (functions/curation.py) with a DuckDB oracle built on
+the same md5-derived hashing, so every step is hash-checkable.
+
+Reference: no curation surface in the reference (README.md:43-50) —
+beyond-reference tier, same conventions as plans/llmops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.curation import (
+    corpus_shuffle,
+    decontaminate,
+    domain_cap,
+    pack_sequences,
+    repetition_ratio,
+    stratified_sample,
+)
+from beavers_spark.plans.common import t
+from beavers_spark.plans.registry import query
+
+# md5-derived 60-bit hash of an expression, DuckDB side (same scheme as
+# functions.dedup.md5_hash64 at seed 0)
+def _sql_hash64(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr} || '#0'), 1, 15))::BIGINT)"
+
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+)
+
+
+def _sql_ngrams(n: int) -> str:
+    """Distinct word n-gram list of ``text`` (DuckDB), mirroring
+    functions.dedup.word_shingles."""
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len(tk) - {n - 1}),"
+        f" i -> {gram}))"
+    )
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, source, unnest({_sql_ngrams(5)}) AS ngram
+        FROM toks WHERE len(tk) >= 5
+    ),
+    eval_grams AS (
+        SELECT DISTINCT ngram FROM grams WHERE source = 'src0'
+    )
+    SELECT g.doc_id, count(*) AS n_overlap
+    FROM grams g JOIN eval_grams e USING (ngram)
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 5-gram with
+    the eval corpus (here: source src0 stands in for the eval suite),
+    with the shared-distinct-ngram count. Inverted-index equi-join on the
+    ngram — the eval side is DISTINCT and tiny, so at 100 TB this is a
+    broadcast probe of the corpus scan, never corpus × eval."""
+    docs = t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=5,
+    )
+
+
+@query(
+    "domain_cap",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_sql_hash64("doc_id::VARCHAR")}, doc_id
+               ) AS r
+        FROM documents
+    ) WHERE r <= 15
+    """,
+)
+def domain_cap_q(spark, sf_dir):
+    """Mixture balancing: at most 15 docs per source domain, survivors
+    picked by deterministic id-hash order (reproducible on any engine or
+    partitioning; a domain gaining docs never reshuffles its existing
+    survivors). One shuffle keyed on the domain; skewed mega-domains are
+    the AQE skew-split case, and only ``cap`` rows per domain survive the
+    window."""
+    return domain_cap(
+        t(spark, sf_dir, "documents"), "source", "doc_id", cap=15
+    ).select("doc_id", "source")
+
+
+@query(
+    "corpus_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_hash64("doc_id::VARCHAR || '@epoch1'")} AS shuffle_key
+    FROM documents
+    """,
+)
+def corpus_shuffle_q(spark, sf_dir):
+    """Deterministic training-order shuffle: the epoch permutation IS
+    "sort by shuffle_key" — realized as a range exchange + per-partition
+    sort (repartitionByRange + sortWithinPartitions), never a global
+    single-partition sort. Writing the result to parquet yields files
+    whose concatenation is the shuffled epoch; a new seed is a fresh
+    epoch. The hash-match pins the exact permutation."""
+    return corpus_shuffle(
+        t(spark, sf_dir, "documents"), "doc_id", seed="epoch1"
+    ).select("doc_id", "shuffle_key")
+
+
+@query(
+    "repetition_quality",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 3
+                    THEN list_transform(generate_series(1, len(tk) - 2),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [] END AS g
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(g) > 0
+                THEN round(1.0 - len(list_distinct(g)) / len(g)::DOUBLE, 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM grams
+    """,
+)
+def repetition_quality(spark, sf_dir):
+    """Within-document repetition score (1 − distinct/total 3-grams) —
+    the boilerplate/generation-loop filter signal. Pure projection, no
+    explode, no shuffle: the quality pass costs one corpus scan."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", repetition_ratio(F.col("text"), n=3).alias("rep_ratio")
+    )
+
+
+_STRATA_RATES = {"en": 0.5, "fr": 1.0, "de": 1.0, "es": 0.8, "zh": 0.8}
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_sql_hash64("doc_id::VARCHAR")} % 10000 <
+          CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 10000
+                    WHEN 'de' THEN 10000 WHEN 'es' THEN 8000
+                    WHEN 'zh' THEN 8000 ELSE 0 END
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    """Mixture reweighting: per-language keep rates (downsample dominant
+    English, keep all French/German) via the same growth-stable id-hash
+    buckets as deterministic_sample — a scan-level filter, one pass for
+    every stratum, no shuffle."""
+    return stratified_sample(
+        t(spark, sf_dir, "documents"), "lang", "doc_id", _STRATA_RATES
+    ).select("doc_id", "lang")
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH staged AS (
+        SELECT doc_id, n_chars,
+               {_sql_hash64("doc_id::VARCHAR || '@pack'")} AS key
+        FROM documents
+    ),
+    laid AS (
+        SELECT doc_id, n_chars, key, key % 8 AS stream,
+               sum(n_chars) OVER (
+                   PARTITION BY key % 8 ORDER BY key, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM staged
+    )
+    SELECT doc_id, stream,
+           ((cum - n_chars) // 2048)::BIGINT AS pack_id,
+           ((cum - n_chars) % 2048)::BIGINT AS "offset"
+    FROM laid
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style packed dataset):
+    docs concatenated in deterministic hash order within 8 independent
+    streams, sliced at 2048-char boundaries. Each layout window is keyed
+    on the stream id, so per-stream volume — not the corpus — bounds the
+    sort; at 100 TB, raise n_streams with the cluster. The hash-match
+    pins the full (stream, pack, offset) layout."""
+    return pack_sequences(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "n_chars",
+        capacity=2048,
+        n_streams=8,
+        seed="pack",
+    )

@@ -1,0 +1,115 @@
+"""Corpus-curation operators: decontamination, domain caps, shuffle,
+repetition, stratified sampling, sequence packing (functions/curation.py).
+
+Oracle parity is covered by tools/check_oracle.py; these tests pin the
+SEMANTICS (planted cases, determinism under repartitioning, layout
+invariants) that a hash-match alone wouldn't explain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.curation import (
+    corpus_shuffle,
+    decontaminate,
+    domain_cap,
+    pack_sequences,
+    repetition_ratio,
+    stratified_sample,
+)
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains eval 5-gram
+            (2, "totally unrelated training content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_overlap for r in decontaminate(train, evals, "text", "doc_id", n=5).collect()}
+    assert out == {1: 1}  # doc 2 is clean, doc 1 shares exactly one 5-gram
+
+
+def test_domain_cap_caps_and_is_partitioning_invariant(spark):
+    rows = [(i, f"src{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = domain_cap(df, "source", "doc_id", cap=5)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src0": 5, "src1": 5, "src2": 5}
+    # survivor set is a pure function of (id, domain) — repartitioning
+    # the input cannot change it
+    again = domain_cap(df.repartition(7), "source", "doc_id", cap=5)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_corpus_shuffle_is_seeded_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = [r.doc_id for r in corpus_shuffle(df, "doc_id", seed="s1", n_partitions=4).collect()]
+    b = [r.doc_id for r in corpus_shuffle(df, "doc_id", seed="s1", n_partitions=4).collect()]
+    c = [r.doc_id for r in corpus_shuffle(df, "doc_id", seed="s2", n_partitions=4).collect()]
+    assert a == b  # deterministic
+    assert a != c  # a new seed is a fresh epoch permutation
+    assert sorted(a) == list(range(100)) == sorted(c)  # still a permutation
+    # collected order IS the key order (range partition + local sort)
+    keys = [r.shuffle_key for r in corpus_shuffle(df, "doc_id", seed="s1", n_partitions=4).collect()]
+    assert keys == sorted(keys)
+
+
+def test_repetition_ratio_orders_looping_above_diverse(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham eggs " * 20),  # one 3-gram looping
+            (2, "the quick brown fox jumps over a lazy dog today"),
+            (3, "too short"),  # < 3 tokens -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.r for r in df.select("doc_id", repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert out[1] > 0.9 and out[2] == 0.0 and out[3] == 0.0
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "en" if i % 2 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", "doc_id", {"en": 0.25, "fr": 1.0})
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 1000  # rate 1.0 keeps everything
+    assert 150 < counts["en"] < 350  # ~25% of 1000
+    # unlisted strata default to dropped
+    assert stratified_sample(df, "lang", "doc_id", {"de": 1.0}).count() == 0
+
+
+def test_pack_sequences_layout_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 500) for i in range(200)],
+        "doc_id long, length long",
+    )
+    capacity, n_streams = 1000, 4
+    out = pack_sequences(df, "doc_id", "length", capacity, n_streams, seed="t")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert {r.stream for r in rows} <= set(range(n_streams))
+    assert all(0 <= r.offset < capacity for r in rows)
+    # within a stream, docs tile the concatenated token stream exactly:
+    # doc k starts where doc k-1 ended (mod capacity), packs ascend
+    lengths = {r.doc_id: r.length for r in df.collect()}
+    by_stream: dict[int, list] = {}
+    for r in rows:
+        by_stream.setdefault(r.stream, []).append(r)
+    for stream_rows in by_stream.values():
+        stream_rows.sort(key=lambda r: (r.pack_id, r.offset, r.doc_id))
+        cum = 0
+        for r in stream_rows:
+            assert r.pack_id == cum // capacity
+            assert r.offset == cum % capacity
+            cum += lengths[r.doc_id]
+    # deterministic under repartitioning
+    again = pack_sequences(df.repartition(13), "doc_id", "length", capacity, n_streams, seed="t")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))

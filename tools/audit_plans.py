@@ -216,6 +216,37 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count\(distinct", r"Exchange hashpartitioning"],
         [r"CartesianProduct", r"Generate explode"],
     ],
+    "decontaminate_ngram": [
+        # contamination check = inverted-index equi-join on the ngram
+        [r"HashJoin \[ngram", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
+    "domain_cap": [
+        # per-domain survivor cap = one window keyed on the domain
+        [r"row_number", r"Exchange hashpartitioning\(source"],
+        [r"CartesianProduct", r"SinglePartition"],
+    ],
+    "corpus_shuffle": [
+        # epoch shuffle = range exchange + per-partition sort — NEVER a
+        # global single-partition sort
+        [r"Exchange rangepartitioning\(shuffle_key", r"Sort \[shuffle_key"],
+        [r"Exchange SinglePartition", r"CartesianProduct"],
+    ],
+    "repetition_quality": [
+        # quality scoring is a pure projection over the scan
+        [r"Scan parquet"],
+        [r"Exchange", r"Generate explode", r"CartesianProduct"],
+    ],
+    "stratified_sample": [
+        # per-stratum sampling stays a scan-level filter, no shuffle
+        [r"Scan parquet"],
+        [r"Exchange", r"CartesianProduct"],
+    ],
+    "pack_sequences": [
+        # packing windows are keyed on the hash stream, not global
+        [r"Window \[sum\(", r"Exchange hashpartitioning\(stream"],
+        [r"SinglePartition", r"CartesianProduct"],
+    ],
 }
 
 

@@ -1,0 +1,115 @@
+"""Corpus-level term statistics: TF-IDF keyword extraction and
+vocabulary/coverage profiling — the "what is in this corpus" pass a
+training-data pipeline runs before mixing decisions.
+
+Reference: no term-statistics surface in the reference (README.md:43-50)
+— beyond-reference tier. All plans are pure DataFrame compositions:
+explode → partial-aggregated groupBy, vocabulary-sized joins, per-doc
+windows. Nothing touches the driver.
+
+Scale notes
+-----------
+The load-bearing asymmetry everywhere here: the *corpus* is huge (100 TB
+of text) but the *vocabulary* is bounded (tens of millions of distinct
+terms ≪ corpus rows × terms). Document-frequency and total-count tables
+are therefore vocabulary-sized — they flow into joins where AQE can pick
+a broadcast/shuffled-hash strategy from observed size, and into windows
+whose partition count is the vocabulary, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.text import tokens
+
+
+def doc_terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per (doc, term occurrence): explode of the whitespace
+    tokenization. Narrow (no shuffle) — the fan-out stays inside the
+    scan stage."""
+    return docs.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document, score = tf · ln(N/df).
+
+    Plan shape: one corpus-keyed shuffle for per-doc term counts, one
+    vocabulary-keyed shuffle for document frequency, then a
+    vocabulary-sized join back (AQE picks broadcast when df-table is
+    small) and a per-doc window for the top-k. N arrives as a 1-row
+    broadcast crossJoin (the repo's scalar-subquery idiom — never
+    ``.collect()``).
+
+    Determinism: the score is rounded to 6 dp and the window orders by
+    the ROUNDED value with ``term`` as tie-break, so ranking is
+    identical on any engine or partitioning.
+    """
+    tf = (
+        doc_terms(docs, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, text_col: str, id_col: str, k: int = 100
+) -> DataFrame:
+    """Top-``k`` corpus vocabulary with cumulative coverage share —
+    "how many distinct terms cover 90% of all tokens", the
+    tokenizer-sizing question.
+
+    One corpus scan + one vocabulary-keyed aggregation; the ranking
+    window then runs over the *vocabulary* (≪ corpus — fine as a
+    single ordered window; for a 100M-term vocabulary, pre-filter with
+    an approximate count threshold before the window). Total token
+    count joins in as a 1-row broadcast.
+    """
+    counts = (
+        doc_terms(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("total"),
+                6,
+            ),
+        )
+        .select("rk", "term", "n", "cum_share")
+    )

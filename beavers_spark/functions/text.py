@@ -78,3 +78,79 @@ def doc_fingerprint(text: Column) -> Column:
     lowercased text (rolling-hash analog, oracle-expressible)."""
     normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, §A1.1.1),
+    as boolean flag columns plus the conjunction:
+
+    - ``flag_n_words``: word count within [min_words, max_words];
+    - ``flag_mean_word_len``: mean token length within bounds;
+    - ``flag_alpha``: ≥ ``min_alpha_frac`` of words contain a letter;
+    - ``flag_stop``: at least ``min_stop_hits`` stopword occurrences
+      (the "ellipsis page" / navigation-chrome detector);
+    - ``passes``: all of the above.
+
+    Pure per-row Catalyst expressions (array HOFs) — one corpus scan,
+    zero shuffle, survives any scale.
+    """
+    toks = tokens(text)
+    n_words = F.size(toks)
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = tok_chars / F.greatest(n_words, F.lit(1))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_frac = n_alpha / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    flags = {
+        "flag_n_words": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "flag_alpha": alpha_frac >= min_alpha_frac,
+        "flag_stop": n_stop >= min_stop_hits,
+    }
+    out: dict[str, Column] = dict(flags)
+    passes = F.lit(True)
+    for c in flags.values():
+        passes = passes & c
+    out["passes"] = passes
+    return out
+
+
+# PII patterns: deliberately simple, anchor-free regexes that both Spark
+# (Java regex) and DuckDB (RE2) interpret identically.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+?[0-9][0-9()\-. ]{7,}[0-9]\b", "<PHONE>"),
+}
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """PII scrubbing for training corpora: emails, SSNs, IPv4 addresses
+    and phone-number-shaped digit runs replaced by typed placeholders,
+    plus per-category match counts (counted BEFORE redaction, on the
+    original text, so categories don't shadow each other's counts).
+
+    Redaction applies patterns in PII_PATTERNS order (email before
+    phone, so an address's digits can't be half-eaten as a phone
+    number). Pure ``regexp_replace`` / ``regexp_count`` chain — JVM
+    regex inside codegen, one scan, no shuffle, no UDF.
+    """
+    out: dict[str, Column] = {}
+    redacted = text
+    for name, (pat, repl) in PII_PATTERNS.items():
+        out[f"n_{name}"] = F.regexp_count(text, F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    out["redacted"] = redacted
+    return out

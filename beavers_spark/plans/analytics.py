@@ -1,0 +1,234 @@
+"""Corpus/embedding analytics plans: Gopher-style quality gating, PII
+scrubbing, TF-IDF keywords, vocabulary coverage, per-label embedding
+centroids and outlier mining.
+
+Reference: no analytics surface in the reference (README.md:43-50) —
+beyond-reference tier, same conventions as plans/llmops.py and
+plans/curation.py (identical aliases both sides, doubles rounded, the
+window tie-breaks on the ROUNDED value so ranking can't diverge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.embeddings import (
+    embedding_outliers,
+    label_centroids,
+)
+from beavers_spark.functions.terms import tfidf_top_terms, vocab_coverage
+from beavers_spark.functions.text import (
+    PII_PATTERNS,
+    STOPWORDS,
+    gopher_quality_flags,
+    redact_pii,
+)
+from beavers_spark.plans.common import t
+from beavers_spark.plans.curation import _SQL_TOKS
+from beavers_spark.plans.registry import query
+
+_SQL_STOP = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "gopher_quality",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    feats AS (
+        SELECT doc_id,
+               len(tk) AS n_words,
+               list_sum(list_transform(tk, w -> len(w)))
+                   / greatest(len(tk), 1) AS mean_wl,
+               len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+                   / greatest(len(tk), 1)::DOUBLE AS alpha_frac,
+               len(list_filter(tk, w -> list_contains({_SQL_STOP}, w)))
+                   AS n_stop
+        FROM toks
+    )
+    SELECT doc_id,
+           n_words BETWEEN 30 AND 100000 AS flag_n_words,
+           mean_wl BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+           alpha_frac >= 0.8 AS flag_alpha,
+           n_stop >= 2 AS flag_stop,
+           (n_words BETWEEN 30 AND 100000)
+               AND (mean_wl BETWEEN 3.0 AND 10.0)
+               AND alpha_frac >= 0.8 AND n_stop >= 2 AS passes
+    FROM feats
+    """,
+)
+def gopher_quality(spark, sf_dir):
+    """Gopher-rule quality gate (word-count bounds, mean word length,
+    alpha-word fraction, stopword hits) as per-doc boolean flags — the
+    crawl-filtering pass. Pure per-row array HOFs: one corpus scan,
+    zero shuffle at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id", *(c.alias(n) for n, c in flags.items())
+    )
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}'))
+               AS n_email,
+           len(regexp_extract_all(text, '{PII_PATTERNS["ssn"][0]}'))
+               AS n_ssn,
+           len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"][0]}'))
+               AS n_ipv4,
+           len(regexp_extract_all(text, '{PII_PATTERNS["phone"][0]}'))
+               AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '{PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
+               '{PII_PATTERNS["ssn"][0]}', '<SSN>', 'g'),
+               '{PII_PATTERNS["ipv4"][0]}', '<IP>', 'g'),
+               '{PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'))
+               AS redacted_fp
+    FROM documents
+    """,
+)
+def pii_redact_q(spark, sf_dir):
+    """PII scrubbing pass: per-category match counts + fingerprint of
+    the redacted text (hash-checkable without shipping the full text
+    through the comparator). regexp chain inside codegen — one scan,
+    no shuffle. This corpus is synthetic word-soup so counts are 0 and
+    the fingerprint equals the original's — the behavioral coverage on
+    PII-bearing text lives in tests/test_functions.py."""
+    docs = t(spark, sf_dir, "documents")
+    cols = redact_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *(cols[f"n_{p}"].alias(f"n_{p}") for p in PII_PATTERNS),
+        F.md5(cols["redacted"]).alias("redacted_fp"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf,
+               round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document. Two shuffles (doc-term
+    counts; vocabulary document-frequency), a vocabulary-sized join
+    (AQE broadcast), a 1-row broadcast for N, and a per-doc window.
+    Ranking orders by the ROUNDED score with term tie-break, so it is
+    engine- and partitioning-stable."""
+    return tfidf_top_terms(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT term, n,
+               row_number() OVER (ORDER BY n DESC, term) AS rk,
+               sum(n) OVER (
+                   ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM counts
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT rk, term, n::BIGINT AS n,
+           round(cum::DOUBLE / total::DOUBLE, 6) AS cum_share
+    FROM ranked, tot WHERE rk <= 100
+    """,
+)
+def vocab_coverage_q(spark, sf_dir):
+    """Top-100 vocabulary with cumulative coverage share (the
+    tokenizer-sizing profile). The ranking window runs over the
+    VOCABULARY (≪ corpus), never the corpus itself."""
+    return vocab_coverage(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=100
+    )
+
+
+# Zipped unnest: DuckDB zips multiple unnests in one SELECT, giving the
+# (pos, value) pairs that Spark's posexplode produces.
+_SQL_EMB_POS = """
+    SELECT label, vec_id,
+           unnest(generate_series(1, len(embedding))) - 1 AS pos,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+"""
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    WITH pos AS ({_SQL_EMB_POS})
+    SELECT label, pos, round(avg(v), 4) AS m
+    FROM pos GROUP BY label, pos
+    """,
+)
+def label_centroids_q(spark, sf_dir):
+    """Per-label mean embedding as (label, pos, m) rows. posexplode is
+    narrow; the groupBy(label, pos) partial-aggregates map-side, so the
+    shuffle carries n_labels × dim sums per task — not rows × dim."""
+    return label_centroids(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH pos AS ({_SQL_EMB_POS}),
+    cent AS (
+        SELECT label, pos, round(avg(v), 4) AS m
+        FROM pos GROUP BY label, pos
+    ),
+    dots AS (
+        SELECT p.label, p.vec_id,
+               sum(p.v * c.m) AS dot,
+               sum(p.v * p.v) AS n1,
+               sum(c.m * c.m) AS n2
+        FROM pos p JOIN cent c USING (label, pos)
+        GROUP BY p.label, p.vec_id
+    ),
+    scored AS (
+        SELECT label, vec_id,
+               round(dot / (sqrt(n1) * sqrt(n2)), 4) AS cos_sim
+        FROM dots
+    )
+    SELECT label, vec_id, cos_sim, rk FROM (
+        SELECT label, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY label ORDER BY cos_sim, vec_id
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def embedding_outliers_q(spark, sf_dir):
+    """Top-5 per-label outliers by cosine distance to the label
+    centroid (mislabeled-example mining). The n_labels × dim centroid
+    table broadcasts; similarity is a JVM HOF fold; one corpus window
+    keyed on label. Ranks on the ROUNDED similarity, vec_id
+    tie-break."""
+    return embedding_outliers(t(spark, sf_dir, "embeddings"), k=5)

@@ -1,0 +1,164 @@
+"""Behavioral tests for the analytics tier (functions/text.py additions,
+functions/terms.py, functions/embeddings.py) — crafted inputs that the
+synthetic corpus cannot exercise (PII, failing quality flags), plus
+determinism/sanity properties. Plan-vs-oracle hash checks live in the
+driver gate; these pin the kernels."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.embeddings import (
+    centroid_arrays,
+    embedding_outliers,
+    label_centroids,
+)
+from beavers_spark.functions.terms import tfidf_top_terms, vocab_coverage
+from beavers_spark.functions.text import gopher_quality_flags, redact_pii
+
+
+def _text_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_all_categories(spark):
+    df = _text_df(
+        spark,
+        [
+            "mail bob.smith+x@example.co.uk or call +1 (555) 123-4567 now",
+            "ssn 123-45-6789 from host 10.0.255.3 end",
+            "clean text with no identifiers at all",
+        ],
+    )
+    cols = redact_pii(F.col("text"))
+    out = df.select(
+        "doc_id", *(c.alias(n) for n, c in cols.items())
+    ).orderBy("doc_id").collect()
+
+    assert out[0].n_email == 1 and out[0].n_phone == 1
+    assert "<EMAIL>" in out[0].redacted and "<PHONE>" in out[0].redacted
+    assert "example.co.uk" not in out[0].redacted
+    assert "555" not in out[0].redacted
+
+    assert out[1].n_ssn == 1 and out[1].n_ipv4 == 1
+    assert out[1].redacted == "ssn <SSN> from host <IP> end"
+
+    assert out[2].n_email == out[2].n_ssn == out[2].n_ipv4 == 0
+    assert out[2].redacted == "clean text with no identifiers at all"
+
+
+def test_redact_pii_email_wins_over_phone(spark):
+    # the digits inside an address must not be half-eaten as a phone
+    df = _text_df(spark, ["contact 12345678901@digits.example.com ok"])
+    cols = redact_pii(F.col("text"))
+    row = df.select(*(c.alias(n) for n, c in cols.items())).first()
+    assert row.redacted == "contact <EMAIL> ok"
+    assert row.n_email == 1
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality flags
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_flags_each_rule(spark):
+    long_doc = " ".join(["alpha beta gamma the and of"] * 10)  # 60 words
+    df = _text_df(
+        spark,
+        [
+            long_doc,                      # passes everything
+            "too short the and",           # fails n_words
+            " ".join(["ab"] * 40),         # mean word len 2 -> fails
+            " ".join(["1234"] * 40),       # no alpha words, no stopwords
+        ],
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    out = (
+        df.select("doc_id", *(c.alias(n) for n, c in flags.items()))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0].passes
+    assert not out[1].flag_n_words and not out[1].passes
+    assert not out[2].flag_mean_word_len and not out[2].passes
+    assert not out[3].flag_alpha and not out[3].flag_stop
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / vocabulary
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    df = _text_df(
+        spark,
+        [
+            "common common zebra",
+            "common common common",
+            "common yak yak",
+        ],
+    )
+    top = tfidf_top_terms(df, "text", "doc_id", k=1).collect()
+    by_doc = {r.doc_id: r for r in top}
+    # 'common' appears in every doc -> idf = ln(1) = 0; rare terms win
+    assert by_doc[0].term == "zebra"
+    assert by_doc[2].term == "yak"
+    # doc 1 has only 'common': score 0, but still ranked (rk=1)
+    assert by_doc[1].term == "common" and by_doc[1].tfidf == 0.0
+    expected = round(2 * math.log(3 / 1), 6)
+    assert by_doc[2].tfidf == expected
+
+
+def test_vocab_coverage_shares(spark):
+    df = _text_df(spark, ["a a a b b c"])
+    out = vocab_coverage(df, "text", "doc_id", k=10).orderBy("rk").collect()
+    assert [(r.term, r.n) for r in out] == [("a", 3), ("b", 2), ("c", 1)]
+    assert [r.cum_share for r in out] == [0.5, round(5 / 6, 6), 1.0]
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids / outliers
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+
+
+def test_label_centroids_elementwise_mean(spark):
+    df = _emb_df(
+        spark,
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [3.0, 2.0]),
+            (3, 1, [0.0, 10.0]),
+        ],
+    )
+    cents = {
+        (r.label, r.pos): r.m for r in label_centroids(df).collect()
+    }
+    assert cents == {(0, 0): 2.0, (0, 1): 1.0, (1, 0): 0.0, (1, 1): 10.0}
+    arrs = {r.label: r.centroid for r in centroid_arrays(
+        label_centroids(df)).collect()}
+    assert arrs[0] == [2.0, 1.0] and arrs[1] == [0.0, 10.0]
+
+
+def test_embedding_outliers_flags_mislabeled(spark):
+    # label 0 clusters near +x; vec 99 points at -x (mislabeled)
+    rows = [(i, 0, [1.0, 0.1 * i]) for i in range(5)]
+    rows.append((99, 0, [-1.0, 0.0]))
+    out = embedding_outliers(_emb_df(spark, rows), k=1)
+    top = out.collect()
+    assert len(top) == 1 and top[0].vec_id == 99 and top[0].rk == 1
+    assert top[0].cos_sim < 0

@@ -247,6 +247,39 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window \[sum\(", r"Exchange hashpartitioning\(stream"],
         [r"SinglePartition", r"CartesianProduct"],
     ],
+    "gopher_quality": [
+        # quality gate is per-row array HOFs over the scan — no shuffle,
+        # and only (doc_id, text) read
+        [r"Scan parquet", r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        [r"Exchange", r"Generate explode", r"CartesianProduct"],
+    ],
+    "pii_redact": [
+        # regexp chain over the scan: no shuffle, no UDF (BatchEvalPython)
+        [r"Scan parquet"],
+        [r"Exchange", r"BatchEvalPython", r"CartesianProduct"],
+    ],
+    "tfidf_top_terms": [
+        # doc-term + vocab aggs partial-combine; per-doc window; the only
+        # cross shape is the whitelisted 1-row N broadcast
+        [r"partial_count", r"row_number", r"Exchange hashpartitioning\(doc_id"],
+        [r"CartesianProduct"],
+    ],
+    "vocab_coverage": [
+        # ranking window runs over the VOCABULARY after the term agg
+        [r"partial_count", r"row_number"],
+        [r"CartesianProduct"],
+    ],
+    "label_centroids": [
+        # posexplode then partial-combined avg keyed on (label, pos)
+        [r"partial_avg", r"Exchange hashpartitioning\(label"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SinglePartition"],
+    ],
+    "embedding_outliers": [
+        # n_labels x dim centroid table broadcasts into the corpus scan;
+        # ranking is a per-label window
+        [r"BroadcastHashJoin", r"row_number"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
+    ],
 }
 
 
@@ -291,6 +324,8 @@ def main() -> int:
         "ann_ivf_recall",       # gate: brute-force exact side + 1-row join
         "tpch_q11",             # 1-row broadcast threshold
         "tpch_q22",             # 1-row broadcast avg(acctbal)
+        "tfidf_top_terms",      # 1-row broadcast corpus size N
+        "vocab_coverage",       # 1-row broadcast total token count
     }
     blanket_failures = 0
     for name, fn in QUERIES.items():

@@ -179,7 +179,11 @@ def minhash_signatures(
     return _signatures_from_sets(shingle_sets(df, text_col, id_col, n))
 
 
-def _signatures_from_sets(sets: DataFrame) -> DataFrame:
+def _signatures_from_sets(sets: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    # ``keep`` carries extra per-doc columns (e.g. the shingle set itself)
+    # through both projection stages — callers that need sets AND
+    # signatures get them in one row-wise pass instead of a shuffle join
+    # of two recomputations of the shingle stage.
     # stage 1: one md5 digest array per SALT (= seed pair) — the
     # projection boundary matters: computing digests and mins in one
     # select would let each consumer lambda re-evaluate the md5 array.
@@ -197,6 +201,7 @@ def _signatures_from_sets(sets: DataFrame) -> DataFrame:
     n_salts = (NUM_HASHES + 1) // 2
     with_digests = sets.select(
         "doc_id",
+        *keep,
         *[
             F.transform(F.col("sh"), _digest(k)).alias(f"_d{k}")
             for k in range(n_salts)
@@ -213,7 +218,7 @@ def _signatures_from_sets(sets: DataFrame) -> DataFrame:
                 )
             ).alias(f"mh{seed}")
         )
-    return with_digests.select("doc_id", *sig_cols)
+    return with_digests.select("doc_id", *keep, *sig_cols)
 
 
 def band_rows(sig: DataFrame) -> DataFrame:

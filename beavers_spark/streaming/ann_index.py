@@ -10,8 +10,9 @@ level, the strongest pruning Spark has.
 
 Lifecycle:
 
-1. *Train once*: the quantizer (pyspark.ml KMeans, JVM-side) is fit on
-   the first batch and its centroids are persisted next to the index, so
+1. *Train once*: the quantizer (seeded driver-side Lloyd's over a
+   bounded sample — ``MAX_TRAIN_ROWS`` caps the collect) is fit on the
+   first batch and its centroids are persisted next to the index, so
    assignment is restart-safe and deterministic forever after. At 100 TB
    the standard IVF practice applies — train on a sample (the quantizer
    only needs the coarse density shape) and retrain ⇒ rebuild, offline.
@@ -90,20 +91,55 @@ class IncrementalIVFIndex:
                 self._centroids = json.load(fh)
         return self._centroids
 
+    #: quantizer training reads at most this many vectors to the driver —
+    #: the coarse quantizer only needs the density SHAPE, so a bounded
+    #: sample is the standard IVF practice (faiss trains in-memory on a
+    #: sample too); the cap keeps the collect O(sample), never O(corpus)
+    MAX_TRAIN_ROWS = 16384
+
     def _train(self, batch_df: DataFrame) -> None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        import numpy as np
 
         train = (
             batch_df
             if self.train_fraction >= 1.0
             else batch_df.sample(fraction=self.train_fraction, seed=self.seed)
         )
-        km = KMeans(k=self.n_cells, seed=self.seed, featuresCol="__fv")
-        model = km.fit(
-            train.select(array_to_vector(F.col(self.vec_col)).alias("__fv"))
+        rows = (
+            train.select(F.col(self.vec_col).alias("v"))
+            .limit(self.MAX_TRAIN_ROWS)
+            .collect()
         )
-        self._centroids = [c.tolist() for c in model.clusterCenters()]
+        x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        # driver-side seeded Lloyd's with k-means++ init: one bounded
+        # collect + microseconds of numpy per iteration, vs ~2s of
+        # per-iteration MLlib job scheduling for a 16-cell quantizer.
+        # Deterministic for a given seed, so assignment is restart-safe.
+        rng = np.random.default_rng(self.seed)
+        n = len(x)
+        k = min(self.n_cells, n)
+        x_sq = (x * x).sum(1)
+
+        def dists(c):  # (n, k) squared L2 via the dot-product identity
+            return x_sq[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+
+        cents = x[rng.integers(n)][None, :]
+        for _ in range(1, k):  # k-means++ seeding
+            d2 = np.maximum(dists(cents).min(1), 0.0)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cents = np.vstack([cents, x[rng.choice(n, p=p)]])
+        for _ in range(20):  # Lloyd's iterations
+            lab = dists(cents).argmin(1)
+            new = np.vstack(
+                [
+                    x[lab == c].mean(0) if (lab == c).any() else cents[c]
+                    for c in range(k)
+                ]
+            )
+            if np.allclose(new, cents):
+                break
+            cents = new
+        self._centroids = cents.tolist()
         os.makedirs(self.path, exist_ok=True)
         with open(self._centroid_file, "w") as fh:
             json.dump(self._centroids, fh)
@@ -111,9 +147,14 @@ class IncrementalIVFIndex:
     # -- ingest -----------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # append-mode state is not idempotent: skip replayed batches
-        if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
+        if self._watermark.is_applied(batch_id):
             return
         if self.centroids() is None:
+            # the emptiness probe runs ONLY on the untrained path — once
+            # centroids exist, appending an empty batch is a no-op write,
+            # cheaper than paying an isEmpty job on every batch
+            if batch_df.isEmpty():
+                return
             self._train(batch_df)
         vec = F.col(self.vec_col)
         rows = batch_df.select(

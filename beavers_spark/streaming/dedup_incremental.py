@@ -13,20 +13,24 @@ Per batch:
    new-vs-state band collisions (against the persistent band table);
 3. verify candidates with exact Jaccard over stored shingle sets, emit
    pairs with ``jaccard >= threshold``;
-4. append the new documents' state rows (shingle set + signature) to the
-   state table.
+4. the new documents' state rows (shingle set + signature) land in the
+   state table as their own wave partition — written FIRST, so the write
+   is the batch's one materialization barrier (steps 2-3 read the
+   columnar result back instead of re-hashing, with no persist()/count()
+   job and no trailing append job).
 
 A pair is emitted exactly once, in the batch its later member arrives —
 old-old pairs were emitted in earlier batches, and state rows are
 append-only, so no pair can repeat.
 
-State is one parquet table ``(doc_id, sh, n_sh, mh0..mhN)``. The band
-join reads only the ``doc_id`` + signature columns (parquet column
-pruning skips the heavy shingle arrays); the verify join touches shingle
-arrays only for candidate doc ids, fetched via a broadcast semi-join. At
-100 TB: partition the state table on a band-hash prefix so the band join
-prunes partitions, and compact it periodically; the per-batch cost is
-unchanged because history is never re-hashed.
+State is one parquet table ``(doc_id, sh, n_sh, mh0..mhN)``
+hive-partitioned by wave (``w=<batch_id>/``); overwriting one wave
+directory is idempotent under replays. The band join reads only the
+``doc_id`` + signature columns (parquet column pruning skips the heavy
+shingle arrays); the verify join touches shingle arrays only for
+candidate doc ids, fetched via a broadcast semi-join. At 100 TB:
+compact old waves periodically (coarsen ``w`` buckets); the per-batch
+cost is unchanged because history is never re-hashed.
 
 Reference parity: this composes the reference's state-node semantics
 (beavers dag.py:501-518 — durable value folded per cycle) with its
@@ -47,6 +51,45 @@ from beavers_spark.functions.dedup import (
     shingle_sets,
 )
 from beavers_spark.streaming.maintenance import BatchWatermark
+
+_SIG_COLS = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
+_BAND_KEYS = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
+_EXPRS: dict[str, "F.Column"] = {}
+
+
+def _exprs() -> dict:
+    """The join/verify expressions, built once per process.
+
+    They are identical every micro-batch (they reference alias names, not
+    a specific DataFrame), and building them costs hundreds of py4j
+    round-trips — measured ~0.7s of driver time per wave when constructed
+    inline. Lazy because Column construction needs the JVM gateway up.
+    """
+    if _EXPRS:
+        return _EXPRS
+
+    def conj(first, left, right):
+        cond = first
+        for k in _BAND_KEYS:
+            cond = cond & (F.col(f"{left}.{k}") == F.col(f"{right}.{k}"))
+        return cond
+
+    agree = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    n_common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    _EXPRS.update(
+        within_cond=conj(F.col("a.doc_id") < F.col("b.doc_id"), "a", "b"),
+        cross_cond=conj(F.col("o.doc_id") != F.col("n.doc_id"), "o", "n"),
+        est_jaccard=F.round(agree / F.lit(float(NUM_HASHES)), 6).alias(
+            "est_jaccard"
+        ),
+        jaccard=F.round(
+            n_common / (F.col("sa.n_sh") + F.col("sb.n_sh") - n_common), 6
+        ).alias("jaccard"),
+    )
+    return _EXPRS
 
 
 class IncrementalNearDedup:
@@ -92,19 +135,23 @@ class IncrementalNearDedup:
         return True
 
     def read_state(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.state_path)
+        # the wave column ``w`` is a storage detail (see __call__), not
+        # part of the per-document state contract
+        return spark.read.parquet(self.state_path).drop("w")
 
     def read_pairs(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.pairs_path)
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        # append-mode state is not idempotent: skip replayed batches
-        if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
+        # the state write is overwrite-per-wave (idempotent), but the
+        # pairs table is append-mode: skip replayed batches
+        if self._watermark.is_applied(batch_id):
             return
         spark = batch_df.sparkSession
         batch = batch_df
-        if self._state_exists(spark):
+        had_state = self._state_exists(spark)
+        if had_state:
             # BatchWatermark only guards same-batch replays: a doc_id
             # redelivered in a LATER batch (producer retry, re-ingest)
             # would duplicate its state row and from then on duplicate
@@ -114,94 +161,84 @@ class IncrementalNearDedup:
                 F.col("doc_id").alias(self.id_col)
             )
             batch = batch.join(seen, self.id_col, "left_anti")
-            if batch.isEmpty():
-                self._watermark.mark(batch_id)
-                return
+        # One row-wise pass carries the shingle set AND the signature
+        # columns (keep=) — no sets⋈signatures shuffle join. The state
+        # table is hive-partitioned by wave (``w=<batch_id>/``), and the
+        # write into this wave's directory IS the materialization
+        # barrier: every later stage reads the columnar result back with
+        # partition pruning, so the batch is shingled+hashed exactly once
+        # per wave with no persist()/count() job and no separate
+        # state-append job at the end. Overwrite of one wave directory is
+        # also naturally idempotent under replays.
         sets = shingle_sets(batch, self.text_col, self.id_col, self.n)
-        new_state = (
-            sets.join(_signatures_from_sets(sets), "doc_id")
-            .persist()
-        )
-        new_state.count()  # one shingle+hash pass feeds bands AND verify
+        wave_dir = f"{self.state_path}/w={batch_id}"
+        _signatures_from_sets(sets, keep=("sh", "n_sh")).write.mode(
+            "overwrite"
+        ).parquet(wave_dir)
+        self._has_state = True
+        # parquet count() is footer-metadata only — a near-free emptiness
+        # check (an empty or fully-redelivered batch just marks the mark)
+        new_state = spark.read.parquet(wave_dir)
+        if new_state.count() == 0:
+            self._watermark.mark(batch_id)
+            return
 
-        sig_cols = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
-        new_bands = band_rows(new_state.select(*sig_cols))
-        band_keys = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
+        new_bands = band_rows(new_state.select(*_SIG_COLS))
 
         # within-batch collisions, canonical doc1 < doc2
         a, b = new_bands.alias("a"), new_bands.alias("b")
-        within_cond = F.col("a.doc_id") < F.col("b.doc_id")
-        for k in band_keys:
-            within_cond = within_cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-        cand = a.join(b, within_cond).select(
+        cand = a.join(b, _exprs()["within_cond"]).select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
 
-        if self._state_exists(spark):
+        old = (
+            spark.read.parquet(self.state_path)
+            .filter(F.col("w") != batch_id)
+            .drop("w")
+            if had_state
+            else None
+        )
+        if old is not None:
             # column pruning: this scan reads doc_id + mh* only, never the
-            # shingle arrays
-            old_bands = band_rows(
-                self.read_state(spark).select(*sig_cols)
-            ).alias("o")
+            # shingle arrays; the w-filter prunes this wave's directory
+            # at the file listing
+            old_bands = band_rows(old.select(*_SIG_COLS)).alias("o")
             nb = new_bands.alias("n")
-            # != guard: belt-and-braces with the anti-join above — a
-            # self-collision would emit a (doc, doc, 1.0) pair
-            cross_cond = F.col("o.doc_id") != F.col("n.doc_id")
-            for k in band_keys:
-                cross_cond = cross_cond & (F.col(f"o.{k}") == F.col(f"n.{k}"))
-            cross = old_bands.join(nb, cross_cond).select(
+            # != guard in _CROSS_COND: belt-and-braces with the anti-join
+            # above — a self-collision would emit a (doc, doc, 1.0) pair
+            cross = old_bands.join(nb, _exprs()["cross_cond"]).select(
                 F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc1"),
                 F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc2"),
             )
             cand = cand.unionByName(cross)
 
-        cand = cand.distinct().persist()
-        cand.count()  # materialize before the two id/verify consumers
+        # no persist barrier: cand's shuffle exchanges are identical
+        # subtrees inside the single pairs.write query below, so
+        # Catalyst's ReuseExchange serves the id- and verify-consumers
+        # from one execution
+        cand = cand.distinct()
 
         # every candidate involves >=1 new doc; the old side's shingle
         # sets + signatures come from state, fetched for JUST the
         # candidate ids (broadcast semi-join keeps the scan narrow)
         lookup = new_state
-        if self._has_state:
+        if old is not None:
             ids = (
                 cand.select(F.col("doc1").alias("doc_id"))
                 .unionByName(cand.select(F.col("doc2").alias("doc_id")))
                 .distinct()
             )
             lookup = lookup.unionByName(
-                self.read_state(spark).join(
-                    F.broadcast(ids), "doc_id", "left_semi"
-                )
+                old.join(F.broadcast(ids), "doc_id", "left_semi")
             )
-        agree = sum(
-            F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-            for i in range(NUM_HASHES)
-        )
         sa = lookup.alias("sa")
         sb = lookup.alias("sb")
-        n_common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
         pairs = (
             cand.join(sa, F.col("doc1") == F.col("sa.doc_id"))
             .join(sb, F.col("doc2") == F.col("sb.doc_id"))
-            .select(
-                "doc1",
-                "doc2",
-                F.round(agree / F.lit(float(NUM_HASHES)), 6).alias(
-                    "est_jaccard"
-                ),
-                F.round(
-                    n_common
-                    / (F.col("sa.n_sh") + F.col("sb.n_sh") - n_common),
-                    6,
-                ).alias("jaccard"),
-            )
+            .select("doc1", "doc2", _exprs()["est_jaccard"], _exprs()["jaccard"])
             .filter(F.col("jaccard") >= self.threshold)
         )
         # written even when empty so read_pairs() is valid from batch 0
         pairs.write.mode("append").parquet(self.pairs_path)
-
-        new_state.write.mode("append").parquet(self.state_path)
-        self._has_state = True
         self._watermark.mark(batch_id)
-        cand.unpersist()
-        new_state.unpersist()

@@ -86,18 +86,29 @@ class KeyedStateTable:
         return spark.read.parquet(self.path).drop(_BUCKET)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
+        if self._watermark.is_applied(batch_id):
             return
         spark = batch_df.sparkSession
+        # the touched-bucket probe runs on the RAW batch: the batch's key
+        # set (hence bucket set) is identical before and after the
+        # per-key reduction, so probing here skips the reduction window
+        # and doubles as the emptiness check — and the reduction below is
+        # then consumed exactly once (by the merge), so it needs no
+        # materialization of its own
+        touched = [
+            r[_BUCKET]
+            for r in batch_df.select(self._bucket().alias(_BUCKET))
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            self._watermark.mark(batch_id)
+            return
         # batch-local upsert first: one row per key leaves this stage
         delta = last_by_keys(batch_df, self.keys, [self.order_by]).withColumn(
             _BUCKET, self._bucket()
         )
         if self._table_exists(spark):
-            touched = [
-                r[_BUCKET]
-                for r in delta.select(_BUCKET).distinct().collect()
-            ]
             # partition-pruned read of ONLY the touched buckets;
             # localCheckpoint materializes them before their directories
             # are overwritten (Spark refuses to overwrite a path its
@@ -121,9 +132,16 @@ class KeyedStateTable:
         # per-WRITE dynamic overwrite: only the touched bucket
         # directories are replaced, and the shared session's overwrite
         # semantics are left alone (a session-level conf.set here would
-        # silently change every other writer in the application)
+        # silently change every other writer in the application).
+        # The repartition on the bucket column is load-bearing: the merge
+        # window leaves rows key-hash-partitioned, so partitionBy would
+        # otherwise write (tasks × buckets) splinter files per wave —
+        # measured ~2,000 files/wave at 32 tasks × 64 buckets, each paying
+        # a listing + footer read on the NEXT wave's touched-bucket scan.
+        # Clustering by bucket first writes one file per touched bucket.
         (
-            merged.write.mode("overwrite")
+            merged.repartition(self.n_buckets, F.col(_BUCKET))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_BUCKET)
             .parquet(self.path)

@@ -262,36 +262,39 @@ def minhash_lsh_pairs(
     Emits (doc1, doc2, est_jaccard, jaccard) — estimated (signature
     agreement fraction) and exact, both rounded.
 
-    The shingle-set stage feeds signatures AND both sides of the verify
-    join, and signatures feed bands + the estimate join, so both stages
-    must be materialized once, not recomputed per consumer:
+    The combined shingle+signature frame feeds bands, the estimate join
+    AND both sides of the verify join, so it must be materialized once,
+    not recomputed per consumer:
 
     - ``staging_dir=None`` (default): ``persist()`` + a blocking
       ``count()`` (the count fills the cache before the fan-out — the
       downstream stages would otherwise race and each recompute the
       tokenize+ngram+hash pass). Right for single-job runs where the
       executors are stable.
-    - ``staging_dir=<path>``: the two stages are written to parquet
-      staging tables and read back. On a cluster, a lost executor drops
-      its cached partitions mid-fan-out and silently recomputes the hash
+    - ``staging_dir=<path>``: the frame is written to a parquet staging
+      table and read back. On a cluster, a lost executor drops its
+      cached partitions mid-fan-out and silently recomputes the hash
       pass; staged parquet survives executor loss and lets the candidate
-      join start from columnar scans with pruned reads (the verify join
-      reads only its doc_id/sh columns). This is the 100 TB mode.
+      join start from columnar scans with pruned reads (the band join
+      reads only doc_id + signatures, the verify join only doc_id/sh).
+      This is the 100 TB mode.
     """
-    sets = shingle_sets(df, text_col, id_col, n)
+    # ONE combined (doc_id, sh, n_sh, mh*) frame: signatures are row-wise
+    # projections of the shingle sets (keep=), so a single materialization
+    # feeds bands, the estimate join AND both verify sides — two staged
+    # stages / two cache barriers collapse into one
+    state = _signatures_from_sets(
+        shingle_sets(df, text_col, id_col, n), keep=("sh", "n_sh")
+    )
     if staging_dir is not None:
         spark = df.sparkSession
-        sets.write.mode("overwrite").parquet(f"{staging_dir}/minhash_sets")
-        sets = spark.read.parquet(f"{staging_dir}/minhash_sets")
-        _signatures_from_sets(sets).write.mode("overwrite").parquet(
-            f"{staging_dir}/minhash_sig"
-        )
-        sig = spark.read.parquet(f"{staging_dir}/minhash_sig")
+        state.write.mode("overwrite").parquet(f"{staging_dir}/minhash_state")
+        state = spark.read.parquet(f"{staging_dir}/minhash_state")
     else:
-        sets = sets.persist()
-        sets.count()  # fill the cache before fan-out: downstream stages race
-        sig = _signatures_from_sets(sets).persist()
-        sig.count()  # else each consumer stage recomputes the hash pass
+        state = state.persist()
+        state.count()  # fill the cache before fan-out: downstream stages race
+    sets = state.select("doc_id", "sh", "n_sh")
+    sig = state.drop("sh", "n_sh")
     bands = band_rows(sig)
 
     a = bands.alias("a")

@@ -73,9 +73,8 @@ def test_minhash_staging_mode_identical_output(spark, docs, tmp_path):
         )
     )
     assert staged == cached and len(staged) > 0
-    # the staging tables themselves landed as readable parquet
-    assert spark.read.parquet(str(tmp_path / "minhash_sets")).count() == 4
-    assert spark.read.parquet(str(tmp_path / "minhash_sig")).count() == 4
+    # the staging table itself landed as readable parquet
+    assert spark.read.parquet(str(tmp_path / "minhash_state")).count() == 4
 
 
 def test_simhash_similar_docs_close(spark, docs):

@@ -102,8 +102,9 @@ def ivf_topk(
 
     The classic inverted-file index, Spark-first:
 
-    1. *Train*: fit a ``n_cells``-way KMeans quantizer (pyspark.ml, all
-       JVM) — on a sample at scale (``train_fraction``), the standard IVF
+    1. *Train*: fit a ``n_cells``-way k-means quantizer (seeded
+       driver-side Lloyd's over a bounded sample —
+       ``vectorized.train_quantizer``) — sampling is the standard IVF
        practice since the quantizer only needs the coarse density shape.
     2. *Assign*: one narrow Arrow-vectorized pass (``vectorized.best_cells``,
        a numpy matmul per batch) labels each corpus vector
@@ -127,18 +128,13 @@ def ivf_topk(
     degenerates to exact brute force; ``n_probe = 1`` is the
     fastest/lowest-recall point.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from beavers_spark.functions.vectorized import best_cells, train_quantizer
 
     parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     train = corpus if train_fraction >= 1.0 else corpus.sample(
         fraction=train_fraction, seed=seed
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="cell")
-    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__fv")))
-    centroids = [c.tolist() for c in model.clusterCenters()]
-
-    from beavers_spark.functions.vectorized import best_cells
+    centroids = train_quantizer(train, vec_col, n_cells, seed=seed)
 
     c = (
         corpus.repartition(parallelism)

@@ -33,6 +33,52 @@ def _stack(v: pd.Series) -> np.ndarray:
     return np.vstack(v.to_numpy()).astype(np.float64)
 
 
+#: quantizer training reads at most this many vectors to the driver —
+#: a coarse quantizer only needs the density SHAPE, so a bounded sample
+#: is the standard IVF practice (faiss trains in-memory on a sample
+#: too); the cap keeps the collect O(sample), never O(corpus)
+MAX_TRAIN_ROWS = 16384
+
+
+def train_quantizer(
+    df, vec_col: str, n_cells: int, seed: int = 7, max_rows: int = MAX_TRAIN_ROWS
+) -> list[list[float]]:
+    """Coarse k-means centroids from a bounded sample of ``df[vec_col]``.
+
+    Seeded driver-side Lloyd's with k-means++ init: one bounded collect
+    plus microseconds of numpy per iteration, where an MLlib fit costs
+    ~2s of per-iteration job scheduling for a 16-cell quantizer.
+    Deterministic for a given seed, so assignments are reproducible.
+    """
+    rows = df.select(F.col(vec_col).alias("v")).limit(max_rows).collect()
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    k = min(n_cells, n)
+    x_sq = (x * x).sum(1)
+
+    def dists(c):  # (n, k) squared L2 via the dot-product identity
+        return x_sq[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+
+    cents = x[rng.integers(n)][None, :]
+    for _ in range(1, k):  # k-means++ seeding
+        d2 = np.maximum(dists(cents).min(1), 0.0)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents = np.vstack([cents, x[rng.choice(n, p=p)]])
+    for _ in range(20):  # Lloyd's iterations
+        lab = dists(cents).argmin(1)
+        new = np.vstack(
+            [
+                x[lab == c].mean(0) if (lab == c).any() else cents[c]
+                for c in range(k)
+            ]
+        )
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents.tolist()
+
+
 def lsh_bucket_ids(
     vec: Column, tables: list[list[list[float]]]
 ) -> Column:

@@ -91,55 +91,17 @@ class IncrementalIVFIndex:
                 self._centroids = json.load(fh)
         return self._centroids
 
-    #: quantizer training reads at most this many vectors to the driver —
-    #: the coarse quantizer only needs the density SHAPE, so a bounded
-    #: sample is the standard IVF practice (faiss trains in-memory on a
-    #: sample too); the cap keeps the collect O(sample), never O(corpus)
-    MAX_TRAIN_ROWS = 16384
-
     def _train(self, batch_df: DataFrame) -> None:
-        import numpy as np
+        from beavers_spark.functions.vectorized import train_quantizer
 
         train = (
             batch_df
             if self.train_fraction >= 1.0
             else batch_df.sample(fraction=self.train_fraction, seed=self.seed)
         )
-        rows = (
-            train.select(F.col(self.vec_col).alias("v"))
-            .limit(self.MAX_TRAIN_ROWS)
-            .collect()
+        self._centroids = train_quantizer(
+            train, self.vec_col, self.n_cells, seed=self.seed
         )
-        x = np.asarray([r["v"] for r in rows], dtype=np.float64)
-        # driver-side seeded Lloyd's with k-means++ init: one bounded
-        # collect + microseconds of numpy per iteration, vs ~2s of
-        # per-iteration MLlib job scheduling for a 16-cell quantizer.
-        # Deterministic for a given seed, so assignment is restart-safe.
-        rng = np.random.default_rng(self.seed)
-        n = len(x)
-        k = min(self.n_cells, n)
-        x_sq = (x * x).sum(1)
-
-        def dists(c):  # (n, k) squared L2 via the dot-product identity
-            return x_sq[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
-
-        cents = x[rng.integers(n)][None, :]
-        for _ in range(1, k):  # k-means++ seeding
-            d2 = np.maximum(dists(cents).min(1), 0.0)
-            p = d2 / d2.sum() if d2.sum() > 0 else None
-            cents = np.vstack([cents, x[rng.choice(n, p=p)]])
-        for _ in range(20):  # Lloyd's iterations
-            lab = dists(cents).argmin(1)
-            new = np.vstack(
-                [
-                    x[lab == c].mean(0) if (lab == c).any() else cents[c]
-                    for c in range(k)
-                ]
-            )
-            if np.allclose(new, cents):
-                break
-            cents = new
-        self._centroids = cents.tolist()
         os.makedirs(self.path, exist_ok=True)
         with open(self._centroid_file, "w") as fh:
             json.dump(self._centroids, fh)

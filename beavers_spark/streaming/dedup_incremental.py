@@ -142,6 +142,30 @@ class IncrementalNearDedup:
     def read_pairs(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.pairs_path)
 
+    def compact(self, spark: SparkSession) -> int:
+        """Coarsen all wave partitions into the single ``w=-1`` directory
+        (plus one-file-per-batch pairs cleanup); returns the state table's
+        post-compaction file count.
+
+        Streaming batch ids are non-negative, so ``-1`` can never collide
+        with a live wave: the kernel's ``w != batch_id`` exclusion and a
+        replayed batch's overwrite of its own wave directory both keep
+        working. MUST go through this method rather than a flat
+        ``compact_parquet(path)`` — flattening would demote ``w`` to a
+        data column and the next wave's directory write would leave the
+        table half hive-partitioned, which Spark's partition discovery
+        rejects.
+        """
+        from beavers_spark.streaming.maintenance import compact_parquet
+
+        compact_parquet(spark, self.pairs_path)
+        return compact_parquet(
+            spark,
+            self.state_path,
+            partition_by="w",
+            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        )
+
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # the state write is overwrite-per-wave (idempotent), but the

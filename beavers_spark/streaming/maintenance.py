@@ -91,6 +91,7 @@ def compact_parquet(
     path: str,
     partition_by: str | None = None,
     files_per_partition: int = 1,
+    transform=None,
 ) -> int:
     """Rewrite a parquet directory with a bounded file count.
 
@@ -98,13 +99,18 @@ def compact_parquet(
     ``partition_by``, each partition directory is rewritten to at most
     ``files_per_partition`` files (repartition on the partition column
     keeps the shuffle aligned with the directory layout); without it the
-    whole table is coalesced.
+    whole table is coalesced. ``transform`` (DataFrame -> DataFrame), if
+    given, is applied before the rewrite — the hook for layout changes
+    that must ride the same swap, e.g. coarsening a wave-partition
+    column so a hive-partitioned table stays hive-partitioned.
 
     The swap is NOT atomic (see module docstring): readers racing the
     two renames must tolerate a transient path-not-found.
     """
     recover_compaction(path)
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     tmp = path.rstrip("/") + ".__compact_tmp"
     old = path.rstrip("/") + ".__compact_old"
     shutil.rmtree(tmp, ignore_errors=True)

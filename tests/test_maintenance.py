@@ -34,14 +34,36 @@ def test_compact_dedup_state_preserves_results(spark, tmp_path):
     before_files = len(state.inputFiles())
     assert before_files >= 3  # one file set per appended batch
 
-    after_files = compact_parquet(spark, str(tmp_path / "state"))
+    after_files = dedup.compact(spark)
     assert after_files < before_files
     assert dedup.read_state(spark).count() == before_rows
+    # waves coarsened into the reserved compaction partition
+    assert [r["w"] for r in
+            spark.read.parquet(str(tmp_path / "state"))
+            .select("w").distinct().collect()] == [-1]
 
-    # the compacted state still serves incremental batches correctly
-    pairs_before = dedup.read_pairs(spark).count()
+    # the compacted state still serves incremental batches correctly:
+    # a real post-compaction wave must find cross-wave pairs identical
+    # to an uncompacted control run
+    control = IncrementalNearDedup(
+        state_path=str(tmp_path / "c_state"),
+        pairs_path=str(tmp_path / "c_pairs"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.2,
+    )
+    full = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    for wave in range(3):
+        control(docs.filter(F.col("doc_id") % 3 == wave), wave)
+    dedup(full, 3)
+    control(full, 3)
+    key = lambda r: (r["doc1"], r["doc2"])  # noqa: E731
+    assert sorted(map(key, dedup.read_pairs(spark).collect())) == sorted(
+        map(key, control.read_pairs(spark).collect())
+    )
     dedup(docs.limit(0), 99)  # empty batch: no-op
-    assert dedup.read_pairs(spark).count() == pairs_before
+    pairs_after = dedup.read_pairs(spark).count()
+    assert pairs_after == control.read_pairs(spark).count()
 
 
 def test_compact_ivf_index_keeps_partitions_and_sidecar(spark, tmp_path):

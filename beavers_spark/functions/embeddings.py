@@ -28,17 +28,32 @@ from beavers_spark.functions.similarity import cosine_sim
 def label_centroids(
     emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Elementwise mean embedding per label, as ``(label, pos, m)`` rows
-    (``m`` rounded to 4 dp — double aggregate, engines differ in sum
-    order). Emitting rows rather than re-assembled arrays keeps the
-    result hash-checkable scalar-by-scalar; ``centroid_arrays`` folds
-    them back into vectors."""
+    """Elementwise mean embedding per label, as ``(label, pos, m)`` rows.
+
+    The mean is a decimal-exact sum divided ONCE: ``avg`` over doubles is
+    summation-order-dependent, and with per-group term counts growing with
+    the scale factor a half-ulp of drift crosses the 4 dp rounding
+    boundary (observed at sf0.1: 3 of 640 centroid cells flipped vs the
+    DuckDB oracle). Casting each element to ``decimal(27,12)`` makes the
+    sum associative/exact in any order; the single IEEE division and the
+    final round are then bit-identical across engines. Emitting rows
+    rather than re-assembled arrays keeps the result hash-checkable
+    scalar-by-scalar; ``centroid_arrays`` folds them back into vectors."""
     pos = emb.select(
         label_col, F.posexplode(F.col(vec_col)).alias("pos", "v")
     )
-    return (
-        pos.groupBy(label_col, "pos")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("m"))
+    # `+ 0.0` collapses IEEE negative zero: Spark's round goes through
+    # BigDecimal (no -0.0) while DuckDB's keeps the sign bit, and the
+    # value-hash compares reprs ('-0.0' != '0.0')
+    return pos.groupBy(label_col, "pos").agg(
+        (
+            F.round(
+                F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("m")
     )
 
 

@@ -184,7 +184,8 @@ _SQL_EMB_POS = """
     "label_centroids",
     oracle=f"""
     WITH pos AS ({_SQL_EMB_POS})
-    SELECT label, pos, round(avg(v), 4) AS m
+    SELECT label, pos,
+           round(CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4) + 0.0 AS m
     FROM pos GROUP BY label, pos
     """,
 )
@@ -200,7 +201,8 @@ def label_centroids_q(spark, sf_dir):
     oracle=f"""
     WITH pos AS ({_SQL_EMB_POS}),
     cent AS (
-        SELECT label, pos, round(avg(v), 4) AS m
+        SELECT label, pos,
+           round(CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4) + 0.0 AS m
         FROM pos GROUP BY label, pos
     ),
     dots AS (

@@ -501,6 +501,40 @@ def dedup_embedding_recall(spark, sf_dir):
     )
 
 
+@query("semantic_dedup")  # no SQL oracle: the k-means quantizer is not
+# SQL-expressible; invariants are gated hash-visibly by semantic_dedup_check
+def semantic_dedup_plan(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells -> within-cell cosine
+    pairs -> one keeper per duplicate group (lowest centroid similarity).
+    Pairwise compare volume is bounded per cell (equi-join on cell id,
+    never a cross join — pinned by tools/audit_plans.py); the quantizer
+    trains on a bounded driver-side sample. Deterministic for the fixed
+    seed, but numpy k-means has no DuckDB twin — rows-only here, with the
+    structural invariants enforced by ``semantic_dedup_check``."""
+    from beavers_spark.functions.semdedup import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", n_cells=8, threshold=0.3
+    )
+
+
+@query(
+    "semantic_dedup_check",
+    oracle="SELECT 'semantic_dedup_invariants' AS metric, TRUE AS passed",
+)
+def semantic_dedup_check_plan(spark, sf_dir):
+    """Hash-visible gate for ``semantic_dedup``: one keeper per duplicate
+    group, groups >= 2 members, singletons kept, verdicts partition the
+    corpus, and at least one duplicate actually dropped."""
+    from beavers_spark.functions.semdedup import semantic_dedup_check
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup_check(
+        emb, "vec_id", "embedding", n_cells=8, threshold=0.3
+    )
+
+
 @query("ann_lsh_topk")  # no SQL oracle: approximate op, rows-only check
 def ann_lsh_topk(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN — the 100 TB scale path (equi-join

@@ -36,6 +36,7 @@ def test_rows_only_queries_are_documented():
         "ann_ivf_topk",
         "approx_distinct",
         "dedup_embedding_cosine",
+        "semantic_dedup",  # gated by semantic_dedup_check (hash-checked)
     }
     for gate in (
         "dedup_embedding_recall",

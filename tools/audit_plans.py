@@ -188,6 +188,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashJoin \[tbl", r"HashJoin.*\[id1|HashJoin \[id1"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
+    "semantic_dedup": [
+        # SemDeDup: within-cell pairs via equi-join on the cell id (both
+        # the centroid broadcast and the pairwise stage), keeper election
+        # via one window — never a cross product over the corpus
+        [r"Join \[cell", r"row_number"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
     "winnow_near_dup": [
         # shared-fingerprint equi-join; winnowing via window mins, not
         # nested array HOFs (the 165s->3s posexplode rewrite)
@@ -270,8 +277,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct"],
     ],
     "label_centroids": [
-        # posexplode then partial-combined avg keyed on (label, pos)
-        [r"partial_avg", r"Exchange hashpartitioning\(label"],
+        # posexplode then partial-combined decimal sum keyed on
+        # (label, pos) — sum/count, not avg: the decimal sum is
+        # order-exact so the 4dp round is engine-stable at any sf
+        [r"partial_sum", r"Exchange hashpartitioning\(label"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SinglePartition"],
     ],
     "embedding_outliers": [
@@ -322,6 +331,7 @@ def main() -> int:
         "dedup_embedding_recall",  # gate: exact all-pairs side + 1-row join
         "ann_lsh_recall",       # gate: brute-force exact side + 1-row join
         "ann_ivf_recall",       # gate: brute-force exact side + 1-row join
+        "semantic_dedup_check",  # gate: two 1-row invariant aggregates joined
         "tpch_q11",             # 1-row broadcast threshold
         "tpch_q22",             # 1-row broadcast avg(acctbal)
         "tfidf_top_terms",      # 1-row broadcast corpus size N

@@ -26,6 +26,21 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+#: Column-expression cache. The shingle/signature/band expression trees
+#: reference only fixed internal names ("tk", "sh", "_d<k>", "mh<i>") and
+#: small parameters, yet constructing them costs hundreds of py4j
+#: round-trips — measured ~0.5s per build, paid on EVERY invocation and
+#: every incremental-dedup micro-batch. Column objects are immutable plan
+#: fragments, safe to reuse across DataFrames; keyed lazily because
+#: construction needs the JVM gateway up.
+_COL_CACHE: dict = {}
+
+
+def _cached_cols(key, builder):
+    if key not in _COL_CACHE:
+        _COL_CACHE[key] = builder()
+    return _COL_CACHE[key]
+
 
 def md5_hash64(col: Column, seed: int = 0) -> Column:
     """Deterministic 60-bit integer hash from md5, identical in DuckDB:
@@ -97,22 +112,32 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     toked = (
         df.repartition(parallelism)
-        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            _cached_cols(
+                ("tok", text_col), lambda: tokens(F.col(text_col)).alias("tk")
+            ),
+        )
         .filter(F.size("tk") >= n)
     )
-    tk = F.col("tk")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tk) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+
+    def _grams():
+        tk = F.col("tk")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+        return F.array_distinct(grams).alias("sh")
+
     # NB: no filter on size(sh) here — size(tk) >= n already guarantees a
     # non-empty gram array, and a predicate on sh would be pushed below the
     # exchange with the whole shingle expression inlined, collapsing this
     # stage back into the single-task scan.
     return toked.select(
-        "doc_id", F.array_distinct(grams).alias("sh")
+        "doc_id", _cached_cols(("grams", n), _grams)
     ).withColumn("n_sh", F.size("sh"))
 
 
@@ -199,25 +224,27 @@ def _signatures_from_sets(sets: DataFrame, keep: tuple[str, ...] = ()) -> DataFr
         )
 
     n_salts = (NUM_HASHES + 1) // 2
-    with_digests = sets.select(
-        "doc_id",
-        *keep,
-        *[
+    digest_cols = _cached_cols(
+        ("digests",),
+        lambda: [
             F.transform(F.col("sh"), _digest(k)).alias(f"_d{k}")
             for k in range(n_salts)
         ],
     )
+    with_digests = sets.select("doc_id", *keep, *digest_cols)
     # stage 2: each digest array yields two 60-bit hash families (hex
     # chars 1-15 and 16-30) — same values as md5_hash64(s, seed)
-    sig_cols = []
-    for seed in range(NUM_HASHES):
-        sig_cols.append(
+    sig_cols = _cached_cols(
+        ("sigs",),
+        lambda: [
             F.array_min(
                 F.transform(
                     F.col(f"_d{seed // 2}"), _half(1 + 15 * (seed % 2))
                 )
             ).alias(f"mh{seed}")
-        )
+            for seed in range(NUM_HASHES)
+        ],
+    )
     return with_digests.select("doc_id", *keep, *sig_cols)
 
 
@@ -228,19 +255,24 @@ def band_rows(sig: DataFrame) -> DataFrame:
     One explode pass, NOT a BANDS-way union: a union would multiply the
     partition count and re-evaluate the signature subtree per branch.
     """
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            *[
-                F.col(f"mh{b * ROWS_PER_BAND + r}").alias(f"h{r}")
-                for r in range(ROWS_PER_BAND)
-            ],
-        )
-        for b in range(BANDS)
-    ]
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
-    ).select("doc_id", "bd.*")
+    exploded = _cached_cols(
+        ("bands",),
+        lambda: F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}").alias(f"h{r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bd"),
+    )
+    return sig.select("doc_id", exploded).select("doc_id", "bd.*")
 
 
 def minhash_lsh_pairs(

@@ -79,6 +79,23 @@ def train_quantizer(
     return cents.tolist()
 
 
+#: pandas-UDF cache: registering a pandas_udf costs py4j round-trips and
+#: a cloudpickle of the closure on EVERY call, yet the closures here are
+#: pure functions of their (hashable-ized) parameters — e.g. the
+#: incremental IVF ingest builds the same assignment UDF per micro-batch.
+_UDF_CACHE: dict = {}
+
+
+def _cached_udf(key, builder):
+    if key not in _UDF_CACHE:
+        _UDF_CACHE[key] = builder()
+    return _UDF_CACHE[key]
+
+
+def _freeze(nested) -> tuple:
+    return tuple(tuple(row) for row in nested)
+
+
 def lsh_bucket_ids(
     vec: Column, tables: list[list[list[float]]]
 ) -> Column:
@@ -94,15 +111,19 @@ def lsh_bucket_ids(
     n_tables, n_planes = len(tables), len(tables[0])
     weights = (1 << np.arange(n_planes)).astype(np.int64)  # (b,)
 
-    @F.pandas_udf("array<long>")
-    def _buckets(v: pd.Series) -> pd.Series:
-        if v.empty:
-            return pd.Series([], dtype=object)
-        signs = (_stack(v) @ planes.T) > 0  # (n, T*b)
-        ids = signs.reshape(-1, n_tables, n_planes).astype(np.int64) @ weights
-        return pd.Series(list(ids))  # (n, T)
+    def _build():
+        @F.pandas_udf("array<long>")
+        def _buckets(v: pd.Series) -> pd.Series:
+            if v.empty:
+                return pd.Series([], dtype=object)
+            signs = (_stack(v) @ planes.T) > 0  # (n, T*b)
+            ids = signs.reshape(-1, n_tables, n_planes).astype(np.int64) @ weights
+            return pd.Series(list(ids))  # (n, T)
 
-    return _buckets(vec)
+        return _buckets
+
+    key = ("lsh", tuple(_freeze(t) for t in tables))
+    return _cached_udf(key, _build)(vec)
 
 
 def best_cells(
@@ -115,18 +136,22 @@ def best_cells(
     cents = np.asarray(centroids, dtype=np.float64)  # (m, dim)
     cnorms = np.linalg.norm(cents, axis=1)  # (m,)
 
-    @F.pandas_udf("array<int>")
-    def _cells(v: pd.Series) -> pd.Series:
-        if v.empty:
-            return pd.Series([], dtype=object)
-        mat = _stack(v)
-        sims = (mat @ cents.T) / (
-            np.linalg.norm(mat, axis=1, keepdims=True) * cnorms
-        )
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_best]
-        return pd.Series(list(order.astype(np.int32)))
+    def _build():
+        @F.pandas_udf("array<int>")
+        def _cells(v: pd.Series) -> pd.Series:
+            if v.empty:
+                return pd.Series([], dtype=object)
+            mat = _stack(v)
+            sims = (mat @ cents.T) / (
+                np.linalg.norm(mat, axis=1, keepdims=True) * cnorms
+            )
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_best]
+            return pd.Series(list(order.astype(np.int32)))
 
-    return _cells(vec)
+        return _cells
+
+    key = ("cos_cells", _freeze(centroids), n_best)
+    return _cached_udf(key, _build)(vec)
 
 
 def nearest_cells_l2(
@@ -143,12 +168,16 @@ def nearest_cells_l2(
     cents = np.asarray(centroids, dtype=np.float64)  # (m, dim)
     c_sq = (cents * cents).sum(axis=1)  # (m,)
 
-    @F.pandas_udf("array<int>")
-    def _cells(v: pd.Series) -> pd.Series:
-        if v.empty:
-            return pd.Series([], dtype=object)
-        scores = c_sq - 2.0 * (_stack(v) @ cents.T)  # (n, m), L2² − ||v||²
-        order = np.argsort(scores, axis=1, kind="stable")[:, :n_best]
-        return pd.Series(list(order.astype(np.int32)))
+    def _build():
+        @F.pandas_udf("array<int>")
+        def _cells(v: pd.Series) -> pd.Series:
+            if v.empty:
+                return pd.Series([], dtype=object)
+            scores = c_sq - 2.0 * (_stack(v) @ cents.T)  # (n, m), L2² − ||v||²
+            order = np.argsort(scores, axis=1, kind="stable")[:, :n_best]
+            return pd.Series(list(order.astype(np.int32)))
 
-    return _cells(vec)
+        return _cells
+
+    key = ("l2_cells", _freeze(centroids), n_best)
+    return _cached_udf(key, _build)(vec)

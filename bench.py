@@ -69,8 +69,15 @@ def _inc_keyed_state(spark, sf_dir: str, workdir: str) -> int:
     from beavers_spark.plans.common import t
     from beavers_spark.streaming import KeyedStateTable
 
+    # n_buckets sizes the unit of rewrite (state_table.py docstring):
+    # match it to the executor-thread count for this table's key
+    # cardinality — the default 64 would just double the per-wave
+    # dynamic-overwrite commit work for zero extra pruning here
     state = KeyedStateTable(
-        os.path.join(workdir, "state"), keys=["user_id"], order_by="event_id"
+        os.path.join(workdir, "state"),
+        keys=["user_id"],
+        order_by="event_id",
+        n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     )
     events = t(spark, sf_dir, "events")
     for i in range(_WAVES):

@@ -1,0 +1,209 @@
+"""Incrementally-maintained connected components: live duplicate-cluster
+labels over a stream of near-dup pairs.
+
+``functions.dedup.connected_components`` answers "which docs are
+duplicates of each other" for a BATCH pair list;
+:class:`IncrementalClusters` keeps the same min-id labeling continuously
+as pairs arrive (e.g. from :class:`IncrementalNearDedup`), relabeling
+only the subgraph each batch touches — never re-running components over
+the full history.
+
+Per batch of ``(doc1, doc2)`` pairs:
+
+1. fetch the labels of the batch's endpoints from state;
+2. run components over the SMALL graph ``batch pairs ∪ (endpoint,
+   old-label) edges`` — old cluster representatives participate as
+   nodes, so merging two existing clusters through a new edge resolves
+   here (iterations ≈ touched-subgraph diameter);
+3. propagate: every member of a touched cluster relabels via the
+   ``old-rep -> new-label`` map (broadcast — the map is
+   subgraph-bounded), members found by a doc_id+cluster_id column scan;
+4. upsert the changed rows back, dynamic-partition-overwriting only the
+   key-hash buckets that hold them.
+
+State is parquet ``(doc_id, cluster_id)`` partitioned by
+``pmod(hash(doc_id), n_buckets)`` — the DOC hash, deliberately: a row's
+bucket must never depend on its (mutable) cluster label, otherwise a
+relabel moves rows between partitions and dynamic overwrite leaves the
+stale copy behind in the old directory. The trade: the member-propagation
+scan reads the two id columns of the whole state (columnar, pruned to 2
+narrow columns) instead of pruning by cluster; at extreme scale add a
+``cluster_id -> bucket`` secondary index to prune that scan too.
+
+Labels are min-reachable-doc-id, identical to the batch operator — the
+final labeling is independent of how the pair stream is partitioned into
+batches (the test pins incremental == batch over arbitrary splits).
+
+Reference parity: extends the reference's state-node semantics
+(beavers dag.py:501-518) to a durable, distributed graph fold; the
+reference has no dedup/graph surface (README.md:43-50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.dedup import connected_components
+from beavers_spark.streaming.maintenance import BatchWatermark
+
+_BUCKET = "__bucket"
+
+
+class IncrementalClusters:
+    """``foreachBatch`` callable maintaining live duplicate-cluster labels.
+
+    ::
+
+        clusters = IncrementalClusters(path)
+        pair_stream.writeStream.foreachBatch(clusters).start()
+        clusters.read_clusters(spark)   # (doc_id, cluster_id), min-id label
+    """
+
+    def __init__(self, path: str, n_buckets: int = 64) -> None:
+        self.path = path
+        self.n_buckets = n_buckets
+        self._initialized = False
+        # relabel-to-min converges, so replaying a batch is harmless;
+        # the watermark just skips the wasted work
+        self._watermark = BatchWatermark(path)
+
+    def _bucket(self, col: F.Column) -> F.Column:
+        return F.pmod(F.hash(col), F.lit(self.n_buckets))
+
+    def _state_exists(self, spark: SparkSession) -> bool:
+        if self._initialized:
+            return True
+        try:
+            spark.read.parquet(self.path).schema
+            self._initialized = True
+        except Exception:  # noqa: BLE001 — path-not-found from the JVM
+            return False
+        return True
+
+    def read_clusters(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path).drop(_BUCKET)
+
+    #: per-batch graphs above this edge count fall back to the
+    #: distributed component run; below it, driver-side union-find wins
+    MAX_LOCAL_EDGES = 2_000_000
+
+    def _components(self, spark: SparkSession, edges: DataFrame) -> DataFrame:
+        """Min-id component labels ``(doc_id, cluster_id)`` of the batch
+        subgraph.
+
+        The subgraph is batch-bounded BY CONSTRUCTION (batch pairs plus
+        one label edge per known endpoint — never the corpus), so the
+        normal path collects it and runs driver-side union-find:
+        microseconds of Python versus ~2 jobs per iteration of the
+        distributed fixpoint, which dominates micro-batch latency. The
+        collect is capped; an oversized batch takes the distributed
+        ``connected_components`` path instead — same labels either way.
+        """
+        rows = edges.limit(self.MAX_LOCAL_EDGES + 1).collect()
+        if len(rows) > self.MAX_LOCAL_EDGES:
+            return connected_components(edges).localCheckpoint()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r["doc1"], r["doc2"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        label: dict = {}
+        for node in parent:
+            root = find(node)
+            if root not in label or node < label[root]:
+                label[root] = node
+        id_type = edges.schema["doc1"].dataType.simpleString()
+        return spark.createDataFrame(
+            [(n, label[find(n)]) for n in parent],
+            f"doc_id {id_type}, cluster_id {id_type}",
+        )
+
+    def __call__(self, pairs_df: DataFrame, batch_id: int) -> None:
+        if self._watermark.is_applied(batch_id):
+            return
+        spark = pairs_df.sparkSession
+        # the batch's pair list feeds endpoint extraction AND the
+        # component graph — materialize it once (it is batch-sized)
+        pairs = pairs_df.select("doc1", "doc2").localCheckpoint()
+        if pairs.isEmpty():
+            self._watermark.mark(batch_id)
+            return
+        endpoints = (
+            pairs.select(F.col("doc1").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+            .distinct()
+        )
+
+        edges = pairs
+        narrow = None
+        if self._state_exists(spark):
+            narrow = self.read_clusters(spark)  # 2-column pruned scan
+            known = narrow.join(F.broadcast(endpoints), "doc_id", "left_semi")
+            # an (endpoint, old-label) edge pulls the old cluster's
+            # representative into the batch graph, so cross-cluster
+            # merges resolve inside this small component run
+            edges = edges.unionByName(
+                known.select(
+                    F.col("doc_id").alias("doc1"),
+                    F.col("cluster_id").alias("doc2"),
+                )
+            )
+        comp = self._components(spark, edges)
+
+        updates = comp
+        if narrow is not None:
+            # propagate to every member of a touched cluster: the rep map
+            # (old rep id -> new label) is subgraph-bounded -> broadcast;
+            # members come from the narrow scan, no full-row reads
+            rep_map = comp.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("new_label"),
+            )
+            members = narrow.join(F.broadcast(rep_map), "cluster_id").select(
+                "doc_id", F.col("new_label").alias("cluster_id")
+            )
+            updates = (
+                updates.unionByName(members)
+                .groupBy("doc_id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+            )
+        updates = updates.withColumn(
+            _BUCKET, self._bucket(F.col("doc_id"))
+        ).localCheckpoint()
+
+        touched = [
+            r[_BUCKET] for r in updates.select(_BUCKET).distinct().collect()
+        ]
+        merged = updates
+        if self._state_exists(spark) and touched:
+            current = (
+                spark.read.parquet(self.path)
+                .filter(F.col(_BUCKET).isin(touched))
+                .localCheckpoint()
+            )
+            untouched_rows = current.join(
+                updates.select("doc_id"), "doc_id", "left_anti"
+            )
+            merged = updates.unionByName(untouched_rows)
+        (
+            merged.repartition(self.n_buckets, F.col(_BUCKET))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET)
+            .parquet(self.path)
+        )
+        self._initialized = True
+        self._watermark.mark(batch_id)

@@ -122,6 +122,30 @@ def _inc_ivf_index(spark, sf_dir: str, workdir: str) -> int:
     return index.search(queries, k=10, n_probe=4).count()
 
 
+def _inc_clusters(spark, sf_dir: str, workdir: str) -> int:
+    """near-dup pairs streamed in waves through IncrementalClusters: per
+    wave, components run over the touched subgraph only (driver-side
+    union-find under the edge cap) and merged labels propagate via the
+    broadcast rep map + bucket-pruned upsert."""
+    from beavers_spark.functions.dedup import minhash_lsh_pairs
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalClusters
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+        .select("doc1", "doc2")
+        .localCheckpoint()
+    )
+    clusters = IncrementalClusters(
+        os.path.join(workdir, "state"),
+        n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    for i in range(_WAVES):
+        clusters(pairs.filter(F.pmod("doc1", F.lit(_WAVES)) == i), i)
+    return clusters.read_clusters(spark).count()
+
+
 #: durable incremental-state scenarios (VERDICT r1 item 10) — timed as
 #: whole multi-wave runs into a fresh workdir per repetition, so
 #: round-over-round regressions in the state family are visible
@@ -129,6 +153,7 @@ INCREMENTAL = [
     ("inc_keyed_state", _inc_keyed_state),
     ("inc_near_dedup", _inc_near_dedup),
     ("inc_ivf_index", _inc_ivf_index),
+    ("inc_clusters", _inc_clusters),
 ]
 
 

@@ -38,6 +38,7 @@ from beavers_spark.streaming.maintenance import (  # noqa: F401
     recover_compaction,
 )
 from beavers_spark.streaming.rollup import ContinuousRollup  # noqa: F401
+from beavers_spark.streaming.topk_rollup import ContinuousTopK  # noqa: F401
 from beavers_spark.streaming.state_table import KeyedStateTable  # noqa: F401
 from beavers_spark.streaming.replay import (  # noqa: F401
     ArrowTableDataSource,

@@ -116,6 +116,25 @@ with tempfile.TemporaryDirectory() as tmp:
     hits = index.search(emb.filter(F.col("vec_id") < 3), k=5, n_probe=2)
     assert hits.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 5
 
+    # 7. live cluster labels: the pair stream from step 5 feeds
+    # IncrementalClusters; the final labeling equals the batch
+    # connected-components over all pairs, regardless of batching
+    from beavers_spark.streaming import IncrementalClusters  # noqa: E402
+
+    live = IncrementalClusters(os.path.join(tmp, "clusters"), n_buckets=8)
+    all_pairs = inc.read_pairs(spark).select("doc1", "doc2").localCheckpoint()
+    for wave in range(2):
+        live(all_pairs.filter(F.col("doc1") % 2 == wave), wave)
+    live_labels = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in live.read_clusters(spark).collect()
+    )
+    batch_labels = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(all_pairs).collect()
+    )
+    assert live_labels == batch_labels
+
 print(
     f"training_pipeline: all asserts passed "
     f"({n_docs} docs, {kept.count()} kept, {canon.count()} distinct, "

@@ -10,6 +10,7 @@ window tie-breaks on the ROUNDED value so ranking can't diverge).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.embeddings import (
@@ -234,3 +235,40 @@ def embedding_outliers_q(spark, sf_dir):
     keyed on label. Ranks on the ROUNDED similarity, vec_id
     tie-break."""
     return embedding_outliers(t(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+    SELECT bucket, event_type, item, cnt, rnk FROM (
+        SELECT time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01') AS bucket,
+               event_type, user_id AS item, count(*) AS cnt,
+               row_number() OVER (
+                   PARTITION BY time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01'), event_type
+                   ORDER BY count(*) DESC, user_id
+               ) AS rnk
+        FROM events GROUP BY 1, 2, 3
+    ) WHERE rnk <= 10
+    """,
+)
+def heavy_hitters_q(spark, sf_dir):
+    """Exact top-10 items per (7-day bucket, event_type) — the batch twin
+    of ``streaming.topk_rollup.ContinuousTopK`` (whose Misra-Gries state
+    approximates exactly this under bounded memory). One map-side-combined
+    count shuffle keyed on (bucket, type, item), then a per-group window
+    that only the grouped counts (not raw rows) pass through."""
+    events = t(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            F.window("ts", "7 days").start.alias("bucket"),
+            "event_type",
+            F.col("user_id").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("bucket", "event_type").orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    )
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )

@@ -271,6 +271,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count", r"row_number", r"Exchange hashpartitioning\(doc_id"],
         [r"CartesianProduct"],
     ],
+    "heavy_hitters": [
+        # map-side-combined count shuffle, then the per-group ranking
+        # window sees grouped counts only — never raw event rows
+        [r"partial_count", r"row_number"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
     "vocab_coverage": [
         # ranking window runs over the VOCABULARY after the term agg
         [r"partial_count", r"row_number"],

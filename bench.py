@@ -186,9 +186,19 @@ def main() -> None:
         )
 
     batch_total = total  # the 28 stateless queries — comparable r1<->rN
+    import gc
+
     for name, scenario in INCREMENTAL:
         times = []
         for _ in range(2):
+            # the state scenarios localCheckpoint per wave; dropping the
+            # Python references and forcing a GC lets the ContextCleaner
+            # release those blocks between repetitions — otherwise block-
+            # manager pressure from earlier scenarios bleeds into later
+            # ones (measured: the last scenario ran 2x slower in the full
+            # session than in isolation)
+            gc.collect()
+            spark.catalog.clearCache()
             with tempfile.TemporaryDirectory() as workdir:
                 start = time.perf_counter()
                 n = scenario(spark, sf_dir, workdir)

@@ -37,6 +37,9 @@ from beavers_spark.streaming.maintenance import (  # noqa: F401
     compact_parquet,
     recover_compaction,
 )
+from beavers_spark.streaming.quantile_rollup import (  # noqa: F401
+    ContinuousQuantile,
+)
 from beavers_spark.streaming.rollup import ContinuousRollup  # noqa: F401
 from beavers_spark.streaming.topk_rollup import ContinuousTopK  # noqa: F401
 from beavers_spark.streaming.state_table import KeyedStateTable  # noqa: F401

@@ -1,0 +1,186 @@
+"""Continuous quantile rollup: incrementally-maintained percentiles per
+(time bucket, keys) via exactly-mergeable fixed-bin histograms.
+
+The fourth member of the mergeable-state family (sums ->
+``ContinuousRollup``, cardinality -> ``ContinuousDistinct``, heavy
+hitters -> ``ContinuousTopK``): a percentile cannot be maintained by
+storing percentiles — quantiles do not merge. Storing the *histogram*
+restores decomposability: bin counts add exactly, in any order and any
+partitioning, so
+
+    hist(batch_1 ∪ batch_2) == hist(batch_1) + hist(batch_2)
+
+and any quantile is read off the merged counts with error bounded by
+one bin width (linear interpolation inside the quantile's bin). The
+trade against sketch structures (t-digest/KLL) is explicitness: fixed
+``(lo, hi, n_bins)`` must be chosen up front (values clamp into the
+edge bins), in exchange for EXACT mergeability, trivial state
+(``groups × n_bins`` longs), and engine-independent determinism.
+
+Per batch (the family's touched-buckets discipline): the batch is
+binned and counted — map-side combined, batch-sized — merged with the
+stored counts of JUST the touched buckets (partition-pruned read), and
+written back via dynamic partition overwrite. History is never re-read.
+
+Reference parity: extends the reference's state-node fold
+(dag.py:501-518); the reference has no quantile surface
+(README.md:43-50 scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beavers_spark.streaming.maintenance import BatchWatermark
+
+
+class ContinuousQuantile:
+    """Maintains per-(bucket, *keys) value histograms; quantiles on read.
+
+    ::
+
+        q = ContinuousQuantile(path, ts_col="ts", keys=["event_type"],
+                               value_col="value", lo=0.0, hi=100.0,
+                               n_bins=256, bucket="1 hour")
+        stream.writeStream.foreachBatch(q).start()
+        q.read(spark, [0.5, 0.99])   # bucket, *keys, q, value
+
+    Estimate error is <= (hi - lo) / n_bins for in-range values;
+    out-of-range values clamp into the first/last bin.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        ts_col: str,
+        keys: list[str],
+        value_col: str,
+        lo: float,
+        hi: float,
+        n_bins: int = 256,
+        bucket: str = "1 hour",
+    ) -> None:
+        if not hi > lo:
+            raise ValueError("hi must be > lo")
+        self.path = path
+        self.ts_col = ts_col
+        self.keys = keys
+        self.value_col = value_col
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.n_bins = n_bins
+        self.bucket = bucket
+        self._initialized = False
+        self._watermark = BatchWatermark(path)
+
+    def _bin(self) -> F.Column:
+        width = (self.hi - self.lo) / self.n_bins
+        raw = F.floor((F.col(self.value_col) - F.lit(self.lo)) / F.lit(width))
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(self.n_bins - 1)
+        ).cast("int")
+
+    def _count(self, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.window(F.col(self.ts_col), self.bucket).start.alias("bucket"),
+                *self.keys,
+                self._bin().alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def _table_exists(self, spark: SparkSession) -> bool:
+        try:
+            spark.read.parquet(self.path).schema
+            return True
+        except Exception:  # noqa: BLE001 — path-not-found from the JVM
+            return False
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # count-merging is not idempotent: replays must skip
+        if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = self._count(batch_df)
+        if self._initialized or self._table_exists(spark):
+            touched = [
+                r["bucket"] for r in delta.select("bucket").distinct().collect()
+            ]
+            current = (
+                spark.read.parquet(self.path)
+                .filter(F.col("bucket").isin(touched))
+                .localCheckpoint()
+            )
+            merged = (
+                delta.unionByName(current)
+                .groupBy("bucket", *self.keys, "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+        self._initialized = True
+        self._watermark.mark(batch_id)
+
+    def read_histograms(self, spark: SparkSession) -> DataFrame:
+        """Raw (bucket, *keys, bin, cnt) — mergeable further (e.g. roll
+        hourly histograms into a daily p99 with one sum over the coarser
+        key)."""
+        return spark.read.parquet(self.path)
+
+    def read(self, spark: SparkSession, qs: list[float]) -> DataFrame:
+        """Quantile estimates: one row per (bucket, *keys, q).
+
+        Standard histogram interpolation: find the bin where the
+        cumulative count crosses q * n, place the estimate inside it by
+        the overshoot fraction. All JVM-side window/agg — no UDFs.
+        """
+        width = (self.hi - self.lo) / self.n_bins
+        hist = spark.read.parquet(self.path)
+        totals = hist.groupBy("bucket", *self.keys).agg(
+            F.sum("cnt").alias("n")
+        )
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("bucket", *self.keys)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
+            totals, ["bucket", *self.keys]
+        )
+        out = None
+        for q in qs:
+            # first bin whose cumulative count reaches the q-th row
+            target = F.ceil(F.lit(q) * F.col("n"))
+            hit = (
+                cum.filter(F.col("cum") >= target)
+                .withColumn(
+                    "r",
+                    F.row_number().over(
+                        Window.partitionBy("bucket", *self.keys).orderBy("bin")
+                    ),
+                )
+                .filter(F.col("r") == 1)
+            )
+            frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+            est = hit.select(
+                "bucket",
+                *self.keys,
+                F.lit(float(q)).alias("q"),
+                F.round(
+                    F.lit(self.lo)
+                    + (F.col("bin") + frac) * F.lit(width),
+                    6,
+                ).alias("value"),
+            )
+            out = est if out is None else out.unionByName(est)
+        return out

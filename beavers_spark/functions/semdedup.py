@@ -67,7 +67,9 @@ def semantic_dedup(
     )
     # assignment + own-centroid similarity in one narrow pass; the
     # repartition spreads the (CPU-heavy) HOF cosine folds — a single
-    # parquet file would otherwise scan as one partition
+    # parquet file would otherwise scan as one partition. Materialized
+    # once: three consumers (both pair sides + the verdict join) would
+    # otherwise each re-run the Arrow assignment and the cosine folds.
     assigned = (
         emb.repartition(parallelism)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -78,7 +80,9 @@ def semantic_dedup(
             F.round(cosine_sim(F.col("v"), F.col("centroid")), 6),
         )
         .drop("centroid")
+        .persist()
     )
+    assigned.count()  # fill the cache before the fan-out
     a = assigned.select(
         F.col("cell"), F.col("id").alias("doc1"), F.col("v").alias("v1")
     )
@@ -97,20 +101,23 @@ def semantic_dedup(
         .select("doc1", "doc2")
     )
     groups = connected_components(edges)
+    joined = assigned.join(groups, assigned.id == groups.doc_id, "left").drop(
+        "doc_id", "v"
+    )
+    # keeper election runs ONLY over grouped rows: a window partitioned
+    # by cluster_id would lump every singleton (NULL key — typically most
+    # of the corpus) into one partition on one task, a straggler/OOM at
+    # scale even though the singleton result is discarded
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("centroid_sim").asc(), F.col("id").asc()
     )
-    out = (
-        assigned.join(groups, assigned.id == groups.doc_id, "left")
-        .drop("doc_id", "v")
-        .withColumn(
-            "keep",
-            F.when(F.col("cluster_id").isNull(), F.lit(True)).otherwise(
-                F.row_number().over(w) == 1
-            ),
-        )
+    grouped = joined.filter(F.col("cluster_id").isNotNull()).withColumn(
+        "keep", F.row_number().over(w) == 1
     )
-    return out.select(
+    singles = joined.filter(F.col("cluster_id").isNull()).withColumn(
+        "keep", F.lit(True)
+    )
+    return grouped.unionByName(singles).select(
         F.col("id").alias(id_col), "cell", "cluster_id", "centroid_sim", "keep"
     )
 
@@ -122,6 +129,7 @@ def semantic_dedup_check(
     n_cells: int = 16,
     threshold: float = 0.95,
     seed: int = 7,
+    require_drop: bool = False,
 ) -> DataFrame:
     """Structural gate over ``semantic_dedup``, emitted as
     ``(metric, passed)`` so the driver's hash compare enforces it:
@@ -130,6 +138,12 @@ def semantic_dedup_check(
     - every duplicate group has >= 2 members;
     - singletons (null ``cluster_id``) are all kept;
     - verdicts partition the corpus (|keep| + |drop| = |corpus|).
+
+    ``require_drop=True`` additionally demands at least one duplicate
+    was dropped — a property of a KNOWN-redundant corpus (the registered
+    plan sets it for the self-similar testdata), not a generic
+    invariant: a genuinely clean corpus passes the four invariants with
+    zero drops.
     """
     verdicts = semantic_dedup(
         emb, id_col, vec_col, n_cells=n_cells, threshold=threshold, seed=seed
@@ -157,12 +171,14 @@ def semantic_dedup_check(
             (F.col("cluster_id").isNull() & ~F.col("keep")).cast("int")
         ).alias("dropped_singletons"),
     )
+    ok = (
+        (F.col("bad_keepers") == 0)
+        & (F.col("bad_groups") == 0)
+        & (F.col("dropped_singletons") == 0)
+    )
+    if require_drop:
+        ok = ok & (F.col("n_total") > F.col("n_keep"))
     return per_group.crossJoin(totals).select(
         F.lit("semantic_dedup_invariants").alias("metric"),
-        (
-            (F.col("bad_keepers") == 0)
-            & (F.col("bad_groups") == 0)
-            & (F.col("dropped_singletons") == 0)
-            & (F.col("n_total") > F.col("n_keep"))
-        ).alias("passed"),
+        ok.alias("passed"),
     )

@@ -50,7 +50,19 @@ def train_quantizer(
     ~2s of per-iteration job scheduling for a 16-cell quantizer.
     Deterministic for a given seed, so assignments are reproducible.
     """
-    rows = df.select(F.col(vec_col).alias("v")).limit(max_rows).collect()
+    # hash-ordered limit = a deterministic pseudo-random sample, not a
+    # corpus PREFIX: a bare limit() takes the first files' rows, and on
+    # data clustered by label/ingest-time the centroids would cover one
+    # region of the space. orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps, no global sort shuffle).
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v"), F.lit(seed)))
+        .limit(max_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train a quantizer on an empty input")
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     n = len(x)
@@ -81,19 +93,36 @@ def train_quantizer(
 
 #: pandas-UDF cache: registering a pandas_udf costs py4j round-trips and
 #: a cloudpickle of the closure on EVERY call, yet the closures here are
-#: pure functions of their (hashable-ized) parameters — e.g. the
-#: incremental IVF ingest builds the same assignment UDF per micro-batch.
+#: pure functions of their parameters — e.g. the incremental IVF ingest
+#: builds the same assignment UDF per micro-batch. Keys are digests (a
+#: full 50k x dim centroid matrix as a tuple key would itself be MBs)
+#: and the cache is LRU-capped: each entry's closure pins its numpy
+#: arrays for process lifetime, so unbounded growth across retrains /
+#: different corpora would leak.
 _UDF_CACHE: dict = {}
+_UDF_CACHE_CAP = 32
 
 
 def _cached_udf(key, builder):
-    if key not in _UDF_CACHE:
+    if key in _UDF_CACHE:
+        _UDF_CACHE[key] = _UDF_CACHE.pop(key)  # refresh LRU position
+    else:
+        while len(_UDF_CACHE) >= _UDF_CACHE_CAP:
+            _UDF_CACHE.pop(next(iter(_UDF_CACHE)))
         _UDF_CACHE[key] = builder()
     return _UDF_CACHE[key]
 
 
-def _freeze(nested) -> tuple:
-    return tuple(tuple(row) for row in nested)
+def _freeze(nested) -> str:
+    """Stable content digest of a nested float list, for cache keys."""
+    import hashlib
+
+    h = hashlib.md5()
+    for row in nested:
+        for v in row:
+            h.update(repr(float(v)).encode())
+        h.update(b";")
+    return h.hexdigest()
 
 
 def lsh_bucket_ids(

@@ -530,8 +530,11 @@ def semantic_dedup_check_plan(spark, sf_dir):
     from beavers_spark.functions.semdedup import semantic_dedup_check
 
     emb = t(spark, sf_dir, "embeddings")
+    # require_drop: this synthetic corpus is known-redundant at 0.3, so
+    # zero drops would mean the pairwise stage silently broke
     return semantic_dedup_check(
-        emb, "vec_id", "embedding", n_cells=8, threshold=0.3
+        emb, "vec_id", "embedding", n_cells=8, threshold=0.3,
+        require_drop=True,
     )
 
 

@@ -176,13 +176,21 @@ class IncrementalNearDedup:
         batch = batch_df
         had_state = self._state_exists(spark)
         if had_state:
-            # BatchWatermark only guards same-batch replays: a doc_id
+            # BatchWatermark only guards post-commit replays: a doc_id
             # redelivered in a LATER batch (producer retry, re-ingest)
             # would duplicate its state row and from then on duplicate
             # every pair it participates in. Anti-join the batch against
             # the indexed ids — the state scan is doc_id-only (pruned).
-            seen = self.read_state(spark).select(
-                F.col("doc_id").alias(self.id_col)
+            # The w != batch_id filter is load-bearing: a crash AFTER
+            # this wave's directory was written but BEFORE the watermark
+            # mark replays the batch, and without the filter the batch
+            # would anti-join against its own half-committed wave,
+            # empty itself, and overwrite the wave with nothing —
+            # destroying those documents' state.
+            seen = (
+                spark.read.parquet(self.state_path)
+                .filter(F.col("w") != batch_id)
+                .select(F.col("doc_id").alias(self.id_col))
             )
             batch = batch.join(seen, self.id_col, "left_anti")
         # One row-wise pass carries the shingle set AND the signature

@@ -105,8 +105,17 @@ class ContinuousQuantile:
         spark = batch_df.sparkSession
         delta = self._count(batch_df)
         if self._initialized or self._table_exists(spark):
+            # probe the RAW batch, not delta — delta is then consumed
+            # exactly once (by the merge), not re-aggregated for the probe
             touched = [
-                r["bucket"] for r in delta.select("bucket").distinct().collect()
+                r["bucket"]
+                for r in batch_df.select(
+                    F.window(F.col(self.ts_col), self.bucket).start.alias(
+                        "bucket"
+                    )
+                )
+                .distinct()
+                .collect()
             ]
             current = (
                 spark.read.parquet(self.path)
@@ -120,8 +129,11 @@ class ContinuousQuantile:
             )
         else:
             merged = delta
+        # cluster by the partition column before partitionBy, else every
+        # write task splinters one file per bucket it holds
         (
-            merged.write.mode("overwrite")
+            merged.repartition(F.col("bucket"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(self.path)

@@ -96,11 +96,20 @@ class ContinuousTopK:
             return
         spark = batch_df.sparkSession
         delta = self._count(batch_df)
-        err_delta = None
+        # the touched-bucket probe runs on the raw batch: the counter
+        # merge AND the error ledger both prune their state reads with it
+        touched = [
+            r["bucket"]
+            for r in batch_df.select(
+                F.window(F.col(self.ts_col), self.bucket).start.alias("bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            self._watermark.mark(batch_id)
+            return
         if self._initialized or self._table_exists(spark):
-            touched = [
-                r["bucket"] for r in delta.select("bucket").distinct().collect()
-            ]
             current = (
                 spark.read.parquet(self.path)
                 .filter(F.col("bucket").isin(touched))
@@ -120,14 +129,21 @@ class ContinuousTopK:
         grp = Window.partitionBy("bucket", *self.keys).orderBy(
             F.col("cnt").desc(), F.col("item").asc()
         )
-        ranked = combined.withColumn("rnk", F.row_number().over(grp)).withColumn(
-            "d",
-            F.coalesce(
-                F.max(
-                    F.when(F.col("rnk") == self.capacity + 1, F.col("cnt"))
-                ).over(Window.partitionBy("bucket", *self.keys)),
-                F.lit(0),
-            ),
+        # one materialization: the ranked frame feeds the counter write,
+        # the error ledger AND its touched-bucket probe — unchecked it
+        # would re-count the batch and re-run the window three times
+        ranked = (
+            combined.withColumn("rnk", F.row_number().over(grp))
+            .withColumn(
+                "d",
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("rnk") == self.capacity + 1, F.col("cnt"))
+                    ).over(Window.partitionBy("bucket", *self.keys)),
+                    F.lit(0),
+                ),
+            )
+            .localCheckpoint()
         )
         merged = ranked.filter(
             (F.col("rnk") <= self.capacity) & (F.col("cnt") > F.col("d"))
@@ -140,13 +156,9 @@ class ContinuousTopK:
             .agg(F.max("d").alias("err"))
         )
         if self._initialized or self._err_exists(spark):
-            touched_err = [
-                r["bucket"]
-                for r in err_delta.select("bucket").distinct().collect()
-            ]
             current_err = (
                 spark.read.parquet(self.err_path)
-                .filter(F.col("bucket").isin(touched_err))
+                .filter(F.col("bucket").isin(touched))
                 .localCheckpoint()
             )
             err_delta = (
@@ -154,17 +166,26 @@ class ContinuousTopK:
                 .groupBy("bucket", *self.keys)
                 .agg(F.sum("err").alias("err"))
             )
+        # err BEFORE counters: a crash between the two writes then only
+        # inflates err (bounds stay conservative — the counters are still
+        # pre-batch and the replay re-merges them once). The reverse
+        # order would let a replay double-merge already-written counters
+        # under a stale err, silently breaking the lower bound. A crash
+        # after the counter write but before mark keeps the
+        # BatchWatermark-documented double-apply window.
         (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(self.path)
-        )
-        (
-            err_delta.write.mode("overwrite")
+            err_delta.repartition(F.col("bucket"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(self.err_path)
+        )
+        (
+            merged.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
         )
         self._initialized = True
         self._watermark.mark(batch_id)

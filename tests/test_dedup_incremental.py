@@ -127,3 +127,48 @@ def test_cross_batch_redelivery_is_ignored(spark, tmp_path):
         minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
     )
     assert got == expected
+
+
+def test_replay_after_wave_written_before_mark(spark, tmp_path):
+    """The crash window BatchWatermark documents: wave directory written,
+    watermark NOT marked, batch replayed. The replayed batch must not
+    anti-join against its own half-committed wave (which would empty it
+    and overwrite the wave with nothing) — final state and pairs equal
+    the crash-free run."""
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=THRESHOLD,
+    )
+    dedup(first, 0)
+    # simulate the crash: batch 1's wave is on disk but unmarked
+    dedup(second, 1)
+    os.remove(os.path.join(str(tmp_path / "state"), "_last_batch.json"))
+    dedup._watermark.mark(0)
+    # also forget the driver-side replay-pair guard the real restart has
+    replay = IncrementalNearDedup(
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs2"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=THRESHOLD,
+    )
+    replay._watermark = dedup._watermark
+    replay.pairs_path = str(tmp_path / "pairs")
+    replay(second, 1)  # the replay
+
+    state = replay.read_state(spark)
+    # every second-half doc still has its state row (not emptied)
+    assert state.count() == docs.count()
+    assert state.select("doc_id").distinct().count() == state.count()
+    got = _pair_set(replay.read_pairs(spark))
+    expected = _pair_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
+    )
+    assert got == expected

@@ -389,17 +389,63 @@ def minhash_lsh_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+#: graphs at or below this edge count are labeled with driver-side
+#: union-find instead of the distributed fixpoint — each distributed
+#: iteration costs ~2 Spark jobs, which dominates small-graph latency
+MAX_LOCAL_CC_EDGES = 2_000_000
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    max_local_edges: int = MAX_LOCAL_CC_EDGES,
+) -> DataFrame:
     """Connected components over an undirected pair list (doc1, doc2):
     cluster_id = min doc id reachable in the component.
 
-    Pregel-style iterative min-label propagation — the standard
-    large-graph formulation (each iteration is one join+agg, state
-    localCheckpoint'ed to truncate lineage). Near-dup graphs are shallow
-    (duplicate clusters are cliques-ish), so iterations ≈ component
-    diameter, typically < 5. Deterministic fixpoint regardless of
-    iteration order.
+    Small graphs (<= ``max_local_edges`` pairs — near-dup pair lists are
+    candidate-bounded, usually far smaller than the corpus) are collected
+    and labeled with path-compressed union-find: microseconds of Python
+    versus ~2 Spark jobs per iteration of the distributed loop. Larger
+    graphs take the Pregel-style iterative min-label propagation — the
+    standard large-graph formulation (each iteration is one join+agg,
+    state localCheckpoint'ed to truncate lineage). Near-dup graphs are
+    shallow (duplicate clusters are cliques-ish), so iterations ≈
+    component diameter, typically < 5. Both paths produce the identical
+    deterministic min-id labeling; ``max_local_edges=0`` forces the
+    distributed path.
     """
+    if max_local_edges:
+        rows = pairs.select("doc1", "doc2").limit(max_local_edges + 1).collect()
+        if len(rows) <= max_local_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                a, b = r["doc1"], r["doc2"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            label: dict = {}
+            for node in parent:
+                root = find(node)
+                if root not in label or node < label[root]:
+                    label[root] = node
+            id_type = pairs.schema["doc1"].dataType.simpleString()
+            return pairs.sparkSession.createDataFrame(
+                [(n, label[find(n)]) for n in parent],
+                f"doc_id {id_type}, cluster_id {id_type}",
+            )
+
     fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
     rev = pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
     edges = fwd.unionByName(rev).distinct().persist()

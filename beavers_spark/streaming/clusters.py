@@ -93,43 +93,15 @@ class IncrementalClusters:
         subgraph.
 
         The subgraph is batch-bounded BY CONSTRUCTION (batch pairs plus
-        one label edge per known endpoint — never the corpus), so the
-        normal path collects it and runs driver-side union-find:
-        microseconds of Python versus ~2 jobs per iteration of the
-        distributed fixpoint, which dominates micro-batch latency. The
-        collect is capped; an oversized batch takes the distributed
-        ``connected_components`` path instead — same labels either way.
+        one label edge per known endpoint — never the corpus), so
+        ``connected_components``' capped union-find fast path almost
+        always applies; an oversized batch takes its distributed
+        fixpoint — same labels either way.
         """
-        rows = edges.limit(self.MAX_LOCAL_EDGES + 1).collect()
-        if len(rows) > self.MAX_LOCAL_EDGES:
-            return connected_components(edges).localCheckpoint()
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in rows:
-            a, b = r["doc1"], r["doc2"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-        label: dict = {}
-        for node in parent:
-            root = find(node)
-            if root not in label or node < label[root]:
-                label[root] = node
-        id_type = edges.schema["doc1"].dataType.simpleString()
-        return spark.createDataFrame(
-            [(n, label[find(n)]) for n in parent],
-            f"doc_id {id_type}, cluster_id {id_type}",
-        )
+        # no extra checkpoint: the local path returns a driver-side
+        # relation, and the distributed loop already checkpoints its
+        # label state every iteration
+        return connected_components(edges, max_local_edges=self.MAX_LOCAL_EDGES)
 
     def __call__(self, pairs_df: DataFrame, batch_id: int) -> None:
         if self._watermark.is_applied(batch_id):

@@ -22,11 +22,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["etf_valuation"](spark, "/root/testdata/sf0.001")
 
 
-#: Queries with a green driver row in CORRECTNESS_r01/r02.json. The driver
-#: checks the registry in iteration order with a cap (both rounds recorded
-#: exactly the first 50 entries), so ``queries()`` yields the not-yet-checked
-#: names first — rotating coverage until every plan has a driver-green row.
+#: Queries with a green driver row in CORRECTNESS_r01/r02/r03.json. The
+#: driver checks the registry in iteration order with a cap (each round
+#: recorded exactly the first 50 entries), so ``queries()`` yields the
+#: not-yet-checked names first — rotating coverage until every plan has a
+#: driver-green row.  r01/r02 checked the first block below; r03 checked the
+#: second.
 _DRIVER_CHECKED = [
+    # --- checked in CORRECTNESS_r01 / r02 ---
     "etf_valuation", "filter_predicate", "projection_rename", "last_by_keys",
     "argmax_latest", "concat_streams", "distinct_values", "set_dedup_batch",
     "merge_sorted_union", "semi_join", "anti_join", "delta_fanout",
@@ -38,6 +41,22 @@ _DRIVER_CHECKED = [
     "tpch_q10", "tpch_q14", "tpch_q22", "tpch_q2", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q21", "tpch_q11", "tpch_q16",
+    # --- checked in CORRECTNESS_r03 ---
+    "tpch_q20", "dedup_exact", "doc_fingerprint", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash", "lang_id",
+    "quality_score", "token_count", "ann_cosine_topk",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_exact",
+    "dedup_embedding_recall", "semantic_dedup", "semantic_dedup_check",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_lsh_recall", "ann_ivf_recall",
+    "binary_meta", "winnow_fingerprint", "winnow_near_dup", "dedup_apply",
+    "deterministic_sample", "train_val_test_split", "daily_uniques",
+    "decontaminate_ngram", "domain_cap", "corpus_shuffle",
+    "repetition_quality", "stratified_sample", "pack_sequences",
+    "asof_join_events", "sessionize", "interval_join_events",
+    "funnel_conversion", "cohort_retention", "live_view", "except_all",
+    "intersect_distinct", "grouping_sets", "count_distinct",
+    "approx_distinct", "approx_distinct_error", "lead_lag",
+    "median_quantile", "gopher_quality", "pii_redact", "tfidf_top_terms",
 ]
 
 

@@ -84,11 +84,17 @@ def vocab_coverage(
     "how many distinct terms cover 90% of all tokens", the
     tokenizer-sizing question.
 
-    One corpus scan + one vocabulary-keyed aggregation; the ranking
-    window then runs over the *vocabulary* (≪ corpus — fine as a
-    single ordered window; for a 100M-term vocabulary, pre-filter with
-    an approximate count threshold before the window). Total token
-    count joins in as a 1-row broadcast.
+    One corpus scan + one vocabulary-keyed aggregation; the top-``k``
+    pre-reduce is ``orderBy().limit(k)`` which compiles to
+    ``TakeOrderedAndProject`` (per-partition heaps + a k-row driver
+    merge — no global sort, no single-partition window over the full
+    vocabulary). The ranking + cumulative-share window then runs over
+    only the ``k`` survivors, partitioned on the joined ``total``
+    attribute — constant-valued (all k rows land in one k-row
+    partition) but non-foldable, so Catalyst keeps the partition spec
+    and the "No Partition Defined" WindowExec path is never planned.
+    Total token count is computed over the FULL vocabulary before the
+    limit and joins in as a 1-row broadcast.
     """
     counts = (
         doc_terms(docs, text_col, id_col)
@@ -96,11 +102,14 @@ def vocab_coverage(
         .agg(F.count("*").alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total"))
-    w = Window.orderBy(F.desc("n"), F.asc("term"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    topk = (
+        counts.orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
         .crossJoin(F.broadcast(total))
+    )
+    w = Window.partitionBy("total").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        topk.withColumn("rk", F.row_number().over(w))
         .withColumn(
             "cum_share",
             F.round(

@@ -278,9 +278,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
     "vocab_coverage": [
-        # ranking window runs over the VOCABULARY after the term agg
-        [r"partial_count", r"row_number"],
-        [r"CartesianProduct"],
+        # top-k pre-reduce must be TakeOrderedAndProject (per-partition
+        # heaps), so the ranking window sees only k rows — never the
+        # full vocabulary through one partition
+        [r"TakeOrderedAndProject", r"partial_count", r"row_number"],
+        [r"CartesianProduct", r"Exchange rangepartitioning"],
     ],
     "label_centroids": [
         # posexplode then partial-combined decimal sum keyed on

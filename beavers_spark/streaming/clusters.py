@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.dedup import connected_components
-from beavers_spark.streaming.maintenance import BatchWatermark
+from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 _BUCKET = "__bucket"
 
@@ -74,12 +74,10 @@ class IncrementalClusters:
     def _state_exists(self, spark: SparkSession) -> bool:
         if self._initialized:
             return True
-        try:
-            spark.read.parquet(self.path).schema
+        if table_exists(spark, self.path):
             self._initialized = True
-        except Exception:  # noqa: BLE001 — path-not-found from the JVM
-            return False
-        return True
+            return True
+        return False
 
     def read_clusters(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path).drop(_BUCKET)

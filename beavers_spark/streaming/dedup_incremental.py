@@ -50,7 +50,7 @@ from beavers_spark.functions.dedup import (
     band_rows,
     shingle_sets,
 )
-from beavers_spark.streaming.maintenance import BatchWatermark
+from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 _SIG_COLS = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
 _BAND_KEYS = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
@@ -127,12 +127,10 @@ class IncrementalNearDedup:
     def _state_exists(self, spark: SparkSession) -> bool:
         if self._has_state:
             return True
-        try:
-            spark.read.parquet(self.state_path).schema
+        if table_exists(spark, self.state_path):
             self._has_state = True
-        except Exception:  # noqa: BLE001 — path-not-found from the JVM
-            return False
-        return True
+            return True
+        return False
 
     def read_state(self, spark: SparkSession) -> DataFrame:
         # the wave column ``w`` is a storage detail (see __call__), not

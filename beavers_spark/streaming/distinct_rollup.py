@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beavers_spark.streaming.maintenance import BatchWatermark
+from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 
 class ContinuousDistinct:
@@ -117,11 +117,7 @@ class ContinuousDistinct:
         self._watermark.mark(batch_id)
 
     def _table_exists(self, spark: SparkSession) -> bool:
-        try:
-            spark.read.parquet(self.path).schema
-            return True
-        except Exception:  # noqa: BLE001 — path-not-found from the JVM
-            return False
+        return table_exists(spark, self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Current estimates: (bucket, *keys, n_distinct)."""

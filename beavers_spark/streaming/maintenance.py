@@ -39,6 +39,32 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Cheap state-existence probe via the Hadoop FileSystem API — no
+    ``DataFrameReader`` probe, no exception control flow, no orphan Java
+    stack trace in the logs when the answer is simply "not yet" (and no
+    risk of a real read failure being swallowed as "missing").
+
+    Scheme-agnostic: resolves through the session's Hadoop configuration,
+    so the same call works on local paths, HDFS, or an object store.
+    True only if ``path`` exists and holds at least one non-hidden entry
+    (a data file or partition directory) — a directory containing only
+    ``_``-sidecars (e.g. a ``BatchWatermark`` written before the first
+    parquet commit) is "no table yet", matching what
+    ``spark.read.parquet`` would conclude.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 class BatchWatermark:
     """Replay guard for ``foreachBatch`` state writers.
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beavers_spark.streaming.maintenance import BatchWatermark
+from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 
 class ContinuousQuantile:
@@ -92,11 +92,7 @@ class ContinuousQuantile:
         )
 
     def _table_exists(self, spark: SparkSession) -> bool:
-        try:
-            spark.read.parquet(self.path).schema
-            return True
-        except Exception:  # noqa: BLE001 — path-not-found from the JVM
-            return False
+        return table_exists(spark, self.path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # count-merging is not idempotent: replays must skip

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beavers_spark.streaming.maintenance import BatchWatermark
+from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 
 class ContinuousRollup:
@@ -103,11 +103,7 @@ class ContinuousRollup:
         self._watermark.mark(batch_id)
 
     def _table_exists(self, spark: SparkSession) -> bool:
-        try:
-            spark.read.parquet(self.path).schema
-            return True
-        except Exception:  # noqa: BLE001 — path-not-found from the JVM
-            return False
+        return table_exists(spark, self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beavers_spark.operators.tabular import last_by_keys
-from beavers_spark.streaming.maintenance import BatchWatermark
+from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 _BUCKET = "__bucket"
 
@@ -74,12 +74,10 @@ class KeyedStateTable:
     def _table_exists(self, spark: SparkSession) -> bool:
         if self._initialized:
             return True
-        try:
-            spark.read.parquet(self.path).schema
+        if table_exists(spark, self.path):
             self._initialized = True
-        except Exception:  # noqa: BLE001 — path-not-found from the JVM
-            return False
-        return True
+            return True
+        return False
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Current latest-row-per-key table (without the bucket column)."""

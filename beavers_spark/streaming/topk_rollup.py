@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from beavers_spark.streaming.maintenance import BatchWatermark
+from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 
 class ContinuousTopK:
@@ -84,11 +84,7 @@ class ContinuousTopK:
         )
 
     def _table_exists(self, spark: SparkSession) -> bool:
-        try:
-            spark.read.parquet(self.path).schema
-            return True
-        except Exception:  # noqa: BLE001 — path-not-found from the JVM
-            return False
+        return table_exists(spark, self.path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # truncation makes the merge non-idempotent: replays must skip
@@ -191,11 +187,7 @@ class ContinuousTopK:
         self._watermark.mark(batch_id)
 
     def _err_exists(self, spark: SparkSession) -> bool:
-        try:
-            spark.read.parquet(self.err_path).schema
-            return True
-        except Exception:  # noqa: BLE001 — path-not-found from the JVM
-            return False
+        return table_exists(spark, self.err_path)
 
     def read(self, spark: SparkSession, k: int = 10) -> DataFrame:
         """Top-``k`` per (bucket, *keys): item, count bounds, rank.

@@ -122,3 +122,29 @@ def test_recover_compaction_restores_interrupted_swap(spark, tmp_path):
     compact_parquet(spark, path)
     assert spark.read.parquet(path).count() == rows
     shutil.rmtree(path)
+
+
+def test_table_exists_probe(spark, tmp_path):
+    """table_exists: Hadoop-FS existence probe — False for missing paths
+    and sidecar-only directories (a BatchWatermark written before the
+    first parquet commit), True once a real parquet commit lands, with
+    no exception control flow anywhere."""
+    from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+
+    path = str(tmp_path / "state")
+    assert table_exists(spark, path) is False
+
+    # sidecar-only directory: watermark marked before any parquet write
+    BatchWatermark(path).mark(0)
+    assert os.path.exists(os.path.join(path, "_last_batch.json"))
+    assert table_exists(spark, path) is False
+
+    spark.range(3).write.mode("append").parquet(path)
+    assert table_exists(spark, path) is True
+
+    # partitioned layout: partition dirs are non-hidden entries
+    ppath = str(tmp_path / "partitioned")
+    spark.range(4).withColumn("b", F.col("id") % 2).write.partitionBy(
+        "b"
+    ).parquet(ppath)
+    assert table_exists(spark, ppath) is True

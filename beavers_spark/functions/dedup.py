@@ -32,12 +32,28 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 #: round-trips — measured ~0.5s per build, paid on EVERY invocation and
 #: every incremental-dedup micro-batch. Column objects are immutable plan
 #: fragments, safe to reuse across DataFrames; keyed lazily because
-#: construction needs the JVM gateway up.
+#: construction needs the JVM gateway up. LRU-capped (keys vary by
+#: text_col/parameters and would otherwise accumulate for process
+#: lifetime) and invalidated whenever the active SparkContext changes —
+#: cached Columns wrap py4j handles into a specific gateway, and reusing
+#: them after a session restart fails opaquely.
 _COL_CACHE: dict = {}
+_COL_CACHE_CAP = 64
+_COL_CACHE_CTX: list = [None]
 
 
 def _cached_cols(key, builder):
-    if key not in _COL_CACHE:
+    from pyspark import SparkContext
+
+    ctx = id(SparkContext._active_spark_context)
+    if ctx != _COL_CACHE_CTX[0]:
+        _COL_CACHE.clear()
+        _COL_CACHE_CTX[0] = ctx
+    if key in _COL_CACHE:
+        _COL_CACHE[key] = _COL_CACHE.pop(key)  # refresh LRU position
+    else:
+        while len(_COL_CACHE) >= _COL_CACHE_CAP:
+            _COL_CACHE.pop(next(iter(_COL_CACHE)))
         _COL_CACHE[key] = builder()
     return _COL_CACHE[key]
 
@@ -391,8 +407,12 @@ def minhash_lsh_pairs(
 
 #: graphs at or below this edge count are labeled with driver-side
 #: union-find instead of the distributed fixpoint — each distributed
-#: iteration costs ~2 Spark jobs, which dominates small-graph latency
-MAX_LOCAL_CC_EDGES = 2_000_000
+#: iteration costs ~2 Spark jobs, which dominates small-graph latency.
+#: Measured driver cost of collecting the cap (two int64 columns,
+#: local[32], Python 3.12): 250k edge Rows ≈ 86 MB RSS — bounded and
+#: safe for any reasonable driver; the previous 2M cap measured ~750 MB,
+#: too generous to hold by default.
+MAX_LOCAL_CC_EDGES = 250_000
 
 
 def connected_components(
@@ -414,10 +434,21 @@ def connected_components(
     component diameter, typically < 5. Both paths produce the identical
     deterministic min-id labeling; ``max_local_edges=0`` forces the
     distributed path.
+
+    Path selection: the projected pair list is persisted once, sized
+    with a ``count()`` (cheap on the cache, no Rows cross to Python),
+    and only a graph that FITS the cap is ever collected — the driver
+    never holds cap+1 Rows just to learn the graph is big, and when the
+    graph is big the distributed loop builds its edge set from the same
+    persisted frame instead of re-running the upstream (LSH/candidate)
+    pipeline.
     """
+    proj = pairs.select("doc1", "doc2")
     if max_local_edges:
-        rows = pairs.select("doc1", "doc2").limit(max_local_edges + 1).collect()
-        if len(rows) <= max_local_edges:
+        proj = proj.persist()
+        if proj.count() <= max_local_edges:
+            rows = proj.collect()
+            proj.unpersist()
             parent: dict = {}
 
             def find(x):
@@ -446,15 +477,16 @@ def connected_components(
                 f"doc_id {id_type}, cluster_id {id_type}",
             )
 
-    fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-    rev = pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+    fwd = proj.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    rev = proj.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
     edges = fwd.unionByName(rev).distinct().persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint()  # eager: materializes `edges` as a side effect
     )
+    proj.unpersist()  # no-op when max_local_edges=0 (never persisted)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)

@@ -68,8 +68,11 @@ def semantic_dedup(
     # assignment + own-centroid similarity in one narrow pass; the
     # repartition spreads the (CPU-heavy) HOF cosine folds — a single
     # parquet file would otherwise scan as one partition. Materialized
-    # once: three consumers (both pair sides + the verdict join) would
-    # otherwise each re-run the Arrow assignment and the cosine folds.
+    # once (eager localCheckpoint): three consumers (both pair sides +
+    # the verdict join) reuse the checkpointed blocks, which the
+    # ContextCleaner releases when the returned plan is GC'd — unlike a
+    # .persist(), which would leak a CacheManager entry for session
+    # lifetime (no caller ever holds a handle to unpersist).
     assigned = (
         emb.repartition(parallelism)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -80,9 +83,8 @@ def semantic_dedup(
             F.round(cosine_sim(F.col("v"), F.col("centroid")), 6),
         )
         .drop("centroid")
-        .persist()
+        .localCheckpoint()
     )
-    assigned.count()  # fill the cache before the fan-out
     a = assigned.select(
         F.col("cell"), F.col("id").alias("doc1"), F.col("v").alias("v1")
     )

@@ -83,8 +83,10 @@ class IncrementalClusters:
         return spark.read.parquet(self.path).drop(_BUCKET)
 
     #: per-batch graphs above this edge count fall back to the
-    #: distributed component run; below it, driver-side union-find wins
-    MAX_LOCAL_EDGES = 2_000_000
+    #: distributed component run; below it, driver-side union-find wins.
+    #: Matches functions.dedup.MAX_LOCAL_CC_EDGES (measured ≈86 MB of
+    #: driver RSS at the cap).
+    MAX_LOCAL_EDGES = 250_000
 
     def _components(self, spark: SparkSession, edges: DataFrame) -> DataFrame:
         """Min-id component labels ``(doc_id, cluster_id)`` of the batch

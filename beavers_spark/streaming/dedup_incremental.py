@@ -55,16 +55,26 @@ from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 _SIG_COLS = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
 _BAND_KEYS = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
 _EXPRS: dict[str, "F.Column"] = {}
+_EXPRS_CTX: list = [None]
 
 
 def _exprs() -> dict:
-    """The join/verify expressions, built once per process.
+    """The join/verify expressions, built once per SparkContext.
 
     They are identical every micro-batch (they reference alias names, not
     a specific DataFrame), and building them costs hundreds of py4j
     round-trips — measured ~0.7s of driver time per wave when constructed
-    inline. Lazy because Column construction needs the JVM gateway up.
+    inline. Lazy because Column construction needs the JVM gateway up;
+    rebuilt whenever the active SparkContext changes, since cached
+    Columns wrap py4j handles into a specific gateway and stale handles
+    fail opaquely after a session restart.
     """
+    from pyspark import SparkContext
+
+    ctx = id(SparkContext._active_spark_context)
+    if ctx != _EXPRS_CTX[0]:
+        _EXPRS.clear()
+        _EXPRS_CTX[0] = ctx
     if _EXPRS:
         return _EXPRS
 

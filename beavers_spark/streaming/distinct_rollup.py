@@ -87,12 +87,19 @@ class ContinuousDistinct:
         # batches; guard anyway so replays cost nothing
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
+        # null event time has no bucket; a None touched entry never
+        # isin-matches yet dynamic overwrite would still clobber the
+        # null partition with only this batch's delta (state loss)
+        batch_df = batch_df.filter(F.col(self.ts_col).isNotNull())
         spark = batch_df.sparkSession
         delta = self._sketch(batch_df)
         if self._initialized or self._table_exists(spark):
             touched = [
                 r["bucket"] for r in delta.select("bucket").distinct().collect()
             ]
+            if not touched:  # every row was null-ts: nothing to merge
+                self._watermark.mark(batch_id)
+                return
             current = (
                 spark.read.parquet(self.path)
                 .filter(F.col("bucket").isin(touched))

@@ -98,6 +98,15 @@ class ContinuousQuantile:
         # count-merging is not idempotent: replays must skip
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
+        # Null event time cannot be assigned a bucket, and a null value
+        # cannot be binned; worse, a None in the touched list never
+        # isin-matches stored rows while dynamic overwrite would still
+        # REPLACE the null partition with just this batch's delta —
+        # silently dropping accumulated state. Drop such rows up front.
+        batch_df = batch_df.filter(
+            F.col(self.ts_col).isNotNull()
+            & F.col(self.value_col).isNotNull()
+        )
         spark = batch_df.sparkSession
         delta = self._count(batch_df)
         if self._initialized or self._table_exists(spark):
@@ -113,6 +122,9 @@ class ContinuousQuantile:
                 .distinct()
                 .collect()
             ]
+            if not touched:  # all rows were null-ts/value: nothing to merge
+                self._watermark.mark(batch_id)
+                return
             current = (
                 spark.read.parquet(self.path)
                 .filter(F.col("bucket").isin(touched))
@@ -150,6 +162,8 @@ class ContinuousQuantile:
         cumulative count crosses q * n, place the estimate inside it by
         the overshoot fraction. All JVM-side window/agg — no UDFs.
         """
+        if not qs:
+            raise ValueError("qs must name at least one quantile")
         width = (self.hi - self.lo) / self.n_bins
         hist = spark.read.parquet(self.path)
         totals = hist.groupBy("bucket", *self.keys).agg(

@@ -71,10 +71,17 @@ class ContinuousRollup:
         # double-count into the touched buckets): skip applied batches
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
+        # null event time has no bucket; a None touched entry never
+        # isin-matches yet dynamic overwrite would still clobber the
+        # null partition with only this batch's delta (state loss)
+        batch_df = batch_df.filter(F.col(self.ts_col).isNotNull())
         spark = batch_df.sparkSession
         delta = self._aggregate(batch_df)
         if self._initialized or self._table_exists(spark):
             touched = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+            if not touched:  # every row was null-ts: nothing to merge
+                self._watermark.mark(batch_id)
+                return
             # localCheckpoint materializes the touched buckets BEFORE the
             # overwrite (Spark refuses to overwrite a path its plan still
             # reads); the filter is partition-pruned so this reads only

@@ -90,6 +90,11 @@ class ContinuousTopK:
         # truncation makes the merge non-idempotent: replays must skip
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return
+        # A null event time has no bucket — and a None in the touched
+        # list never isin-matches stored rows while dynamic overwrite
+        # would still replace the null partition with only this batch's
+        # delta, dropping accumulated state. Drop null-ts rows up front.
+        batch_df = batch_df.filter(F.col(self.ts_col).isNotNull())
         spark = batch_df.sparkSession
         delta = self._count(batch_df)
         # the touched-bucket probe runs on the raw batch: the counter

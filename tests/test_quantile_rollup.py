@@ -81,3 +81,32 @@ def test_replay_and_empty_batch_skip(spark, tmp_path):
     q(_events(spark), 0)  # replayed id
     q(_events(spark).limit(0), 99)  # empty
     assert sorted(map(tuple, q.read_histograms(spark).collect())) == before
+
+
+def test_null_ts_rows_do_not_clobber_state(spark, tmp_path):
+    """A batch containing null-ts/null-value rows must not dynamic-
+    overwrite away previously accumulated state (the None bucket never
+    isin-matches, so unguarded it would replace the null partition with
+    just the delta), and an all-null batch is a no-op that still
+    advances the watermark."""
+    import pytest
+
+    q = _make(tmp_path, spark)
+    before = sorted(
+        q.read_histograms(spark).collect(),
+        key=lambda r: (str(r["bucket"]), str(r["event_type"]), r["bin"]),
+    )
+    nulls = spark.createDataFrame(
+        [(None, "page_view", 5.0), (None, "click", None)],
+        "ts timestamp, event_type string, value double",
+    )
+    q(nulls, 100)  # all rows null-ts/value: state untouched, batch marked
+    after = sorted(
+        q.read_histograms(spark).collect(),
+        key=lambda r: (str(r["bucket"]), str(r["event_type"]), r["bin"]),
+    )
+    assert after == before
+    assert q._watermark.is_applied(100)
+
+    with pytest.raises(ValueError):
+        q.read(spark, [])

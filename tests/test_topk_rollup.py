@@ -117,3 +117,28 @@ def test_read_topk_and_replay_skip(spark, tmp_path):
     before = sorted(map(tuple, out.collect()))
     top(events, 0)  # replayed batch id: skipped
     assert sorted(map(tuple, top.read(spark, k=5).collect())) == before
+
+
+def test_null_ts_rows_do_not_clobber_state(spark, tmp_path):
+    """Null-ts rows are dropped before bucketing: an all-null batch
+    leaves both the counter and error tables byte-identical instead of
+    dynamic-overwriting the null partition with only the delta."""
+    top = ContinuousTopK(
+        str(tmp_path / "top"), ts_col="ts", keys=["event_type"],
+        item_col="user_id", bucket="7 days", capacity=64,
+    )
+    _feed(top, _events(spark))
+
+    def snap(df):
+        return sorted([str(v) for v in r] for r in df.collect())
+
+    counters = snap(top.read_summaries(spark))
+    ranked = snap(top.read(spark, 5))
+    nulls = spark.createDataFrame(
+        [(None, "page_view", 7)],
+        "ts timestamp, event_type string, user_id bigint",
+    )
+    top(nulls, 100)
+    assert snap(top.read_summaries(spark)) == counters
+    assert snap(top.read(spark, 5)) == ranked
+    assert top._watermark.is_applied(100)

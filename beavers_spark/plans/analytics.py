@@ -272,3 +272,63 @@ def heavy_hitters_q(spark, sf_dir):
     return counts.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 10
     )
+
+
+@query(
+    "bucketed_quantile",
+    oracle="""
+    WITH hist AS (
+        SELECT time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01') AS bucket,
+               event_type,
+               CAST(least(greatest(floor(value / 5.0), 0), 199) AS INT) AS bin,
+               count(*) AS cnt
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT bucket, event_type, bin, cnt,
+               sum(cnt) OVER (
+                   PARTITION BY bucket, event_type ORDER BY bin
+               ) AS cum,
+               sum(cnt) OVER (PARTITION BY bucket, event_type) AS n
+        FROM hist
+    ),
+    qs(q) AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE)),
+    hits AS (
+        SELECT bucket, event_type, q, bin, cnt, cum, n,
+               row_number() OVER (
+                   PARTITION BY bucket, event_type, q ORDER BY bin
+               ) AS r
+        FROM cum CROSS JOIN qs
+        WHERE cum >= ceil(q * n)
+    )
+    SELECT bucket, event_type, q,
+           round((bin + (ceil(q * n) - (cum - cnt)) / cnt) * 5.0, 6) AS value
+    FROM hits WHERE r = 1
+    """,
+)
+def bucketed_quantile_q(spark, sf_dir):
+    """p50/p95/p99 of event value per (7-day bucket, event_type) off a
+    200-bin fixed-width histogram — the batch twin of
+    ``streaming.quantile_rollup.ContinuousQuantile``, sharing its
+    ``quantiles_from_histogram`` interpolation verbatim, so the
+    mergeable histogram-state math is oracle-pinned against DuckDB
+    computing the identical formula in SQL.
+
+    Plan: one map-side-combined count shuffle keyed on (bucket, type,
+    bin); the cumulative window sees histogram rows (groups × 200), not
+    raw events, at any corpus size."""
+    from beavers_spark.streaming.quantile_rollup import batch_quantile
+
+    return batch_quantile(
+        t(spark, sf_dir, "events"),
+        ts_col="ts",
+        keys=["event_type"],
+        value_col="value",
+        lo=0.0,
+        hi=1000.0,
+        n_bins=200,
+        bucket="7 days",
+        qs=[0.5, 0.95, 0.99],
+    )

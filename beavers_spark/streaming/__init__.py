@@ -39,6 +39,8 @@ from beavers_spark.streaming.maintenance import (  # noqa: F401
 )
 from beavers_spark.streaming.quantile_rollup import (  # noqa: F401
     ContinuousQuantile,
+    batch_quantile,
+    quantiles_from_histogram,
 )
 from beavers_spark.streaming.rollup import ContinuousRollup  # noqa: F401
 from beavers_spark.streaming.topk_rollup import ContinuousTopK  # noqa: F401

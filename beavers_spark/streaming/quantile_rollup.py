@@ -35,6 +35,64 @@ from pyspark.sql import functions as F
 from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 
+def quantiles_from_histogram(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile estimates off a fixed-bin histogram ``(*group_cols, bin,
+    cnt)``: one row per (*group_cols, q, value).
+
+    Standard histogram interpolation: find the bin where the cumulative
+    count crosses ``ceil(q * n)``, place the estimate inside it by the
+    overshoot fraction. All JVM-side window/agg — no UDFs. Shared by
+    ``ContinuousQuantile.read`` (incremental state) and
+    ``batch_quantile`` (one-shot), so the registered batch twin
+    oracle-pins exactly the math the streaming path serves.
+    """
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    totals = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
+        totals, list(group_cols)
+    )
+    out = None
+    for q in qs:
+        # first bin whose cumulative count reaches the q-th row
+        target = F.ceil(F.lit(q) * F.col("n"))
+        hit = (
+            cum.filter(F.col("cum") >= target)
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy(*group_cols).orderBy("bin")
+                ),
+            )
+            .filter(F.col("r") == 1)
+        )
+        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        est = hit.select(
+            *group_cols,
+            F.lit(float(q)).alias("q"),
+            F.round(
+                F.lit(lo) + (F.col("bin") + frac) * F.lit(width), 6
+            ).alias("value"),
+        )
+        out = est if out is None else out.unionByName(est)
+    return out
+
+
 class ContinuousQuantile:
     """Maintains per-(bucket, *keys) value histograms; quantiles on read.
 
@@ -156,53 +214,50 @@ class ContinuousQuantile:
         return spark.read.parquet(self.path)
 
     def read(self, spark: SparkSession, qs: list[float]) -> DataFrame:
-        """Quantile estimates: one row per (bucket, *keys, q).
+        """Quantile estimates: one row per (bucket, *keys, q). See
+        ``quantiles_from_histogram`` for the interpolation math."""
+        return quantiles_from_histogram(
+            spark.read.parquet(self.path),
+            ["bucket", *self.keys],
+            qs,
+            self.lo,
+            self.hi,
+            self.n_bins,
+        )
 
-        Standard histogram interpolation: find the bin where the
-        cumulative count crosses q * n, place the estimate inside it by
-        the overshoot fraction. All JVM-side window/agg — no UDFs.
-        """
-        if not qs:
-            raise ValueError("qs must name at least one quantile")
-        width = (self.hi - self.lo) / self.n_bins
-        hist = spark.read.parquet(self.path)
-        totals = hist.groupBy("bucket", *self.keys).agg(
-            F.sum("cnt").alias("n")
-        )
-        from pyspark.sql import Window
 
-        w = (
-            Window.partitionBy("bucket", *self.keys)
-            .orderBy("bin")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+def batch_quantile(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    bucket: str = "1 hour",
+    qs: list[float] = (0.5,),
+) -> DataFrame:
+    """One-shot twin of ``ContinuousQuantile``: bin the whole frame and
+    read quantiles off the histogram in a single plan — byte-identical
+    to feeding the same rows through the incremental state in any batch
+    split (bin counts add exactly). Registered as the ``bucketed_quantile``
+    oracle query so the histogram math is DuckDB-pinned, not just
+    pytest-pinned.
+
+    Plan shape: one map-side-combined count shuffle keyed on (bucket,
+    *keys, bin) — histogram rows, not raw rows, feed the cumulative
+    window, so the window input is groups × n_bins no matter the corpus
+    size.
+    """
+    helper = ContinuousQuantile.__new__(ContinuousQuantile)
+    helper.ts_col, helper.keys, helper.value_col = ts_col, keys, value_col
+    helper.lo, helper.hi, helper.n_bins = float(lo), float(hi), n_bins
+    helper.bucket = bucket
+    hist = helper._count(
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
         )
-        cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
-            totals, ["bucket", *self.keys]
-        )
-        out = None
-        for q in qs:
-            # first bin whose cumulative count reaches the q-th row
-            target = F.ceil(F.lit(q) * F.col("n"))
-            hit = (
-                cum.filter(F.col("cum") >= target)
-                .withColumn(
-                    "r",
-                    F.row_number().over(
-                        Window.partitionBy("bucket", *self.keys).orderBy("bin")
-                    ),
-                )
-                .filter(F.col("r") == 1)
-            )
-            frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
-            est = hit.select(
-                "bucket",
-                *self.keys,
-                F.lit(float(q)).alias("q"),
-                F.round(
-                    F.lit(self.lo)
-                    + (F.col("bin") + frac) * F.lit(width),
-                    6,
-                ).alias("value"),
-            )
-            out = est if out is None else out.unionByName(est)
-        return out
+    )
+    return quantiles_from_histogram(
+        hist, ["bucket", *keys], list(qs), float(lo), float(hi), n_bins
+    )

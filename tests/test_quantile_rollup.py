@@ -110,3 +110,26 @@ def test_null_ts_rows_do_not_clobber_state(spark, tmp_path):
 
     with pytest.raises(ValueError):
         q.read(spark, [])
+
+
+def test_batch_twin_equals_incremental_read(spark, tmp_path):
+    """batch_quantile over the whole frame == ContinuousQuantile fed the
+    same rows in four waves, for every served quantile — bin counts add
+    exactly, and both paths share quantiles_from_histogram."""
+    from beavers_spark.streaming import batch_quantile
+
+    q = _make(tmp_path, spark)
+    qs = [0.5, 0.95, 0.99]
+    inc = {
+        (str(r["bucket"]), r["event_type"], r["q"]): r["value"]
+        for r in q.read(spark, qs).collect()
+    }
+    batch = {
+        (str(r["bucket"]), r["event_type"], r["q"]): r["value"]
+        for r in batch_quantile(
+            _events(spark), ts_col="ts", keys=["event_type"],
+            value_col="value", lo=LO, hi=HI, n_bins=BINS,
+            bucket="7 days", qs=qs,
+        ).collect()
+    }
+    assert inc == batch and len(inc) > 0

@@ -297,6 +297,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"row_number"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
     ],
+    "bucketed_quantile": [
+        # histogram agg partial-combines map-side; the cumulative window
+        # sees histogram rows partitioned by (bucket, type) — never a
+        # global single-partition window over raw events
+        [r"partial_count", r"row_number"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
 }
 
 

@@ -33,8 +33,13 @@ topic of a unioned source (the reference pauses partitions,
 kafka.py:349-381), so a runaway-fast source costs held-buffer memory
 rather than broker fetches; ``held_count`` in ``metrics()`` is the
 backpressure signal — wire it to ``maxOffsetsPerTrigger`` sizing. For
-multi-day catch-ups, replace the in-memory hold with a parquet staging
-directory (same release predicate); the release logic is unchanged.
+multi-day catch-ups, pass ``staging_dir`` to hold rows in an
+hour-partitioned parquet directory instead: held volume is then bounded
+by disk, not executor memory, survives a driver restart, and every
+release reads ONLY the hour partitions at or below the low-water-mark
+(file-level pruning) — fully-released hours are dropped as whole
+directories and only the single boundary hour is ever rewritten. The
+release predicate and ordering are identical in both modes.
 """
 
 from __future__ import annotations
@@ -44,6 +49,8 @@ from collections.abc import Callable, Sequence
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from beavers_spark.streaming.maintenance import table_exists
 
 UTC_EPOCH = pd.Timestamp(0, tz="UTC")
 
@@ -64,6 +71,18 @@ class AlignedReleaseDriver:
     ``(ts_col, *order_tiebreak)``; slices are non-overlapping and their
     concatenation is the globally time-ordered stream up to the current
     low-water-mark.
+
+    With ``staging_dir`` set, held rows live in an hour-partitioned
+    parquet directory (reference ``max_held_messages`` bound,
+    kafka.py:296, traded for a disk bound — the multi-day-catch-up
+    mode). Released slices are eagerly materialized before staging
+    files are mutated, so ``on_release`` may consume them lazily.
+    Durability note: the staged rows survive a driver restart, but the
+    per-source progress marks are in-memory either way — after a
+    restart sources re-prime from their checkpointed offsets, which can
+    re-release staged rows; exactly-once delivery needs an idempotent
+    ``on_release`` (same contract as the in-memory mode's replay
+    window).
     """
 
     def __init__(
@@ -76,6 +95,7 @@ class AlignedReleaseDriver:
         order_tiebreak: Sequence[str] = (),
         progress_col: str | None = None,
         live_marks: dict[str, float] | None = None,
+        staging_dir: str | None = None,
     ) -> None:
         if not sources:
             raise ValueError("declare the expected sources up front")
@@ -86,12 +106,14 @@ class AlignedReleaseDriver:
         self.order_tiebreak = list(order_tiebreak)
         self.progress_col = progress_col
         self.live_marks = dict(live_marks or {})
+        self.staging_dir = staging_dir
         # a source nobody has heard from holds the watermark at epoch
         # (reference: _PartitionInfo.timestamp_ns = 0)
         self._max_ts: dict[str, pd.Timestamp] = {s: UTC_EPOCH for s in sources}
         self._progress: dict[str, float] = {s: float("-inf") for s in sources}
         self._held: DataFrame | None = None
         self._released = 0
+        self._spark = None  # captured on first batch (staging metrics)
 
     # -- liveness / watermark (reference kafka.py:231-245, 388-395) --------
 
@@ -121,6 +143,13 @@ class AlignedReleaseDriver:
         return lwm
 
     def metrics(self) -> dict[str, int]:
+        if self.staging_dir is not None:
+            held = 0
+            if self._spark is not None and table_exists(
+                self._spark, self.staging_dir
+            ):
+                held = self._spark.read.parquet(self.staging_dir).count()
+            return {"held_count": held, "released_count": self._released}
         held = 0 if self._held is None else self._held.count()
         return {"held_count": held, "released_count": self._released}
 
@@ -129,10 +158,9 @@ class AlignedReleaseDriver:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One cycle: admit the batch, advance per-source progress,
         release the time-ordered prefix up to the low-water-mark."""
-        cols = [self.source_col, self.ts_col, *self.order_tiebreak]
-        if self.progress_col:
-            cols.append(self.progress_col)
-        if not batch_df.isEmpty():
+        self._spark = batch_df.sparkSession
+        has_rows = not batch_df.isEmpty()
+        if has_rows:
             # per-source progress: one tiny agg, O(sources) rows
             aggs = [F.max(self.ts_col).alias("__ts")]
             if self.progress_col:
@@ -151,18 +179,26 @@ class AlignedReleaseDriver:
                     self._progress[src] = max(
                         self._progress[src], float(row["__prog"])
                     )
-            incoming = batch_df
+        if self.staging_dir is not None:
+            self._cycle_staged(batch_df, has_rows)
+        else:
+            self._cycle_memory(batch_df, has_rows)
+
+    def _order(self) -> list:
+        return [F.col(self.ts_col).asc()] + [
+            F.col(c).asc() for c in self.order_tiebreak
+        ]
+
+    def _cycle_memory(self, batch_df: DataFrame, has_rows: bool) -> None:
+        if has_rows:
             self._held = (
-                incoming
+                batch_df
                 if self._held is None
-                else self._held.unionByName(incoming)
+                else self._held.unionByName(batch_df)
             )
         if self._held is None or self._held.isEmpty():
             return
         lwm = self.low_water_mark()
-        order = [F.col(self.ts_col).asc()] + [
-            F.col(c).asc() for c in self.order_tiebreak
-        ]
         if lwm is None:
             to_release, remainder = self._held, None
         else:
@@ -173,7 +209,7 @@ class AlignedReleaseDriver:
             to_release = self._held.filter(released_pred)
             remainder = self._held.filter(~released_pred)
         if not to_release.isEmpty():
-            out = to_release.orderBy(*order)
+            out = to_release.orderBy(*self._order())
             self._released += out.count()
             self.on_release(out)
         # truncate lineage so the held plan does not deepen per cycle
@@ -182,3 +218,120 @@ class AlignedReleaseDriver:
             if remainder is None or remainder.isEmpty()
             else remainder.localCheckpoint(eager=True)
         )
+
+    # -- parquet staging mode ---------------------------------------------
+
+    #: partition column for the staging table. Must NOT start with "_" or
+    #: "." — Spark's file listing treats such directories as hidden and
+    #: the staged rows would be invisible to the release read.
+    _STAGE_COL = "stage_hour"
+
+    def _staged_exists(self) -> bool:
+        return table_exists(self._spark, self.staging_dir)
+
+    def _fs(self):
+        jvm = self._spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.staging_dir)
+        return root.getFileSystem(
+            self._spark._jsc.hadoopConfiguration()
+        ), jvm
+
+    def _delete_partitions(self, hours: list[str]) -> None:
+        fs, jvm = self._fs()
+        for h in hours:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{self.staging_dir.rstrip('/')}/{self._STAGE_COL}={h}"
+            )
+            fs.delete(p, True)
+
+    def _list_partitions(self) -> list[str]:
+        fs, jvm = self._fs()
+        root = jvm.org.apache.hadoop.fs.Path(self.staging_dir)
+        out = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if name.startswith(f"{self._STAGE_COL}="):
+                out.append(name.split("=", 1)[1])
+        return sorted(out)
+
+    def _cycle_staged(self, batch_df: DataFrame, has_rows: bool) -> None:
+        """The staged twin of ``_cycle_memory``: identical release
+        predicate, held rows in an hour-partitioned parquet directory.
+
+        Per cycle: at most one partitioned append (the incoming batch),
+        one file-pruned read of the hour partitions at or below the
+        low-water-mark, whole-directory drops for fully-released hours,
+        and a rewrite of ONLY the boundary hour's remainder. Hours above
+        the mark are never opened. Once all sources are live and the
+        backlog has drained, batches flow through with zero staging IO.
+        """
+        lwm = self.low_water_mark()
+        staged = self._staged_exists()
+        if lwm is None and not staged:
+            # fully live, nothing held: release directly, no IO
+            if has_rows:
+                out = batch_df.orderBy(*self._order())
+                self._released += out.count()
+                self.on_release(out)
+            return
+        if has_rows:
+            (
+                batch_df.withColumn(
+                    self._STAGE_COL,
+                    F.date_format(F.col(self.ts_col), "yyyyMMddHH"),
+                )
+                .repartition(F.col(self._STAGE_COL))
+                .write.mode("append")
+                .partitionBy(self._STAGE_COL)
+                .parquet(self.staging_dir)
+            )
+            staged = True
+        if not staged:
+            return
+        held = self._spark.read.parquet(self.staging_dir)
+        if lwm is None:
+            # drain everything, then drop the staging table wholesale
+            out = (
+                held.drop(self._STAGE_COL)
+                .orderBy(*self._order())
+                .localCheckpoint(eager=True)
+            )
+            n = out.count()
+            self._delete_partitions(self._list_partitions())
+            if n:
+                self._released += n
+                self.on_release(out)
+            return
+        naive = lwm.tz_convert("UTC").tz_localize(None)
+        boundary = naive.strftime("%Y%m%d%H")
+        # partition-pruned: only hours <= the low-water-mark hour open
+        candidates = held.filter(F.col(self._STAGE_COL) <= boundary)
+        out = (
+            candidates.filter(F.col(self.ts_col) <= F.lit(naive))
+            .drop(self._STAGE_COL)
+            .orderBy(*self._order())
+            .localCheckpoint(eager=True)
+        )
+        # the boundary hour may straddle the mark: keep its tail
+        rest = (
+            held.filter(
+                (F.col(self._STAGE_COL) == boundary)
+                & (F.col(self.ts_col) > F.lit(naive))
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = out.count()
+        released_hours = [
+            h for h in self._list_partitions() if h <= boundary
+        ]
+        self._delete_partitions(released_hours)
+        if not rest.isEmpty():
+            (
+                rest.repartition(F.col(self._STAGE_COL))
+                .write.mode("append")
+                .partitionBy(self._STAGE_COL)
+                .parquet(self.staging_dir)
+            )
+        if n:
+            self._released += n
+            self.on_release(out)

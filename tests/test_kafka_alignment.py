@@ -26,8 +26,11 @@ def _msg(source: str, ms_from_cutoff: int, value: str, offset: int):
     return (source, ts.to_pydatetime(), offset, value)
 
 
-@pytest.fixture()
-def driver_and_log(spark):
+@pytest.fixture(params=["memory", "staged"])
+def driver_and_log(spark, request, tmp_path):
+    """Both hold-buffer modes run the identical reference scenario: the
+    in-memory DataFrame hold and the parquet staging-directory hold
+    (multi-day catch-up mode) must be behaviorally indistinguishable."""
     released: list[list[str]] = []
 
     def capture(df):
@@ -43,6 +46,9 @@ def driver_and_log(spark):
         progress_col="offset",
         # startup high-water offsets (reference watermark_offsets ends)
         live_marks={"a:0": 11, "a:1": 22, "b:0": 32, "c:0": 43},
+        staging_dir=(
+            str(tmp_path / "staging") if request.param == "staged" else None
+        ),
     )
     return driver, released
 
@@ -167,3 +173,48 @@ def test_alignment_through_streaming_union(spark, tmp_path):
     )
     assert len(released) == 32
     assert order_check == sorted(order_check)
+
+
+def test_staged_hold_survives_driver_restart(spark, tmp_path):
+    """Staged mode's durability claim: rows held in the parquet staging
+    directory by one driver instance are released by a NEW instance
+    (fresh in-memory progress) once its low-water-mark passes them."""
+    staging = str(tmp_path / "staging")
+
+    def make(released):
+        return AlignedReleaseDriver(
+            source_col="source",
+            ts_col="ts",
+            cutoff=CUTOFF,
+            sources=["x", "y"],
+            on_release=lambda df: released.extend(
+                r.value for r in df.collect()
+            ),
+            order_tiebreak=["offset"],
+            staging_dir=staging,
+        )
+
+    first: list[str] = []
+    d1 = make(first)
+    # only x heard from: A1/A2 staged, nothing released
+    d1.process_batch(
+        spark.createDataFrame(
+            [_msg("x", -200, "A1", 0), _msg("x", -150, "A2", 1)], SCHEMA
+        ),
+        0,
+    )
+    assert first == [] and d1.metrics()["held_count"] == 2
+
+    second: list[str] = []
+    d2 = make(second)  # "restart": fresh progress marks, same staging dir
+    assert d2.metrics()["held_count"] == 0  # no session captured yet
+    # y catches up past A1/A2: the restarted driver releases the staged
+    # rows interleaved with the new batch, in global event-time order
+    d2.process_batch(
+        spark.createDataFrame(
+            [_msg("x", -100, "A3", 2), _msg("y", -120, "B1", 0)], SCHEMA
+        ),
+        0,
+    )
+    assert second == ["A1", "A2", "B1"]
+    assert d2.metrics()["held_count"] == 1  # A3 (-100) still held

@@ -167,6 +167,129 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < thresh)
 
 
+def word_chunks(text: Column, k: int = 10) -> Column:
+    """Fixed-``k``-word segments of ``text`` (last partial segment kept):
+    the segmentation unit for substring-granularity dedup on corpora
+    without paragraph structure. Pure projection — the fan-out to
+    segments stays inside the scan stage."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    # guard: sequence(0, -1) would COUNT DOWN for an empty token list
+    return F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i * k + 1).cast("int"), F.lit(k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_dedup(
+    df: DataFrame, text_col: str, id_col: str, k: int = 10
+) -> DataFrame:
+    """Substring-granularity exact dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" step, at chunk rather
+    than suffix-array granularity): every ``k``-word segment of the
+    corpus is kept exactly once — at its first occurrence in (doc, pos)
+    order — and each document is reassembled from its surviving
+    segments.
+
+    Emits ``(doc_id, clean_text, n_kept, n_chunks)`` for docs with at
+    least one surviving segment; a doc whose every segment already
+    appeared elsewhere disappears entirely (it contributes no novel
+    text).
+
+    Scale shape: segments explode inside the scan stage; ownership is
+    one groupBy on the segment's 60-bit content hash (never the segment
+    string — the shuffle moves 16 bytes per occurrence, not the text),
+    an equi-join back on that hash, and one doc-keyed shuffle to
+    reassemble. No windows, no driver state; hot segments (boilerplate
+    repeated millions of times) are single aggregation keys whose
+    groups reduce map-side.
+    """
+    # owner key packs (doc_id, idx) so min() picks the first occurrence
+    # in document order; idx < 1e5 holds for any document under 1M words
+    segs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_chunks(F.col(text_col), k)).alias("idx", "chunk"),
+    ).withColumn("h", md5_hash64(F.col("chunk")))
+    occ = F.col("doc_id") * 100_000 + F.col("idx")
+    owners = (
+        segs.groupBy("h").agg(F.min(occ).alias("owner")).withColumnRenamed(
+            "h", "oh"
+        )
+    )
+    kept = segs.join(
+        owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(totals, "doc_id")
+        .select("doc_id", "clean_text", "n_kept", "n_chunks")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    length_col: str,
+    weights: dict[str, float],
+    budget: int,
+    default_weight: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Sample the corpus down to a token ``budget`` split across sources
+    by ``weights``: source ``s`` keeps rate ``min(1, budget*w_s /
+    tokens_s)`` of its documents, selected by the deterministic id-hash
+    buckets of ``sampling.deterministic_sample`` — the mixture step that
+    turns "2T tokens, 30% web / 30% code / 40% books" into a concrete
+    reproducible document set.
+
+    Scale shape: per-source token totals are one partially-aggregated
+    groupBy collapsing to rows = |sources| (a dimension, not data);
+    they join back as a broadcast and the keep decision is a scan-level
+    filter. No corpus-keyed shuffle at all.
+    """
+    totals = df.groupBy(source_col).agg(
+        F.sum(length_col).alias("__tot")
+    )
+    w = None
+    for name, weight in weights.items():
+        cond = F.col(source_col) == name
+        w = F.when(cond, weight) if w is None else w.when(cond, weight)
+    w = (
+        F.lit(default_weight)
+        if w is None
+        else w.otherwise(F.lit(default_weight))
+    )
+    rates = totals.withColumn(
+        "__rate",
+        F.least(F.lit(1.0), F.lit(budget) * w / F.col("__tot")),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            hash_bucket(F.col(id_col), salt)
+            < F.floor(F.col("__rate") * BUCKETS)
+        )
+        .drop("__tot", "__rate")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -77,6 +77,49 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document average token log-probability under the corpus's own
+    unigram language model — the CCNet-style perplexity-proxy quality
+    signal (documents of improbable tokens score low; head/middle/tail
+    buckets fall out of thresholding the score).
+
+    Emits ``(doc_id, avg_logp, n_toks)`` with ``avg_logp = Σ tf·ln(c/T)
+    / Σ tf`` rounded to 6 dp.
+
+    Plan shape: one corpus-keyed shuffle for per-doc term frequencies,
+    one vocabulary-keyed shuffle for global term counts, a
+    vocabulary-sized equi-join back (AQE broadcasts the count table
+    when it fits), and the corpus total as a 1-row broadcast crossJoin.
+    Scoring 100 TB costs the same two shuffles as TF-IDF — the model IS
+    the aggregation, no driver-side fit.
+    """
+    tf = (
+        doc_terms(docs, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    return (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("c") / F.col("total").cast("double"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logp"),
+            F.sum("tf").alias("n_toks"),
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame, text_col: str, id_col: str, k: int = 100
 ) -> DataFrame:

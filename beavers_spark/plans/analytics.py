@@ -17,7 +17,11 @@ from beavers_spark.functions.embeddings import (
     embedding_outliers,
     label_centroids,
 )
-from beavers_spark.functions.terms import tfidf_top_terms, vocab_coverage
+from beavers_spark.functions.terms import (
+    tfidf_top_terms,
+    unigram_logprob,
+    vocab_coverage,
+)
 from beavers_spark.functions.text import (
     PII_PATTERNS,
     STOPWORDS,
@@ -169,6 +173,30 @@ def vocab_coverage_q(spark, sf_dir):
     return vocab_coverage(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=100
     )
+
+
+@query(
+    "unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+    tot AS (SELECT sum(c) AS total FROM cnt)
+    SELECT doc_id,
+           round(sum(tf * ln(c / total::DOUBLE)) / sum(tf), 6) AS avg_logp,
+           sum(tf)::BIGINT AS n_toks
+    FROM tf JOIN cnt USING (term), tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality score: per-doc average token
+    log-probability under the corpus's own unigram LM. Two shuffles
+    (doc-term counts; vocabulary counts) + a vocabulary-sized join —
+    the model IS the aggregation, no driver-side fit at any scale."""
+    return unigram_logprob(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 # Zipped unnest: DuckDB zips multiple unnests in one SELECT, giving the

@@ -13,12 +13,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.curation import (
+    chunk_dedup,
     corpus_shuffle,
     decontaminate,
     domain_cap,
     pack_sequences,
     repetition_ratio,
     stratified_sample,
+    token_budget_mix,
 )
 from beavers_spark.plans.common import t
 from beavers_spark.plans.registry import query
@@ -149,6 +151,93 @@ def repetition_quality(spark, sf_dir):
     return docs.select(
         "doc_id", repetition_ratio(F.col("text"), n=3).alias("rep_ratio")
     )
+
+
+@query(
+    "chunk_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, """ + _SQL_TOKS + """ AS tk FROM documents),
+    ch AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, CAST(ceil(len(tk) / 10.0) AS INT)),
+                   i -> array_to_string(tk[((i-1)*10+1):((i-1)*10+10)], ' ')
+               ) AS chunks
+        FROM toks
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(chunks))) - 1 AS idx,
+               unnest(chunks) AS chunk
+        FROM ch
+    ),
+    owners AS (
+        SELECT chunk, min(doc_id * 100000 + idx) AS owner
+        FROM occ GROUP BY 1
+    ),
+    kept AS (
+        SELECT o.doc_id, o.idx, o.chunk
+        FROM occ o JOIN owners w
+          ON o.chunk = w.chunk AND o.doc_id * 100000 + o.idx = w.owner
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY 1)
+    SELECT k.doc_id,
+           string_agg(k.chunk, ' ' ORDER BY k.idx) AS clean_text,
+           count(*)::BIGINT AS n_kept,
+           any_value(t.n_chunks)::BIGINT AS n_chunks
+    FROM kept k JOIN totals t USING (doc_id)
+    GROUP BY k.doc_id
+    """,
+)
+def chunk_dedup_q(spark, sf_dir):
+    """Substring-granularity exact dedup (Lee et al. flavor): every
+    10-word segment kept once at its first (doc, pos) occurrence, docs
+    reassembled from surviving segments. Ownership is one groupBy on
+    the segment's 60-bit content hash (16 bytes/occurrence on the
+    wire, never the text), an equi-join back, one doc-keyed
+    reassembly shuffle — no windows, no driver state."""
+    return chunk_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=10
+    )
+
+
+_MIX_WEIGHTS = {"src1": 2.0, "src3": 0.5}
+
+
+@query(
+    "token_budget_mix",
+    oracle=f"""
+    WITH totals AS (
+        SELECT source, sum(n_chars) AS tot FROM documents GROUP BY 1
+    ),
+    rates AS (
+        SELECT source,
+               least(1.0, 4000 * (CASE source WHEN 'src1' THEN 2.0
+                                   WHEN 'src3' THEN 0.5 ELSE 1.0 END)
+                     / tot) AS rate
+        FROM totals
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_sql_hash64("d.doc_id::VARCHAR")} % 10000 < floor(r.rate * 10000)
+    """,
+)
+def token_budget_mix_q(spark, sf_dir):
+    """Mixture-to-budget sampling: each source keeps rate
+    ``min(1, budget·w_s / tokens_s)`` of its docs (n_chars standing in
+    for tokens), selected by the deterministic id-hash buckets. The
+    per-source totals collapse to |sources| rows (a dimension) and
+    broadcast back; the keep decision is a scan-level filter — zero
+    corpus-keyed shuffle at any scale."""
+    return token_budget_mix(
+        t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        "n_chars",
+        weights=_MIX_WEIGHTS,
+        budget=4000,
+        default_weight=1.0,
+    ).select("doc_id", "source")
 
 
 _STRATA_RATES = {"en": 0.5, "fr": 1.0, "de": 1.0, "es": 0.8, "zh": 0.8}

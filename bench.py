@@ -56,6 +56,17 @@ HEADLINE = [
     "ann_lsh_topk",
 ]
 
+#: newest analytics/sketch-twin plans (VERDICT r3 item 8) — timed the
+#: same way as HEADLINE but kept out of ``batch_value`` so that subtotal
+#: stays comparable to BENCH_r01's 28-query set
+ANALYTICS = [
+    "vocab_coverage",
+    "label_centroids",
+    "embedding_outliers",
+    "heavy_hitters",
+    "bucketed_quantile",
+]
+
 
 #: waves per incremental-state scenario — each wave is one foreachBatch
 #: call, so a scenario measures N state merges, not one bulk load
@@ -169,7 +180,8 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     cold_total = 0.0
-    for name in HEADLINE:
+    batch_total = 0.0
+    for name in HEADLINE + ANALYTICS:
         fn = QUERIES[name]
         times = []
         for _ in range(3):
@@ -180,12 +192,13 @@ def main() -> None:
         per_query[name] = round(warm, 3)
         total += warm
         cold_total += cold
+        if name in HEADLINE:
+            # the 28 stateless queries — comparable r1<->rN
+            batch_total += warm
         print(
             f"# {name}: {warm:.3f}s warm / {cold:.3f}s cold ({n} rows)",
             file=sys.stderr,
         )
-
-    batch_total = total  # the 28 stateless queries — comparable r1<->rN
     import gc
 
     for name, scenario in INCREMENTAL:

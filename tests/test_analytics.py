@@ -162,3 +162,22 @@ def test_embedding_outliers_flags_mislabeled(spark):
     top = out.collect()
     assert len(top) == 1 and top[0].vec_id == 99 and top[0].rk == 1
     assert top[0].cos_sim < 0
+
+
+def test_unigram_logprob_orders_rare_docs_lower(spark):
+    import math
+
+    from beavers_spark.functions.terms import unigram_logprob
+
+    # corpus: "the" dominates; doc 3 is all rare tokens -> lowest score
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the the cat"), (3, "qq zz")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    assert out[1].n_toks == 4 and out[3].n_toks == 2
+    assert out[3].avg_logp < out[2].avg_logp < out[1].avg_logp
+    # hand-check doc 1: p(the) = 6/9
+    assert abs(out[1].avg_logp - round(math.log(6 / 9), 6)) < 1e-6
+    # hand-check doc 3: both tokens unique -> ln(1/9)
+    assert abs(out[3].avg_logp - round(math.log(1 / 9), 6)) < 1e-6

@@ -113,3 +113,84 @@ def test_pack_sequences_layout_invariants(spark):
     # deterministic under repartitioning
     again = pack_sequences(df.repartition(13), "doc_id", "length", capacity, n_streams, seed="t")
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_word_chunks_segments_and_edges(spark):
+    from beavers_spark.functions.curation import word_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.ch
+        for r in df.select(
+            "doc_id", word_chunks(F.col("text"), k=2).alias("ch")
+        ).collect()
+    }
+    assert out[1] == ["a b", "c d", "e"]  # last partial chunk kept
+    assert out[2] == ["x"]
+    assert out[3] == []  # empty text -> no chunks, not a descending sequence
+
+
+def test_chunk_dedup_keeps_first_occurrence_only(spark):
+    from beavers_spark.functions.curation import chunk_dedup
+
+    # doc 1 owns "a b"; doc 2 repeats it (dropped) but contributes "c d";
+    # doc 3 is entirely duplicate material -> disappears
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chunk_dedup(df, "text", "doc_id", k=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].clean_text == "a b" and out[1].n_kept == 1 and out[1].n_chunks == 1
+    assert out[2].clean_text == "c d" and out[2].n_kept == 1 and out[2].n_chunks == 2
+
+
+def test_chunk_dedup_within_doc_repeat_and_determinism(spark):
+    from beavers_spark.functions.curation import chunk_dedup
+
+    # the same chunk repeated INSIDE one doc dedups to its first position
+    df = spark.createDataFrame(
+        [(7, "a b a b c d"), (9, "c d")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_dedup(df, "text", "doc_id", k=2).collect()}
+    assert out[7].clean_text == "a b c d" and out[7].n_kept == 2 and out[7].n_chunks == 3
+    assert 9 not in out  # doc 7 (earlier occurrence key) owns "c d"
+    again = {
+        r.doc_id: r.clean_text
+        for r in chunk_dedup(
+            df.repartition(5), "text", "doc_id", k=2
+        ).collect()
+    }
+    assert again == {k: v.clean_text for k, v in out.items()}
+
+
+def test_token_budget_mix_rates_and_cap(spark):
+    from beavers_spark.functions.curation import token_budget_mix
+
+    rows = [(i, "big" if i < 400 else "small", 100) for i in range(420)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # budget 4000: "big" has 40k tokens -> rate 0.1; "small" 2k -> capped at 1.0
+    out = token_budget_mix(
+        df, "source", "doc_id", "n_chars", weights={}, budget=4000,
+        default_weight=1.0,
+    )
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 20  # rate 1.0 keeps everything
+    assert 20 <= counts["big"] <= 60  # ~10% of 400, hash-bucket variance
+    # weight 0 (default for unlisted sources) drops a source entirely
+    none = token_budget_mix(
+        df, "source", "doc_id", "n_chars", weights={"small": 1.0}, budget=4000
+    )
+    assert {r.source for r in none.select("source").distinct().collect()} == {"small"}
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in token_budget_mix(
+            df.repartition(11), "source", "doc_id", "n_chars",
+            weights={}, budget=4000, default_weight=1.0,
+        ).collect()
+    )
+    assert a == b

@@ -189,10 +189,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
     "semantic_dedup": [
-        # SemDeDup: within-cell pairs via equi-join on the cell id (both
-        # the centroid broadcast and the pairwise stage), keeper election
-        # via one window — never a cross product over the corpus
-        [r"Join \[cell", r"row_number"],
+        # SemDeDup keeper election via one window; the within-cell pair
+        # stage (equi-join on the cell id) executes EAGERLY inside
+        # connected_components' sized probe, so it no longer appears in
+        # the returned plan — its shape is pinned by
+        # tests/test_semdedup.py instead. The final plan must still be
+        # cross-product-free.
+        [r"row_number"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
     "winnow_near_dup": [
@@ -297,6 +300,26 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"row_number"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
     ],
+    "chunk_dedup": [
+        # segment ownership = partial-combined min on the 60-bit chunk
+        # hash (16 bytes/occurrence on the wire, never the text); no
+        # windows, no Python, no cross join
+        [r"partial_min", r"Generate posexplode"],
+        [r"CartesianProduct", r"BatchEvalPython", r"Window"],
+    ],
+    "token_budget_mix": [
+        # per-source totals broadcast back; the keep decision is a
+        # scan-level filter — zero corpus-keyed shuffle
+        [r"BroadcastHashJoin", r"PushedFilters"],
+        [r"Exchange hashpartitioning\(doc_id", r"CartesianProduct",
+         r"BatchEvalPython"],
+    ],
+    "unigram_logprob": [
+        # doc-term + vocab sums partial-combine; the only cross shape is
+        # the whitelisted 1-row corpus-total broadcast
+        [r"partial_count", r"partial_sum"],
+        [r"CartesianProduct", r"BatchEvalPython", r"Window"],
+    ],
     "bucketed_quantile": [
         # histogram agg partial-combines map-side; the cumulative window
         # sees histogram rows partitioned by (bucket, type) — never a
@@ -351,6 +374,7 @@ def main() -> int:
         "tpch_q22",             # 1-row broadcast avg(acctbal)
         "tfidf_top_terms",      # 1-row broadcast corpus size N
         "vocab_coverage",       # 1-row broadcast total token count
+        "unigram_logprob",      # 1-row broadcast corpus total token count
     }
     blanket_failures = 0
     for name, fn in QUERIES.items():

@@ -371,3 +371,167 @@ def lsh_bucketed_topk(
         )
     )
     return scored.withColumn("rnk", w).filter(F.col("rnk") <= k)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 8,
+    seed: int = 7,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring and an
+    exact refine — the compressed-scan scale path (IVF's complement: IVF
+    prunes WHICH vectors are scored, PQ shrinks WHAT a scoring scan
+    reads).
+
+    1. *Train*: ``m`` sub-quantizers of ``2^nbits`` centroids each on the
+       bounded deterministic sample (``vectorized.train_pq``).
+    2. *Encode*: one Arrow-vectorized pass maps each corpus vector to
+       ``m`` small ints — at 1024-dim float32 that is 4 KiB → ``m``
+       bytes per vector, so the ANN scan reads ~3 orders of magnitude
+       less than the raw embedding column.
+    3. *ADC scan*: query sub-vector × sub-centroid lookup tables are
+       built driver-side (queries are a bounded operand of the search,
+       capped at ``max_queries``; for corpus-scale query sets use
+       ``lsh_bucketed_topk``/``ivf_topk``) and closed over a
+       ``mapInPandas`` pass: per Arrow batch one LUT gather scores ALL
+       queries, and each PARTITION emits only its local top
+       ``refine·k`` per query — rows leaving the scan are
+       O(partitions · |Q| · refine·k), never O(corpus).
+    4. *Refine*: the candidate union is exact-cosine reranked against
+       the ORIGINAL vectors, fetched for candidate ids only via a
+       broadcast join; top-``k`` per query by (rounded sim, id).
+
+    Approx cosine uses the reconstruction q·x̂ / (|q|·|x̂|) with |x̂|
+    from the per-subspace centroid norms (subspaces are an orthogonal
+    decomposition, so |x̂|² = Σ_j |c_j|²). The exact refine makes the
+    emitted similarities exact; PQ resolution only decides which
+    candidates reach the rerank — recall is gated by ``ann_pq_recall``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import pq_encode, train_pq
+
+    q_rows = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk query set exceeds max_queries={max_queries}; "
+            "use lsh_bucketed_topk/ivf_topk for corpus-scale query sets"
+        )
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rnk int"
+        )
+    qids = [r["query_id"] for r in q_rows]
+    qmat = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+
+    codebooks = train_pq(corpus, vec_col, m=m, nbits=nbits, seed=seed)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    n_codes = max(b.shape[0] for b in books)
+    # luts[qi, j, c] = q_sub_j . cb_j[c]; nlut[j, c] = |cb_j[c]|^2
+    luts = np.zeros((len(qids), m, n_codes))
+    nlut = np.zeros((m, n_codes))
+    for j, cb in enumerate(books):
+        luts[:, j, : cb.shape[0]] = qmat[:, j * sub : (j + 1) * sub] @ cb.T
+        nlut[j, : cb.shape[0]] = (cb * cb).sum(1)
+    r_keep = refine * k
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    jj = np.arange(m)
+
+    def _partition_topr(it):
+        best: list[pd.DataFrame] = []
+        for pdf in it:
+            if pdf.empty:
+                continue
+            codes = np.vstack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            dots = luts[:, jj[None, :], codes].sum(2)  # (Q, n)
+            recon = np.sqrt(np.maximum(nlut[jj[None, :], codes].sum(1), 1e-30))
+            sims = dots / (qn[:, None] * recon[None, :])  # (Q, n)
+            chunk = []
+            for qi in range(len(qid_arr)):
+                s = sims[qi]
+                nloc = len(ids)
+                if nloc > r_keep:
+                    part = np.argpartition(-s, r_keep)[:r_keep]
+                else:
+                    part = np.arange(nloc)
+                chunk.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid_arr[qi],
+                            "neighbor_id": ids[part],
+                            "approx_sim": s[part],
+                        }
+                    )
+                )
+            best.append(pd.concat(chunk, ignore_index=True))
+            # per-partition reduction: keep only the running top-r per
+            # query so the worker holds O(|Q|·r), not the partition
+            if len(best) >= 8:
+                best = [_reduce_topr(best)]
+        if best:
+            yield _reduce_topr(best)
+
+    def _reduce_topr(frames: list[pd.DataFrame]) -> pd.DataFrame:
+        allf = pd.concat(frames, ignore_index=True)
+        allf = allf.sort_values(
+            ["query_id", "approx_sim", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        return allf.groupby("query_id", sort=False).head(r_keep)
+
+    codes_df = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        pq_encode(F.col(vec_col), codebooks).alias("code"),
+    )
+    cand = (
+        codes_df.mapInPandas(
+            _partition_topr,
+            "query_id long, neighbor_id long, approx_sim double",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_df = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c_df = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    # candidates are O(partitions · |Q| · r): broadcast them into the
+    # corpus scan so the vector fetch prunes to candidate ids only
+    scored = (
+        c_df.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q_df), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
+        )
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+    )
+    return scored.withColumn("rnk", w).filter(F.col("rnk") <= k)

@@ -40,33 +40,12 @@ def _stack(v: pd.Series) -> np.ndarray:
 MAX_TRAIN_ROWS = 16384
 
 
-def train_quantizer(
-    df, vec_col: str, n_cells: int, seed: int = 7, max_rows: int = MAX_TRAIN_ROWS
-) -> list[list[float]]:
-    """Coarse k-means centroids from a bounded sample of ``df[vec_col]``.
-
-    Seeded driver-side Lloyd's with k-means++ init: one bounded collect
-    plus microseconds of numpy per iteration, where an MLlib fit costs
-    ~2s of per-iteration job scheduling for a 16-cell quantizer.
-    Deterministic for a given seed, so assignments are reproducible.
-    """
-    # hash-ordered limit = a deterministic pseudo-random sample, not a
-    # corpus PREFIX: a bare limit() takes the first files' rows, and on
-    # data clustered by label/ingest-time the centroids would cover one
-    # region of the space. orderBy+limit compiles to TakeOrderedAndProject
-    # (per-partition heaps, no global sort shuffle).
-    rows = (
-        df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("v"), F.lit(seed)))
-        .limit(max_rows)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("cannot train a quantizer on an empty input")
-    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+def _kmeans(x: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd's with k-means++ init over an in-memory sample —
+    microseconds per iteration, deterministic for a given seed."""
     rng = np.random.default_rng(seed)
     n = len(x)
-    k = min(n_cells, n)
+    k = min(k, n)
     x_sq = (x * x).sum(1)
 
     def dists(c):  # (n, k) squared L2 via the dot-product identity
@@ -88,7 +67,105 @@ def train_quantizer(
         if np.allclose(new, cents):
             break
         cents = new
-    return cents.tolist()
+    return cents
+
+
+def _train_sample(df, vec_col: str, seed: int, max_rows: int) -> np.ndarray:
+    """Bounded deterministic sample of ``df[vec_col]`` as a (n, dim)
+    float64 matrix.
+
+    Hash-ordered limit = a deterministic pseudo-random sample, not a
+    corpus PREFIX: a bare limit() takes the first files' rows, and on
+    data clustered by label/ingest-time the centroids would cover one
+    region of the space. orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no global sort shuffle).
+    """
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v"), F.lit(seed)))
+        .limit(max_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train a quantizer on an empty input")
+    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+
+
+def train_quantizer(
+    df, vec_col: str, n_cells: int, seed: int = 7, max_rows: int = MAX_TRAIN_ROWS
+) -> list[list[float]]:
+    """Coarse k-means centroids from a bounded sample of ``df[vec_col]``.
+
+    Seeded driver-side Lloyd's with k-means++ init: one bounded collect
+    plus microseconds of numpy per iteration, where an MLlib fit costs
+    ~2s of per-iteration job scheduling for a 16-cell quantizer.
+    Deterministic for a given seed, so assignments are reproducible.
+    """
+    return _kmeans(_train_sample(df, vec_col, seed, max_rows), n_cells, seed).tolist()
+
+
+def train_pq(
+    df,
+    vec_col: str,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 7,
+    max_rows: int = MAX_TRAIN_ROWS,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: ``m`` sub-quantizers of ``2^nbits``
+    centroids each, trained on the same bounded deterministic sample as
+    :func:`train_quantizer` (faiss trains PQ on a sample too). The vector
+    dimension must divide evenly into ``m`` subspaces.
+
+    Returns ``codebooks[sub][code] -> sub-centroid`` (length dim/m).
+    """
+    x = _train_sample(df, vec_col, seed, max_rows)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    return [
+        _kmeans(
+            np.ascontiguousarray(x[:, j * sub : (j + 1) * sub]),
+            1 << nbits,
+            seed + j,
+        ).tolist()
+        for j in range(m)
+    ]
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of ``m`` PQ codes: per subspace, the L2-nearest
+    sub-centroid's index (ties to the lower code — stable argmin). One
+    numpy pass per Arrow batch; the encoded row is ``m`` small ints
+    (codes) instead of ``dim`` floats — the 100 TB rationale: a 1024-dim
+    float32 corpus (4 KiB/vector) compresses to ``m`` bytes/vector, so
+    the scan feeding ANN scoring shrinks by ~2-3 orders of magnitude.
+    """
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    def _build():
+        @F.pandas_udf("array<int>")
+        def _codes(v: pd.Series) -> pd.Series:
+            if v.empty:
+                return pd.Series([], dtype=object)
+            mat = _stack(v)  # (n, dim)
+            out = np.empty((len(mat), len(books)), dtype=np.int32)
+            for j, cb in enumerate(books):
+                blk = mat[:, j * sub : (j + 1) * sub]  # (n, sub)
+                d = (
+                    (blk * blk).sum(1)[:, None]
+                    - 2.0 * (blk @ cb.T)
+                    + (cb * cb).sum(1)[None, :]
+                )
+                out[:, j] = d.argmin(1)  # np.argmin: first (lowest) index wins ties
+            return pd.Series(list(out))
+
+        return _codes
+
+    key = ("pq_enc", tuple(_freeze(b) for b in codebooks))
+    return _cached_udf(key, _build)(vec)
 
 
 #: pandas-UDF cache: registering a pandas_udf costs py4j round-trips and

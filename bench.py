@@ -65,6 +65,10 @@ ANALYTICS = [
     "embedding_outliers",
     "heavy_hitters",
     "bucketed_quantile",
+    "chunk_dedup",
+    "token_budget_mix",
+    "unigram_logprob",
+    "ann_pq_topk",
 ]
 
 

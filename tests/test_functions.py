@@ -264,3 +264,66 @@ def test_apply_dedup_keeps_canonical_members(spark, docs):
         r.doc_id for r in apply_dedup(docs, clusters, "doc_id").collect()
     )
     assert kept == [1, 4]
+
+
+def test_pq_encode_roundtrip_properties(spark):
+    import numpy as np
+
+    from beavers_spark.functions.vectorized import pq_encode, train_pq
+
+    # two tight clusters per subspace: codes must separate them
+    rows = [(i, [float(i % 2)] * 8) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq(df, "embedding", m=4, nbits=2, seed=1)
+    assert len(books) == 4 and all(len(b) <= 4 for b in books)
+    codes = {
+        r.vec_id: tuple(r.code)
+        for r in df.select(
+            "vec_id", pq_encode(F.col("embedding"), books).alias("code")
+        ).collect()
+    }
+    evens = {codes[i] for i in range(0, 64, 2)}
+    odds = {codes[i] for i in range(1, 64, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    # reconstruction of a cluster member is (near-)exact: centroids sit
+    # on the cluster points themselves
+    code = next(iter(evens))
+    recon = np.concatenate([np.asarray(books[j][code[j]]) for j in range(4)])
+    assert np.allclose(recon, 0.0, atol=1e-9)
+
+
+def test_pq_topk_recall_and_refine_exactness(spark, embeddings):
+    from beavers_spark.functions.similarity import pq_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, embeddings, "vec_id", "vec_id", k=10).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx = pq_topk(
+        queries, embeddings, "vec_id", "vec_id", k=10, m=8, nbits=4, refine=8
+    ).collect()
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.5
+    # emitted similarities are EXACT (refine stage), so any overlapping
+    # (query, neighbor) pair must carry the identical rounded sim
+    exact_sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert abs(r.sim - exact_sims[(r.query_id, r.neighbor_id)]) < 1e-9
+    # ranked output shape
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert len(rows) <= 10
+        sims = [r.sim for r in sorted(rows, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_pq_topk_caps_query_set(spark, embeddings):
+    from beavers_spark.functions.similarity import pq_topk
+
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(
+            embeddings, embeddings, "vec_id", "vec_id", k=5, max_queries=3
+        )

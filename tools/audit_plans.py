@@ -300,6 +300,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"row_number"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
     ],
+    "ann_pq_topk": [
+        # ADC scoring inside ONE ArrowEvalPython/mapInPandas pass over
+        # the code column; candidates broadcast into the refine join —
+        # equi-joins only, no cross product
+        [r"MapInPandas|ArrowEvalPython", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
+    ],
     "chunk_dedup": [
         # segment ownership = partial-combined min on the 60-bit chunk
         # hash (16 bytes/occurrence on the wire, never the text); no
@@ -369,6 +376,7 @@ def main() -> int:
         "dedup_embedding_recall",  # gate: exact all-pairs side + 1-row join
         "ann_lsh_recall",       # gate: brute-force exact side + 1-row join
         "ann_ivf_recall",       # gate: brute-force exact side + 1-row join
+        "ann_pq_recall",        # gate: brute-force exact side + 1-row join
         "semantic_dedup_check",  # gate: two 1-row invariant aggregates joined
         "tpch_q11",             # 1-row broadcast threshold
         "tpch_q22",             # 1-row broadcast avg(acctbal)

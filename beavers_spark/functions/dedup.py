@@ -415,10 +415,43 @@ def minhash_lsh_pairs(
 MAX_LOCAL_CC_EDGES = 250_000
 
 
+def _union_find_label(rows, pairs: DataFrame) -> DataFrame:
+    """Min-id component labels of a collected edge list via
+    path-compressed union-find (driver-side fast path)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["doc1"], r["doc2"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict = {}
+    for node in parent:
+        root = find(node)
+        if root not in label or node < label[root]:
+            label[root] = node
+    id_type = pairs.schema["doc1"].dataType.simpleString()
+    return pairs.sparkSession.createDataFrame(
+        [(n, label[find(n)]) for n in parent],
+        f"doc_id {id_type}, cluster_id {id_type}",
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
     max_local_edges: int = MAX_LOCAL_CC_EDGES,
+    presized: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair list (doc1, doc2):
     cluster_id = min doc id reachable in the component.
@@ -441,41 +474,21 @@ def connected_components(
     never holds cap+1 Rows just to learn the graph is big, and when the
     graph is big the distributed loop builds its edge set from the same
     persisted frame instead of re-running the upstream (LSH/candidate)
-    pipeline.
+    pipeline. ``presized=True`` is the caller's guarantee that the edge
+    list already fits ``max_local_edges`` (e.g. a micro-batch kernel
+    that counted its batch): the probe persist+count is skipped and the
+    graph collected directly — one Spark job instead of two, and the
+    edge subtree executes exactly once.
     """
     proj = pairs.select("doc1", "doc2")
+    if max_local_edges and presized:
+        return _union_find_label(proj.collect(), pairs)
     if max_local_edges:
         proj = proj.persist()
         if proj.count() <= max_local_edges:
             rows = proj.collect()
             proj.unpersist()
-            parent: dict = {}
-
-            def find(x):
-                root = x
-                while parent[root] != root:
-                    root = parent[root]
-                while parent[x] != root:  # path compression
-                    parent[x], x = root, parent[x]
-                return root
-
-            for r in rows:
-                a, b = r["doc1"], r["doc2"]
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[ra] = rb
-            label: dict = {}
-            for node in parent:
-                root = find(node)
-                if root not in label or node < label[root]:
-                    label[root] = node
-            id_type = pairs.schema["doc1"].dataType.simpleString()
-            return pairs.sparkSession.createDataFrame(
-                [(n, label[find(n)]) for n in parent],
-                f"doc_id {id_type}, cluster_id {id_type}",
-            )
+            return _union_find_label(rows, pairs)
 
     fwd = proj.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
     rev = proj.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))

@@ -23,6 +23,9 @@ from beavers_spark.streaming.alignment import (  # noqa: F401
 from beavers_spark.streaming.ann_index import (  # noqa: F401
     IncrementalIVFIndex,
 )
+from beavers_spark.streaming.chunk_dedup import (  # noqa: F401
+    IncrementalChunkDedup,
+)
 from beavers_spark.streaming.clusters import (  # noqa: F401
     IncrementalClusters,
 )

@@ -88,29 +88,40 @@ class IncrementalClusters:
     #: driver RSS at the cap).
     MAX_LOCAL_EDGES = 250_000
 
-    def _components(self, spark: SparkSession, edges: DataFrame) -> DataFrame:
+    def _components(
+        self, spark: SparkSession, edges: DataFrame, n_pairs: int
+    ) -> DataFrame:
         """Min-id component labels ``(doc_id, cluster_id)`` of the batch
         subgraph.
 
-        The subgraph is batch-bounded BY CONSTRUCTION (batch pairs plus
-        one label edge per known endpoint — never the corpus), so
-        ``connected_components``' capped union-find fast path almost
-        always applies; an oversized batch takes its distributed
-        fixpoint — same labels either way.
+        The subgraph is batch-bounded BY CONSTRUCTION: batch pairs plus
+        at most one label edge per endpoint, so |edges| <= 3·n_pairs —
+        when that bound fits the cap the union-find fast path collects
+        directly (``presized``), skipping the sizing probe so the edge
+        subtree (including the state-label join) executes exactly once.
+        An oversized batch takes the distributed fixpoint — same labels
+        either way.
         """
         # no extra checkpoint: the local path returns a driver-side
         # relation, and the distributed loop already checkpoints its
         # label state every iteration
-        return connected_components(edges, max_local_edges=self.MAX_LOCAL_EDGES)
+        return connected_components(
+            edges,
+            max_local_edges=self.MAX_LOCAL_EDGES,
+            presized=3 * n_pairs <= self.MAX_LOCAL_EDGES,
+        )
 
     def __call__(self, pairs_df: DataFrame, batch_id: int) -> None:
         if self._watermark.is_applied(batch_id):
             return
         spark = pairs_df.sparkSession
         # the batch's pair list feeds endpoint extraction AND the
-        # component graph — materialize it once (it is batch-sized)
+        # component graph — materialize it once (it is batch-sized);
+        # the count doubles as the emptiness check and the presized
+        # bound for the component run
         pairs = pairs_df.select("doc1", "doc2").localCheckpoint()
-        if pairs.isEmpty():
+        n_pairs = pairs.count()
+        if n_pairs == 0:
             self._watermark.mark(batch_id)
             return
         endpoints = (
@@ -133,7 +144,7 @@ class IncrementalClusters:
                     F.col("cluster_id").alias("doc2"),
                 )
             )
-        comp = self._components(spark, edges)
+        comp = self._components(spark, edges, n_pairs)
 
         updates = comp
         if narrow is not None:

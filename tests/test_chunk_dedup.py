@@ -1,0 +1,109 @@
+"""IncrementalChunkDedup: streaming chunk-level exact dedup against a
+growing ownership registry must equal the one-shot batch ``chunk_dedup``
+when waves arrive in ascending id order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.curation import chunk_dedup
+from beavers_spark.plans.common import t
+from beavers_spark.streaming import IncrementalChunkDedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _kept_set(df):
+    return {
+        (r.doc_id, r.clean_text, r.n_kept, r.n_chunks)
+        for r in df.select(
+            "doc_id", "clean_text", "n_kept", "n_chunks"
+        ).collect()
+    }
+
+
+def _feed(spark, dedup, docs, waves):
+    """Drive the kernel directly with ascending-id-range waves (the
+    foreachBatch plumbing itself is covered by the near-dedup twin's
+    streaming test — this pins the kernel math)."""
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[int(len(ids) * i / waves)] for i in range(1, waves)]
+    lo = None
+    for i in range(waves):
+        hi = bounds[i] if i < waves - 1 else None
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        dedup(part, i)
+        lo = hi
+
+
+def test_incremental_equals_batch_chunk_dedup(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    dedup = IncrementalChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    _feed(spark, dedup, docs, waves=3)
+    got = _kept_set(dedup.read_kept(spark))
+    expected = _kept_set(chunk_dedup(docs, "text", "doc_id", k=5))
+    assert expected and got == expected
+    # the registry owns each segment hash exactly once
+    state = dedup.read_state(spark)
+    assert state.select("h").distinct().count() == state.count()
+
+
+def test_cross_batch_ownership_and_doc_disappearance(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    dedup = IncrementalChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=2,
+    )
+    dedup(df.filter(F.col("doc_id") == 1), 0)
+    dedup(df.filter(F.col("doc_id") > 1), 1)
+    out = {r.doc_id: r for r in dedup.read_kept(spark).collect()}
+    # doc 2 keeps only its novel segment; doc 3 is entirely known -> gone
+    assert set(out) == {1, 2}
+    assert out[2].clean_text == "c d" and out[2].n_kept == 1 and out[2].n_chunks == 2
+
+
+def test_redelivered_docs_and_replayed_batches_are_noops(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "p q")], "doc_id long, text string"
+    )
+    dedup = IncrementalChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=2,
+    )
+    dedup(df, 0)
+    base = _kept_set(dedup.read_kept(spark))
+    dedup(df, 0)  # replayed batch id: watermark skip
+    assert _kept_set(dedup.read_kept(spark)) == base
+    dedup(df.filter(F.col("doc_id") == 1), 1)  # doc 1 redelivered later
+    assert _kept_set(dedup.read_kept(spark)) == base
+    assert dedup.read_state(spark).count() == 2
+
+
+def test_compact_preserves_state_and_output(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    dedup = IncrementalChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    _feed(spark, dedup, docs, waves=2)
+    before_state = dedup.read_state(spark).count()
+    before_kept = _kept_set(dedup.read_kept(spark))
+    dedup.compact(spark)
+    assert dedup.read_state(spark).count() == before_state
+    assert _kept_set(dedup.read_kept(spark)) == before_kept
+    # and the kernel keeps working after compaction
+    extra = spark.createDataFrame(
+        [(999_999, "zz qq zz qq yy")], "doc_id long, text string"
+    )
+    dedup(extra, 5)
+    assert 999_999 in {r.doc_id for r in dedup.read_kept(spark).collect()}

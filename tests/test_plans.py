@@ -34,6 +34,7 @@ def test_rows_only_queries_are_documented():
     assert set(QUERIES) - set(ORACLES) == {
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_pq_topk",
         "approx_distinct",
         "dedup_embedding_cosine",
         "semantic_dedup",  # gated by semantic_dedup_check (hash-checked)
@@ -42,6 +43,7 @@ def test_rows_only_queries_are_documented():
         "dedup_embedding_recall",
         "ann_lsh_recall",
         "ann_ivf_recall",
+        "ann_pq_recall",
         "approx_distinct_error",
     ):
         assert gate in ORACLES, f"{gate} gate must be hash-checked"

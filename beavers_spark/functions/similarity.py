@@ -415,10 +415,117 @@ def pq_topk(
     emitted similarities exact; PQ resolution only decides which
     candidates reach the rerank — recall is gated by ``ann_pq_recall``.
     """
-    import numpy as np
-    import pandas as pd
-
     from beavers_spark.functions.vectorized import pq_encode, train_pq
+
+    got = _collect_queries(queries, query_id, vec_col, max_queries, "pq_topk")
+    if got is None:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rnk int"
+        )
+    qid_arr, qmat = got
+    codebooks = train_pq(corpus, vec_col, m=m, nbits=nbits, seed=seed)
+    codes_df = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        pq_encode(F.col(vec_col), codebooks).alias("code"),
+    )
+    cand = _adc_candidates(codes_df, qid_arr, qmat, codebooks, refine * k)
+    return _exact_refine(queries, corpus, query_id, corpus_id, vec_col, cand, k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 8,
+    seed: int = 7,
+    max_queries: int = 1024,
+    n_assign: int = 1,
+) -> DataFrame:
+    """IVF-PQ ANN — the two scale levers composed: the coarse quantizer
+    prunes WHICH vectors are scored (queries probe ``n_probe`` of
+    ``n_cells`` cells) and PQ shrinks WHAT the scoring scan reads
+    (``m`` codes per vector instead of the embedding). faiss's
+    ``IVFx,PQy`` layout, Spark-first; codes encode raw vectors (IVF-Flat
+    + PQ codes) rather than residuals, since the exact refine — not code
+    resolution — sets the emitted similarities.
+
+    Plan shape: the encoded corpus carries a ``cell`` column, so at rest
+    it partitions by cell and a query batch's probed-cell union prunes
+    the scan at the file level (``cell IN (...)`` reaches the parquet
+    scan; the registered plan asserts the pushed filter). Inside the one
+    ``mapInPandas`` pass each query scores only rows whose cell it
+    probed (per-query masks over the same LUT gather), each partition
+    emits its top ``refine·k`` per query, and the candidate union gets
+    the exact-cosine rerank. Recall is gated by ``ann_ivfpq_recall``.
+    """
+    import numpy as np
+
+    from beavers_spark.functions.vectorized import (
+        best_cells,
+        pq_encode,
+        train_pq,
+        train_quantizer,
+    )
+
+    got = _collect_queries(
+        queries, query_id, vec_col, max_queries, "ivfpq_topk"
+    )
+    if got is None:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rnk int"
+        )
+    qid_arr, qmat = got
+    centroids = train_quantizer(corpus, vec_col, n_cells, seed=seed)
+    codebooks = train_pq(corpus, vec_col, m=m, nbits=nbits, seed=seed)
+
+    # per-query probed cells: same cosine affinity + stable argsort as
+    # vectorized.best_cells, computed driver-side on the collected
+    # query matrix (bounded)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = (qmat @ cents.T) / (
+        np.linalg.norm(qmat, axis=1, keepdims=True)
+        * np.linalg.norm(cents, axis=1)
+    )
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probed = np.zeros((len(qid_arr), len(cents)), dtype=bool)
+    for qi, cells in enumerate(order):
+        probed[qi, cells] = True
+    union_cells = sorted({int(c) for row in order for c in row})
+
+    # n_assign > 1 indexes each vector in its n best cells (the IVF
+    # boundary-miss mitigation, same dial as ivf_topk); duplicate
+    # (query, neighbor) candidates collapse in the distinct
+    codes_df = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.explode(best_cells(F.col(vec_col), centroids, n_assign)).alias(
+            "cell"
+        ),
+        pq_encode(F.col(vec_col), codebooks).alias("code"),
+    ).filter(F.col("cell").isin(union_cells))
+    cand = _adc_candidates(
+        codes_df, qid_arr, qmat, codebooks, refine * k, probed=probed
+    )
+    return _exact_refine(queries, corpus, query_id, corpus_id, vec_col, cand, k)
+
+
+def _collect_queries(
+    queries: DataFrame,
+    query_id: str,
+    vec_col: str,
+    max_queries: int,
+    caller: str,
+):
+    """Bounded driver-side collect of the query set (an operand of the
+    search, small by contract). Returns ``(qid_arr, qmat)`` or ``None``
+    for an empty set; raises past the cap."""
+    import numpy as np
 
     q_rows = (
         queries.select(
@@ -429,65 +536,47 @@ def pq_topk(
     )
     if len(q_rows) > max_queries:
         raise ValueError(
-            f"pq_topk query set exceeds max_queries={max_queries}; "
+            f"{caller} query set exceeds max_queries={max_queries}; "
             "use lsh_bucketed_topk/ivf_topk for corpus-scale query sets"
         )
     if not q_rows:
-        return queries.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, sim double, rnk int"
-        )
-    qids = [r["query_id"] for r in q_rows]
+        return None
+    qid_arr = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
     qmat = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(qmat, axis=1)
+    return qid_arr, qmat
 
-    codebooks = train_pq(corpus, vec_col, m=m, nbits=nbits, seed=seed)
+
+def _adc_candidates(
+    codes_df: DataFrame,
+    qid_arr,
+    qmat,
+    codebooks: list[list[list[float]]],
+    r_keep: int,
+    probed=None,
+) -> DataFrame:
+    """Candidate pairs ``(query_id, neighbor_id)`` from one ADC scan of
+    the encoded corpus: per Arrow batch one LUT gather scores ALL
+    queries, each partition emits only its local top ``r_keep`` per
+    query — rows leaving the scan are O(partitions · |Q| · r_keep),
+    never O(corpus). With ``probed`` (a |Q| × n_cells bool mask,
+    ``codes_df`` carrying a ``cell`` column), each query scores only the
+    rows in cells it probed.
+    """
+    import numpy as np
+    import pandas as pd
+
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
     sub = books[0].shape[1]
     n_codes = max(b.shape[0] for b in books)
     # luts[qi, j, c] = q_sub_j . cb_j[c]; nlut[j, c] = |cb_j[c]|^2
-    luts = np.zeros((len(qids), m, n_codes))
+    luts = np.zeros((len(qid_arr), m, n_codes))
     nlut = np.zeros((m, n_codes))
     for j, cb in enumerate(books):
         luts[:, j, : cb.shape[0]] = qmat[:, j * sub : (j + 1) * sub] @ cb.T
         nlut[j, : cb.shape[0]] = (cb * cb).sum(1)
-    r_keep = refine * k
-    qid_arr = np.asarray(qids, dtype=np.int64)
+    qn = np.linalg.norm(qmat, axis=1)
     jj = np.arange(m)
-
-    def _partition_topr(it):
-        best: list[pd.DataFrame] = []
-        for pdf in it:
-            if pdf.empty:
-                continue
-            codes = np.vstack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
-            ids = pdf["neighbor_id"].to_numpy()
-            dots = luts[:, jj[None, :], codes].sum(2)  # (Q, n)
-            recon = np.sqrt(np.maximum(nlut[jj[None, :], codes].sum(1), 1e-30))
-            sims = dots / (qn[:, None] * recon[None, :])  # (Q, n)
-            chunk = []
-            for qi in range(len(qid_arr)):
-                s = sims[qi]
-                nloc = len(ids)
-                if nloc > r_keep:
-                    part = np.argpartition(-s, r_keep)[:r_keep]
-                else:
-                    part = np.arange(nloc)
-                chunk.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid_arr[qi],
-                            "neighbor_id": ids[part],
-                            "approx_sim": s[part],
-                        }
-                    )
-                )
-            best.append(pd.concat(chunk, ignore_index=True))
-            # per-partition reduction: keep only the running top-r per
-            # query so the worker holds O(|Q|·r), not the partition
-            if len(best) >= 8:
-                best = [_reduce_topr(best)]
-        if best:
-            yield _reduce_topr(best)
 
     def _reduce_topr(frames: list[pd.DataFrame]) -> pd.DataFrame:
         allf = pd.concat(frames, ignore_index=True)
@@ -497,11 +586,52 @@ def pq_topk(
         )
         return allf.groupby("query_id", sort=False).head(r_keep)
 
-    codes_df = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        pq_encode(F.col(vec_col), codebooks).alias("code"),
-    )
-    cand = (
+    def _partition_topr(it):
+        best: list[pd.DataFrame] = []
+        for pdf in it:
+            if pdf.empty:
+                continue
+            codes = np.vstack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            cells = (
+                pdf["cell"].to_numpy() if probed is not None else None
+            )
+            dots = luts[:, jj[None, :], codes].sum(2)  # (Q, n)
+            recon = np.sqrt(np.maximum(nlut[jj[None, :], codes].sum(1), 1e-30))
+            sims = dots / (qn[:, None] * recon[None, :])  # (Q, n)
+            chunk = []
+            for qi in range(len(qid_arr)):
+                s = sims[qi]
+                loc_ids = ids
+                if cells is not None:
+                    mask = probed[qi, cells]
+                    if not mask.any():
+                        continue
+                    s = s[mask]
+                    loc_ids = ids[mask]
+                if len(loc_ids) > r_keep:
+                    part = np.argpartition(-s, r_keep)[:r_keep]
+                else:
+                    part = np.arange(len(loc_ids))
+                chunk.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid_arr[qi],
+                            "neighbor_id": loc_ids[part],
+                            "approx_sim": s[part],
+                        }
+                    )
+                )
+            if chunk:
+                best.append(pd.concat(chunk, ignore_index=True))
+            # per-partition reduction: keep only the running top-r per
+            # query so the worker holds O(|Q|·r), not the partition
+            if len(best) >= 8:
+                best = [_reduce_topr(best)]
+        if best:
+            yield _reduce_topr(best)
+
+    return (
         codes_df.mapInPandas(
             _partition_topr,
             "query_id long, neighbor_id long, approx_sim double",
@@ -510,14 +640,27 @@ def pq_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def _exact_refine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    cand: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine rerank of a small candidate pair set: candidates are
+    O(partitions · |Q| · r), broadcast into the corpus scan so the
+    vector fetch prunes to candidate ids only; top-``k`` per query by
+    (rounded sim, id)."""
     q_df = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
     c_df = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))
-    # candidates are O(partitions · |Q| · r): broadcast them into the
-    # corpus scan so the vector fetch prunes to candidate ids only
     scored = (
         c_df.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q_df), "query_id")

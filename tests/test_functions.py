@@ -327,3 +327,31 @@ def test_pq_topk_caps_query_set(spark, embeddings):
         pq_topk(
             embeddings, embeddings, "vec_id", "vec_id", k=5, max_queries=3
         )
+
+
+def test_ivfpq_topk_recall_and_cell_masking(spark, embeddings):
+    from beavers_spark.functions.similarity import ivfpq_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, embeddings, "vec_id", "vec_id", k=10).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx = ivfpq_topk(
+        queries, embeddings, "vec_id", "vec_id", k=10,
+        n_cells=8, n_probe=5, n_assign=2, m=16, nbits=6, refine=16,
+    ).collect()
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.5
+    # probing ALL cells with generous refine must contain heavy overlap
+    # of exact top-1 (rank-1 neighbors live in some probed cell by
+    # construction when every cell is probed)
+    full = ivfpq_topk(
+        queries, embeddings, "vec_id", "vec_id", k=10,
+        n_cells=4, n_probe=4, m=16, nbits=6, refine=50,
+    ).collect()
+    full_set = {(r.query_id, r.neighbor_id) for r in full}
+    assert len(exact_set & full_set) / len(exact_set) >= 0.9
+    # similarity values are exact (refine stage)
+    exact_sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert abs(r.sim - exact_sims[(r.query_id, r.neighbor_id)]) < 1e-9

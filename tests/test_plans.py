@@ -35,6 +35,7 @@ def test_rows_only_queries_are_documented():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
         "approx_distinct",
         "dedup_embedding_cosine",
         "semantic_dedup",  # gated by semantic_dedup_check (hash-checked)
@@ -44,6 +45,7 @@ def test_rows_only_queries_are_documented():
         "ann_lsh_recall",
         "ann_ivf_recall",
         "ann_pq_recall",
+        "ann_ivfpq_recall",
         "approx_distinct_error",
     ):
         assert gate in ORACLES, f"{gate} gate must be hash-checked"

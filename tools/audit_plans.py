@@ -307,6 +307,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas|ArrowEvalPython", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
     ],
+    "ann_ivfpq_topk": [
+        # probed-cell union reaches the scan as a pushed IN-filter (the
+        # file-pruning lever when the index is cell-partitioned at
+        # rest); ADC + per-query cell masks in one Python pass; refine
+        # joins are broadcast equi-joins
+        [r"MapInPandas|ArrowEvalPython", r"cell#\d+ IN|cell#\d+L? IN|isin|IN \(", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
+    ],
     "chunk_dedup": [
         # segment ownership = partial-combined min on the 60-bit chunk
         # hash (16 bytes/occurrence on the wire, never the text); no
@@ -377,6 +385,7 @@ def main() -> int:
         "ann_lsh_recall",       # gate: brute-force exact side + 1-row join
         "ann_ivf_recall",       # gate: brute-force exact side + 1-row join
         "ann_pq_recall",        # gate: brute-force exact side + 1-row join
+        "ann_ivfpq_recall",     # gate: brute-force exact side + 1-row join
         "semantic_dedup_check",  # gate: two 1-row invariant aggregates joined
         "tpch_q11",             # 1-row broadcast threshold
         "tpch_q22",             # 1-row broadcast avg(acctbal)

@@ -701,3 +701,152 @@ def stats_by_segment(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "rolling_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS avg5
+    FROM events
+    """,
+)
+def rolling_avg(spark, sf_dir):
+    """Trailing 5-row moving average per user (the bounded-frame window
+    shape — running_sum covers the unbounded frame). One shuffle keyed
+    on user_id; the frame recompute is O(frame) per row and the
+    partition sort is per-user volume, never corpus-global."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("avg5"),
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS sv,
+               CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sv2
+        FROM events GROUP BY 1, 2
+    ),
+    derived AS (
+        SELECT event_type, day, sv / n AS m,
+               sqrt(greatest((sv2 - sv * sv / n) / nullif(n - 1, 0), 0))
+                   AS s
+        FROM stats
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - d.m) / nullif(d.s, 0), 4) + 0.0 AS z
+    FROM events e
+    JOIN derived d
+      ON e.event_type = d.event_type
+     AND date_trunc('day', e.ts) = d.day
+    """,
+)
+def anomaly_zscore(spark, sf_dir):
+    """Per-event z-score against its (event_type, day) population — the
+    metrics-anomaly primitive; thresholding the score is the caller's
+    dial (a registered boolean flag would hash-flip on scores landing
+    exactly at the cut). Mean/stddev derive from ORDER-EXACT decimal
+    sums (Σv, Σv² — the label_centroids trick), so both engines divide
+    identical doubles and the 4dp round can't straddle a float-drift
+    boundary at any sf. The stats table is dimension-sized (types ×
+    days) and broadcasts back; no window carries raw rows."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,12)"))
+        .cast("double")
+        .alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sv2"),
+    )
+    derived = stats.select(
+        "event_type",
+        "day",
+        (F.col("sv") / F.col("n")).alias("m"),
+        F.sqrt(
+            F.greatest(
+                (F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n"))
+                / F.nullif(F.col("n") - 1, F.lit(0)),
+                F.lit(0.0),
+            )
+        ).alias("s"),
+    )
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .join(F.broadcast(derived), ["event_type", "day"])
+        .select(
+            "event_id",
+            "event_type",
+            # + 0.0 folds -0.0 to 0.0 (a z rounding to negative zero
+            # reprs differently across engines)
+            (
+                F.round(
+                    (F.col("value") - F.col("m"))
+                    / F.nullif(F.col("s"), F.lit(0)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("z"),
+        )
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, value,
+               (lead(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                - epoch_us(ts)) / 3600000000.0 AS dt_h
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dt_h) / sum(dt_h), 4) AS twa
+    FROM spans WHERE dt_h IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user — each observation weighted
+    by how long it was the LATEST one (the financial TWAP/position-value
+    shape, thematic to the reference's ETF examples). lead() over the
+    per-user sort gives the holding span; the weights are hours (a
+    double near unity) so the weighted sums stay well inside the
+    round-4 tolerance at any series length. One user-keyed shuffle."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        "value",
+        (
+            (
+                F.lead(F.unix_micros("ts")).over(w)
+                - F.unix_micros("ts")
+            )
+            / F.lit(3.6e9)
+        ).alias("dt_h"),
+    ).filter(F.col("dt_h").isNotNull())
+    return spans.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("dt_h")) / F.sum("dt_h"), 4
+        ).alias("twa")
+    )

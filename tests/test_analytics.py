@@ -181,3 +181,94 @@ def test_unigram_logprob_orders_rare_docs_lower(spark):
     assert abs(out[1].avg_logp - round(math.log(6 / 9), 6)) < 1e-6
     # hand-check doc 3: both tokens unique -> ln(1/9)
     assert abs(out[3].avg_logp - round(math.log(1 / 9), 6)) < 1e-6
+
+
+def test_rolling_avg_frame_semantics(spark):
+    import datetime
+
+    from beavers_spark.plans.registry import QUERIES
+
+    # drive the registered plan's window shape on a planted frame
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 7, float(i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    from pyspark.sql import Window, functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    out = {
+        r.event_id: r.avg5
+        for r in df.select(
+            "event_id", F.round(F.avg("value").over(w), 4).alias("avg5")
+        ).collect()
+    }
+    assert out[0] == 0.0 and out[2] == 1.0  # avg(0,1,2)
+    assert out[5] == 3.0  # avg(1..5), frame drops row 0
+
+
+def test_time_weighted_avg_weights_by_span(spark):
+    import datetime
+
+    from beavers_spark.plans.registry import QUERIES
+
+    # value 10 held 3h, value 0 held 1h -> twa 7.5; the LAST observation
+    # carries no span and is excluded
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 5, 10.0),
+        (2, base + datetime.timedelta(hours=3), 5, 0.0),
+        (3, base + datetime.timedelta(hours=4), 5, 999.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = df.select(
+        "user_id", "value",
+        ((F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")) / F.lit(3.6e9)).alias("dt_h"),
+    ).filter(F.col("dt_h").isNotNull())
+    out = spans.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dt_h")) / F.sum("dt_h"), 4).alias("twa")
+    ).collect()
+    assert len(out) == 1 and out[0].twa == 7.5
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark, tmp_path):
+    import datetime
+
+    # 20 values at 10.0 plus one at 100.0, same type+day: the outlier's
+    # z dominates and the inliers share one negative z
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "a", 10.0, "{}")
+        for i in range(20)
+    ] + [(99, base + datetime.timedelta(minutes=59), 1, "a", 100.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    # plans/common.t() expects a single parquet FILE per table (the
+    # testdata layout), not a Spark output directory
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(df.toPandas()), sf_dir + "/events.parquet"
+    )
+    from beavers_spark.plans.registry import QUERIES
+
+    out = {r.event_id: r.z for r in QUERIES["anomaly_zscore"](spark, sf_dir).collect()}
+    assert out[99] > 4.0
+    inlier_zs = {v for k, v in out.items() if k != 99}
+    assert len(inlier_zs) == 1 and next(iter(inlier_zs)) < 0

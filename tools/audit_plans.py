@@ -307,6 +307,23 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas|ArrowEvalPython", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
     ],
+    "rolling_avg": [
+        # bounded-frame window keyed on user_id — never a global
+        # single-partition window
+        [r"Window", r"Exchange hashpartitioning\(user_id"],
+        [r"CartesianProduct", r"Exchange SinglePartition"],
+    ],
+    "anomaly_zscore": [
+        # dimension-sized stats table broadcasts back into the scan;
+        # decimal partial sums combine map-side; no window at all
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"CartesianProduct", r"Window", r"SortMergeJoin"],
+    ],
+    "time_weighted_avg": [
+        # lead() over the per-user sort + one map-side-combined agg
+        [r"Window", r"Exchange hashpartitioning\(user_id", r"partial_sum"],
+        [r"CartesianProduct", r"Exchange SinglePartition"],
+    ],
     "ann_ivfpq_topk": [
         # probed-cell union reaches the scan as a pushed IN-filter (the
         # file-pruning lever when the index is cell-partitioned at

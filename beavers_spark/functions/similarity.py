@@ -424,7 +424,10 @@ def pq_topk(
         )
     qid_arr, qmat = got
     codebooks = train_pq(corpus, vec_col, m=m, nbits=nbits, seed=seed)
-    codes_df = corpus.select(
+    # repartition: a single parquet file scans as ONE partition, which
+    # would serialize the ADC pass (same rationale as brute_force_topk)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    codes_df = corpus.repartition(parallelism).select(
         F.col(corpus_id).alias("neighbor_id"),
         pq_encode(F.col(vec_col), codebooks).alias("code"),
     )
@@ -502,7 +505,8 @@ def ivfpq_topk(
     # n_assign > 1 indexes each vector in its n best cells (the IVF
     # boundary-miss mitigation, same dial as ivf_topk); duplicate
     # (query, neighbor) candidates collapse in the distinct
-    codes_df = corpus.select(
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    codes_df = corpus.repartition(parallelism).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.explode(best_cells(F.col(vec_col), centroids, n_assign)).alias(
             "cell"

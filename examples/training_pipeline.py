@@ -135,8 +135,51 @@ with tempfile.TemporaryDirectory() as tmp:
     )
     assert live_labels == batch_labels
 
+# 8. substring-granularity exact dedup + the mixture/quality passes a
+# pretraining run composes after dedup
+from beavers_spark.functions.curation import (  # noqa: E402
+    chunk_dedup,
+    token_budget_mix,
+)
+from beavers_spark.functions.terms import unigram_logprob  # noqa: E402
+
+chunks_kept = chunk_dedup(docs, "text", "doc_id", k=10)
+assert 0 < chunks_kept.count() <= n_docs  # all-duplicate docs disappear
+assert chunks_kept.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+
+mixed = token_budget_mix(
+    docs, "source", "doc_id", "n_chars",
+    weights={"src1": 2.0}, budget=2000, default_weight=1.0,
+)
+assert 0 < mixed.count() < n_docs  # the budget binds
+
+lm_scores = unigram_logprob(docs, "text", "doc_id")
+assert lm_scores.count() == n_docs
+assert lm_scores.filter(F.col("avg_logp") > 0).count() == 0  # log-probs
+
+# 9. streamed twin of the chunk dedup: waves in id order == one shot
+from beavers_spark.streaming import IncrementalChunkDedup  # noqa: E402
+
+with tempfile.TemporaryDirectory() as tmp:
+    inc_chunks = IncrementalChunkDedup(
+        os.path.join(tmp, "state"), os.path.join(tmp, "out"),
+        text_col="text", id_col="doc_id", k=10,
+    )
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    inc_chunks(docs.filter(F.col("doc_id") <= mid), 0)
+    inc_chunks(docs.filter(F.col("doc_id") > mid), 1)
+    inc_set = {
+        (r.doc_id, r.clean_text)
+        for r in inc_chunks.read_kept(spark).collect()
+    }
+    batch_set = {
+        (r.doc_id, r.clean_text) for r in chunks_kept.collect()
+    }
+    assert inc_set == batch_set
+
 print(
     f"training_pipeline: all asserts passed "
     f"({n_docs} docs, {kept.count()} kept, {canon.count()} distinct, "
-    f"{inc_pairs} near-dup pairs incremental==batch)"
+    f"{inc_pairs} near-dup pairs incremental==batch, "
+    f"{len(batch_set)} chunk-dedup survivors streamed==batch)"
 )

@@ -165,3 +165,90 @@ def vocab_coverage(
         )
         .select("rk", "term", "n", "cum_share")
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``pmi = ln(c_ab · N / (c_a · c_b))`` over word bigrams with
+    ``c_ab >= min_count`` — the phrase-mining pass (tokenizer merge
+    candidates, multi-word entities).
+
+    Determinism: the score is a pure function of exact integer counts
+    (both engines compute the identical double from the identical
+    integers), rounded to 6 dp, ranked with the bigram string as
+    tie-break.
+
+    Plan shape: bigram and unigram counts partial-aggregate on their
+    own keys (two vocabulary-keyed shuffles); the unigram table joins
+    the bigram table TWICE on a word column (vocabulary-sized — AQE
+    broadcasts); N arrives as a 1-row broadcast; the top-``k``
+    pre-reduce is ``orderBy().limit(k)`` = TakeOrderedAndProject, so
+    the ranking window sees ``k`` rows, never the bigram vocabulary.
+    """
+    toks = doc_terms(docs, text_col, id_col)
+    # bigrams via per-doc array slicing (narrow, order-preserving) —
+    # not via window-lead over the exploded rows, whose cross-partition
+    # order is not guaranteed
+    arr = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("tk"),
+    )
+    bi = arr.select(
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("tk", i.cast("int")),
+                        F.element_at("tk", (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    c_ab = bi.groupBy("bigram").agg(F.count("*").alias("n"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n_total"))
+    scored = (
+        c_ab.filter(F.col("n") >= min_count)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(uni.withColumnRenamed("term", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("term", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "n",
+            F.round(
+                F.log(
+                    F.col("n")
+                    * F.col("n_total").cast("double")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+            "n_total",
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+    # rank window partitioned on the constant-valued but NON-FOLDABLE
+    # joined total attribute — same trick as vocab_coverage: keeps
+    # Catalyst off the "No Partition Defined" WindowExec path
+    rk = Window.partitionBy("n_total").orderBy(
+        F.desc("pmi"), F.asc("bigram")
+    )
+    return (
+        topk.withColumn("rk", F.row_number().over(rk))
+        .select("rk", "bigram", "n", "pmi")
+    )

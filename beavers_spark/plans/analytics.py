@@ -18,6 +18,7 @@ from beavers_spark.functions.embeddings import (
     label_centroids,
 )
 from beavers_spark.functions.terms import (
+    bigram_pmi,
     tfidf_top_terms,
     unigram_logprob,
     vocab_coverage,
@@ -197,6 +198,48 @@ def unigram_logprob_q(spark, sf_dir):
     (doc-term counts; vocabulary counts) + a vocabulary-sized join —
     the model IS the aggregation, no driver-side fit at any scale."""
     return unigram_logprob(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "bigram_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    bi AS (
+        SELECT unnest(CASE WHEN len(tk) >= 2
+            THEN list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1])
+            ELSE [] END) AS bigram
+        FROM toks
+    ),
+    c_ab AS (SELECT bigram, count(*) AS n FROM bi GROUP BY 1),
+    uni AS (
+        SELECT unnest(tk) AS term FROM toks
+    ),
+    cu AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT sum(c) AS n_total FROM cu),
+    scored AS (
+        SELECT bigram, c_ab.n AS n,
+               round(ln(c_ab.n * n_total::DOUBLE / (u1.c * u2.c)), 6) AS pmi
+        FROM c_ab
+        JOIN cu u1 ON string_split(bigram, ' ')[1] = u1.term
+        JOIN cu u2 ON string_split(bigram, ' ')[2] = u2.term
+        CROSS JOIN tot
+        WHERE c_ab.n >= 5
+    )
+    SELECT row_number() OVER (ORDER BY pmi DESC, bigram) AS rk,
+           bigram, n::BIGINT AS n, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram LIMIT 100
+    """,
+)
+def bigram_pmi_q(spark, sf_dir):
+    """Top-100 collocations by PMI (phrase mining / tokenizer merge
+    candidates). Counts partial-aggregate on their own keys; two
+    vocabulary-sized joins; top-k via TakeOrderedAndProject so the rank
+    window sees 100 rows, never the bigram vocabulary."""
+    return bigram_pmi(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=100, min_count=5
+    )
 
 
 # Zipped unnest: DuckDB zips multiple unnests in one SELECT, giving the

@@ -272,3 +272,24 @@ def test_anomaly_zscore_flags_planted_outlier(spark, tmp_path):
     assert out[99] > 4.0
     inlier_zs = {v for k, v in out.items() if k != 99}
     assert len(inlier_zs) == 1 and next(iter(inlier_zs)) < 0
+
+
+def test_bigram_pmi_finds_planted_collocation(spark):
+    from beavers_spark.functions.terms import bigram_pmi
+
+    # "zq xv" always co-occur (never apart); filler words are common
+    rows = []
+    for i in range(10):
+        rows.append((i, "zq xv the the the the"))
+    for i in range(10, 30):
+        rows.append((i, "the a of the a of"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_pmi(df, "text", "doc_id", k=5, min_count=5).collect()
+    assert out and out[0].rk == 1
+    assert out[0].bigram == "zq xv"  # perfect collocation ranks first
+    ranked = sorted(out, key=lambda r: r.rk)
+    pmis = [r.pmi for r in ranked]
+    assert pmis == sorted(pmis, reverse=True)
+    # determinism under repartitioning
+    again = bigram_pmi(df.repartition(7), "text", "doc_id", k=5, min_count=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -307,6 +307,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas|ArrowEvalPython", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
     ],
+    "bigram_pmi": [
+        # top-k pre-reduce is TakeOrderedAndProject; the rank window
+        # sees k rows partitioned on the joined total attribute
+        [r"TakeOrderedAndProject", r"row_number"],
+        [r"CartesianProduct", r"Exchange rangepartitioning"],
+    ],
     "rolling_avg": [
         # bounded-frame window keyed on user_id — never a global
         # single-partition window
@@ -409,6 +415,7 @@ def main() -> int:
         "tfidf_top_terms",      # 1-row broadcast corpus size N
         "vocab_coverage",       # 1-row broadcast total token count
         "unigram_logprob",      # 1-row broadcast corpus total token count
+        "bigram_pmi",           # 1-row broadcast corpus total token count
     }
     blanket_failures = 0
     for name, fn in QUERIES.items():

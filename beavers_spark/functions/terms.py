@@ -252,3 +252,58 @@ def bigram_pmi(
         topk.withColumn("rk", F.row_number().over(rk))
         .select("rk", "bigram", "n", "pmi")
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-term KL-divergence contribution between two corpus snapshots
+    — the drift monitor a continuously-ingesting pipeline runs to catch
+    distribution shift (a crawl source going spammy, a language mix
+    change) before it reaches training.
+
+    ``kl_term = p_new·ln(p_new/p_old)`` with add-one smoothing over the
+    UNION vocabulary (``p_x = (c_x+1)/(N_x+V)``), so unseen terms are
+    defined on both sides and the total KL is ``sum(kl_term)``. Every
+    factor is an exact integer before one shared double formula —
+    engine-identical, oracle-checkable.
+
+    Plan shape: two vocabulary-keyed count shuffles, one full-outer
+    vocabulary-sized join, and the (V, N_old, N_new) scalars as 1-row
+    broadcasts. Everything after the scans is vocabulary-bounded.
+    """
+    c_old = (
+        doc_terms(old, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("c_old"))
+    )
+    c_new = (
+        doc_terms(new, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("c_new"))
+    )
+    merged = c_old.join(c_new, "term", "full_outer").select(
+        "term",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    scalars = merged.agg(
+        F.count("*").alias("v"),
+        F.sum("c_old").alias("n_old"),
+        F.sum("c_new").alias("n_new"),
+    )
+    p_old = (F.col("c_old") + 1) / (F.col("n_old") + F.col("v")).cast(
+        "double"
+    )
+    p_new = (F.col("c_new") + 1) / (F.col("n_new") + F.col("v")).cast(
+        "double"
+    )
+    return merged.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        "c_old",
+        "c_new",
+        F.round(p_new * F.log(p_new / p_old), 8).alias("kl_term"),
+    )

@@ -22,6 +22,7 @@ from beavers_spark.functions.terms import (
     tfidf_top_terms,
     unigram_logprob,
     vocab_coverage,
+    vocab_drift,
 )
 from beavers_spark.functions.text import (
     PII_PATTERNS,
@@ -402,4 +403,49 @@ def bucketed_quantile_q(spark, sf_dir):
         n_bins=200,
         bucket="7 days",
         qs=[0.5, 0.95, 0.99],
+    )
+
+
+@query(
+    "vocab_drift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    c_old AS (
+        SELECT term, count(*) AS c_old FROM toks
+        WHERE source < 'src5' GROUP BY 1
+    ),
+    c_new AS (
+        SELECT term, count(*) AS c_new FROM toks
+        WHERE source >= 'src5' GROUP BY 1
+    ),
+    merged AS (
+        SELECT coalesce(o.term, n.term) AS term,
+               coalesce(c_old, 0) AS c_old,
+               coalesce(c_new, 0) AS c_new
+        FROM c_old o FULL OUTER JOIN c_new n ON o.term = n.term
+    ),
+    scalars AS (
+        SELECT count(*) AS v, sum(c_old) AS n_old, sum(c_new) AS n_new
+        FROM merged
+    )
+    SELECT term, c_old::BIGINT AS c_old, c_new::BIGINT AS c_new,
+           round(((c_new + 1) / (n_new + v)::DOUBLE)
+                 * ln(((c_new + 1) / (n_new + v)::DOUBLE)
+                      / ((c_old + 1) / (n_old + v)::DOUBLE)), 8) AS kl_term
+    FROM merged CROSS JOIN scalars
+    """,
+)
+def vocab_drift_q(spark, sf_dir):
+    """Corpus drift monitor: per-term KL contribution between the
+    src0-src4 snapshot ("old crawl") and src5+ ("new crawl"), add-one
+    smoothed over the union vocabulary. Vocabulary-bounded after the
+    scans; scalars broadcast as 1-row joins."""
+    docs = t(spark, sf_dir, "documents")
+    return vocab_drift(
+        docs.filter(F.col("source") < "src5"),
+        docs.filter(F.col("source") >= "src5"),
+        "text",
+        "doc_id",
     )

@@ -293,3 +293,24 @@ def test_bigram_pmi_finds_planted_collocation(spark):
     # determinism under repartitioning
     again = bigram_pmi(df.repartition(7), "text", "doc_id", k=5, min_count=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_vocab_drift_detects_planted_shift(spark):
+    from pyspark.sql import functions as F
+
+    from beavers_spark.functions.terms import vocab_drift
+
+    old = spark.createDataFrame(
+        [(i, "the cat sat") for i in range(10)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, "the spam spam") for i in range(10)], "doc_id long, text string"
+    )
+    out = {r.term: r for r in vocab_drift(old, new, "text", "doc_id").collect()}
+    assert set(out) == {"the", "cat", "sat", "spam"}
+    # the term that surged dominates the positive drift; vanished terms
+    # contribute negative mass; total KL is positive for a real shift
+    assert out["spam"].kl_term == max(r.kl_term for r in out.values())
+    assert out["cat"].kl_term < 0 and out["sat"].kl_term < 0
+    assert sum(r.kl_term for r in out.values()) > 0
+    assert out["spam"].c_old == 0 and out["spam"].c_new == 20

@@ -416,6 +416,7 @@ def main() -> int:
         "vocab_coverage",       # 1-row broadcast total token count
         "unigram_logprob",      # 1-row broadcast corpus total token count
         "bigram_pmi",           # 1-row broadcast corpus total token count
+        "vocab_drift",          # 1-row broadcast (V, N_old, N_new) scalars
     }
     blanket_failures = 0
     for name, fn in QUERIES.items():

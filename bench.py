@@ -69,6 +69,12 @@ ANALYTICS = [
     "token_budget_mix",
     "unigram_logprob",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "bigram_pmi",
+    "vocab_drift",
+    "rolling_avg",
+    "anomaly_zscore",
+    "time_weighted_avg",
 ]
 
 

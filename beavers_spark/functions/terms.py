@@ -307,3 +307,36 @@ def vocab_drift(
         "c_new",
         F.round(p_new * F.log(p_new / p_old), 8).alias("kl_term"),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 1024,
+) -> DataFrame:
+    """Fixed-dimension sparse bag-of-words features by the hashing trick
+    (Weinberger et al. 2009): each term maps to bucket
+    ``hash(term) mod dim`` with a ±1 sign from an independent hash (the
+    unbiasing trick — colliding terms cancel in expectation instead of
+    stacking), weight = signed term count. Emits ``(doc_id, feat, w)``
+    for non-zero features.
+
+    The 100 TB rationale: featurization with ZERO vocabulary
+    coordination — no vocabulary table, no fit step, no driver state;
+    any shard of the corpus features independently and identically.
+    One narrow explode + one (doc, bucket)-keyed count shuffle.
+    """
+    from beavers_spark.functions.dedup import md5_hash64
+
+    terms = doc_terms(docs, text_col, id_col)
+    feat = F.pmod(md5_hash64(F.col("term"), 0), F.lit(dim))
+    sign = F.when(
+        F.pmod(md5_hash64(F.col("term"), 1), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        terms.select(id_col, feat.alias("feat"), sign.alias("s"))
+        .groupBy(id_col, "feat")
+        .agg(F.sum("s").alias("w"))
+        .filter(F.col("w") != 0)
+    )

@@ -19,6 +19,7 @@ from beavers_spark.functions.embeddings import (
 )
 from beavers_spark.functions.terms import (
     bigram_pmi,
+    hashed_features,
     tfidf_top_terms,
     unigram_logprob,
     vocab_coverage,
@@ -448,4 +449,34 @@ def vocab_drift_q(spark, sf_dir):
         docs.filter(F.col("source") >= "src5"),
         "text",
         "doc_id",
+    )
+
+
+@query(
+    "hashed_features",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    mapped AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(term || '#0'), 1, 15))::BIGINT) % 1024
+                   AS feat,
+               CASE WHEN (('0x' || substr(md5(term || '#0'), 16, 15))::BIGINT)
+                         % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM toks
+    )
+    SELECT doc_id, feat, sum(s)::BIGINT AS w
+    FROM mapped GROUP BY doc_id, feat
+    HAVING sum(s) <> 0
+    """,
+)
+def hashed_features_q(spark, sf_dir):
+    """Hashing-trick featurization: 1024-dim signed sparse bag-of-words
+    per doc, zero vocabulary coordination (no fit, no vocab table, no
+    driver state — any corpus shard features independently). One narrow
+    explode + one (doc, bucket)-keyed count shuffle."""
+    return hashed_features(
+        t(spark, sf_dir, "documents"), "text", "doc_id", dim=1024
     )

@@ -314,3 +314,25 @@ def test_vocab_drift_detects_planted_shift(spark):
     assert out["cat"].kl_term < 0 and out["sat"].kl_term < 0
     assert sum(r.kl_term for r in out.values()) > 0
     assert out["spam"].c_old == 0 and out["spam"].c_new == 20
+
+
+def test_hashed_features_signed_counts(spark):
+    from beavers_spark.functions.terms import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "cat cat cat"), (2, "cat"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = [r for r in hashed_features(df, "text", "doc_id", dim=64).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # same term -> same bucket and sign everywhere; magnitude = tf
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    (f1,), (f2,) = by_doc[1], by_doc[2]
+    assert f1.feat == f2.feat and abs(f1.w) == 3 and abs(f2.w) == 1
+    assert (f1.w > 0) == (f2.w > 0)
+    assert 3 not in by_doc  # empty doc -> no features
+    # deterministic under repartitioning
+    again = hashed_features(df.repartition(5), "text", "doc_id", dim=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -313,6 +313,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject", r"row_number"],
         [r"CartesianProduct", r"Exchange rangepartitioning"],
     ],
+    "hashed_features": [
+        # one narrow explode + one (doc, bucket)-keyed partial-combined
+        # count shuffle — no joins, no windows, no Python
+        [r"Generate explode", r"partial_sum"],
+        [r"CartesianProduct", r"Window", r"BatchEvalPython", r"Join"],
+    ],
     "rolling_avg": [
         # bounded-frame window keyed on user_id — never a global
         # single-partition window

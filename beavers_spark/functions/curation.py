@@ -209,13 +209,14 @@ def chunk_dedup(
     repeated millions of times) are single aggregation keys whose
     groups reduce map-side.
     """
-    # owner key packs (doc_id, idx) so min() picks the first occurrence
-    # in document order; idx < 1e5 holds for any document under 1M words
+    # lexicographic struct min picks the first occurrence in (doc, pos)
+    # order with no range limit on either component (negative or huge
+    # doc ids / chunk indexes are all fine — no packing arithmetic)
     segs = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_chunks(F.col(text_col), k)).alias("idx", "chunk"),
     ).withColumn("h", md5_hash64(F.col("chunk")))
-    occ = F.col("doc_id") * 100_000 + F.col("idx")
+    occ = F.struct(F.col("doc_id"), F.col("idx"))
     owners = (
         segs.groupBy("h").agg(F.min(occ).alias("owner")).withColumnRenamed(
             "h", "oh"

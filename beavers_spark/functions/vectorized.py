@@ -115,7 +115,12 @@ def _train_sample(df, vec_col: str, seed: int, max_rows: int) -> np.ndarray:
 
 
 def train_quantizer(
-    df, vec_col: str, n_cells: int, seed: int = 7, max_rows: int = MAX_TRAIN_ROWS
+    df,
+    vec_col: str,
+    n_cells: int,
+    seed: int = 7,
+    max_rows: int = MAX_TRAIN_ROWS,
+    sample: "np.ndarray | None" = None,
 ) -> list[list[float]]:
     """Coarse k-means centroids from a bounded sample of ``df[vec_col]``.
 
@@ -123,8 +128,16 @@ def train_quantizer(
     plus microseconds of numpy per iteration, where an MLlib fit costs
     ~2s of per-iteration job scheduling for a 16-cell quantizer.
     Deterministic for a given seed, so assignments are reproducible.
+
+    ``sample`` short-circuits the collect: callers that train several
+    quantizers over the same corpus (e.g. ``ivfpq_topk``'s coarse
+    quantizer + PQ codebooks) run ``_train_sample`` once and feed both
+    trainers — identical output (the sample is a pure function of
+    (df, vec_col, seed, max_rows)), one fewer full-corpus sample scan.
     """
-    return _kmeans(_train_sample(df, vec_col, seed, max_rows), n_cells, seed).tolist()
+    if sample is None:
+        sample = _train_sample(df, vec_col, seed, max_rows)
+    return _kmeans(sample, n_cells, seed).tolist()
 
 
 def train_pq(
@@ -134,15 +147,19 @@ def train_pq(
     nbits: int = 4,
     seed: int = 7,
     max_rows: int = MAX_TRAIN_ROWS,
+    sample: "np.ndarray | None" = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: ``m`` sub-quantizers of ``2^nbits``
     centroids each, trained on the same bounded deterministic sample as
     :func:`train_quantizer` (faiss trains PQ on a sample too). The vector
     dimension must divide evenly into ``m`` subspaces.
 
+    ``sample`` reuses an already-collected sample matrix (see
+    :func:`train_quantizer`).
+
     Returns ``codebooks[sub][code] -> sub-centroid`` (length dim/m).
     """
-    x = _train_sample(df, vec_col, seed, max_rows)
+    x = _train_sample(df, vec_col, seed, max_rows) if sample is None else sample
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")

@@ -145,7 +145,9 @@ class IncrementalChunkDedup:
             F.size(chunks).cast("bigint").alias("n_chunks"),
             F.posexplode(chunks).alias("idx", "chunk"),
         ).withColumn("h", md5_hash64(F.col("chunk")))
-        occ = F.col("doc_id") * 100_000 + F.col("idx")
+        # lexicographic struct min — no packing range limit (mirrors
+        # the batch twin in functions/curation.py)
+        occ = F.struct(F.col("doc_id"), F.col("idx"))
         owners = (
             segs.groupBy("h")
             .agg(F.min(occ).alias("owner"))

@@ -87,25 +87,22 @@ class KeyedStateTable:
         if self._watermark.is_applied(batch_id):
             return
         spark = batch_df.sparkSession
-        # the touched-bucket probe runs on the RAW batch: the batch's key
-        # set (hence bucket set) is identical before and after the
-        # per-key reduction, so probing here skips the reduction window
-        # and doubles as the emptiness check — and the reduction below is
-        # then consumed exactly once (by the merge), so it needs no
-        # materialization of its own
+        # batch-local upsert first: one row per key leaves this stage.
+        # localCheckpoint materializes the reduction ONCE, so the batch
+        # is scanned a single time per wave — the touched-bucket probe
+        # and the merge both read the (small, one-row-per-key)
+        # checkpointed delta instead of re-scanning the raw batch (a
+        # probe on the raw batch cost a second full batch scan per wave;
+        # the checkpoint also pre-empts the merge re-running the window)
+        delta = last_by_keys(batch_df, self.keys, [self.order_by]).withColumn(
+            _BUCKET, self._bucket()
+        ).localCheckpoint()
         touched = [
-            r[_BUCKET]
-            for r in batch_df.select(self._bucket().alias(_BUCKET))
-            .distinct()
-            .collect()
+            r[_BUCKET] for r in delta.select(_BUCKET).distinct().collect()
         ]
         if not touched:
             self._watermark.mark(batch_id)
             return
-        # batch-local upsert first: one row per key leaves this stage
-        delta = last_by_keys(batch_df, self.keys, [self.order_by]).withColumn(
-            _BUCKET, self._bucket()
-        )
         if self._table_exists(spark):
             # partition-pruned read of ONLY the touched buckets;
             # localCheckpoint materializes them before their directories

@@ -211,6 +211,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     cold_total = 0.0
+    cold_full = 0.0
     batch_total = 0.0
     for name in HEADLINE + ANALYTICS:
         fn = QUERIES[name]
@@ -222,10 +223,14 @@ def main() -> None:
         cold, warm = times[0], min(times[1:])
         per_query[name] = round(warm, 3)
         total += warm
-        cold_total += cold
+        cold_full += cold
         if name in HEADLINE:
-            # the 28 stateless queries — comparable r1<->rN
+            # the 28 stateless queries — comparable r1<->rN; cold_total
+            # is restricted the same way so cold_value is r1-comparable
+            # (r4 accidentally folded the ANALYTICS tier into it — see
+            # ADVICE r4); cold_full_value covers every timed query
             batch_total += warm
+            cold_total += cold
         print(
             f"# {name}: {warm:.3f}s warm / {cold:.3f}s cold ({n} rows)",
             file=sys.stderr,
@@ -250,7 +255,7 @@ def main() -> None:
         cold, warm = times[0], min(times[1:])
         per_query[name] = round(warm, 3)
         total += warm
-        cold_total += cold
+        cold_full += cold
         print(
             f"# {name}: {warm:.3f}s warm / {cold:.3f}s cold ({n} rows)",
             file=sys.stderr,
@@ -264,6 +269,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "cold_value": round(cold_total, 3),
+                "cold_full_value": round(cold_full, 3),
                 # r1's BENCH covered only the stateless batch queries; the
                 # inc_* scenarios were added in r2 — compare THIS subtotal
                 # against BENCH_r01's value for round-over-round drift

@@ -22,14 +22,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["etf_valuation"](spark, "/root/testdata/sf0.001")
 
 
-#: Queries with a green driver row in CORRECTNESS_r01/r02/r03.json. The
+#: Queries with a green driver row in CORRECTNESS_r01..r04.json. The
 #: driver checks the registry in iteration order with a cap (each round
 #: recorded exactly the first 50 entries), so ``queries()`` yields the
-#: not-yet-checked names first — rotating coverage until every plan has a
-#: driver-green row.  r01/r02 checked the first block below; r03 checked the
-#: second.
-_DRIVER_CHECKED = [
-    # --- checked in CORRECTNESS_r01 / r02 ---
+#: not-yet-checked names first, THEN the least-recently-checked block —
+#: rotating coverage so every plan keeps earning fresh driver-green rows.
+#: r01/r02 checked the r01 block; r03 checked the r03 block; r04 checked
+#: the 18 round-4 additions plus a re-check of the r01 block. Round 5
+#: therefore re-exposes the r03 block (dedup/ANN/curation — refactored
+#: several times since their one green row) right after the new plans.
+_CHECKED_R01 = [
     "etf_valuation", "filter_predicate", "projection_rename", "last_by_keys",
     "argmax_latest", "concat_streams", "distinct_values", "set_dedup_batch",
     "merge_sorted_union", "semi_join", "anti_join", "delta_fanout",
@@ -41,7 +43,9 @@ _DRIVER_CHECKED = [
     "tpch_q10", "tpch_q14", "tpch_q22", "tpch_q2", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q21", "tpch_q11", "tpch_q16",
-    # --- checked in CORRECTNESS_r03 ---
+]
+
+_CHECKED_R03 = [
     "tpch_q20", "dedup_exact", "doc_fingerprint", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash", "lang_id",
     "quality_score", "token_count", "ann_cosine_topk",
@@ -58,6 +62,19 @@ _DRIVER_CHECKED = [
     "approx_distinct", "approx_distinct_error", "lead_lag",
     "median_quantile", "gopher_quality", "pii_redact", "tfidf_top_terms",
 ]
+
+_CHECKED_R04 = [
+    "rolling_avg", "anomaly_zscore", "time_weighted_avg", "ann_pq_topk",
+    "ann_pq_recall", "ann_ivfpq_topk", "ann_ivfpq_recall", "chunk_dedup",
+    "token_budget_mix", "vocab_coverage", "unigram_logprob", "bigram_pmi",
+    "label_centroids", "embedding_outliers", "heavy_hitters",
+    "bucketed_quantile", "vocab_drift", "hashed_features",
+]
+
+#: exposure order after the never-checked plans: least-recently-checked
+#: blocks first (r03, then the r04 additions, then the r01 block — the
+#: r01 block was just re-checked in r04)
+_DRIVER_CHECKED = _CHECKED_R03 + _CHECKED_R04 + _CHECKED_R01
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

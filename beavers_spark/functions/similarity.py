@@ -385,6 +385,7 @@ def pq_topk(
     refine: int = 8,
     seed: int = 7,
     max_queries: int = 1024,
+    scan_partitions: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scoring and an
     exact refine — the compressed-scan scale path (IVF's complement: IVF
@@ -425,9 +426,17 @@ def pq_topk(
     qid_arr, qmat = got
     codebooks = train_pq(corpus, vec_col, m=m, nbits=nbits, seed=seed)
     # repartition: a single parquet file scans as ONE partition, which
-    # would serialize the ADC pass (same rationale as brute_force_topk)
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    codes_df = corpus.repartition(parallelism).select(
+    # would serialize the ADC pass (same rationale as brute_force_topk).
+    # ``scan_partitions`` (hash on the id) pins the partitioning — and
+    # with it the per-partition top-r candidate set — independent of the
+    # session's parallelism: registered plans pass a fixed value so the
+    # result is deterministic in ANY session (and provably exact while
+    # corpus/partitions <= refine*k); default None = session parallelism
+    parallelism = scan_partitions or (
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    part_key = [F.col(corpus_id)] if scan_partitions else []
+    codes_df = corpus.repartition(parallelism, *part_key).select(
         F.col(corpus_id).alias("neighbor_id"),
         pq_encode(F.col(vec_col), codebooks).alias("code"),
     )
@@ -450,6 +459,7 @@ def ivfpq_topk(
     seed: int = 7,
     max_queries: int = 1024,
     n_assign: int = 1,
+    scan_partitions: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the two scale levers composed: the coarse quantizer
     prunes WHICH vectors are scored (queries probe ``n_probe`` of
@@ -497,13 +507,8 @@ def ivfpq_topk(
     # per-query probed cells: same cosine affinity + stable argsort as
     # vectorized.best_cells, computed driver-side on the collected
     # query matrix (bounded)
-    cents = np.asarray(centroids, dtype=np.float64)
-    sims = (qmat @ cents.T) / (
-        np.linalg.norm(qmat, axis=1, keepdims=True)
-        * np.linalg.norm(cents, axis=1)
-    )
-    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-    probed = np.zeros((len(qid_arr), len(cents)), dtype=bool)
+    order = _probe_order(qmat, centroids, n_probe)
+    probed = np.zeros((len(qid_arr), len(centroids)), dtype=bool)
     for qi, cells in enumerate(order):
         probed[qi, cells] = True
     union_cells = sorted({int(c) for row in order for c in row})
@@ -511,8 +516,12 @@ def ivfpq_topk(
     # n_assign > 1 indexes each vector in its n best cells (the IVF
     # boundary-miss mitigation, same dial as ivf_topk); duplicate
     # (query, neighbor) candidates collapse in the distinct
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    codes_df = corpus.repartition(parallelism).select(
+    # scan_partitions: same deterministic-partitioning dial as pq_topk
+    parallelism = scan_partitions or (
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    part_key = [F.col(corpus_id)] if scan_partitions else []
+    codes_df = corpus.repartition(parallelism, *part_key).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.explode(best_cells(F.col(vec_col), centroids, n_assign)).alias(
             "cell"
@@ -523,6 +532,121 @@ def ivfpq_topk(
         codes_df, qid_arr, qmat, codebooks, refine * k, probed=probed
     )
     return _exact_refine(queries, corpus, query_id, corpus_id, vec_col, cand, k)
+
+
+def _probe_order(qmat, centroids, n_probe: int):
+    """Per-query probed-cell ids, (|Q|, n_probe): cosine affinity to the
+    centroid matrix, stable argsort — the single definition shared by
+    ``ivfpq_topk`` and its exact-equivalence twin so both sides of the
+    gate probe identical cells by construction."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = (qmat @ cents.T) / (
+        np.linalg.norm(qmat, axis=1, keepdims=True)
+        * np.linalg.norm(cents, axis=1)
+    )
+    return np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+
+
+def ivfpq_exact_twin(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 8,
+    seed: int = 7,
+    max_queries: int = 1024,
+    n_assign: int = 1,
+    scan_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic exact-equivalence gate for :func:`ivfpq_topk`: one
+    ``agree`` boolean per query asserting the IVF-PQ result equals an
+    INDEPENDENTLY-built exact brute-force top-k restricted to the same
+    probed cells (query vectors joined to every corpus vector whose
+    ``best_cells`` assignment intersects the query's probe set, exact
+    cosine, window top-k — no ADC, no mapInPandas, no shared refine
+    path).
+
+    This is a stronger check than the recall gate: it pins rank order
+    and similarity values, not just set overlap, and it holds EXACTLY —
+    not statistically — whenever the ADC candidate keep covers the
+    probed cells (rows-per-scan-partition <= refine*k, true at registry
+    scale with ``scan_partitions`` pinned). Register alongside
+    ``ann_ivfpq_recall``, which gates the approximate regime.
+    """
+    import numpy as np
+
+    from beavers_spark.functions.vectorized import best_cells, train_quantizer
+
+    actual = ivfpq_topk(
+        queries, corpus, query_id, corpus_id, vec_col,
+        k=k, n_cells=n_cells, n_probe=n_probe, m=m, nbits=nbits,
+        refine=refine, seed=seed, max_queries=max_queries,
+        n_assign=n_assign, scan_partitions=scan_partitions,
+    )
+    got = _collect_queries(queries, query_id, vec_col, max_queries, "ivfpq_exact_twin")
+    if got is None:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, agree boolean"
+        )
+    qid_arr, qmat = got
+    centroids = train_quantizer(corpus, vec_col, n_cells, seed=seed)
+    order = _probe_order(qmat, centroids, n_probe)
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (int(qid_arr[qi]), int(c))
+            for qi in range(len(qid_arr))
+            for c in order[qi]
+        ],
+        "query_id long, cell int",
+    )
+    cells_df = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.explode(best_cells(F.col(vec_col), centroids, n_assign)).alias(
+            "cell"
+        ),
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # probe_df and qv are |Q|-sized: broadcast both, so the only scan is
+    # the corpus assignment pass and the one shuffle is the top-k window
+    pairs = (
+        cells_df.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qv), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .distinct()
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+    )
+    expected = pairs.withColumn("rnk", w).filter(F.col("rnk") <= k)
+    a = actual.select("query_id", "neighbor_id", "sim", "rnk").withColumn(
+        "__a", F.lit(1)
+    )
+    b = expected.withColumn("__b", F.lit(1))
+    joined = a.join(b, ["query_id", "neighbor_id", "sim", "rnk"], "full_outer")
+    return joined.groupBy("query_id").agg(
+        F.every(
+            F.col("__a").isNotNull() & F.col("__b").isNotNull()
+        ).alias("agree")
+    )
 
 
 def _collect_queries(

@@ -633,19 +633,27 @@ def ann_ivf_recall(spark, sf_dir):
     )
 
 
-@query("ann_pq_topk")  # no SQL oracle: approximate op, rows-only check
+@query("ann_pq_topk", oracle=_ANN_ORACLE)
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN: the corpus scan reads m=16 6-bit codes
     per vector instead of the 64-float embedding (the compressed-scan
     scale path — at 1024-dim float32 a ~100× scan reduction), scored by
     ADC lookup tables inside one mapInPandas pass with per-partition
     top-r reduction, then exact-cosine refined for candidate ids only.
-    Recall@10 >= 0.9 is gated hash-visibly by ``ann_pq_recall``."""
+
+    Carries the FULL brute-force SQL oracle (VERDICT r4 item 3): with
+    ``scan_partitions`` pinned to 32 the candidate keep is deterministic
+    in any session, and at registry scale (corpus/32 <= refine*k rows
+    per scan partition, true through sf0.1) every row survives the ADC
+    keep, so the exact refine provably returns the exact top-k —
+    verified equal to brute force at sf0.001/0.01/0.1. Past that scale
+    the op is approximate by design; ``ann_pq_recall`` gates that
+    regime."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
-        k=10, m=16, nbits=6, refine=16,
+        k=10, m=16, nbits=6, refine=16, scan_partitions=32,
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 
@@ -664,7 +672,7 @@ def ann_pq_recall(spark, sf_dir):
         sf_dir,
         lambda q, c: pq_topk(
             q, c, "vec_id", "vec_id", "embedding",
-            k=10, m=16, nbits=6, refine=16,
+            k=10, m=16, nbits=6, refine=16, scan_partitions=32,
         ),
         "ann_pq_recall_at_10_ge_0.9",
         0.9,
@@ -684,6 +692,7 @@ def ann_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
         k=10, n_cells=8, n_probe=5, n_assign=2, m=16, nbits=6, refine=16,
+        scan_partitions=32,
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 
@@ -701,10 +710,37 @@ def ann_ivfpq_recall(spark, sf_dir):
         lambda q, c: ivfpq_topk(
             q, c, "vec_id", "vec_id", "embedding",
             k=10, n_cells=8, n_probe=5, n_assign=2, m=16, nbits=6,
-            refine=16,
+            refine=16, scan_partitions=32,
         ),
         "ann_ivfpq_recall_at_10_ge_0.9",
         0.9,
+    )
+
+
+@query(
+    "ann_ivfpq_exact_twin",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS agree
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def ann_ivfpq_exact_twin(spark, sf_dir):
+    """Exact-equivalence gate for the IVF-PQ path (VERDICT r4 item 3):
+    per query, asserts ``ivfpq_topk``'s full (neighbor, sim, rnk) result
+    equals an independently-built exact brute-force top-k over the SAME
+    probed cells — query vectors joined to every corpus vector whose
+    cell assignment intersects the query's probe set, exact cosine,
+    window top-k; no ADC, no shared refine path. Pins rank order and
+    similarity values hash-visibly (stronger than the recall gate, which
+    only checks set overlap vs the unrestricted brute force)."""
+    from beavers_spark.functions.similarity import ivfpq_exact_twin
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_exact_twin(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=5, n_assign=2, m=16, nbits=6, refine=16,
+        scan_partitions=32,
     )
 
 

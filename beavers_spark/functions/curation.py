@@ -186,6 +186,116 @@ def word_chunks(text: Column, k: int = 10) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def sliding_spans(text: Column, k: int) -> Column:
+    """All stride-1 ``k``-word spans of ``text`` (the sliding-window
+    generalization of :func:`word_chunks`): ``n_tokens - k + 1`` spans
+    per document, the candidate unit for substring-level exact dedup.
+    Pure projection — the fan-out stays inside the scan stage."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i + 1).cast("int"), F.lit(k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def substring_dedup(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Cross-document exact substring dedup at token granularity — the
+    Spark-shaped form of the suffix-array duplicate-span pass in the
+    public "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022): instead of a corpus suffix array, every stride-1
+    ``k``-token span is hashed, spans whose content occurs anywhere else
+    in the corpus BEFORE them (first occurrence in (doc, pos) order
+    wins, all later copies are duplicates — Lee et al.'s keep-one
+    policy) are marked, and each document's marked spans are merged into
+    maximal token ranges.
+
+    Emits ``(doc_id, span_start, span_end, n_dup_tokens)`` — one row per
+    maximal duplicated token range ``[span_start, span_end)``; a
+    downstream pass can cut exactly those ranges out of the text. Any
+    duplicated substring of >= k tokens is covered in full (its stride-1
+    k-spans all collide and merge); shorter duplicates are below the
+    match threshold, mirroring the suffix-array pass's minimum match
+    length.
+
+    Scale shape: spans fan out inside the scan stage and leave it as
+    (doc_id, idx, 60-bit hash) — the corpus-wide ownership groupBy and
+    the join back shuffle ~16 bytes per token of corpus, never span
+    text. Hot spans (boilerplate repeated millions of times) are single
+    aggregation keys that reduce map-side. The interval merge is one
+    doc-keyed window pass (gaps-and-islands: a span opens a new island
+    iff it starts past the running max end), so the whole operator is
+    two shuffles — hash-keyed then doc-keyed — with no driver state.
+    """
+    from pyspark.sql import Window
+
+    # repartition BEFORE the fan-out: a single parquet file scans as one
+    # partition, which would serialize the (CPU-heavy) span construction
+    # + hashing; at scale the scan is already multi-split and this is a
+    # cheap doc-level round-robin
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    spans = df.repartition(parallelism).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sliding_spans(F.col(text_col), k)).alias("idx", "span"),
+    ).withColumn("h", md5_hash64(F.col("span"))).drop("span")
+    occ = F.struct(F.col("doc_id"), F.col("idx"))
+    owners = (
+        spans.groupBy("h")
+        .agg(F.min(occ).alias("owner"), F.count("*").alias("cnt"))
+        # cnt > 1 prunes unique spans (the vast majority) before the
+        # join back, so the non-owner filter touches only real collisions
+        .filter(F.col("cnt") > 1)
+        .withColumnRenamed("h", "oh")
+    )
+    dups = (
+        spans.join(owners, F.col("h") == F.col("oh"))
+        .filter(occ != F.col("owner"))
+        .select(
+            "doc_id",
+            F.col("idx").cast("bigint").alias("s0"),
+            (F.col("idx") + k).cast("bigint").alias("e0"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = dups.withColumn(
+        "brk",
+        F.when(
+            F.col("s0") <= F.coalesce(F.max("e0").over(w_prev), F.lit(-1)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    return (
+        flagged.withColumn("g", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("s0").alias("span_start"),
+            F.max("e0").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_dup_tokens"),
+        )
+    )
+
+
 def chunk_dedup(
     df: DataFrame, text_col: str, id_col: str, k: int = 10
 ) -> DataFrame:
@@ -212,7 +322,10 @@ def chunk_dedup(
     # lexicographic struct min picks the first occurrence in (doc, pos)
     # order with no range limit on either component (negative or huge
     # doc ids / chunk indexes are all fine — no packing arithmetic)
-    segs = df.select(
+    # repartition before the fan-out (same rationale as substring_dedup:
+    # a single-file scan would serialize segment construction + hashing)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    segs = df.repartition(parallelism).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_chunks(F.col(text_col), k)).alias("idx", "chunk"),
     ).withColumn("h", md5_hash64(F.col("chunk")))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from beavers_spark.functions.curation import (
     chunk_dedup,
+    substring_dedup,
     corpus_shuffle,
     decontaminate,
     domain_cap,
@@ -171,15 +172,13 @@ def repetition_quality(spark, sf_dir):
                unnest(chunks) AS chunk
         FROM ch
     ),
-    owners AS (
-        SELECT chunk, min(doc_id * 100000 + idx) AS owner
-        FROM occ GROUP BY 1
+    marked AS (
+        SELECT doc_id, idx, chunk,
+               row_number() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        FROM occ
     ),
-    kept AS (
-        SELECT o.doc_id, o.idx, o.chunk
-        FROM occ o JOIN owners w
-          ON o.chunk = w.chunk AND o.doc_id * 100000 + o.idx = w.owner
-    ),
+    kept AS (SELECT doc_id, idx, chunk FROM marked WHERE rn = 1),
     totals AS (SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY 1)
     SELECT k.doc_id,
            string_agg(k.chunk, ' ' ORDER BY k.idx) AS clean_text,
@@ -198,6 +197,67 @@ def chunk_dedup_q(spark, sf_dir):
     reassembly shuffle — no windows, no driver state."""
     return chunk_dedup(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=10
+    )
+
+
+K_SPAN = 8
+
+@query(
+    "substring_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(tk) - {K_SPAN})) AS idx,
+               tk
+        FROM toks WHERE len(tk) >= {K_SPAN}
+    ),
+    spans AS (
+        SELECT doc_id, idx,
+               array_to_string(tk[(idx + 1):(idx + {K_SPAN})], ' ') AS s
+        FROM sp
+    ),
+    marked AS (
+        SELECT doc_id, idx,
+               row_number() OVER (
+                   PARTITION BY s ORDER BY doc_id, idx) AS rn
+        FROM spans
+    ),
+    dups AS (
+        SELECT doc_id, idx AS s0, idx + {K_SPAN} AS e0
+        FROM marked WHERE rn > 1
+    ),
+    flagged AS (
+        SELECT doc_id, s0, e0,
+               CASE WHEN s0 <= coalesce(max(e0) OVER (
+                   PARTITION BY doc_id ORDER BY s0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 0 ELSE 1 END AS brk
+        FROM dups
+    ),
+    grp AS (
+        SELECT doc_id, s0, e0,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s0
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    )
+    SELECT doc_id,
+           min(s0)::BIGINT AS span_start,
+           max(e0)::BIGINT AS span_end,
+           (max(e0) - min(s0))::BIGINT AS n_dup_tokens
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def substring_dedup_q(spark, sf_dir):
+    """Cross-document exact substring dedup (Lee et al. suffix-array
+    pass, Spark-shaped: stride-1 k-token span hashes instead of a corpus
+    suffix array — VERDICT r4 item 4): spans duplicated anywhere earlier
+    in (doc, pos) order are merged per doc into maximal token ranges
+    ``[span_start, span_end)``. Two shuffles — span-hash groupBy (16
+    bytes/token on the wire) then a doc-keyed gaps-and-islands window —
+    no driver state; any duplicate run >= k tokens is covered in full."""
+    return substring_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=K_SPAN
     )
 
 

@@ -66,6 +66,7 @@ ANALYTICS = [
     "heavy_hitters",
     "bucketed_quantile",
     "chunk_dedup",
+    "substring_dedup",
     "token_budget_mix",
     "unigram_logprob",
     "ann_pq_topk",

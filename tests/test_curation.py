@@ -194,3 +194,68 @@ def test_token_budget_mix_rates_and_cap(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_sliding_spans_shapes(spark):
+    from beavers_spark.functions.curation import sliding_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "a"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.sp
+        for r in df.select(
+            "doc_id", sliding_spans(F.col("text"), k=2).alias("sp")
+        ).collect()
+    }
+    assert out[1] == ["a b", "b c", "c d"]  # stride-1, n-k+1 spans
+    assert out[2] == ["a b"]
+    assert out[3] == []  # below k -> no spans
+    assert out[4] == []
+
+
+def test_substring_dedup_planted_cross_doc_spans(spark):
+    from beavers_spark.functions.curation import substring_dedup
+
+    # doc 1 is the original; doc 2 embeds doc 1's tokens 2..7 ("c d e f
+    # g h", a 6-token run) at positions 1..6; doc 3 is an exact full
+    # copy of doc 1; doc 4 shares nothing long enough
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "z c d e f g h z2 z3 z4"),
+            (3, "a b c d e f g h i j"),
+            (4, "p q r s t u v w x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = substring_dedup(df, "text", "doc_id", k=3).collect()
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_dup_tokens) for r in rows}
+    # doc 1 owns everything (first occurrence); doc 4 unique; doc 3's
+    # stride-1 3-spans are all duplicates of doc 1's -> one maximal
+    # range covering the whole 10-token doc; doc 2's copied run spans
+    # tokens [1, 7) (the 3-spans of "c d e f g h" merged)
+    assert got == {(2, 1, 7, 6), (3, 0, 10, 10)}
+
+
+def test_substring_dedup_within_doc_and_partition_invariance(spark):
+    from beavers_spark.functions.curation import substring_dedup
+
+    # "a b c" repeats INSIDE doc 5 at positions 0 and 4 -> the second
+    # occurrence [4, 7) is a duplicate of the first; disjoint ranges in
+    # the same doc stay separate rows
+    df = spark.createDataFrame(
+        [(5, "a b c q a b c q2 q3 x y z x y z")],
+        "doc_id long, text string",
+    )
+    rows = substring_dedup(df, "text", "doc_id", k=3).collect()
+    got = {(r.doc_id, r.span_start, r.span_end) for r in rows}
+    assert got == {(5, 4, 7), (5, 12, 15)}
+    again = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_dedup(
+            df.repartition(4), "text", "doc_id", k=3
+        ).collect()
+    }
+    assert again == got

@@ -238,6 +238,16 @@ def main() -> None:
         )
     import gc
 
+    # state-tier session isolation (VERDICT r4 item 7): the inc_*
+    # scenarios used to run ~45 queries deep into the batch session,
+    # where accumulated block-manager/codegen-cache pressure kept
+    # masquerading as regressions (bigram_pmi r3, inc_keyed_state r4).
+    # Restart the SparkContext so the state tier is timed in a fresh
+    # session; the restart itself is untimed.
+    spark.stop()
+    spark = get_spark("beavers_spark_bench_state")
+    spark.range(1).count()
+
     for name, scenario in INCREMENTAL:
         times = []
         for _ in range(2):
@@ -275,6 +285,10 @@ def main() -> None:
                 # inc_* scenarios were added in r2 — compare THIS subtotal
                 # against BENCH_r01's value for round-over-round drift
                 "batch_value": round(batch_total, 3),
+                # method note: inc_* scenarios run in a fresh
+                # SparkContext (see the restart above), so their times
+                # are position-independent from r5 on
+                "state_session": "fresh",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -50,7 +50,12 @@ from beavers_spark.functions.dedup import (
     band_rows,
     shingle_sets,
 )
-from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    WaveMetrics,
+    partition_stats,
+    table_exists,
+)
 
 _SIG_COLS = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
 _BAND_KEYS = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
@@ -132,6 +137,19 @@ class IncrementalNearDedup:
         self.threshold = threshold
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
+        #: one WaveMetrics per applied wave over the wave's state
+        #: directory — bytes appended to state per wave and its file
+        #: count (the compaction-due signal; see maintenance.WaveMetrics)
+        self.metrics: list[WaveMetrics] = []
+
+    def _record_wave(
+        self, spark: SparkSession, batch_id: int, wave_dir: str
+    ) -> None:
+        """Per-wave write accounting (driver-side listing of the one wave
+        directory): bytes appended to state this wave + its file count —
+        the signal for when ``compact()`` is due."""
+        files, nbytes, mx = partition_stats(spark, [wave_dir])
+        self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -220,6 +238,7 @@ class IncrementalNearDedup:
         # check (an empty or fully-redelivered batch just marks the mark)
         new_state = spark.read.parquet(wave_dir)
         if new_state.count() == 0:
+            self._record_wave(spark, batch_id, wave_dir)
             self._watermark.mark(batch_id)
             return
 
@@ -281,4 +300,5 @@ class IncrementalNearDedup:
         )
         # written even when empty so read_pairs() is valid from batch 0
         pairs.write.mode("append").parquet(self.pairs_path)
+        self._record_wave(spark, batch_id, wave_dir)
         self._watermark.mark(batch_id)

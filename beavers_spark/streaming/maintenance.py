@@ -31,12 +31,60 @@ watermark is never found and replayed batches double-apply.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
+from typing import Sequence
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+@dataclasses.dataclass
+class WaveMetrics:
+    """Per-wave write accounting for foreachBatch state writers — the
+    durable-state twin of the driver-loop metrics (``CycleMetrics`` /
+    ``DagMetrics``; reference kafka.py:399-446 ExecutionMetrics
+    discipline). ``bytes`` is the wave's rewrite volume and
+    ``max_files_per_partition`` the worst bucket/wave directory — the
+    two numbers that tell an operator whether ``n_buckets`` is sized so
+    one bucket stays an executor-comfortable rewrite, and when
+    compaction is due."""
+
+    batch_id: int
+    partitions: int  # touched bucket / wave directories
+    files: int  # data files across those directories
+    bytes: int  # bytes across those directories (rewritten this wave)
+    max_files_per_partition: int
+
+
+def partition_stats(
+    spark: SparkSession, dirs: Sequence[str]
+) -> tuple[int, int, int]:
+    """(files, bytes, max_files_in_one_dir) over ``dirs``, counting
+    non-hidden data files only. Hadoop FileSystem API, so the same call
+    works on local paths, HDFS, or an object store; a missing directory
+    counts as empty (a touched bucket can legitimately not exist yet on
+    the first wave). Driver-side listing of ONLY the named directories —
+    O(touched buckets), never a full-table walk."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    files = total = mx = 0
+    for d in dirs:
+        hpath = jvm.org.apache.hadoop.fs.Path(d)
+        fs = hpath.getFileSystem(conf)
+        if not fs.exists(hpath):
+            continue
+        n = 0
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if status.isFile() and not name.startswith(("_", ".")):
+                n += 1
+                total += status.getLen()
+        files += n
+        mx = max(mx, n)
+    return files, total, mx
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:

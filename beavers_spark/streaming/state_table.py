@@ -34,7 +34,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beavers_spark.operators.tabular import last_by_keys
-from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    WaveMetrics,
+    partition_stats,
+    table_exists,
+)
 
 _BUCKET = "__bucket"
 
@@ -67,6 +72,9 @@ class KeyedStateTable:
         # the merge itself is idempotent (latest-wins over the same
         # batch converges), so the watermark only skips wasted replays
         self._watermark = BatchWatermark(path)
+        #: one WaveMetrics per applied wave: bytes-rewritten-per-wave and
+        #: files-per-bucket, the n_buckets sizing / compaction-due signal
+        self.metrics: list[WaveMetrics] = []
 
     def _bucket(self) -> Column:
         return F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
@@ -142,4 +150,14 @@ class KeyedStateTable:
             .parquet(self.path)
         )
         self._initialized = True
+        # post-write accounting over ONLY the touched bucket directories
+        # (driver-side FS listing, O(touched)): these are exactly the
+        # bytes this wave rewrote, and the worst per-bucket file count
+        # shows when compaction is due
+        files, nbytes, mx = partition_stats(
+            spark, [f"{self.path}/{_BUCKET}={b}" for b in touched]
+        )
+        self.metrics.append(
+            WaveMetrics(batch_id, len(touched), files, nbytes, mx)
+        )
         self._watermark.mark(batch_id)

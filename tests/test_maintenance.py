@@ -148,3 +148,59 @@ def test_table_exists_probe(spark, tmp_path):
         "b"
     ).parquet(ppath)
     assert table_exists(spark, ppath) is True
+
+
+def test_keyed_state_wave_metrics(spark, tmp_path):
+    from beavers_spark.streaming import KeyedStateTable
+
+    state = KeyedStateTable(
+        str(tmp_path / "state"), keys=["user_id"], order_by="event_id",
+        n_buckets=4,
+    )
+    events = t(spark, SF_DIR, "events").select("user_id", "event_id", "event_type")
+    for i in range(2):
+        state(events.filter(F.pmod("event_id", F.lit(2)) == i), i)
+
+    assert [m.batch_id for m in state.metrics] == [0, 1]
+    for m in state.metrics:
+        # every touched bucket holds data after the wave's rewrite
+        assert 1 <= m.partitions <= 4
+        assert m.files >= m.partitions  # >=1 data file per touched bucket
+        assert m.bytes > 0
+        # the bucket-clustered write keeps one file per touched bucket
+        assert m.max_files_per_partition == 1
+    # wave 1 merges wave 0's rows back in: the rewrite volume visibly
+    # covers the merged buckets, not just the delta
+    assert state.metrics[1].bytes > 0
+
+    # empty batch: marks the watermark without a metrics row
+    state(events.filter(F.lit(False)), 2)
+    assert [m.batch_id for m in state.metrics] == [0, 1]
+
+
+def test_near_dedup_wave_metrics(spark, tmp_path):
+    dedup = IncrementalNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"),
+        text_col="text", id_col="doc_id",
+    )
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    for i in range(2):
+        dedup(docs.filter(F.pmod("doc_id", F.lit(2)) == i), i)
+
+    assert [m.batch_id for m in dedup.metrics] == [0, 1]
+    for m in dedup.metrics:
+        assert m.partitions == 1  # one wave directory per batch
+        assert m.files >= 1 and m.bytes > 0
+        assert m.max_files_per_partition == m.files
+    # append-only state: per-wave bytes are the compaction-due signal,
+    # so they must reflect THIS wave's directory only, not the table
+    total = sum(m.bytes for m in dedup.metrics)
+    import os as _os
+
+    on_disk = sum(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _, fs in _os.walk(tmp_path / "state")
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    assert total == on_disk

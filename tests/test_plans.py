@@ -31,10 +31,13 @@ def test_rows_only_queries_are_documented():
     # approximate ops are the only ones allowed to skip the SQL oracle —
     # and each one has a hash-checked quantitative gate query
     # (dedup_embedding_recall, ann_*_recall, approx_distinct_error)
+    # ann_pq_topk is NOT here: it carries the full brute-force SQL
+    # oracle (deterministic scan_partitions + total candidate keep at
+    # registry scale); ann_ivfpq_topk is additionally pinned by the
+    # hash-checked ann_ivfpq_exact_twin
     assert set(QUERIES) - set(ORACLES) == {
         "ann_lsh_topk",
         "ann_ivf_topk",
-        "ann_pq_topk",
         "ann_ivfpq_topk",
         "approx_distinct",
         "dedup_embedding_cosine",

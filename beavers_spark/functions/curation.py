@@ -296,6 +296,55 @@ def substring_dedup(
     )
 
 
+def substring_dedup_apply(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Apply :func:`substring_dedup`'s ranges: emit each document with
+    its duplicated token ranges cut out (Lee et al.'s actual training
+    corpus edit, where :func:`substring_dedup` is the detection pass).
+
+    Emits ``(doc_id, clean_text, n_tokens, n_dup_tokens)`` for EVERY
+    input document — ``clean_text`` is the whitespace-normalized,
+    lowercased reconstruction from surviving tokens ('' when the whole
+    doc was duplicate material), ``n_tokens`` the original token count.
+
+    Scale shape: the detection pass's two shuffles, plus one doc-keyed
+    collect_list of [start, end) ranges (bounded: ranges per doc <=
+    tokens/k after merging) and a broadcast-eligible equi-join back to
+    the corpus; the token cut itself is a JVM higher-order filter over
+    (token, index) — no Python, no extra shuffle.
+    """
+    ranges = (
+        substring_dedup(df, text_col, id_col, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("rng"),
+            F.sum("n_dup_tokens").alias("n_dup_tokens"),
+        )
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    rng = F.coalesce(
+        F.col("rng"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    kept = F.filter(
+        F.col("tk"),
+        lambda tok, i: ~F.exists(
+            rng,
+            lambda r: (i >= r["span_start"]) & (i < r["span_end"]),
+        ),
+    )
+    return base.join(ranges, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).alias("n_dup_tokens"),
+    )
+
+
 def chunk_dedup(
     df: DataFrame, text_col: str, id_col: str, k: int = 10
 ) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from beavers_spark.functions.curation import (
     chunk_dedup,
     substring_dedup,
+    substring_dedup_apply,
     corpus_shuffle,
     decontaminate,
     domain_cap,
@@ -257,6 +258,91 @@ def substring_dedup_q(spark, sf_dir):
     bytes/token on the wire) then a doc-keyed gaps-and-islands window —
     no driver state; any duplicate run >= k tokens is covered in full."""
     return substring_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=K_SPAN
+    )
+
+
+@query(
+    "substring_dedup_apply",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(tk) - {K_SPAN})) AS idx,
+               tk
+        FROM toks WHERE len(tk) >= {K_SPAN}
+    ),
+    spans AS (
+        SELECT doc_id, idx,
+               array_to_string(tk[(idx + 1):(idx + {K_SPAN})], ' ') AS s
+        FROM sp
+    ),
+    marked AS (
+        SELECT doc_id, idx,
+               row_number() OVER (
+                   PARTITION BY s ORDER BY doc_id, idx) AS rn
+        FROM spans
+    ),
+    dups AS (
+        SELECT doc_id, idx AS s0, idx + {K_SPAN} AS e0
+        FROM marked WHERE rn > 1
+    ),
+    flagged AS (
+        SELECT doc_id, s0, e0,
+               CASE WHEN s0 <= coalesce(max(e0) OVER (
+                   PARTITION BY doc_id ORDER BY s0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 0 ELSE 1 END AS brk
+        FROM dups
+    ),
+    grp AS (
+        SELECT doc_id, s0, e0,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s0
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ),
+    ranges AS (
+        SELECT doc_id, min(s0) AS span_start, max(e0) AS span_end
+        FROM grp GROUP BY doc_id, g
+    ),
+    tok_rows AS (
+        SELECT doc_id,
+               unnest(tk) AS tok,
+               unnest(generate_series(0, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) > 0
+    ),
+    kept AS (
+        SELECT tr.doc_id, tr.tok, tr.i
+        FROM tok_rows tr
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ranges r
+            WHERE r.doc_id = tr.doc_id
+              AND tr.i >= r.span_start AND tr.i < r.span_end)
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    dup_tot AS (
+        SELECT doc_id, sum(span_end - span_start) AS n_dup_tokens
+        FROM ranges GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           len(t.tk)::BIGINT AS n_tokens,
+           coalesce(d.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
+    FROM toks t
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN dup_tot d USING (doc_id)
+    """,
+)
+def substring_dedup_apply_q(spark, sf_dir):
+    """The corpus EDIT that pairs with ``substring_dedup``'s detection:
+    every doc re-emitted with its duplicated token ranges cut out.
+    Adds one bounded doc-keyed collect_list of ranges and an equi-join
+    back to the corpus; the cut is a JVM (token, index) filter — no
+    Python, no extra shuffle."""
+    return substring_dedup_apply(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=K_SPAN
     )
 

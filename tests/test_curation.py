@@ -259,3 +259,28 @@ def test_substring_dedup_within_doc_and_partition_invariance(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_substring_dedup_apply_cuts_ranges(spark):
+    from beavers_spark.functions.curation import substring_dedup_apply
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "z c d e f g h z2 z3 z4"),   # tokens 1..6 duplicate doc 1
+            (3, "a b c d e f g h i j"),      # full copy -> emptied
+            (4, "p q r s t u v w x y"),      # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in substring_dedup_apply(df, "text", "doc_id", k=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # every doc present, owner intact
+    assert out[1].clean_text == "a b c d e f g h i j"
+    assert out[1].n_dup_tokens == 0
+    assert out[2].clean_text == "z z2 z3 z4" and out[2].n_dup_tokens == 6
+    assert out[3].clean_text == "" and out[3].n_dup_tokens == 10
+    assert out[4].clean_text == "p q r s t u v w x y"
+    assert all(r.n_tokens == 10 for r in out.values())

@@ -371,6 +371,29 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count", r"row_number"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
+    "substring_dedup": [
+        # stride-1 span fan-out inside the scan stage; ownership =
+        # partial-combined min on the 60-bit span hash (16 bytes/token
+        # on the wire, never span text); the ONLY window is the
+        # doc-keyed gaps-and-islands interval merge; no Python
+        [r"partial_min", r"Generate posexplode",
+         r"Window.*doc_id|windowspecdefinition\(doc_id"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ],
+    "substring_dedup_apply": [
+        # detection shapes + the range join back to the corpus must be a
+        # broadcast equi-join (ranges are bounded per doc); the token
+        # cut is a JVM higher-order filter, never Python
+        [r"partial_min", r"Generate posexplode", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ],
+    "ann_ivfpq_exact_twin": [
+        # both sides candidate-pruned: the actual side is the audited
+        # ivfpq shape, the expected side joins probe cells and query
+        # vectors by BROADCAST equi-join — no all-pairs anywhere
+        [r"MapInPandas|ArrowEvalPython", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
 }
 
 

@@ -521,13 +521,22 @@ def ivfpq_topk(
         corpus.sparkSession.sparkContext.defaultParallelism
     )
     part_key = [F.col(corpus_id)] if scan_partitions else []
-    codes_df = corpus.repartition(parallelism, *part_key).select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.explode(best_cells(F.col(vec_col), centroids, n_assign)).alias(
-            "cell"
-        ),
-        pq_encode(F.col(vec_col), codebooks).alias("code"),
-    ).filter(F.col("cell").isin(union_cells))
+    # both UDFs are projected BELOW the explode: with the generator in
+    # the same select, Catalyst extracts it above the Python node and
+    # pq_encode would re-run once per exploded row (n_assign x per
+    # vector) in a SECOND Arrow pass; projecting cells+code first fuses
+    # them into ONE ArrowEvalPython pass, one evaluation per vector
+    codes_df = (
+        corpus.repartition(parallelism, *part_key)
+        .select(
+            F.col(corpus_id).alias("neighbor_id"),
+            best_cells(F.col(vec_col), centroids, n_assign).alias("cells"),
+            pq_encode(F.col(vec_col), codebooks).alias("code"),
+        )
+        .withColumn("cell", F.explode("cells"))
+        .drop("cells")
+        .filter(F.col("cell").isin(union_cells))
+    )
     cand = _adc_candidates(
         codes_df, qid_arr, qmat, codebooks, refine * k, probed=probed
     )
@@ -733,7 +742,10 @@ def _adc_candidates(
             dots = luts[:, jj[None, :], codes].sum(2)  # (Q, n)
             recon = np.sqrt(np.maximum(nlut[jj[None, :], codes].sum(1), 1e-30))
             sims = dots / (qn[:, None] * recon[None, :])  # (Q, n)
-            chunk = []
+            # accumulate raw arrays; ONE DataFrame per Arrow batch (a
+            # per-query frame + concat measurably dominates at small
+            # batch sizes)
+            q_out, id_out, s_out = [], [], []
             for qi in range(len(qid_arr)):
                 s = sims[qi]
                 loc_ids = ids
@@ -747,17 +759,19 @@ def _adc_candidates(
                     part = np.argpartition(-s, r_keep)[:r_keep]
                 else:
                     part = np.arange(len(loc_ids))
-                chunk.append(
+                q_out.append(np.full(len(part), qid_arr[qi], dtype=np.int64))
+                id_out.append(loc_ids[part])
+                s_out.append(s[part])
+            if q_out:
+                best.append(
                     pd.DataFrame(
                         {
-                            "query_id": qid_arr[qi],
-                            "neighbor_id": loc_ids[part],
-                            "approx_sim": s[part],
+                            "query_id": np.concatenate(q_out),
+                            "neighbor_id": np.concatenate(id_out),
+                            "approx_sim": np.concatenate(s_out),
                         }
                     )
                 )
-            if chunk:
-                best.append(pd.concat(chunk, ignore_index=True))
             # per-partition reduction: keep only the running top-r per
             # query so the worker holds O(|Q|·r), not the partition
             if len(best) >= 8:

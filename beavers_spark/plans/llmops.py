@@ -559,9 +559,11 @@ def ann_lsh_topk(spark, sf_dir):
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN: KMeans-quantized corpus cells with 2-way multi-assignment
     (boundary vectors are indexed in both adjacent cells), queries probe
-    the 4 best cells by centroid cosine, exact rerank inside — candidate
+    the 5 best cells by centroid cosine, exact rerank inside — candidate
     generation is an equi-join on cell id, never a cross join. Recall@10
-    >= 0.9 is gated hash-visibly by ``ann_ivf_recall``. On a real
+    >= 0.9 is gated hash-visibly by ``ann_ivf_recall`` (n_probe=4
+    measured 0.88 at sf0.001 — just under the gate on a 500-vector
+    near-uniform corpus; 5 measures 0.99 at every SF). On a real
     (clustered) corpus the same shape runs at n_cells=4096, n_probe~32
     for a ~1% scan fraction; this synthetic corpus is near-uniform, the
     adversarial case for any quantizer."""
@@ -569,7 +571,7 @@ def ann_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
-        k=10, n_cells=8, n_probe=4, n_assign=2,
+        k=10, n_cells=8, n_probe=5, n_assign=2,
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 
@@ -619,14 +621,14 @@ def ann_lsh_recall(spark, sf_dir):
 )
 def ann_ivf_recall(spark, sf_dir):
     """Recall@10 gate for the IVF ANN path (>= 0.9 vs brute force at
-    n_cells=8, n_probe=4, n_assign=2 — the registered configuration),
-    hash-visible to the driver."""
+    n_cells=8, n_probe=5, n_assign=2 — the registered configuration;
+    measured 0.99 at sf0.001/0.01), hash-visible to the driver."""
     return _ann_recall_gate(
         spark,
         sf_dir,
         lambda q, c: ivf_topk(
             q, c, "vec_id", "vec_id", "embedding",
-            k=10, n_cells=8, n_probe=4, n_assign=2,
+            k=10, n_cells=8, n_probe=5, n_assign=2,
         ),
         "ann_ivf_recall_at_10_ge_0.9",
         0.9,

@@ -32,6 +32,9 @@ from beavers_spark.streaming.clusters import (  # noqa: F401
 from beavers_spark.streaming.dedup_incremental import (  # noqa: F401
     IncrementalNearDedup,
 )
+from beavers_spark.streaming.substring_dedup import (  # noqa: F401
+    IncrementalSubstringDedup,
+)
 from beavers_spark.streaming.distinct_rollup import (  # noqa: F401
     ContinuousDistinct,
 )

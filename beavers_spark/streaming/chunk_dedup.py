@@ -139,6 +139,9 @@ class IncrementalChunkDedup:
             batch = batch.join(seen, self.id_col, "left_anti")
 
         chunks = word_chunks(F.col(self.text_col), self.k)
+        # repartition before the fan-out (same rationale as the batch
+        # operator: a single-partition batch serializes segment hashing)
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
         segs = batch.select(
             F.col(self.id_col).alias("doc_id"),
             # bigint to match the batch twin's count()-derived column

@@ -188,6 +188,27 @@ def _inc_chunk_dedup(spark, sf_dir: str, workdir: str) -> int:
     return dedup.read_kept(spark).count()
 
 
+def _inc_substring_dedup(spark, sf_dir: str, workdir: str) -> int:
+    """documents fed in waves through IncrementalSubstringDedup: per
+    wave, new docs' stride-1 span hashes probe the append-only registry
+    (8-byte column scan) and duplicate token ranges are emitted for the
+    wave only — O(batch + probe), never a corpus re-hash."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalSubstringDedup
+
+    dedup = IncrementalSubstringDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "out"),
+        text_col="text",
+        id_col="doc_id",
+        k=8,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(_WAVES):
+        dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+    return dedup.read_dup_ranges(spark).count()
+
+
 #: durable incremental-state scenarios (VERDICT r1 item 10) — timed as
 #: whole multi-wave runs into a fresh workdir per repetition, so
 #: round-over-round regressions in the state family are visible
@@ -197,6 +218,7 @@ INCREMENTAL = [
     ("inc_ivf_index", _inc_ivf_index),
     ("inc_clusters", _inc_clusters),
     ("inc_chunk_dedup", _inc_chunk_dedup),
+    ("inc_substring_dedup", _inc_substring_dedup),
 ]
 
 

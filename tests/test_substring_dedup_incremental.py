@@ -1,0 +1,105 @@
+"""IncrementalSubstringDedup: streaming span-level dedup against a
+growing hash registry must equal the one-shot batch ``substring_dedup``
+when waves arrive in ascending id order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.curation import substring_dedup
+from beavers_spark.plans.common import t
+from beavers_spark.streaming import IncrementalSubstringDedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _range_set(df):
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_tokens)
+        for r in df.collect()
+    }
+
+
+def _feed(spark, dedup, docs, waves):
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[int(len(ids) * i / waves)] for i in range(1, waves)]
+    lo = None
+    for i in range(waves):
+        hi = bounds[i] if i < waves - 1 else None
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        dedup(part, i)
+        lo = hi
+
+
+def test_incremental_equals_batch_substring_dedup(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    dedup = IncrementalSubstringDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    _feed(spark, dedup, docs, waves=3)
+    got = _range_set(dedup.read_dup_ranges(spark))
+    expected = _range_set(substring_dedup(docs, "text", "doc_id", k=5))
+    assert expected and got == expected
+    # the registry owns each span hash exactly once
+    state = dedup.read_state(spark)
+    assert state.select("h").distinct().count() == state.count()
+    # wave metrics recorded per applied batch
+    assert [m.batch_id for m in dedup.metrics] == [0, 1, 2]
+    assert all(m.bytes > 0 for m in dedup.metrics)
+
+
+def test_cross_batch_spans_and_replay_idempotence(spark, tmp_path):
+    dedup = IncrementalSubstringDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=3,
+    )
+    wave0 = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    # doc 2 copies doc 1's tokens 2..7 across the BATCH boundary; doc 3
+    # is a full cross-batch copy
+    wave1 = spark.createDataFrame(
+        [(2, "z c d e f g h z2 z3 z4"), (3, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    dedup(wave0, 0)
+    dedup(wave1, 1)
+    got = _range_set(dedup.read_dup_ranges(spark))
+    assert got == {(2, 1, 7, 6), (3, 0, 10, 10)}
+
+    # replayed batch id: watermark skips, output unchanged
+    dedup(wave1, 1)
+    assert _range_set(dedup.read_dup_ranges(spark)) == got
+
+    # redelivery of an already-seen doc in a LATER batch: anti-joined
+    # away, no duplicate ranges, no re-owned spans
+    dedup(wave1, 2)
+    assert _range_set(dedup.read_dup_ranges(spark)) == got
+    state = dedup.read_state(spark)
+    assert state.select("h").distinct().count() == state.count()
+
+
+def test_compact_preserves_results(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    dedup = IncrementalSubstringDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    _feed(spark, dedup, docs, waves=2)
+    before = _range_set(dedup.read_dup_ranges(spark))
+    state_before = dedup.read_state(spark).count()
+    dedup.compact(spark)
+    assert _range_set(dedup.read_dup_ranges(spark)) == before
+    assert dedup.read_state(spark).count() == state_before
+    # new waves keep composing after compaction
+    extra = spark.createDataFrame(
+        [(99991, "entirely novel tokens qq ww ee rr tt yy uu")],
+        "doc_id long, text string",
+    )
+    dedup(extra, 5)
+    assert _range_set(dedup.read_dup_ranges(spark)) == before

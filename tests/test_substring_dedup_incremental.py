@@ -103,3 +103,50 @@ def test_compact_preserves_results(spark, tmp_path):
     )
     dedup(extra, 5)
     assert _range_set(dedup.read_dup_ranges(spark)) == before
+
+
+def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
+    """Drive the kernel through a real Structured Streaming file source
+    (availableNow, one file per trigger), mirroring the chunk twin's
+    e2e test: streamed == one-shot batch for in-order waves."""
+    import os
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(120)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    in_dir = str(tmp_path / "in")
+    parts = [
+        docs.filter(F.col("doc_id") < bounds[0]),
+        docs.filter(
+            (F.col("doc_id") >= bounds[0]) & (F.col("doc_id") < bounds[1])
+        ),
+        docs.filter(F.col("doc_id") >= bounds[1]),
+    ]
+    for i, part in enumerate(parts):
+        p = os.path.join(in_dir, f"wave{i}")
+        part.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+    dedup = IncrementalSubstringDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = _range_set(dedup.read_dup_ranges(spark))
+    expected = _range_set(substring_dedup(docs, "text", "doc_id", k=5))
+    assert expected and got == expected

@@ -51,7 +51,17 @@ from pyspark.sql import functions as F
 
 from beavers_spark.functions.curation import word_chunks
 from beavers_spark.functions.dedup import md5_hash64
-from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    WaveBloomIndex,
+    bloom_save,
+    table_exists,
+)
+
+#: past this many distinct batch hashes the driver-side Bloom probe is
+#: skipped (no sidecar written, all waves scanned) — same bound as the
+#: substring twin
+_BLOOM_PROBE_CAP = 1_000_000
 
 
 class IncrementalChunkDedup:
@@ -74,14 +84,18 @@ class IncrementalChunkDedup:
         text_col: str,
         id_col: str,
         k: int = 10,
+        bloom_bits: int | None = 1 << 23,
     ) -> None:
         self.state_path = state_path
         self.out_path = out_path
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
+        #: bits per wave Bloom sidecar (None disables the probe filter)
+        self.bloom_bits = bloom_bits
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
+        self._bloom = WaveBloomIndex(state_path, bloom_bits)
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -107,15 +121,22 @@ class IncrementalChunkDedup:
         ``IncrementalNearDedup.compact`` for why the partition column
         must survive compaction); returns the post-compaction file
         count."""
+        import os
+
         from beavers_spark.streaming.maintenance import compact_parquet
 
+        merged = self._bloom.merged()
         compact_parquet(spark, self.out_path)
-        return compact_parquet(
+        n = compact_parquet(
             spark,
             self.state_path,
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
+        self._bloom.invalidate()
+        if merged is not None:
+            bloom_save(os.path.join(self.state_path, "w=-1"), merged)
+        return n
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -159,23 +180,49 @@ class IncrementalChunkDedup:
         winners = segs.join(
             owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
         ).select("h", "doc_id", "idx", "chunk", "n_chunks")
+        # the checkpoint is the batch's one heavy materialization: the
+        # Bloom-probe collect, the cross-batch anti-join, and the wave
+        # write all read the checkpointed result instead of
+        # re-segmenting the batch
+        winners = winners.localCheckpoint()
+        pre_h = None
+        if self.bloom_bits:
+            import numpy as np
+
+            rows = (
+                winners.select("h")
+                .distinct()
+                .limit(_BLOOM_PROBE_CAP + 1)
+                .collect()
+            )
+            if len(rows) <= _BLOOM_PROBE_CAP:
+                pre_h = np.asarray([r["h"] for r in rows], dtype=np.int64)
         if had_state:
             # cross-batch ownership: any hash already registered wins.
-            # Column pruning keeps this scan to the 8-byte h column;
-            # the w-filter prunes this wave's directory at file listing
-            prior = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select("h")
+            # Column pruning keeps this scan to the 8-byte h column; the
+            # wave Bloom sidecars additionally prune WAVES that cannot
+            # contain any batch hash (see WaveBloomIndex — a pruned wave
+            # has no possible match, so excluding it is exact)
+            prior = spark.read.parquet(self.state_path).filter(
+                F.col("w") != batch_id
             )
-            winners = winners.join(prior, "h", "left_anti")
+            if pre_h is not None:
+                kept = self._bloom.live_waves(pre_h, exclude=batch_id)
+                prior = (
+                    prior.filter(F.col("w").isin(kept)) if kept else None
+                )
+            if prior is not None:
+                winners = winners.join(
+                    prior.select("h"), "h", "left_anti"
+                )
 
-        # the wave write is the batch's one materialization barrier:
-        # output assembly reads the columnar result back instead of
-        # re-segmenting, and overwriting one wave directory is
-        # idempotent under replays
+        # overwriting one wave directory is idempotent under replays
         wave_dir = f"{self.state_path}/w={batch_id}"
         winners.write.mode("overwrite").parquet(wave_dir)
+        if pre_h is not None:
+            # PRE-anti hash set: a superset bitmap only adds false
+            # positives (an unnecessary wave scan), never wrong answers
+            self._bloom.save_wave(wave_dir, pre_h)
         self._has_state = True
         wave = spark.read.parquet(wave_dir)
         kept = wave.groupBy("doc_id").agg(

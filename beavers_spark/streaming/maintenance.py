@@ -148,6 +148,146 @@ class BatchWatermark:
             json.dump({"last_batch": batch_id}, fh)
 
 
+#: per-wave Bloom sidecar file name (underscore prefix: invisible to
+#: Spark's parquet reader, like the batch watermark / IVF centroids)
+BLOOM_SIDECAR = "_bloom.npy"
+
+
+def _bloom_positions(hashes, m_bits: int, k: int):
+    """(n, k) bit positions by double hashing the 64-bit keys: idx_i =
+    (h1 + i*h2) mod m with h2 an odd re-mix of the key — the standard
+    Kirsch-Mitzenmacher scheme, vectorized."""
+    import numpy as np
+
+    h1 = hashes.astype(np.uint64)
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+
+
+def bloom_build(hashes, m_bits: int = 1 << 23, k: int = 7):
+    """Packed-uint64 Bloom bitmap of the given int64 hash array.
+
+    Driver-side numpy over an ALREADY-BOUNDED hash set (a micro-batch's
+    span/segment hashes — the same boundedness contract as the probe
+    collect that feeds it). m_bits is FIXED per table so wave bitmaps
+    stay OR-mergeable across compactions; at the default 2^23 bits
+    (1 MiB) and k=7 the false-positive rate is ~1% at ~800k items per
+    wave and degrades gracefully past it (a Bloom FP only costs an
+    unnecessary wave scan, never a wrong answer).
+    """
+    import numpy as np
+
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    if len(hashes):
+        pos = _bloom_positions(np.asarray(hashes), m_bits, k).ravel()
+        np.bitwise_or.at(bits, (pos // np.uint64(64)).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
+    return bits
+
+
+def bloom_may_contain_any(bits, hashes, k: int = 7) -> bool:
+    """True iff ANY of the hashes may be in the filter (one all-bits-set
+    test per key, early-exit via numpy reduction)."""
+    import numpy as np
+
+    if not len(hashes):
+        return False
+    m_bits = len(bits) * 64
+    pos = _bloom_positions(np.asarray(hashes), m_bits, k)
+    got = (bits[(pos // np.uint64(64)).astype(np.int64)]
+           >> (pos % np.uint64(64))) & np.uint64(1)
+    return bool(got.all(axis=1).any())
+
+
+def bloom_save(wave_dir: str, bits) -> None:
+    import numpy as np
+
+    os.makedirs(wave_dir, exist_ok=True)
+    np.save(os.path.join(wave_dir, BLOOM_SIDECAR), bits)
+
+
+def bloom_load(wave_dir: str):
+    """The wave's bitmap, or None when absent (absent = the wave is
+    never prunable — conservative, correct)."""
+    import numpy as np
+
+    p = os.path.join(wave_dir, BLOOM_SIDECAR)
+    # np.save appends .npy only when missing; BLOOM_SIDECAR includes it
+    if not os.path.exists(p):
+        return None
+    return np.load(p)
+
+
+class WaveBloomIndex:
+    """Per-wave Bloom sidecar manager for a hash-registry state table
+    (the probe filter promised by the chunk/substring dedup twins).
+
+    One bitmap per wave directory, fixed ``m`` so bitmaps stay
+    OR-mergeable across compactions. A wave without a sidecar is never
+    pruned (conservative); a Bloom false positive costs one unnecessary
+    wave scan, never a wrong answer. Driver-local file I/O — the same
+    POSIX durability scope as the rest of this module.
+    """
+
+    def __init__(self, state_path: str, m_bits: int | None) -> None:
+        self.state_path = state_path
+        self.m_bits = m_bits
+        self._cache: dict[int, object] = {}
+
+    def wave_ids(self, exclude: int | None = None) -> list[int]:
+        if not os.path.isdir(self.state_path):
+            return []
+        out = []
+        for name in os.listdir(self.state_path):
+            if name.startswith("w="):
+                try:
+                    w = int(name[2:])
+                except ValueError:
+                    continue
+                if exclude is None or w != exclude:
+                    out.append(w)
+        return sorted(out)
+
+    def bloom_for(self, wave: int):
+        if wave not in self._cache:
+            self._cache[wave] = bloom_load(
+                os.path.join(self.state_path, f"w={wave}")
+            )
+        return self._cache[wave]
+
+    def live_waves(self, hashes, exclude: int | None) -> list[int]:
+        """Wave ids that MAY contain any of ``hashes`` (plus every wave
+        without a sidecar — conservative)."""
+        return [
+            w
+            for w in self.wave_ids(exclude=exclude)
+            if (b := self.bloom_for(w)) is None
+            or bloom_may_contain_any(b, hashes)
+        ]
+
+    def save_wave(self, wave_dir: str, hashes) -> None:
+        if self.m_bits:
+            bloom_save(wave_dir, bloom_build(hashes, self.m_bits))
+
+    def merged(self):
+        """OR of every wave's bitmap, or None if any wave lacks one
+        (call BEFORE compaction; write the result into the coalesced
+        wave after)."""
+        if not self.m_bits:
+            return None
+        blooms = [self.bloom_for(w) for w in self.wave_ids()]
+        if not blooms or any(b is None for b in blooms):
+            return None
+        out = blooms[0].copy()
+        for b in blooms[1:]:
+            out |= b
+        return out
+
+    def invalidate(self) -> None:
+        self._cache.clear()
+
+
 def recover_compaction(path: str) -> bool:
     """Restore a table lost to a crash between compact_parquet's two
     renames: if ``path`` is missing but ``path.__compact_old`` exists,

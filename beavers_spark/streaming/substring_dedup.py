@@ -54,10 +54,17 @@ from beavers_spark.functions.curation import sliding_spans
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    WaveBloomIndex,
     WaveMetrics,
+    bloom_save,
     partition_stats,
     table_exists,
 )
+
+#: past this many distinct batch hashes the driver-side Bloom probe is
+#: skipped (no sidecar written, all waves scanned) — keeps the collect
+#: bounded even if someone feeds a bulk load through the streaming path
+_BLOOM_PROBE_CAP = 1_000_000
 
 
 class IncrementalSubstringDedup:
@@ -82,14 +89,18 @@ class IncrementalSubstringDedup:
         text_col: str,
         id_col: str,
         k: int = 8,
+        bloom_bits: int | None = 1 << 23,
     ) -> None:
         self.state_path = state_path
         self.out_path = out_path
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
+        #: bits per wave Bloom sidecar (None disables the probe filter)
+        self.bloom_bits = bloom_bits
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
+        self._bloom = WaveBloomIndex(state_path, bloom_bits)
         #: per-wave registry-append volume (see maintenance.WaveMetrics)
         self.metrics: list[WaveMetrics] = []
 
@@ -116,21 +127,31 @@ class IncrementalSubstringDedup:
         """Coarsen all wave partitions into ``w=-1`` on both tables (the
         partition column must survive compaction — see
         ``IncrementalNearDedup.compact``); returns the registry's
-        post-compaction file count."""
+        post-compaction file count. Wave Bloom sidecars are OR-merged
+        into the coalesced wave (fixed ``m`` makes bitmaps mergeable) —
+        if any wave lacks one, no merged sidecar is written and the
+        coalesced wave is simply never pruned (conservative)."""
+        import os
+
         from beavers_spark.streaming.maintenance import compact_parquet
 
+        merged = self._bloom.merged()
         compact_parquet(
             spark,
             self.out_path,
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
-        return compact_parquet(
+        n = compact_parquet(
             spark,
             self.state_path,
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
+        self._bloom.invalidate()
+        if merged is not None:
+            bloom_save(os.path.join(self.state_path, "w=-1"), merged)
+        return n
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -180,22 +201,54 @@ class IncrementalSubstringDedup:
         winners = spans.join(
             owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
         ).select("h", "doc_id", "idx")
+        # the checkpoint is the batch's one heavy materialization: the
+        # Bloom-probe collect, the cross-batch anti-join, and the wave
+        # write all read the (one-row-per-owned-span) checkpointed
+        # result instead of re-hashing the batch
+        winners = winners.localCheckpoint()
+        pre_h = None
+        if self.bloom_bits:
+            import numpy as np
+
+            rows = (
+                winners.select("h")
+                .distinct()
+                .limit(_BLOOM_PROBE_CAP + 1)
+                .collect()
+            )
+            if len(rows) <= _BLOOM_PROBE_CAP:
+                pre_h = np.asarray([r["h"] for r in rows], dtype=np.int64)
         if had_state:
             # cross-batch ownership: any hash already registered wins —
-            # the 8-byte h column is the only thing this scan reads
-            prior = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select("h")
+            # the 8-byte h column is the only thing this scan reads.
+            # With wave Bloom sidecars, ONLY waves that may contain one
+            # of the batch's hashes are scanned (partition pruning on
+            # ``w``): a wave whose bitmap rejects every batch hash can
+            # contain no match, so excluding it from the anti-join is
+            # exact. Efficacy is data-dependent (temporally-local
+            # duplication prunes most waves; adversarially-uniform
+            # duplication prunes none) — correctness never is.
+            prior = spark.read.parquet(self.state_path).filter(
+                F.col("w") != batch_id
             )
-            winners = winners.join(prior, "h", "left_anti")
+            if pre_h is not None:
+                kept = self._bloom.live_waves(pre_h, exclude=batch_id)
+                prior = (
+                    prior.filter(F.col("w").isin(kept)) if kept else None
+                )
+            if prior is not None:
+                winners = winners.join(
+                    prior.select("h"), "h", "left_anti"
+                )
 
-        # the registry write is the batch's one materialization barrier:
-        # the duplicate computation reads the columnar result back
-        # instead of re-hashing, and overwriting one wave directory is
-        # idempotent under replays
+        # overwriting one wave directory is idempotent under replays
         wave_dir = f"{self.state_path}/w={batch_id}"
         winners.write.mode("overwrite").parquet(wave_dir)
+        if pre_h is not None:
+            # bitmap from the PRE-anti hash set (a superset of the
+            # registered one — extra bits only add false positives,
+            # which cost a wave scan, never correctness)
+            self._bloom.save_wave(wave_dir, pre_h)
         self._has_state = True
         new_owned = spark.read.parquet(wave_dir)
 

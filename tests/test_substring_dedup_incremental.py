@@ -150,3 +150,65 @@ def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
     got = _range_set(dedup.read_dup_ranges(spark))
     expected = _range_set(substring_dedup(docs, "text", "doc_id", k=5))
     assert expected and got == expected
+
+
+def test_wave_bloom_sidecars_prune_disjoint_waves(spark, tmp_path):
+    import os
+
+    import numpy as np
+
+    from beavers_spark.streaming.maintenance import (
+        BLOOM_SIDECAR,
+        bloom_may_contain_any,
+    )
+
+    dedup = IncrementalSubstringDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=3,
+    )
+    # wave vocabularies are disjoint: wave 0's bitmap must reject every
+    # wave-1 hash, so wave 1's registry probe scans zero prior waves
+    dedup(spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"), 0)
+    dedup(spark.createDataFrame(
+        [(2, "q r s t u v")], "doc_id long, text string"), 1)
+
+    assert os.path.exists(tmp_path / "state" / "w=0" / BLOOM_SIDECAR)
+    assert os.path.exists(tmp_path / "state" / "w=1" / BLOOM_SIDECAR)
+    w1_hashes = np.asarray(
+        [r.h for r in spark.read.parquet(
+            str(tmp_path / "state" / "w=1")).select("h").collect()],
+        dtype=np.int64,
+    )
+    b0 = dedup._bloom.bloom_for(0)
+    assert b0 is not None and not bloom_may_contain_any(b0, w1_hashes)
+    assert dedup._bloom.live_waves(w1_hashes, exclude=1) == []
+
+    # overlapping wave: wave 0 stays live and the cross-batch dup is
+    # still caught through the pruned probe path
+    dedup(spark.createDataFrame(
+        [(3, "a b c d e f")], "doc_id long, text string"), 2)
+    got = _range_set(dedup.read_dup_ranges(spark))
+    assert (3, 0, 6, 6) in got
+
+    # compaction ORs the wave bitmaps into the coalesced wave
+    dedup.compact(spark)
+    assert os.path.exists(tmp_path / "state" / "w=-1" / BLOOM_SIDECAR)
+    assert dedup._bloom.live_waves(w1_hashes, exclude=None) == [-1]
+
+
+def test_bloom_disabled_path_equal(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(100)
+    on = IncrementalSubstringDedup(
+        str(tmp_path / "s1"), str(tmp_path / "o1"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    off = IncrementalSubstringDedup(
+        str(tmp_path / "s2"), str(tmp_path / "o2"),
+        text_col="text", id_col="doc_id", k=5, bloom_bits=None,
+    )
+    for d in (on, off):
+        _feed(spark, d, docs, waves=2)
+    assert _range_set(on.read_dup_ranges(spark)) == _range_set(
+        off.read_dup_ranges(spark)
+    )

@@ -52,10 +52,17 @@ from beavers_spark.functions.dedup import (
 )
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    WaveBloomIndex,
     WaveMetrics,
+    bloom_save,
     partition_stats,
     table_exists,
 )
+
+#: past this many distinct band-key hashes the Bloom probe is skipped
+#: for the wave (no sidecar, all waves scanned) — same bound as the
+#: chunk/substring twins
+_BLOOM_PROBE_CAP = 1_000_000
 
 _SIG_COLS = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
 _BAND_KEYS = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
@@ -128,6 +135,7 @@ class IncrementalNearDedup:
         id_col: str,
         n: int = 3,
         threshold: float = 0.5,
+        bloom_bits: int | None = 1 << 23,
     ) -> None:
         self.state_path = state_path
         self.pairs_path = pairs_path
@@ -135,8 +143,11 @@ class IncrementalNearDedup:
         self.id_col = id_col
         self.n = n
         self.threshold = threshold
+        #: bits per wave band-key Bloom sidecar (None disables)
+        self.bloom_bits = bloom_bits
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
+        self._bloom = WaveBloomIndex(state_path, bloom_bits)
         #: one WaveMetrics per applied wave over the wave's state
         #: directory — bytes appended to state per wave and its file
         #: count (the compaction-due signal; see maintenance.WaveMetrics)
@@ -182,15 +193,22 @@ class IncrementalNearDedup:
         table half hive-partitioned, which Spark's partition discovery
         rejects.
         """
+        import os
+
         from beavers_spark.streaming.maintenance import compact_parquet
 
+        merged = self._bloom.merged()
         compact_parquet(spark, self.pairs_path)
-        return compact_parquet(
+        n_files = compact_parquet(
             spark,
             self.state_path,
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
+        self._bloom.invalidate()
+        if merged is not None:
+            bloom_save(os.path.join(self.state_path, "w=-1"), merged)
+        return n_files
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -238,11 +256,40 @@ class IncrementalNearDedup:
         # check (an empty or fully-redelivered batch just marks the mark)
         new_state = spark.read.parquet(wave_dir)
         if new_state.count() == 0:
+            if self.bloom_bits:
+                # zero bitmap: future probes prune the empty wave
+                import numpy as np
+
+                self._bloom.save_wave(
+                    wave_dir, np.array([], dtype=np.int64)
+                )
             self._record_wave(spark, batch_id, wave_dir)
             self._watermark.mark(batch_id)
             return
 
         new_bands = band_rows(new_state.select(*_SIG_COLS))
+        # per-wave band-key Bloom sidecar: the collision probe below only
+        # scans waves whose bitmap may contain one of THIS batch's band
+        # keys — exactly the no-possible-collision pruning an append-only
+        # band table wants (a pruned wave can contribute no candidate,
+        # so excluding it from the band join AND the shingle lookup is
+        # exact). One bounded collect over the wave read-back.
+        band_h = None
+        if self.bloom_bits:
+            import numpy as np
+
+            # no distinct(): driver-side np.unique avoids a per-wave
+            # shuffle job; the cap guards the raw band-row count
+            rows = (
+                new_bands.select(F.xxhash64(*_BAND_KEYS).alias("bh"))
+                .limit(_BLOOM_PROBE_CAP + 1)
+                .collect()
+            )
+            if len(rows) <= _BLOOM_PROBE_CAP:
+                band_h = np.unique(
+                    np.asarray([r["bh"] for r in rows], dtype=np.int64)
+                )
+                self._bloom.save_wave(wave_dir, band_h)
 
         # within-batch collisions, canonical doc1 < doc2
         a, b = new_bands.alias("a"), new_bands.alias("b")
@@ -250,13 +297,16 @@ class IncrementalNearDedup:
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
 
-        old = (
-            spark.read.parquet(self.state_path)
-            .filter(F.col("w") != batch_id)
-            .drop("w")
-            if had_state
-            else None
-        )
+        old = None
+        if had_state:
+            old = spark.read.parquet(self.state_path).filter(
+                F.col("w") != batch_id
+            )
+            if band_h is not None:
+                kept = self._bloom.live_waves(band_h, exclude=batch_id)
+                old = old.filter(F.col("w").isin(kept)) if kept else None
+            if old is not None:
+                old = old.drop("w")
         if old is not None:
             # column pruning: this scan reads doc_id + mh* only, never the
             # shingle arrays; the w-filter prunes this wave's directory

@@ -172,3 +172,58 @@ def test_replay_after_wave_written_before_mark(spark, tmp_path):
         minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
     )
     assert got == expected
+
+
+def test_band_bloom_prunes_disjoint_waves(spark, tmp_path):
+    import os
+
+    import numpy as np
+
+    from beavers_spark.functions.dedup import minhash_lsh_pairs
+    from beavers_spark.streaming.dedup_incremental import _BAND_KEYS
+    from beavers_spark.streaming.maintenance import BLOOM_SIDECAR
+
+    dedup = IncrementalNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"),
+        text_col="text", id_col="doc_id",
+    )
+    # wave vocabularies are disjoint: wave 0's band bitmap must reject
+    # every wave-1 band key, so wave 1 scans zero prior waves
+    dedup(spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string"), 0)
+    dedup(spark.createDataFrame(
+        [(2, "one two three four five six seven")],
+        "doc_id long, text string"), 1)
+    assert os.path.exists(tmp_path / "state" / "w=0" / BLOOM_SIDECAR)
+    from pyspark.sql import functions as F2
+    from beavers_spark.functions.dedup import band_rows
+
+    w1_bands = band_rows(
+        spark.read.parquet(str(tmp_path / "state" / "w=1"))
+    ).select(F2.xxhash64(*_BAND_KEYS).alias("bh"))
+    w1_h = np.asarray([r.bh for r in w1_bands.collect()], dtype=np.int64)
+    assert dedup._bloom.live_waves(w1_h, exclude=1) == []
+
+    # near-identical doc arriving later still pairs with wave 0 through
+    # the pruned probe path
+    dedup(spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string"), 2)
+    pairs = {(r.doc1, r.doc2) for r in dedup.read_pairs(spark).collect()}
+    assert (1, 3) in pairs
+
+    # incremental result still equals the batch operator on the union
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    expected = {
+        (r.doc1, r.doc2)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", n=3).collect()
+    }
+    assert pairs == expected

@@ -53,6 +53,7 @@ from beavers_spark.functions.curation import word_chunks
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    ProbeMetrics,
     WaveBloomIndex,
     bloom_save,
     table_exists,
@@ -96,6 +97,8 @@ class IncrementalChunkDedup:
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
         self._bloom = WaveBloomIndex(state_path, bloom_bits)
+        #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
+        self.probe_metrics: list[ProbeMetrics] = []
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -211,7 +214,11 @@ class IncrementalChunkDedup:
                 F.col("w") != batch_id
             )
             if pre_h is not None:
+                waves = self._bloom.wave_ids(exclude=batch_id)
                 kept = self._bloom.live_waves(pre_h, exclude=batch_id)
+                self.probe_metrics.append(
+                    ProbeMetrics(batch_id, len(waves), len(kept))
+                )
                 prior = (
                     prior.filter(F.col("w").isin(kept)) if kept else None
                 )

@@ -52,6 +52,7 @@ from beavers_spark.functions.dedup import (
 )
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
     bloom_save,
@@ -152,6 +153,8 @@ class IncrementalNearDedup:
         #: directory — bytes appended to state per wave and its file
         #: count (the compaction-due signal; see maintenance.WaveMetrics)
         self.metrics: list[WaveMetrics] = []
+        #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
+        self.probe_metrics: list[ProbeMetrics] = []
 
     def _record_wave(
         self, spark: SparkSession, batch_id: int, wave_dir: str
@@ -303,7 +306,11 @@ class IncrementalNearDedup:
                 F.col("w") != batch_id
             )
             if band_h is not None:
+                waves = self._bloom.wave_ids(exclude=batch_id)
                 kept = self._bloom.live_waves(band_h, exclude=batch_id)
+                self.probe_metrics.append(
+                    ProbeMetrics(batch_id, len(waves), len(kept))
+                )
                 old = old.filter(F.col("w").isin(kept)) if kept else None
             if old is not None:
                 old = old.drop("w")

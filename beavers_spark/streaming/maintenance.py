@@ -42,6 +42,19 @@ from pyspark.sql import functions as F
 
 
 @dataclasses.dataclass
+class ProbeMetrics:
+    """Per-batch registry-probe accounting for the Bloom-filtered dedup
+    twins: how many prior waves existed and how many actually had to be
+    scanned after Bloom pruning — the observable for whether the
+    sidecars are earning their overhead on this corpus's duplication
+    locality."""
+
+    batch_id: int
+    waves_total: int
+    waves_scanned: int
+
+
+@dataclasses.dataclass
 class WaveMetrics:
     """Per-wave write accounting for foreachBatch state writers — the
     durable-state twin of the driver-loop metrics (``CycleMetrics`` /

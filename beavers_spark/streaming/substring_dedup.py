@@ -54,6 +54,7 @@ from beavers_spark.functions.curation import sliding_spans
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
     bloom_save,
@@ -103,6 +104,8 @@ class IncrementalSubstringDedup:
         self._bloom = WaveBloomIndex(state_path, bloom_bits)
         #: per-wave registry-append volume (see maintenance.WaveMetrics)
         self.metrics: list[WaveMetrics] = []
+        #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
+        self.probe_metrics: list[ProbeMetrics] = []
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -236,7 +239,11 @@ class IncrementalSubstringDedup:
                 F.col("w") != batch_id
             )
             if pre_h is not None:
+                waves = self._bloom.wave_ids(exclude=batch_id)
                 kept = self._bloom.live_waves(pre_h, exclude=batch_id)
+                self.probe_metrics.append(
+                    ProbeMetrics(batch_id, len(waves), len(kept))
+                )
                 prior = (
                     prior.filter(F.col("w").isin(kept)) if kept else None
                 )

@@ -204,6 +204,8 @@ def test_band_bloom_prunes_disjoint_waves(spark, tmp_path):
     ).select(F2.xxhash64(*_BAND_KEYS).alias("bh"))
     w1_h = np.asarray([r.bh for r in w1_bands.collect()], dtype=np.int64)
     assert dedup._bloom.live_waves(w1_h, exclude=1) == []
+    assert [(m.batch_id, m.waves_total, m.waves_scanned)
+            for m in dedup.probe_metrics][0] == (1, 1, 0)
 
     # near-identical doc arriving later still pairs with wave 0 through
     # the pruned probe path

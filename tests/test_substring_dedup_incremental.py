@@ -183,6 +183,9 @@ def test_wave_bloom_sidecars_prune_disjoint_waves(spark, tmp_path):
     b0 = dedup._bloom.bloom_for(0)
     assert b0 is not None and not bloom_may_contain_any(b0, w1_hashes)
     assert dedup._bloom.live_waves(w1_hashes, exclude=1) == []
+    # probe accounting: wave 1 saw 1 prior wave and scanned 0 of it
+    assert [(m.batch_id, m.waves_total, m.waves_scanned)
+            for m in dedup.probe_metrics][0] == (1, 1, 0)
 
     # overlapping wave: wave 0 stays live and the cross-batch dup is
     # still caught through the pruned probe path

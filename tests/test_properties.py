@@ -171,3 +171,81 @@ def test_interval_join_matches_model(spark, data):
         if ls + lo < rs <= ls + hi
     }
     assert got == model
+
+
+# --- substring dedup: model-checked against a pure-Python oracle --------
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=14).map(
+        lambda toks: " ".join(toks)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _model_substring_dedup(texts: list[str], k: int):
+    """Pure-Python reference: stride-1 k-token spans, first occurrence
+    in (doc, pos) order owns, later occurrences merge into maximal
+    [start, end) ranges per doc."""
+    seen: dict[tuple, tuple] = {}
+    dup_ranges: dict[int, list[tuple[int, int]]] = {}
+    for d, text in enumerate(texts):
+        toks = [w for w in text.lower().split() if w]
+        spans = []
+        for i in range(max(0, len(toks) - k + 1)):
+            key = tuple(toks[i : i + k])
+            if key in seen:
+                spans.append((i, i + k))
+            else:
+                seen[key] = (d, i)
+        merged: list[tuple[int, int]] = []
+        for s, e in sorted(spans):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        if merged:
+            dup_ranges[d] = merged
+    return dup_ranges
+
+
+@given(texts=docs_strategy, k=st.integers(2, 4))
+@_SETTINGS
+def test_substring_dedup_matches_model(spark, texts, k):
+    from beavers_spark.functions.curation import (
+        substring_dedup,
+        substring_dedup_apply,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, list[tuple[int, int]]] = {}
+    total_dup: dict[int, int] = {}
+    for r in substring_dedup(df, "text", "doc_id", k=k).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        total_dup[r.doc_id] = total_dup.get(r.doc_id, 0) + r.n_dup_tokens
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == _model_substring_dedup(texts, k)
+
+    # apply invariants: every doc present; token conservation
+    # (n_tokens == kept + dup); the first doc of any content is intact
+    out = {
+        r.doc_id: r
+        for r in substring_dedup_apply(df, "text", "doc_id", k=k).collect()
+    }
+    assert set(out) == set(range(len(texts)))
+    for d, text in enumerate(texts):
+        toks = [w for w in text.lower().split() if w]
+        kept = out[d].clean_text.split() if out[d].clean_text else []
+        assert out[d].n_tokens == len(toks)
+        assert len(kept) + out[d].n_dup_tokens == len(toks)
+        # kept tokens are exactly the tokens outside the dup ranges
+        ranges = got.get(d, [])
+        expect = [
+            t
+            for i, t in enumerate(toks)
+            if not any(s <= i < e for s, e in ranges)
+        ]
+        assert kept == expect

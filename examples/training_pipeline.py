@@ -157,6 +157,24 @@ lm_scores = unigram_logprob(docs, "text", "doc_id")
 assert lm_scores.count() == n_docs
 assert lm_scores.filter(F.col("avg_logp") > 0).count() == 0  # log-probs
 
+# 8b. substring-LEVEL exact dedup (Lee et al.'s duplicate-span pass):
+# detect maximal duplicated k-token ranges, then cut them out of the
+# corpus — the finer-grained sibling of chunk_dedup
+from beavers_spark.functions.curation import (  # noqa: E402
+    substring_dedup,
+    substring_dedup_apply,
+)
+
+dup_ranges = substring_dedup(docs, "text", "doc_id", k=8)
+assert dup_ranges.filter(
+    F.col("span_end") <= F.col("span_start")
+).count() == 0  # every range is non-empty and half-open
+cleaned = substring_dedup_apply(docs, "text", "doc_id", k=8)
+assert cleaned.count() == n_docs  # the edit keeps every doc row
+assert cleaned.filter(
+    F.col("n_dup_tokens") > F.col("n_tokens")
+).count() == 0
+
 # 9. streamed twin of the chunk dedup: waves in id order == one shot
 from beavers_spark.streaming import IncrementalChunkDedup  # noqa: E402
 

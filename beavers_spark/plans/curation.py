@@ -347,6 +347,97 @@ def substring_dedup_apply_q(spark, sf_dir):
     )
 
 
+@query(
+    "dup_rate_by_source",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS tk FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(tk) - {K_SPAN})) AS idx,
+               tk
+        FROM toks WHERE len(tk) >= {K_SPAN}
+    ),
+    spans AS (
+        SELECT doc_id, idx,
+               array_to_string(tk[(idx + 1):(idx + {K_SPAN})], ' ') AS s
+        FROM sp
+    ),
+    marked AS (
+        SELECT doc_id, idx,
+               row_number() OVER (
+                   PARTITION BY s ORDER BY doc_id, idx) AS rn
+        FROM spans
+    ),
+    dups AS (
+        SELECT doc_id, idx AS s0, idx + {K_SPAN} AS e0
+        FROM marked WHERE rn > 1
+    ),
+    flagged AS (
+        SELECT doc_id, s0, e0,
+               CASE WHEN s0 <= coalesce(max(e0) OVER (
+                   PARTITION BY doc_id ORDER BY s0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 0 ELSE 1 END AS brk
+        FROM dups
+    ),
+    grp AS (
+        SELECT doc_id, s0, e0,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s0
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ),
+    ranges AS (
+        SELECT doc_id, min(s0) AS span_start, max(e0) AS span_end
+        FROM grp GROUP BY doc_id, g
+    ),
+    per_doc AS (
+        SELECT doc_id, sum(span_end - span_start) AS dup_toks
+        FROM ranges GROUP BY doc_id
+    )
+    SELECT t.source,
+           count(*)::BIGINT AS n_docs,
+           count(p.doc_id)::BIGINT AS n_docs_with_dups,
+           sum(len(t.tk))::BIGINT AS n_tokens,
+           coalesce(sum(p.dup_toks), 0)::BIGINT AS n_dup_tokens,
+           round(coalesce(sum(p.dup_toks), 0)
+                 / greatest(sum(len(t.tk)), 1)::DOUBLE, 6) AS dup_ratio
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY t.source
+    """,
+)
+def dup_rate_by_source(spark, sf_dir):
+    """Curation-dashboard rollup: per ingest source, how much of its
+    token volume is cross-corpus duplicate material (at substring
+    granularity). The number that decides which crawl/source gets
+    down-weighted in the mixture. One extra broadcast-sized join and a
+    source-keyed agg on top of ``substring_dedup``'s two shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    per_doc = (
+        substring_dedup(docs, "text", "doc_id", k=K_SPAN)
+        .groupBy("doc_id")
+        .agg(F.sum("n_dup_tokens").alias("dup_toks"))
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    base = docs.select("doc_id", "source", F.size(toks).alias("n_toks"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dup_toks").alias("n_docs_with_dups"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum("dup_toks"), F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.coalesce(F.sum("dup_toks"), F.lit(0))
+                / F.greatest(F.sum("n_toks"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 _MIX_WEIGHTS = {"src1": 2.0, "src3": 0.5}
 
 

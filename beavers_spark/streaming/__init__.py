@@ -22,6 +22,7 @@ from beavers_spark.streaming.alignment import (  # noqa: F401
 )
 from beavers_spark.streaming.ann_index import (  # noqa: F401
     IncrementalIVFIndex,
+    IncrementalIVFPQIndex,
 )
 from beavers_spark.streaming.chunk_dedup import (  # noqa: F401
     IncrementalChunkDedup,

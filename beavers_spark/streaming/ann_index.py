@@ -181,3 +181,180 @@ class IncrementalIVFIndex:
             )
         )
         return scored.withColumn("rnk", w).filter(F.col("rnk") <= k)
+
+
+class IncrementalIVFPQIndex:
+    """``foreachBatch`` callable maintaining a cell-partitioned IVF-PQ
+    index — the streaming twin of ``functions.similarity.ivfpq_topk``
+    and the compressed complement of :class:`IncrementalIVFIndex`.
+
+    Each ingested row stores its coarse cell (the partition column —
+    file-level pruning for probed searches), its ``m`` PQ codes (what
+    the ADC scoring scan reads: bytes per vector instead of the
+    embedding), AND the raw vector (what the exact refine fetches for
+    candidate ids only). Parquet column pruning makes the scan split
+    real: the candidate pass reads ``(neighbor_id, code, cell)`` and
+    never touches the heavy vector column; the refine reads vectors for
+    a broadcast candidate-id set. At 100 TB the same layout holds — the
+    codes column is ~2-3 orders of magnitude smaller than the vectors
+    it summarizes.
+
+    Train-once lifecycle like the IVF index: coarse centroids AND PQ
+    codebooks are fit on the first batch from ONE shared sample
+    (``vectorized._train_sample``) and persisted as sidecars, so
+    encoding is restart-safe and deterministic forever after; retrain
+    ⇒ rebuild, offline (faiss's rule too).
+
+    ::
+
+        index = IncrementalIVFPQIndex(path, id_col="vec_id",
+                                      vec_col="embedding",
+                                      n_cells=16, m=16, nbits=6)
+        stream.writeStream.foreachBatch(index).start()
+        hits = index.search(queries, k=10, n_probe=4)
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str,
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        m: int = 8,
+        nbits: int = 4,
+        seed: int = 7,
+        max_queries: int = 1024,
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_cells = n_cells
+        self.m = m
+        self.nbits = nbits
+        self.seed = seed
+        self.max_queries = max_queries
+        self._centroids: list[list[float]] | None = None
+        self._codebooks: list[list[list[float]]] | None = None
+        self._watermark = BatchWatermark(path)
+
+    # -- persisted model --------------------------------------------------
+    @property
+    def _model_file(self) -> str:
+        return os.path.join(self.path, "_ivfpq_model.json")
+
+    def _load(self) -> bool:
+        if self._centroids is not None:
+            return True
+        if os.path.exists(self._model_file):
+            with open(self._model_file) as fh:
+                model = json.load(fh)
+            self._centroids = model["centroids"]
+            self._codebooks = model["codebooks"]
+            return True
+        return False
+
+    def _train(self, batch_df: DataFrame) -> None:
+        from beavers_spark.functions.vectorized import (
+            _train_sample,
+            train_pq,
+            train_quantizer,
+        )
+
+        x = _train_sample(batch_df, self.vec_col, self.seed, 16384)
+        self._centroids = train_quantizer(
+            batch_df, self.vec_col, self.n_cells, seed=self.seed, sample=x
+        )
+        self._codebooks = train_pq(
+            batch_df, self.vec_col, m=self.m, nbits=self.nbits,
+            seed=self.seed, sample=x,
+        )
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._model_file, "w") as fh:
+            json.dump(
+                {"centroids": self._centroids, "codebooks": self._codebooks},
+                fh,
+            )
+
+    # -- ingest -----------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from beavers_spark.functions.vectorized import pq_encode
+
+        if self._watermark.is_applied(batch_id):
+            return
+        if not self._load():
+            if batch_df.isEmpty():
+                return
+            self._train(batch_df)
+        vec = F.col(self.vec_col)
+        rows = batch_df.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            vec.alias("cv"),
+            _norm(vec).alias("cn"),
+            pq_encode(vec, self._codebooks).alias("code"),
+            _nearest_cell(vec, self._centroids).alias("cell"),
+        )
+        rows.write.mode("append").partitionBy("cell").parquet(self.path)
+        self._watermark.mark(batch_id)
+
+    # -- search -----------------------------------------------------------
+    def read_index(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        refine: int = 8,
+    ) -> DataFrame:
+        """ADC top-k over the probed cells, exact-cosine refined.
+
+        The probed-cell ``isin`` filter lands on the PARTITION column,
+        so the candidate scan lists only those cells' directories and
+        reads only the ``(neighbor_id, code, cell)`` columns; the
+        refine joins the broadcast candidate ids back for vectors.
+        ``n_probe = n_cells`` with a large ``refine`` degenerates to
+        exact brute force over the ingested corpus — the property the
+        tests pin (same gate as the IVF index).
+        """
+        import numpy as np
+
+        from beavers_spark.functions.similarity import (
+            _adc_candidates,
+            _collect_queries,
+            _exact_refine,
+            _probe_order,
+        )
+
+        if not self._load():
+            raise ValueError("index is empty — ingest at least one batch")
+        spark = queries.sparkSession
+        n_probe = min(n_probe, len(self._centroids))
+        got = _collect_queries(
+            queries, self.id_col, self.vec_col, self.max_queries,
+            "IncrementalIVFPQIndex.search",
+        )
+        if got is None:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, sim double, rnk int"
+            )
+        qid_arr, qmat = got
+        order = _probe_order(qmat, self._centroids, n_probe)
+        probed = np.zeros((len(qid_arr), len(self._centroids)), dtype=bool)
+        for qi, cells in enumerate(order):
+            probed[qi, cells] = True
+        union_cells = sorted({int(c) for row in order for c in row})
+        codes_df = self.read_index(spark).select(
+            "neighbor_id", "code", "cell"
+        ).filter(F.col("cell").isin(union_cells))
+        cand = _adc_candidates(
+            codes_df, qid_arr, qmat, self._codebooks, refine * k,
+            probed=probed,
+        )
+        corpus = self.read_index(spark).select(
+            F.col("neighbor_id").alias(self.id_col),
+            F.col("cv").alias(self.vec_col),
+        )
+        return _exact_refine(
+            queries, corpus, self.id_col, self.id_col, self.vec_col, cand, k
+        )

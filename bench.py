@@ -144,6 +144,25 @@ def _inc_ivf_index(spark, sf_dir: str, workdir: str) -> int:
     return index.search(queries, k=10, n_probe=4).count()
 
 
+def _inc_ivfpq_index(spark, sf_dir: str, workdir: str) -> int:
+    """embeddings ingested in waves into the cell-partitioned IVF-PQ
+    index (wave 0 trains coarse quantizer + PQ codebooks from one shared
+    sample; every row stores cell, m codes, and the raw vector), then a
+    100-query ADC probe search with exact refine."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalIVFPQIndex
+
+    index = IncrementalIVFPQIndex(
+        os.path.join(workdir, "index"), id_col="vec_id",
+        n_cells=16, m=16, nbits=6,
+    )
+    vecs = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for i in range(_WAVES):
+        index(vecs.filter(F.pmod("vec_id", F.lit(_WAVES)) == i), i)
+    queries = vecs.filter(F.col("vec_id") < 100)
+    return index.search(queries, k=10, n_probe=4, refine=16).count()
+
+
 def _inc_clusters(spark, sf_dir: str, workdir: str) -> int:
     """near-dup pairs streamed in waves through IncrementalClusters: per
     wave, components run over the touched subgraph only (driver-side
@@ -216,6 +235,7 @@ INCREMENTAL = [
     ("inc_keyed_state", _inc_keyed_state),
     ("inc_near_dedup", _inc_near_dedup),
     ("inc_ivf_index", _inc_ivf_index),
+    ("inc_ivfpq_index", _inc_ivfpq_index),
     ("inc_clusters", _inc_clusters),
     ("inc_chunk_dedup", _inc_chunk_dedup),
     ("inc_substring_dedup", _inc_substring_dedup),

@@ -75,3 +75,77 @@ def test_partial_probe_prunes_partitions_and_ranks(spark, tmp_path):
         for r in reloaded.search(queries, k=10, n_probe=2).collect()
     }
     assert again == {(r.query_id, r.neighbor_id, r.sim) for r in rows}
+
+
+def test_ivfpq_index_full_probe_equals_brute_force(spark, tmp_path):
+    from beavers_spark.streaming import IncrementalIVFPQIndex
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index = IncrementalIVFPQIndex(
+        str(tmp_path / "ivfpq"), id_col="vec_id",
+        n_cells=4, m=16, nbits=6,
+    )
+    for i in range(3):
+        index(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id, r.sim, r.rnk)
+        for r in brute_force_topk(
+            queries, emb, "vec_id", "vec_id", k=10
+        ).collect()
+    }
+    # all cells probed + refine covering the corpus -> exact, with
+    # EXACT sims and ranks (the refine rescores candidates from the
+    # stored raw vectors)
+    full = {
+        (r.query_id, r.neighbor_id, r.sim, r.rnk)
+        for r in index.search(
+            queries, k=10, n_probe=4, refine=100
+        ).collect()
+    }
+    assert full == exact
+
+    idx = index.read_index(spark)
+    assert idx.count() == emb.count()
+    # codes are m small ints per row
+    row = idx.select("code").first()
+    assert len(row.code) == 16 and all(0 <= c < 64 for c in row.code)
+
+
+def test_ivfpq_index_restart_safe_and_pruned_probe(spark, tmp_path):
+    from beavers_spark.streaming import IncrementalIVFPQIndex
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    index = IncrementalIVFPQIndex(
+        path, id_col="vec_id", n_cells=4, m=16, nbits=6
+    )
+    index(emb.filter(F.col("vec_id") % 2 == 0), 0)
+
+    # a NEW instance on the same path reloads the persisted model and
+    # encodes identically (restart safety)
+    again = IncrementalIVFPQIndex(
+        path, id_col="vec_id", n_cells=4, m=16, nbits=6
+    )
+    again(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    assert again.read_index(spark).count() == emb.count()
+
+    # replayed batch id: watermark skips the duplicate append
+    again(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    assert again.read_index(spark).count() == emb.count()
+
+    # partial probe: the candidate scan's cell filter lands on the
+    # partition column (file pruning), and recall stays high
+    queries = emb.filter(F.col("vec_id") < 10)
+    hits = again.search(queries, k=10, n_probe=3, refine=16)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan  # partition filter present pre-execution
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            queries, emb, "vec_id", "vec_id", k=10
+        ).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in hits.collect()}
+    assert len(got & exact) / len(exact) >= 0.7

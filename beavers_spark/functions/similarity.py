@@ -646,16 +646,171 @@ def ivfpq_exact_twin(
         )
     )
     expected = pairs.withColumn("rnk", w).filter(F.col("rnk") <= k)
+    return _topk_agreement(actual, expected)
+
+
+def _topk_agreement(actual: DataFrame, expected: DataFrame) -> DataFrame:
+    """Per-query exact-agreement table for two (query_id, neighbor_id,
+    sim, rnk) top-k frames: ``agree`` is true iff the query's rows match
+    on ALL FOUR columns — rank order and similarity values included."""
     a = actual.select("query_id", "neighbor_id", "sim", "rnk").withColumn(
         "__a", F.lit(1)
     )
-    b = expected.withColumn("__b", F.lit(1))
+    b = expected.select("query_id", "neighbor_id", "sim", "rnk").withColumn(
+        "__b", F.lit(1)
+    )
     joined = a.join(b, ["query_id", "neighbor_id", "sim", "rnk"], "full_outer")
     return joined.groupBy("query_id").agg(
         F.every(
             F.col("__a").isNotNull() & F.col("__b").isNotNull()
         ).alias("agree")
     )
+
+
+def ivf_exact_twin(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    train_fraction: float = 1.0,
+    n_assign: int = 1,
+) -> DataFrame:
+    """Deterministic exact-equivalence gate for :func:`ivf_topk`: one
+    ``agree`` boolean per query asserting the IVF result equals an
+    independently-built exact top-k over the same candidate universe —
+    every corpus vector whose ``n_assign`` cell assignment intersects
+    the query's ``n_probe`` probe set, scored by a single
+    ``arrays_overlap`` broadcast pass (no equi-join machinery, no
+    dedup step shared with the operator under test).
+
+    Unlike the PQ twins this holds EXACTLY at any scale: ivf_topk's
+    rerank is already exact cosine over all candidates (nothing is
+    pruned between candidate generation and ranking).
+    """
+    from beavers_spark.functions.vectorized import best_cells, train_quantizer
+
+    actual = ivf_topk(
+        queries, corpus, query_id, corpus_id, vec_col,
+        k=k, n_cells=n_cells, n_probe=n_probe, seed=seed,
+        train_fraction=train_fraction, n_assign=n_assign,
+    )
+    train = corpus if train_fraction >= 1.0 else corpus.sample(
+        fraction=train_fraction, seed=seed
+    )
+    centroids = train_quantizer(train, vec_col, n_cells, seed=seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        best_cells(F.col(vec_col), centroids, n_probe).alias("probes"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        best_cells(F.col(vec_col), centroids, n_assign).alias("cells"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            F.arrays_overlap(F.col("probes"), F.col("cells"))
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+    )
+    expected = pairs.withColumn("rnk", w).filter(F.col("rnk") <= k)
+    return _topk_agreement(actual, expected)
+
+
+def lsh_exact_twin(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    multi_probe: bool = True,
+    n_tables: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic exact-equivalence gate for
+    :func:`lsh_bucketed_topk`: the candidate universe — pairs sharing a
+    (table, bucket) key under the query's multi-probe set — is rebuilt
+    as per-row combined-key ARRAYS compared with one ``arrays_overlap``
+    broadcast pass (no posexplode, no equi-join, no dedup shared with
+    the operator under test), then exact-cosine top-k'd and compared
+    row-for-row. Exact at any scale: the operator's rerank is already
+    exact cosine over all bucket-mates.
+    """
+    from beavers_spark.functions.vectorized import lsh_bucket_ids
+
+    actual = lsh_bucketed_topk(
+        queries, corpus, query_id, corpus_id, vec_col,
+        k=k, dim=dim, n_planes=n_planes, multi_probe=multi_probe,
+        n_tables=n_tables, seed=seed,
+    )
+    tables = [
+        _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    width = F.lit(1 << n_planes)
+    offsets = (
+        F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
+        if multi_probe
+        else F.array(F.lit(0))
+    )
+    # combined (table, bucket) keys as one flat array per row
+    qkeys = F.flatten(
+        F.transform(
+            lsh_bucket_ids(F.col("qv"), tables),
+            lambda b0, tbl: F.transform(
+                offsets, lambda m: tbl * width + b0.bitwiseXOR(m)
+            ),
+        )
+    )
+    ckeys = F.transform(
+        lsh_bucket_ids(F.col("cv"), tables),
+        lambda b, tbl: tbl * width + b,
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qkeys", qkeys)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("ckeys", ckeys)
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            F.arrays_overlap(F.col("qkeys"), F.col("ckeys"))
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+    )
+    expected = pairs.withColumn("rnk", w).filter(F.col("rnk") <= k)
+    return _topk_agreement(actual, expected)
 
 
 def _collect_queries(

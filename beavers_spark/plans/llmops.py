@@ -615,6 +615,50 @@ def ann_lsh_recall(spark, sf_dir):
     )
 
 
+_AGREE_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS agree
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@query("ann_lsh_exact_twin", oracle=_AGREE_ORACLE)
+def ann_lsh_exact_twin(spark, sf_dir):
+    """Exact-equivalence gate for the hyperplane-LSH path: per query,
+    asserts ``lsh_bucketed_topk``'s full (neighbor, sim, rnk) result
+    equals an independently-built exact top-k over the same candidate
+    universe — pairs sharing a (table, bucket) key, rebuilt as combined
+    key ARRAYS and one arrays_overlap broadcast pass (no posexplode, no
+    equi-join, no dedup shared with the operator). Holds exactly at any
+    scale: the operator's rerank is already exact over bucket-mates."""
+    from beavers_spark.functions.similarity import lsh_exact_twin
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_exact_twin(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        k=10, dim=64, n_planes=3, n_tables=16, multi_probe=False,
+    )
+
+
+@query("ann_ivf_exact_twin", oracle=_AGREE_ORACLE)
+def ann_ivf_exact_twin(spark, sf_dir):
+    """Exact-equivalence gate for the IVF path: per query, asserts
+    ``ivf_topk``'s full (neighbor, sim, rnk) result equals an
+    independently-built exact top-k over every corpus vector whose cell
+    assignment intersects the query's probe set (arrays_overlap
+    broadcast pass — no equi-join machinery shared with the operator).
+    Holds exactly at any scale: the rerank is already exact cosine over
+    all candidates."""
+    from beavers_spark.functions.similarity import ivf_exact_twin
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_exact_twin(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=5, n_assign=2,
+    )
+
+
 @query(
     "ann_ivf_recall",
     oracle="SELECT 'ann_ivf_recall_at_10_ge_0.9' AS metric, TRUE AS passed",

@@ -438,6 +438,8 @@ def main() -> int:
         "ann_ivf_recall",       # gate: brute-force exact side + 1-row join
         "ann_pq_recall",        # gate: brute-force exact side + 1-row join
         "ann_ivfpq_recall",     # gate: brute-force exact side + 1-row join
+        "ann_lsh_exact_twin",   # gate: arrays_overlap candidate universe
+        "ann_ivf_exact_twin",   # gate: arrays_overlap candidate universe
         "semantic_dedup_check",  # gate: two 1-row invariant aggregates joined
         "tpch_q11",             # 1-row broadcast threshold
         "tpch_q22",             # 1-row broadcast avg(acctbal)

@@ -249,3 +249,38 @@ def test_substring_dedup_matches_model(spark, texts, k):
             if not any(s <= i < e for s, e in ranges)
         ]
         assert kept == expect
+
+
+# --- Bloom sidecar machinery: no false negatives, ever ------------------
+
+hashes_strategy = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=0,
+    max_size=200,
+)
+
+
+@given(inserted=hashes_strategy, probes=hashes_strategy)
+@settings(max_examples=50, deadline=None)
+def test_bloom_never_false_negative(inserted, probes):
+    import numpy as np
+
+    from beavers_spark.streaming.maintenance import (
+        bloom_build,
+        bloom_may_contain_any,
+    )
+
+    ins = np.asarray(inserted, dtype=np.int64)
+    bits = bloom_build(ins, m_bits=1 << 14)
+    # every inserted hash must be found
+    for h in inserted:
+        assert bloom_may_contain_any(bits, np.asarray([h], dtype=np.int64))
+    # the any-reduction agrees with the per-element union
+    pr = np.asarray(probes, dtype=np.int64)
+    agg = bloom_may_contain_any(bits, pr)
+    singles = any(
+        bloom_may_contain_any(bits, pr[i : i + 1]) for i in range(len(pr))
+    )
+    assert agg == singles
+    # empty probe set can never match
+    assert not bloom_may_contain_any(bits, np.asarray([], dtype=np.int64))

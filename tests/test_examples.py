@@ -13,6 +13,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "example
 EXAMPLES = sorted(f for f in os.listdir(EXAMPLES_DIR) if f.endswith(".py"))
 
 NEEDS_SPARK = {
+    "ann_search.py",
     "etf_pipeline.py",
     "kafka_concepts.py",
     "serving_dashboard.py",

@@ -141,6 +141,10 @@ def test_ivfpq_index_restart_safe_and_pruned_probe(spark, tmp_path):
     hits = again.search(queries, k=10, n_probe=3, refine=16)
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "cell" in plan  # partition filter present pre-execution
+    # the compressed-scan split is real: the ADC candidate scan reads
+    # codes only (never the vector column), the refine reads vectors
+    assert "struct<neighbor_id:bigint,code:array<int>>" in plan
+    assert "struct<neighbor_id:bigint,cv:array<float>>" in plan
     exact = {
         (r.query_id, r.neighbor_id)
         for r in brute_force_topk(

@@ -285,13 +285,23 @@ class IncrementalIVFPQIndex:
             if batch_df.isEmpty():
                 return
             self._train(batch_df)
+        from beavers_spark.functions.vectorized import best_cells
+
         vec = F.col(self.vec_col)
+        # cell assignment MUST use the same metric search probes with:
+        # search ranks cells by centroid COSINE (_probe_order, matching
+        # the batch ivfpq_topk), so rows are assigned by best_cells
+        # (cosine) too — an L2 assignment here pointed partial probes at
+        # the wrong cells on varying-norm centroids (review r5 finding).
+        # No cn column: the exact refine recomputes norms from cv, so a
+        # stored norm would be dead bytes in the index's hot table.
         rows = batch_df.select(
             F.col(self.id_col).alias("neighbor_id"),
             vec.alias("cv"),
-            _norm(vec).alias("cn"),
             pq_encode(vec, self._codebooks).alias("code"),
-            _nearest_cell(vec, self._centroids).alias("cell"),
+            F.element_at(best_cells(vec, self._centroids, 1), 1).alias(
+                "cell"
+            ),
         )
         rows.write.mode("append").partitionBy("cell").parquet(self.path)
         self._watermark.mark(batch_id)

@@ -53,16 +53,9 @@ from beavers_spark.functions.curation import word_chunks
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
-    ProbeMetrics,
     WaveBloomIndex,
-    bloom_save,
     table_exists,
 )
-
-#: past this many distinct batch hashes the driver-side Bloom probe is
-#: skipped (no sidecar written, all waves scanned) — same bound as the
-#: substring twin
-_BLOOM_PROBE_CAP = 1_000_000
 
 
 class IncrementalChunkDedup:
@@ -98,7 +91,7 @@ class IncrementalChunkDedup:
         self._watermark = BatchWatermark(state_path)
         self._bloom = WaveBloomIndex(state_path, bloom_bits)
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
-        self.probe_metrics: list[ProbeMetrics] = []
+        self.probe_metrics: list = []
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -124,22 +117,17 @@ class IncrementalChunkDedup:
         ``IncrementalNearDedup.compact`` for why the partition column
         must survive compaction); returns the post-compaction file
         count."""
-        import os
-
         from beavers_spark.streaming.maintenance import compact_parquet
 
-        merged = self._bloom.merged()
         compact_parquet(spark, self.out_path)
-        n = compact_parquet(
-            spark,
-            self.state_path,
-            partition_by="w",
-            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        return self._bloom.compact_merge(
+            lambda: compact_parquet(
+                spark,
+                self.state_path,
+                partition_by="w",
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
         )
-        self._bloom.invalidate()
-        if merged is not None:
-            bloom_save(os.path.join(self.state_path, "w=-1"), merged)
-        return n
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -188,22 +176,7 @@ class IncrementalChunkDedup:
         # write all read the checkpointed result instead of
         # re-segmenting the batch
         winners = winners.localCheckpoint()
-        pre_h = None
-        if self.bloom_bits:
-            import numpy as np
-
-            # no distinct(): a driver-side np.unique over the bounded
-            # collect avoids a per-wave shuffle job (measured ~0.5s/wave
-            # of local-mode overhead); the cap guards the raw row count
-            rows = (
-                winners.select("h")
-                .limit(_BLOOM_PROBE_CAP + 1)
-                .collect()
-            )
-            if len(rows) <= _BLOOM_PROBE_CAP:
-                pre_h = np.unique(
-                    np.asarray([r["h"] for r in rows], dtype=np.int64)
-                )
+        pre_h = self._bloom.collect_keys(winners, "h")
         if had_state:
             # cross-batch ownership: any hash already registered wins.
             # Column pruning keeps this scan to the 8-byte h column; the
@@ -213,15 +186,9 @@ class IncrementalChunkDedup:
             prior = spark.read.parquet(self.state_path).filter(
                 F.col("w") != batch_id
             )
-            if pre_h is not None:
-                waves = self._bloom.wave_ids(exclude=batch_id)
-                kept = self._bloom.live_waves(pre_h, exclude=batch_id)
-                self.probe_metrics.append(
-                    ProbeMetrics(batch_id, len(waves), len(kept))
-                )
-                prior = (
-                    prior.filter(F.col("w").isin(kept)) if kept else None
-                )
+            prior = self._bloom.prune_prior(
+                prior, pre_h, batch_id, self.probe_metrics
+            )
             if prior is not None:
                 winners = winners.join(
                     prior.select("h"), "h", "left_anti"

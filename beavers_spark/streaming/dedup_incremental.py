@@ -52,18 +52,11 @@ from beavers_spark.functions.dedup import (
 )
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
-    ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
-    bloom_save,
     partition_stats,
     table_exists,
 )
-
-#: past this many distinct band-key hashes the Bloom probe is skipped
-#: for the wave (no sidecar, all waves scanned) — same bound as the
-#: chunk/substring twins
-_BLOOM_PROBE_CAP = 1_000_000
 
 _SIG_COLS = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
 _BAND_KEYS = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
@@ -154,7 +147,7 @@ class IncrementalNearDedup:
         #: count (the compaction-due signal; see maintenance.WaveMetrics)
         self.metrics: list[WaveMetrics] = []
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
-        self.probe_metrics: list[ProbeMetrics] = []
+        self.probe_metrics: list = []
 
     def _record_wave(
         self, spark: SparkSession, batch_id: int, wave_dir: str
@@ -196,22 +189,17 @@ class IncrementalNearDedup:
         table half hive-partitioned, which Spark's partition discovery
         rejects.
         """
-        import os
-
         from beavers_spark.streaming.maintenance import compact_parquet
 
-        merged = self._bloom.merged()
         compact_parquet(spark, self.pairs_path)
-        n_files = compact_parquet(
-            spark,
-            self.state_path,
-            partition_by="w",
-            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        return self._bloom.compact_merge(
+            lambda: compact_parquet(
+                spark,
+                self.state_path,
+                partition_by="w",
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
         )
-        self._bloom.invalidate()
-        if merged is not None:
-            bloom_save(os.path.join(self.state_path, "w=-1"), merged)
-        return n_files
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -277,22 +265,11 @@ class IncrementalNearDedup:
         # band table wants (a pruned wave can contribute no candidate,
         # so excluding it from the band join AND the shingle lookup is
         # exact). One bounded collect over the wave read-back.
-        band_h = None
-        if self.bloom_bits:
-            import numpy as np
-
-            # no distinct(): driver-side np.unique avoids a per-wave
-            # shuffle job; the cap guards the raw band-row count
-            rows = (
-                new_bands.select(F.xxhash64(*_BAND_KEYS).alias("bh"))
-                .limit(_BLOOM_PROBE_CAP + 1)
-                .collect()
-            )
-            if len(rows) <= _BLOOM_PROBE_CAP:
-                band_h = np.unique(
-                    np.asarray([r["bh"] for r in rows], dtype=np.int64)
-                )
-                self._bloom.save_wave(wave_dir, band_h)
+        band_h = self._bloom.collect_keys(
+            new_bands.select(F.xxhash64(*_BAND_KEYS).alias("bh")), "bh"
+        )
+        if band_h is not None:
+            self._bloom.save_wave(wave_dir, band_h)
 
         # within-batch collisions, canonical doc1 < doc2
         a, b = new_bands.alias("a"), new_bands.alias("b")
@@ -305,13 +282,9 @@ class IncrementalNearDedup:
             old = spark.read.parquet(self.state_path).filter(
                 F.col("w") != batch_id
             )
-            if band_h is not None:
-                waves = self._bloom.wave_ids(exclude=batch_id)
-                kept = self._bloom.live_waves(band_h, exclude=batch_id)
-                self.probe_metrics.append(
-                    ProbeMetrics(batch_id, len(waves), len(kept))
-                )
-                old = old.filter(F.col("w").isin(kept)) if kept else None
+            old = self._bloom.prune_prior(
+                old, band_h, batch_id, self.probe_metrics
+            )
             if old is not None:
                 old = old.drop("w")
         if old is not None:

@@ -232,6 +232,12 @@ def bloom_load(wave_dir: str):
     return np.load(p)
 
 
+#: past this many raw key rows the Bloom probe is skipped for the wave
+#: (no sidecar written, all waves scanned — conservative); bounds the
+#: driver collect even if a bulk load is fed through the streaming path
+BLOOM_PROBE_CAP = 1_000_000
+
+
 class WaveBloomIndex:
     """Per-wave Bloom sidecar manager for a hash-registry state table
     (the probe filter promised by the chunk/substring dedup twins).
@@ -299,6 +305,49 @@ class WaveBloomIndex:
 
     def invalidate(self) -> None:
         self._cache.clear()
+
+    def collect_keys(self, df, col: str):
+        """Bounded driver-side collect of ``df[col]`` as unique int64s —
+        via Arrow (``toPandas``), not pyspark Rows: at the 1M cap that
+        is ~8 MB of contiguous int64 instead of hundreds of MB of Row
+        objects. Returns None when the filter is disabled or the cap is
+        exceeded (callers then skip pruning AND the sidecar —
+        conservative, correct)."""
+        import numpy as np
+
+        if not self.m_bits:
+            return None
+        pdf = df.select(col).limit(BLOOM_PROBE_CAP + 1).toPandas()
+        if len(pdf) > BLOOM_PROBE_CAP:
+            return None
+        return np.unique(pdf[col].to_numpy(dtype=np.int64, copy=False))
+
+    def prune_prior(self, prior_df, keys, batch_id: int, probe_log):
+        """Filter a ``w``-partitioned prior frame to the waves that may
+        contain one of ``keys`` (None when every wave is pruned — the
+        caller skips the probe join entirely). Appends one ProbeMetrics
+        row. ``keys`` may be None (cap exceeded): no pruning, no log."""
+        from pyspark.sql import functions as _F
+
+        if keys is None:
+            return prior_df
+        waves = self.wave_ids(exclude=batch_id)
+        kept = self.live_waves(keys, exclude=batch_id)
+        probe_log.append(ProbeMetrics(batch_id, len(waves), len(kept)))
+        return prior_df.filter(_F.col("w").isin(kept)) if kept else None
+
+    def compact_merge(self, compact_fn):
+        """Run ``compact_fn`` (the table rewrite) with sidecar care: OR
+        the wave bitmaps BEFORE (they live inside the wave dirs the
+        rewrite destroys), invalidate the cache, and write the merged
+        bitmap into the coalesced ``w=-1`` wave after. Returns
+        ``compact_fn()``'s result."""
+        merged = self.merged()
+        out = compact_fn()
+        self.invalidate()
+        if merged is not None:
+            bloom_save(os.path.join(self.state_path, "w=-1"), merged)
+        return out
 
 
 def recover_compaction(path: str) -> bool:

@@ -54,18 +54,11 @@ from beavers_spark.functions.curation import sliding_spans
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
-    ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
-    bloom_save,
     partition_stats,
     table_exists,
 )
-
-#: past this many distinct batch hashes the driver-side Bloom probe is
-#: skipped (no sidecar written, all waves scanned) — keeps the collect
-#: bounded even if someone feeds a bulk load through the streaming path
-_BLOOM_PROBE_CAP = 1_000_000
 
 
 class IncrementalSubstringDedup:
@@ -105,7 +98,7 @@ class IncrementalSubstringDedup:
         #: per-wave registry-append volume (see maintenance.WaveMetrics)
         self.metrics: list[WaveMetrics] = []
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
-        self.probe_metrics: list[ProbeMetrics] = []
+        self.probe_metrics: list = []
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -134,27 +127,22 @@ class IncrementalSubstringDedup:
         into the coalesced wave (fixed ``m`` makes bitmaps mergeable) —
         if any wave lacks one, no merged sidecar is written and the
         coalesced wave is simply never pruned (conservative)."""
-        import os
-
         from beavers_spark.streaming.maintenance import compact_parquet
 
-        merged = self._bloom.merged()
         compact_parquet(
             spark,
             self.out_path,
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
-        n = compact_parquet(
-            spark,
-            self.state_path,
-            partition_by="w",
-            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        return self._bloom.compact_merge(
+            lambda: compact_parquet(
+                spark,
+                self.state_path,
+                partition_by="w",
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
         )
-        self._bloom.invalidate()
-        if merged is not None:
-            bloom_save(os.path.join(self.state_path, "w=-1"), merged)
-        return n
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -209,22 +197,7 @@ class IncrementalSubstringDedup:
         # write all read the (one-row-per-owned-span) checkpointed
         # result instead of re-hashing the batch
         winners = winners.localCheckpoint()
-        pre_h = None
-        if self.bloom_bits:
-            import numpy as np
-
-            # no distinct(): a driver-side np.unique over the bounded
-            # collect avoids a per-wave shuffle job (measured ~0.5s/wave
-            # of local-mode overhead); the cap guards the raw row count
-            rows = (
-                winners.select("h")
-                .limit(_BLOOM_PROBE_CAP + 1)
-                .collect()
-            )
-            if len(rows) <= _BLOOM_PROBE_CAP:
-                pre_h = np.unique(
-                    np.asarray([r["h"] for r in rows], dtype=np.int64)
-                )
+        pre_h = self._bloom.collect_keys(winners, "h")
         if had_state:
             # cross-batch ownership: any hash already registered wins —
             # the 8-byte h column is the only thing this scan reads.
@@ -238,15 +211,9 @@ class IncrementalSubstringDedup:
             prior = spark.read.parquet(self.state_path).filter(
                 F.col("w") != batch_id
             )
-            if pre_h is not None:
-                waves = self._bloom.wave_ids(exclude=batch_id)
-                kept = self._bloom.live_waves(pre_h, exclude=batch_id)
-                self.probe_metrics.append(
-                    ProbeMetrics(batch_id, len(waves), len(kept))
-                )
-                prior = (
-                    prior.filter(F.col("w").isin(kept)) if kept else None
-                )
+            prior = self._bloom.prune_prior(
+                prior, pre_h, batch_id, self.probe_metrics
+            )
             if prior is not None:
                 winners = winners.join(
                     prior.select("h"), "h", "left_anti"

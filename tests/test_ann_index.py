@@ -152,4 +152,7 @@ def test_ivfpq_index_restart_safe_and_pruned_probe(spark, tmp_path):
         ).collect()
     }
     got = {(r.query_id, r.neighbor_id) for r in hits.collect()}
-    assert len(got & exact) / len(exact) >= 0.7
+    # 0.92 measured after the cosine-assignment fix (ingest cells and
+    # probe ranking share the metric); 0.85 leaves headroom for seed
+    # drift without re-admitting the L2/cosine mismatch this pins
+    assert len(got & exact) / len(exact) >= 0.85

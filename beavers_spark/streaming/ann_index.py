@@ -242,12 +242,30 @@ class IncrementalIVFPQIndex:
     def _model_file(self) -> str:
         return os.path.join(self.path, "_ivfpq_model.json")
 
+    #: cell-assignment metric this code writes and probes with. The
+    #: persisted model records it so an index whose rows were
+    #: partitioned under a DIFFERENT metric (e.g. one built before the
+    #: L2->cosine fix) fails loudly instead of silently losing recall
+    #: on partial probes — a durable index's partition layout must match
+    #: the metric its rows were written under (nearest_cells_l2 note).
+    _METRIC = "cosine"
+
     def _load(self) -> bool:
         if self._centroids is not None:
             return True
         if os.path.exists(self._model_file):
             with open(self._model_file) as fh:
                 model = json.load(fh)
+            metric = model.get("metric")
+            if metric != self._METRIC:
+                raise ValueError(
+                    f"IVF-PQ index at {self.path} was built with cell "
+                    f"metric {metric!r}, this code probes by "
+                    f"{self._METRIC!r} — partial probes would silently "
+                    "miss rows in mis-assigned cells. Rebuild the index "
+                    "(retrain => rebuild, offline) or pin the matching "
+                    "code version."
+                )
             self._centroids = model["centroids"]
             self._codebooks = model["codebooks"]
             return True
@@ -271,7 +289,11 @@ class IncrementalIVFPQIndex:
         os.makedirs(self.path, exist_ok=True)
         with open(self._model_file, "w") as fh:
             json.dump(
-                {"centroids": self._centroids, "codebooks": self._codebooks},
+                {
+                    "metric": self._METRIC,
+                    "centroids": self._centroids,
+                    "codebooks": self._codebooks,
+                },
                 fh,
             )
 

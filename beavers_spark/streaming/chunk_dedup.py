@@ -53,6 +53,7 @@ from beavers_spark.functions.curation import word_chunks
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    ProbeMetrics,
     WaveBloomIndex,
     table_exists,
 )
@@ -91,7 +92,7 @@ class IncrementalChunkDedup:
         self._watermark = BatchWatermark(state_path)
         self._bloom = WaveBloomIndex(state_path, bloom_bits)
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
-        self.probe_metrics: list = []
+        self.probe_metrics: list[ProbeMetrics] = []
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:

@@ -52,6 +52,7 @@ from beavers_spark.functions.dedup import (
 )
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
     partition_stats,
@@ -147,7 +148,7 @@ class IncrementalNearDedup:
         #: count (the compaction-due signal; see maintenance.WaveMetrics)
         self.metrics: list[WaveMetrics] = []
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
-        self.probe_metrics: list = []
+        self.probe_metrics: list[ProbeMetrics] = []
 
     def _record_wave(
         self, spark: SparkSession, batch_id: int, wave_dir: str

@@ -327,14 +327,12 @@ class WaveBloomIndex:
         contain one of ``keys`` (None when every wave is pruned — the
         caller skips the probe join entirely). Appends one ProbeMetrics
         row. ``keys`` may be None (cap exceeded): no pruning, no log."""
-        from pyspark.sql import functions as _F
-
         if keys is None:
             return prior_df
         waves = self.wave_ids(exclude=batch_id)
         kept = self.live_waves(keys, exclude=batch_id)
         probe_log.append(ProbeMetrics(batch_id, len(waves), len(kept)))
-        return prior_df.filter(_F.col("w").isin(kept)) if kept else None
+        return prior_df.filter(F.col("w").isin(kept)) if kept else None
 
     def compact_merge(self, compact_fn):
         """Run ``compact_fn`` (the table rewrite) with sidecar care: OR

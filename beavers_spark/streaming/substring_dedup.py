@@ -54,6 +54,7 @@ from beavers_spark.functions.curation import sliding_spans
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
     partition_stats,
@@ -98,7 +99,7 @@ class IncrementalSubstringDedup:
         #: per-wave registry-append volume (see maintenance.WaveMetrics)
         self.metrics: list[WaveMetrics] = []
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
-        self.probe_metrics: list = []
+        self.probe_metrics: list[ProbeMetrics] = []
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:

@@ -156,3 +156,30 @@ def test_ivfpq_index_restart_safe_and_pruned_probe(spark, tmp_path):
     # probe ranking share the metric); 0.85 leaves headroom for seed
     # drift without re-admitting the L2/cosine mismatch this pins
     assert len(got & exact) / len(exact) >= 0.85
+
+
+def test_ivfpq_index_rejects_foreign_metric_model(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from beavers_spark.streaming import IncrementalIVFPQIndex
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    index = IncrementalIVFPQIndex(path, id_col="vec_id", n_cells=4)
+    index(emb, 0)
+
+    # simulate an index built under a different (or pre-versioning)
+    # cell metric: loading must fail loudly, not lose recall silently
+    model_file = os.path.join(path, "_ivfpq_model.json")
+    with open(model_file) as fh:
+        model = json.load(fh)
+    assert model["metric"] == "cosine"
+    del model["metric"]
+    with open(model_file, "w") as fh:
+        json.dump(model, fh)
+    stale = IncrementalIVFPQIndex(path, id_col="vec_id", n_cells=4)
+    with pytest.raises(ValueError, match="cell\\s+metric|metric"):
+        stale.search(emb.filter(F.col("vec_id") < 5), k=5, n_probe=2)

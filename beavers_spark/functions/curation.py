@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.dedup import md5_hash64, word_shingles
+from beavers_spark.functions.text import tokens
 from beavers_spark.functions.sampling import BUCKETS, hash_bucket
 
 
@@ -120,7 +121,7 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     looping). The standard quality signal for filtering boilerplate and
     generation loops. Pure projection — no explode, no shuffle.
     """
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+    toks = tokens(text)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -172,7 +173,7 @@ def word_chunks(text: Column, k: int = 10) -> Column:
     the segmentation unit for substring-granularity dedup on corpora
     without paragraph structure. Pure projection — the fan-out to
     segments stays inside the scan stage."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+    toks = tokens(text)
     n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
     # guard: sequence(0, -1) would COUNT DOWN for an empty token list
     return F.when(
@@ -191,7 +192,7 @@ def sliding_spans(text: Column, k: int) -> Column:
     generalization of :func:`word_chunks`): ``n_tokens - k + 1`` spans
     per document, the candidate unit for substring-level exact dedup.
     Pure projection — the fan-out stays inside the scan stage."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+    toks = tokens(text)
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -234,8 +235,6 @@ def substring_dedup(
     iff it starts past the running max end), so the whole operator is
     two shuffles — hash-keyed then doc-keyed — with no driver state.
     """
-    from pyspark.sql import Window
-
     # repartition BEFORE the fan-out: a single parquet file scans as one
     # partition, which would serialize the (CPU-heavy) span construction
     # + hashing; at scale the scan is already multi-split and this is a
@@ -245,6 +244,13 @@ def substring_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(sliding_spans(F.col(text_col), k)).alias("idx", "span"),
     ).withColumn("h", md5_hash64(F.col("span"))).drop("span")
+    # materialize the hashed spans ONCE: the ownership groupBy and the
+    # join probe are separate exchanges whose subtrees Catalyst cannot
+    # reuse, so without this the corpus is re-scanned and re-hashed per
+    # consumer (verified: 2x Generate posexplode in the executed plan).
+    # The checkpointed frame is (doc_id, idx, h) — ~20 bytes/token,
+    # smaller than re-reading + re-hashing the text, and it spills
+    spans = spans.localCheckpoint()
     occ = F.struct(F.col("doc_id"), F.col("idx"))
     owners = (
         spans.groupBy("h")
@@ -322,9 +328,7 @@ def substring_dedup_apply(
             F.sum("n_dup_tokens").alias("n_dup_tokens"),
         )
     )
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
-    )
+    toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
     rng = F.coalesce(
         F.col("rng"),
@@ -378,6 +382,9 @@ def chunk_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_chunks(F.col(text_col), k)).alias("idx", "chunk"),
     ).withColumn("h", md5_hash64(F.col("chunk")))
+    # materialize once: owners, the kept join, AND totals each re-ran
+    # the segment explode+hash otherwise (3x Generate in the plan)
+    segs = segs.localCheckpoint()
     occ = F.struct(F.col("doc_id"), F.col("idx"))
     owners = (
         segs.groupBy("h").agg(F.min(occ).alias("owner")).withColumnRenamed(
@@ -439,9 +446,15 @@ def token_budget_mix(
         if w is None
         else w.otherwise(F.lit(default_weight))
     )
+    # zero-total guard: a source whose rows all have length 0 would be
+    # a DIVIDE_BY_ZERO under Spark 4's default ANSI mode; rate 1.0
+    # (keep everything) matches the oracle's least(1.0, inf) behavior
     rates = totals.withColumn(
         "__rate",
-        F.least(F.lit(1.0), F.lit(budget) * w / F.col("__tot")),
+        F.when(
+            F.col("__tot") > 0,
+            F.least(F.lit(1.0), F.lit(budget) * w / F.col("__tot")),
+        ).otherwise(F.lit(1.0)),
     )
     return (
         df.join(F.broadcast(rates), source_col)

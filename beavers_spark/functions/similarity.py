@@ -28,9 +28,20 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cos(dot: Column, na: Column, nb: Column) -> Column:
+    """ANSI-safe cosine from precomputed dot + norms: 0.0 when either
+    norm is 0 — a zero vector is similar to nothing, matching the
+    behavior of every ``>= threshold`` consumer (Spark 4's default ANSI
+    mode would otherwise abort the job with DIVIDE_BY_ZERO; DuckDB's
+    inf/NaN rows fall out of the same filters)."""
+    denom = na * nb
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<numeric> columns."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array<numeric> columns (ANSI-safe:
+    0.0 when either vector has zero norm)."""
+    return _cos(_dot(a, b), _norm(a), _norm(b))
 
 
 def brute_force_topk(
@@ -72,7 +83,8 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+                _cos(_dot(F.col("qv"), F.col("cv")),
+                     F.col("qn"), F.col("cn")), 6
             ).alias("sim"),
         )
     )
@@ -159,7 +171,8 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+                _cos(_dot(F.col("qv"), F.col("cv")),
+                     F.col("qn"), F.col("cn")), 6
             ).alias("sim"),
         )
     )
@@ -266,7 +279,8 @@ def lsh_near_dup_pairs(
         .withColumn(
             "sim",
             F.round(
-                _dot(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n")), 6
+                _cos(_dot(F.col("x.v"), F.col("y.v")),
+                     F.col("x.n"), F.col("y.n")), 6
             ),
         )
         .filter(F.col("sim") >= threshold)
@@ -361,7 +375,8 @@ def lsh_bucketed_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+                _cos(_dot(F.col("qv"), F.col("cv")),
+                     F.col("qn"), F.col("cn")), 6
             ).alias("sim"),
         )
     )
@@ -971,7 +986,8 @@ def _exact_refine(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+                _cos(_dot(F.col("qv"), F.col("cv")),
+                     F.col("qn"), F.col("cn")), 6
             ).alias("sim"),
         )
     )

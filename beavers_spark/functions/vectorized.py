@@ -218,9 +218,21 @@ def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
 #: different corpora would leak.
 _UDF_CACHE: dict = {}
 _UDF_CACHE_CAP = 32
+_UDF_CACHE_CTX: list = [None]
 
 
 def _cached_udf(key, builder):
+    # invalidate on SparkContext change (mirrors dedup._cached_cols): a
+    # cached pandas UDF's materialized _judf wraps handles of a SPECIFIC
+    # gateway — after a session restart (bench.py restarts mid-run) the
+    # stale UDF spams accumulator-update errors locally and can fail
+    # jobs outright on a real cluster
+    from pyspark import SparkContext
+
+    ctx = id(SparkContext._active_spark_context)
+    if ctx != _UDF_CACHE_CTX[0]:
+        _UDF_CACHE.clear()
+        _UDF_CACHE_CTX[0] = ctx
     if key in _UDF_CACHE:
         _UDF_CACHE[key] = _UDF_CACHE.pop(key)  # refresh LRU position
     else:
@@ -231,14 +243,15 @@ def _cached_udf(key, builder):
 
 
 def _freeze(nested) -> str:
-    """Stable content digest of a nested float list, for cache keys."""
+    """Stable content digest of a nested float list, for cache keys:
+    md5 over the contiguous float64 bytes + shape — unambiguous (no
+    repr-concatenation collisions) and one C-level pass instead of a
+    per-element Python loop."""
     import hashlib
 
-    h = hashlib.md5()
-    for row in nested:
-        for v in row:
-            h.update(repr(float(v)).encode())
-        h.update(b";")
+    arr = np.ascontiguousarray(nested, dtype=np.float64)
+    h = hashlib.md5(str(arr.shape).encode())
+    h.update(arr.tobytes())
     return h.hexdigest()
 
 

@@ -27,15 +27,18 @@ from beavers_spark.functions.curation import (
 from beavers_spark.plans.common import t
 from beavers_spark.plans.registry import query
 
-# md5-derived 60-bit hash of an expression, DuckDB side (same scheme as
-# functions.dedup.md5_hash64 at seed 0)
+# shared DuckDB fragments — single definitions in plans/llmops.py so a
+# hash-scheme or tokenizer change can never desynchronize one tier's
+# oracles from the other's
+from beavers_spark.plans.llmops import _SQL_TOKS as _LLMOPS_SQL_TOKS
+from beavers_spark.plans.llmops import _sql_hash64 as _llmops_sql_hash64
+
+
 def _sql_hash64(expr: str) -> str:
-    return f"(('0x' || substr(md5({expr} || '#0'), 1, 15))::BIGINT)"
+    return _llmops_sql_hash64(expr, 0)
 
 
-_SQL_TOKS = (
-    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
-)
+_SQL_TOKS = _LLMOPS_SQL_TOKS
 
 
 def _sql_ngrams(n: int) -> str:
@@ -203,69 +206,11 @@ def chunk_dedup_q(spark, sf_dir):
 
 K_SPAN = 8
 
-@query(
-    "substring_dedup",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
-    sp AS (
-        SELECT doc_id,
-               unnest(generate_series(0, len(tk) - {K_SPAN})) AS idx,
-               tk
-        FROM toks WHERE len(tk) >= {K_SPAN}
-    ),
-    spans AS (
-        SELECT doc_id, idx,
-               array_to_string(tk[(idx + 1):(idx + {K_SPAN})], ' ') AS s
-        FROM sp
-    ),
-    marked AS (
-        SELECT doc_id, idx,
-               row_number() OVER (
-                   PARTITION BY s ORDER BY doc_id, idx) AS rn
-        FROM spans
-    ),
-    dups AS (
-        SELECT doc_id, idx AS s0, idx + {K_SPAN} AS e0
-        FROM marked WHERE rn > 1
-    ),
-    flagged AS (
-        SELECT doc_id, s0, e0,
-               CASE WHEN s0 <= coalesce(max(e0) OVER (
-                   PARTITION BY doc_id ORDER BY s0
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-               THEN 0 ELSE 1 END AS brk
-        FROM dups
-    ),
-    grp AS (
-        SELECT doc_id, s0, e0,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY s0
-                              ROWS UNBOUNDED PRECEDING) AS g
-        FROM flagged
-    )
-    SELECT doc_id,
-           min(s0)::BIGINT AS span_start,
-           max(e0)::BIGINT AS span_end,
-           (max(e0) - min(s0))::BIGINT AS n_dup_tokens
-    FROM grp GROUP BY doc_id, g
-    """,
-)
-def substring_dedup_q(spark, sf_dir):
-    """Cross-document exact substring dedup (Lee et al. suffix-array
-    pass, Spark-shaped: stride-1 k-token span hashes instead of a corpus
-    suffix array — VERDICT r4 item 4): spans duplicated anywhere earlier
-    in (doc, pos) order are merged per doc into maximal token ranges
-    ``[span_start, span_end)``. Two shuffles — span-hash groupBy (16
-    bytes/token on the wire) then a doc-keyed gaps-and-islands window —
-    no driver state; any duplicate run >= k tokens is covered in full."""
-    return substring_dedup(
-        t(spark, sf_dir, "documents"), "text", "doc_id", k=K_SPAN
-    )
-
-
-@query(
-    "substring_dedup_apply",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+#: shared gaps-and-islands CTE chain for the substring-dedup family —
+#: expects a ``toks(doc_id, ..., tk)`` CTE in scope and ends with
+#: ``ranges(doc_id, span_start, span_end)``; ONE definition so the three
+#: oracles that embed it can never desynchronize
+_SQL_SPAN_RANGES_CTES = f"""
     sp AS (
         SELECT doc_id,
                unnest(generate_series(0, len(tk) - {K_SPAN})) AS idx,
@@ -304,7 +249,38 @@ def substring_dedup_q(spark, sf_dir):
     ranges AS (
         SELECT doc_id, min(s0) AS span_start, max(e0) AS span_end
         FROM grp GROUP BY doc_id, g
-    ),
+    )"""
+
+@query(
+    "substring_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    {_SQL_SPAN_RANGES_CTES}
+    SELECT doc_id,
+           span_start::BIGINT AS span_start,
+           span_end::BIGINT AS span_end,
+           (span_end - span_start)::BIGINT AS n_dup_tokens
+    FROM ranges
+    """,
+)
+def substring_dedup_q(spark, sf_dir):
+    """Cross-document exact substring dedup (Lee et al. suffix-array
+    pass, Spark-shaped: stride-1 k-token span hashes instead of a corpus
+    suffix array — VERDICT r4 item 4): spans duplicated anywhere earlier
+    in (doc, pos) order are merged per doc into maximal token ranges
+    ``[span_start, span_end)``. Two shuffles — span-hash groupBy (16
+    bytes/token on the wire) then a doc-keyed gaps-and-islands window —
+    no driver state; any duplicate run >= k tokens is covered in full."""
+    return substring_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=K_SPAN
+    )
+
+
+@query(
+    "substring_dedup_apply",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    {_SQL_SPAN_RANGES_CTES},
     tok_rows AS (
         SELECT doc_id,
                unnest(tk) AS tok,
@@ -351,45 +327,7 @@ def substring_dedup_apply_q(spark, sf_dir):
     "dup_rate_by_source",
     oracle=f"""
     WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS tk FROM documents),
-    sp AS (
-        SELECT doc_id,
-               unnest(generate_series(0, len(tk) - {K_SPAN})) AS idx,
-               tk
-        FROM toks WHERE len(tk) >= {K_SPAN}
-    ),
-    spans AS (
-        SELECT doc_id, idx,
-               array_to_string(tk[(idx + 1):(idx + {K_SPAN})], ' ') AS s
-        FROM sp
-    ),
-    marked AS (
-        SELECT doc_id, idx,
-               row_number() OVER (
-                   PARTITION BY s ORDER BY doc_id, idx) AS rn
-        FROM spans
-    ),
-    dups AS (
-        SELECT doc_id, idx AS s0, idx + {K_SPAN} AS e0
-        FROM marked WHERE rn > 1
-    ),
-    flagged AS (
-        SELECT doc_id, s0, e0,
-               CASE WHEN s0 <= coalesce(max(e0) OVER (
-                   PARTITION BY doc_id ORDER BY s0
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-               THEN 0 ELSE 1 END AS brk
-        FROM dups
-    ),
-    grp AS (
-        SELECT doc_id, s0, e0,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY s0
-                              ROWS UNBOUNDED PRECEDING) AS g
-        FROM flagged
-    ),
-    ranges AS (
-        SELECT doc_id, min(s0) AS span_start, max(e0) AS span_end
-        FROM grp GROUP BY doc_id, g
-    ),
+    {_SQL_SPAN_RANGES_CTES},
     per_doc AS (
         SELECT doc_id, sum(span_end - span_start) AS dup_toks
         FROM ranges GROUP BY doc_id
@@ -417,9 +355,9 @@ def dup_rate_by_source(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("n_dup_tokens").alias("dup_toks"))
     )
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
-    )
+    from beavers_spark.functions.text import tokens
+
+    toks = tokens(F.col("text"))
     base = docs.select("doc_id", "source", F.size(toks).alias("n_toks"))
     return (
         base.join(per_doc, "doc_id", "left")

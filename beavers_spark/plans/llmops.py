@@ -434,7 +434,7 @@ def dedup_embedding_cosine_exact(spark, sf_dir):
     (every 20th vector, broadcast) against the full corpus, exact cosine,
     threshold. O(n*n/20) compare volume — small-scale verification only;
     the registered scale path is the LSH-banded variant above."""
-    from beavers_spark.functions.similarity import _dot, _norm
+    from beavers_spark.functions.similarity import _cos, _dot, _norm
 
     emb = t(spark, sf_dir, "embeddings")
     parallelism = spark.sparkContext.defaultParallelism
@@ -451,7 +451,9 @@ def dedup_embedding_cosine_exact(spark, sf_dir):
         .filter(F.col("id1") < F.col("id2"))
         .withColumn(
             "sim",
-            F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
+            F.round(
+                _cos(_dot(F.col("v1"), F.col("v2")),
+                     F.col("n1"), F.col("n2")), 6),
         )
         .filter(F.col("sim") >= 0.3)
         .select("id1", "id2", "sim")
@@ -469,6 +471,7 @@ def dedup_embedding_recall(spark, sf_dir):
     change drops recall. The exact side is all-pairs — affordable at
     gate scale only (the gate runs where CORRECTNESS runs)."""
     from beavers_spark.functions.similarity import (
+        _cos,
         _dot,
         _norm,
         lsh_near_dup_pairs,
@@ -485,7 +488,8 @@ def dedup_embedding_recall(spark, sf_dir):
         .withColumn(
             "sim",
             F.round(
-                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+                _cos(_dot(F.col("a.v"), F.col("b.v")),
+                     F.col("a.n"), F.col("b.n")), 6
             ),
         )
         .filter(F.col("sim") >= 0.3)

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from beavers_spark.functions.similarity import _dot, _norm
+from beavers_spark.functions.similarity import _cos, _dot, _norm
 from beavers_spark.functions.vectorized import nearest_cells_l2
 from beavers_spark.streaming.maintenance import BatchWatermark
 
@@ -169,8 +169,11 @@ class IncrementalIVFIndex:
                 "query_id",
                 "neighbor_id",
                 F.round(
-                    _dot(F.col("qv"), F.col("cv"))
-                    / (F.col("qn") * F.col("cn")),
+                    _cos(
+                        _dot(F.col("qv"), F.col("cv")),
+                        F.col("qn"),
+                        F.col("cn"),
+                    ),
                     6,
                 ).alias("sim"),
             )

@@ -355,3 +355,48 @@ def test_ivfpq_topk_recall_and_cell_masking(spark, embeddings):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_sims:
             assert abs(r.sim - exact_sims[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_cosine_zero_norm_vector_is_ansi_safe(spark):
+    """A zero vector must score 0.0 everywhere, not abort the job with
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode (review r5)."""
+    from beavers_spark.functions.similarity import (
+        brute_force_topk,
+        cosine_sim,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sims = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("s"),
+        ).collect()
+    }
+    assert sims[0] == 0.0 and sims[1] == 1.0
+    # end-to-end: the zero vector ranks last, nothing throws
+    out = brute_force_topk(
+        df.filter(F.col("vec_id") == 1), df, "vec_id", "vec_id",
+        "embedding", k=2,
+    ).collect()
+    assert {(r.neighbor_id, r.rnk) for r in out} == {(2, 1), (0, 2)}
+
+
+def test_token_budget_mix_zero_length_source(spark):
+    """A source whose rows all have length 0 keeps everything (rate 1.0,
+    the oracle's least(1, inf)) instead of dividing by zero."""
+    from beavers_spark.functions.curation import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "empty", 0), (2, "empty", 0), (3, "full", 100)],
+        "doc_id long, source string, n long",
+    )
+    out = token_budget_mix(
+        df, "source", "doc_id", "n", weights={}, budget=1000,
+        default_weight=1.0,
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert {1, 2} <= got  # the zero-length source is fully kept

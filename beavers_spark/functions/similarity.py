@@ -300,9 +300,17 @@ def lsh_bucketed_topk(
     multi_probe: bool = True,
     n_tables: int = 1,
     seed: int = 7,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucketing, candidates restricted
     to colliding buckets, exact cosine rerank on DEDUPLICATED candidates.
+
+    ``broadcast_queries`` picks the join strategy for the (table,
+    bucket) equi-join: True (default) broadcasts the bucket-exploded
+    query side — right when queries are a bounded operand; False leaves
+    it a shuffle hash join — REQUIRED when the query side is
+    corpus-scale (see :func:`knn_join`), where broadcasting would ship
+    the whole corpus to every task.
 
     The scale path: the corpus is hashed once per table (narrow map), the
     join is an equi-join on (table, bucket) — a hash shuffle on a
@@ -367,8 +375,9 @@ def lsh_bucketed_topk(
             F.posexplode(lsh_bucket_ids(F.col("cv"), tables)).alias("tbl", "bkt"),
         )
     )
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bkt"])
+        c.join(q_side, ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
@@ -386,6 +395,36 @@ def lsh_bucketed_topk(
         )
     )
     return scored.withColumn("rnk", w).filter(F.col("rnk") <= k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    multi_probe: bool = False,
+    seed: int = 7,
+) -> DataFrame:
+    """Corpus-scale k-NN self-join: for EVERY document, its ``k``
+    nearest neighbors by cosine — the retrieval/near-dup-graph shape
+    where the query set IS the corpus, so nothing is broadcastable.
+
+    Same multi-table hyperplane-LSH banding as ``lsh_bucketed_topk``
+    (candidates from a (table, bucket) SHUFFLE equi-join, exact rerank
+    of deduplicated bucket-mates, per-query top-k window keyed on the
+    query id) with ``broadcast_queries=False`` — at 100 TB both sides
+    are corpus-sized and the equi-join shuffles on the
+    ``n_tables * 2^n_planes``-ary bucket key. Recall is gated by
+    ``ann_knn_join_recall``.
+    """
+    return lsh_bucketed_topk(
+        corpus, corpus, id_col, id_col, vec_col,
+        k=k, dim=dim, n_planes=n_planes, multi_probe=multi_probe,
+        n_tables=n_tables, seed=seed, broadcast_queries=False,
+    )
 
 
 def pq_topk(

@@ -24,6 +24,7 @@ from beavers_spark.functions.similarity import (
     brute_force_topk,
     ivf_topk,
     ivfpq_topk,
+    knn_join,
     lsh_bucketed_topk,
     pq_topk,
 )
@@ -616,6 +617,46 @@ def ann_lsh_recall(spark, sf_dir):
         ),
         "ann_lsh_recall_at_10_ge_0.9",
         0.9,
+    )
+
+
+@query("ann_knn_join")  # no SQL oracle: approximate op, rows-only check
+def ann_knn_join(spark, sf_dir):
+    """Corpus-scale k-NN self-join: every document's top-5 cosine
+    neighbors, queries = the whole corpus — the retrieval / near-dup
+    graph shape. LSH banding with a SHUFFLE (table, bucket) equi-join
+    (nothing broadcastable when both sides are corpus-sized); recall@5
+    >= 0.9 gated hash-visibly by ``ann_knn_join_recall``."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb, "vec_id", "embedding", k=5,
+        dim=64, n_planes=3, n_tables=16,
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@query(
+    "ann_knn_join_recall",
+    oracle="SELECT 'ann_knn_join_recall_at_5_ge_0.9' AS metric, TRUE AS passed",
+)
+def ann_knn_join_recall(spark, sf_dir):
+    """Recall@5 gate for the corpus-scale k-NN join (>= 0.9 vs the
+    brute-force all-pairs top-5; measured 0.978 at sf0.01),
+    hash-visible to the driver."""
+    emb = t(spark, sf_dir, "embeddings")
+    approx = knn_join(
+        emb, "vec_id", "embedding", k=5, dim=64, n_planes=3, n_tables=16,
+    ).select("query_id", "neighbor_id")
+    exact = brute_force_topk(
+        emb, emb, "vec_id", "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    hit = approx.join(exact, ["query_id", "neighbor_id"], "inner")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.lit("ann_knn_join_recall_at_5_ge_0.9").alias("metric"),
+            (F.col("n_hit") >= 0.9 * F.col("n_exact")).alias("passed"),
+        )
     )
 
 

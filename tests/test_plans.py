@@ -39,12 +39,14 @@ def test_rows_only_queries_are_documented():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_ivfpq_topk",
+        "ann_knn_join",  # gated by ann_knn_join_recall (hash-checked)
         "approx_distinct",
         "dedup_embedding_cosine",
         "semantic_dedup",  # gated by semantic_dedup_check (hash-checked)
     }
     for gate in (
         "dedup_embedding_recall",
+        "ann_knn_join_recall",
         "ann_lsh_recall",
         "ann_ivf_recall",
         "ann_pq_recall",

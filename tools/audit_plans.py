@@ -346,10 +346,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ],
     "chunk_dedup": [
         # segment ownership = partial-combined min on the 60-bit chunk
-        # hash (16 bytes/occurrence on the wire, never the text); no
-        # windows, no Python, no cross join
-        [r"partial_min", r"Generate posexplode"],
-        [r"CartesianProduct", r"BatchEvalPython", r"Window"],
+        # hash (16 bytes/occurrence on the wire, never the text); the
+        # hashed-segment frame is localCheckpoint'ed (one explode+hash
+        # pass for all three consumers), so the final plan reads the
+        # checkpoint RDD instead of showing the Generate; no windows,
+        # no Python, no cross join
+        [r"partial_min", r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BatchEvalPython", r"Window",
+         r"Generate posexplode"],
     ],
     "token_budget_mix": [
         # per-source totals broadcast back; the keep decision is a
@@ -372,19 +376,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
     "substring_dedup": [
-        # stride-1 span fan-out inside the scan stage; ownership =
-        # partial-combined min on the 60-bit span hash (16 bytes/token
-        # on the wire, never span text); the ONLY window is the
-        # doc-keyed gaps-and-islands interval merge; no Python
-        [r"partial_min", r"Generate posexplode",
+        # ownership = partial-combined min on the 60-bit span hash (16
+        # bytes/token on the wire, never span text); the hashed-span
+        # frame is localCheckpoint'ed (one explode+hash pass for both
+        # consumers — the Generate runs inside the checkpoint job); the
+        # ONLY window is the doc-keyed gaps-and-islands interval merge
+        [r"partial_min", r"Scan ExistingRDD",
          r"Window.*doc_id|windowspecdefinition\(doc_id"],
-        [r"CartesianProduct", r"BatchEvalPython"],
+        [r"CartesianProduct", r"BatchEvalPython",
+         r"Generate posexplode"],
     ],
     "substring_dedup_apply": [
-        # detection shapes + the range join back to the corpus must be a
-        # broadcast equi-join (ranges are bounded per doc); the token
-        # cut is a JVM higher-order filter, never Python
-        [r"partial_min", r"Generate posexplode", r"BroadcastHashJoin"],
+        # detection shapes (checkpointed spans) + the range join back to
+        # the corpus must be a broadcast equi-join (ranges are bounded
+        # per doc); the token cut is a JVM higher-order filter
+        [r"partial_min", r"Scan ExistingRDD", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BatchEvalPython"],
     ],
     "ann_ivfpq_exact_twin": [
@@ -440,6 +446,7 @@ def main() -> int:
         "ann_ivfpq_recall",     # gate: brute-force exact side + 1-row join
         "ann_lsh_exact_twin",   # gate: arrays_overlap candidate universe
         "ann_ivf_exact_twin",   # gate: arrays_overlap candidate universe
+        "ann_knn_join_recall",  # gate: brute-force exact side + 1-row join
         "semantic_dedup_check",  # gate: two 1-row invariant aggregates joined
         "tpch_q11",             # 1-row broadcast threshold
         "tpch_q22",             # 1-row broadcast avg(acctbal)

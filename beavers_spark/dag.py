@@ -125,6 +125,7 @@ class Node:
         "_notified",
         "_name",
         "_pending",  # staged source value
+        "_pending_nonempty",  # caller-verified non-emptiness (skip probe)
         "_silent",
         "_cached_df",
         "_call_site",
@@ -154,6 +155,7 @@ class Node:
         self._notified = False
         self._name = name
         self._pending = None
+        self._pending_nonempty = False
         self._silent = silent
         self._cached_df: DataFrame | None = None
         self._call_site = call_site
@@ -166,11 +168,18 @@ class Node:
     def get_cycle_id(self) -> int:
         return self._cycle_id
 
-    def set_stream(self, value: Any) -> None:
-        """Stage an externally-provided batch on a source node."""
+    def set_stream(self, value: Any, known_nonempty: bool = False) -> None:
+        """Stage an externally-provided batch on a source node.
+
+        ``known_nonempty=True`` skips the cycle's emptiness probe — for
+        DataFrame payloads that probe is a Spark job, and a driver that
+        already proved non-emptiness (e.g. the live foreachBatch loop's
+        own ``isEmpty`` gate) should not pay it twice per micro-batch.
+        """
         if self._kind != "source":
             raise ValueError("set_stream is only valid on source nodes")
         self._pending = value
+        self._pending_nonempty = known_nonempty
         self._stain()
 
     # -- internals ---------------------------------------------------------
@@ -218,12 +227,16 @@ class Node:
         if self._kind == "const":
             return
         if self._kind == "source":
-            if self._notified and not _is_empty(self._pending):
+            if self._notified and (
+                self._pending_nonempty or not _is_empty(self._pending)
+            ):
                 self._value = self._pending
                 self._pending = None
+                self._pending_nonempty = False
                 self._mark_updated(cycle_id, notify=True)
             else:
                 self._pending = None
+                self._pending_nonempty = False
                 self._value = self._empty()
             self._notified = False
             return
@@ -423,7 +436,20 @@ class Dag:
             prev = holder["prev"]
             if prev is not _SENTINEL and comparator(prev, value):
                 return STATE_UNCHANGED
-            holder["prev"] = value
+            stored = value
+            if isinstance(value, DataFrame):
+                # retain the comparison baseline: a raw plan here would
+                # re-execute its full upstream lineage inside EVERY
+                # later dataframe_equal (two exceptAll jobs per cycle);
+                # the lazy checkpoint materializes on first comparison
+                # and is reused until replaced
+                stored = value.localCheckpoint(eager=False)
+            if isinstance(prev, DataFrame):
+                try:
+                    prev.unpersist()
+                except Exception:  # noqa: BLE001 - best-effort release
+                    pass
+            holder["prev"] = stored
             return value
 
         return self._add_node(

@@ -178,6 +178,21 @@ def kafka_reader(
     per-topic when a value_schema is declared (reference serde:
     pyarrow_kafka.py:16-34 -> from_json). ``topic_partitions`` is required
     when start policies mix across topics — see :func:`reader_options`."""
+    schemas = {c.value_schema for c in configs if c.value_schema}
+    if schemas and (
+        len(schemas) > 1 or any(not c.value_schema for c in configs)
+    ):
+        # a single returned frame cannot carry differently-typed payload
+        # columns, and silently dropping the schemaless topics' rows
+        # (the round-1 behavior) is data loss. Per-topic
+        # deserialization belongs at the routing seam
+        # (kafka_driver.SourceTopicBinding.deserializer).
+        raise ValueError(
+            "kafka_reader can parse a payload only when EVERY topic "
+            "declares the SAME value_schema; for mixed or per-topic "
+            "schemas leave value_schema unset and deserialize per topic "
+            "via SourceTopicBinding.deserializer"
+        )
     opts = reader_options(configs, bootstrap_servers, batch_size, now, topic_partitions)
     reader = spark.readStream.format("kafka")
     for k, v in opts.items():
@@ -191,14 +206,11 @@ def kafka_reader(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
     )
-    parsed = None
-    for c in configs:
-        if c.value_schema:
-            branch = out.filter(F.col("topic") == c.topic).withColumn(
-                "payload", F.from_json(F.col("value"), c.value_schema)
-            )
-            parsed = branch if parsed is None else parsed.unionByName(branch)
-    return parsed if parsed is not None else out
+    if not schemas:
+        return out
+    return out.withColumn(
+        "payload", F.from_json(F.col("value"), schemas.pop())
+    )
 
 
 def serialize_for_kafka(

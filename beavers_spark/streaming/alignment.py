@@ -137,10 +137,7 @@ class AlignedReleaseDriver:
     def priming_watermark(self) -> pd.Timestamp | None:
         """Reference ``_get_priming_watermark``: the alignment point while
         priming, None once fully live."""
-        lwm = self.low_water_mark()
-        if lwm is not None and lwm == UTC_EPOCH:
-            return UTC_EPOCH
-        return lwm
+        return self.low_water_mark()
 
     def metrics(self) -> dict[str, int]:
         if self.staging_dir is not None:
@@ -297,10 +294,15 @@ class AlignedReleaseDriver:
                 .localCheckpoint(eager=True)
             )
             n = out.count()
-            self._delete_partitions(self._list_partitions())
+            # deliver BEFORE deleting: if on_release raises (or the
+            # driver dies mid-delivery) the staging table is untouched
+            # and the retry re-releases — at-least-once out, never
+            # silent loss (downstream sinks must tolerate replays, the
+            # standard foreachBatch contract)
             if n:
                 self._released += n
                 self.on_release(out)
+            self._delete_partitions(self._list_partitions())
             return
         naive = lwm.tz_convert("UTC").tz_localize(None)
         boundary = naive.strftime("%Y%m%d%H")
@@ -321,17 +323,30 @@ class AlignedReleaseDriver:
             .localCheckpoint(eager=True)
         )
         n = out.count()
-        released_hours = [
-            h for h in self._list_partitions() if h <= boundary
-        ]
-        self._delete_partitions(released_hours)
-        if not rest.isEmpty():
-            (
-                rest.repartition(F.col(self._STAGE_COL))
-                .write.mode("append")
-                .partitionBy(self._STAGE_COL)
-                .parquet(self.staging_dir)
-            )
+        # write ordering, crash-safe at every boundary (review r5):
+        # 1. DELIVER while staging is intact — a failed on_release (or a
+        #    crash mid-delivery) leaves every held row re-releasable on
+        #    retry: at-least-once out, never silent loss (downstream
+        #    sinks must tolerate replays, the standard foreachBatch
+        #    contract);
+        # 2. the boundary hour is then REWRITTEN to just its tail via a
+        #    dynamic partition overwrite (one committed swap — no
+        #    delete-then-reappend window that could strand the tail);
+        # 3. fully-released hours are deleted last — a crash between 2
+        #    and 3 re-releases those hours (duplicates, never loss).
+        has_rest = not rest.isEmpty()
         if n:
             self._released += n
             self.on_release(out)
+        if has_rest:
+            (
+                rest.repartition(F.col(self._STAGE_COL))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(self._STAGE_COL)
+                .parquet(self.staging_dir)
+            )
+            doomed = [h for h in self._list_partitions() if h < boundary]
+        else:
+            doomed = [h for h in self._list_partitions() if h <= boundary]
+        self._delete_partitions(doomed)

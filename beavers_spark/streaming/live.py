@@ -79,6 +79,14 @@ class StreamingDagDriver:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             # empty-batch short-circuit (reference: dag.py:350 semantics)
+            # — EXCEPT when a timer is due: replay parity (and the Kafka
+            # driver loop, kafka_driver.run_cycle) fire due timers even
+            # with zero records, else an idle stream starves timer nodes
+            now = pd.Timestamp.now(tz="UTC")
+            if self.dag.get_next_timer() <= now:
+                t0 = time.perf_counter()
+                self.dag.execute(now)
+                self._flush(batch_id, now, t0, time.perf_counter())
             return
         if self.event_time_column:
             row = batch_df.agg(
@@ -89,10 +97,16 @@ class StreamingDagDriver:
                 now = now.tz_localize("UTC")
         else:
             now = pd.Timestamp.now(tz="UTC")
-        self.dag.get_sources()[self.source_name].set_stream(batch_df)
+        # known_nonempty: the isEmpty gate above already proved it —
+        # the source node skips its own per-cycle emptiness Spark job
+        self.dag.get_sources()[self.source_name].set_stream(
+            batch_df, known_nonempty=True
+        )
         t0 = time.perf_counter()
         self.dag.execute(now)
-        t1 = time.perf_counter()
+        self._flush(batch_id, now, t0, time.perf_counter())
+
+    def _flush(self, batch_id: int, now, t0: float, t1: float) -> None:
         self.cycles += 1
         updated = 0
         cycle = self.dag.get_cycle_id()
@@ -228,17 +242,19 @@ def windowed_counts(
     window: str,
     keys: list[str],
     watermark: str = "10 minutes",
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling event-time window aggregation with late-data handling.
 
     Stronger than the reference (which only orders cross-topic during
     priming, SURVEY §2.6.63): the watermark bounds state and admits late
-    rows within the horizon.
+    rows within the horizon. ``value_col`` names the summed column
+    (default matches the test streams' schema).
     """
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), *keys)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("total"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -344,6 +360,7 @@ def session_windowed_counts(
     gap: str,
     keys: list[str],
     watermark: str = "10 minutes",
+    value_col: str = "value",
 ) -> DataFrame:
     """Session-window aggregation: per-key sessions that close after
     ``gap`` of event-time silence — the streaming twin of the batch
@@ -359,7 +376,7 @@ def session_windowed_counts(
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), *keys)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("total"))
         .select(
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
@@ -376,6 +393,7 @@ def streaming_last_by_key(
     ts_col: str,
     value_cols: list[str],
     timeout: str = "NoTimeout",
+    timeout_duration_ms: int = 60_000,
 ) -> DataFrame:
     """Streaming keyed-latest state via applyInPandasWithState — the live
     form of ``operators.last_by_keys`` (reference: pa.last_by_keys,
@@ -384,6 +402,12 @@ def streaming_last_by_key(
     Emits, per micro-batch, the new latest row for every key that updated
     (update-mode delta stream). State per key is one row — bounded, in the
     state store, fully distributed.
+
+    With ``timeout="ProcessingTimeTimeout"`` a key whose state goes
+    ``timeout_duration_ms`` without an update is EVICTED (the update
+    function arms the duration on every write and removes state on
+    ``hasTimedOut``) — the dial that keeps dead keys from accumulating
+    forever; the default ``NoTimeout`` retains every key.
     """
     out_fields = ", ".join(
         [f"{c} {stream_df.schema[c].dataType.simpleString()}" for c in key_cols]
@@ -395,7 +419,12 @@ def streaming_last_by_key(
         + [f"{c} {stream_df.schema[c].dataType.simpleString()}" for c in value_cols]
     )
 
+    arm_timeout = timeout == "ProcessingTimeTimeout"
+
     def update(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # evict the dead key; emit nothing
+            return
         newest = None
         for pdf in batches:
             pdf = pdf.sort_values(ts_col)
@@ -409,6 +438,11 @@ def streaming_last_by_key(
             if newest[ts_col] < prev_ts:
                 return  # stale: keep existing state, emit nothing
         state.update(tuple(newest[[ts_col, *value_cols]]))
+        if arm_timeout:
+            # GroupState timeouts only fire for keys that armed one —
+            # re-armed on every write, so eviction means "no update for
+            # the full duration"
+            state.setTimeoutDuration(timeout_duration_ms)
         yield pd.DataFrame(
             [[*key, *newest[[ts_col, *value_cols]]]],
             columns=[*key_cols, ts_col, *value_cols],

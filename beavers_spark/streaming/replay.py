@@ -288,7 +288,17 @@ def _batch_len(value: Any) -> int:
     try:
         return len(value)
     except TypeError:
-        return 1 if value is not None else 0
+        # un-len()-able payloads: a Spark DataFrame answers emptiness
+        # cheaply (and an EMPTY one must count as 0, or gap cycles with
+        # a DataFrame-producing to_value would run phantom dag cycles);
+        # for non-empty frames 1 means "has records, count unknown" —
+        # the skip gate only needs the zero/non-zero distinction
+        if value is None:
+            return 0
+        is_empty = getattr(value, "isEmpty", None)
+        if callable(is_empty):
+            return 0 if is_empty() else 1
+        return 1
 
 
 @dataclasses.dataclass
@@ -322,6 +332,12 @@ class ReplayDriver:
         for name in sources:
             if name not in dag_sources:
                 raise ValueError(f"no dag source named {name!r}")
+        # symmetric check: a typo'd sink name would otherwise silently
+        # discard all of that sink's output (get_sinks().get(name, []))
+        dag_sinks = dag.get_sinks()
+        for name in sinks or {}:
+            if name not in dag_sinks:
+                raise ValueError(f"no dag sink named {name!r}")
         self.dag = dag
         self.context = context
         self.sources = sources

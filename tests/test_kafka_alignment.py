@@ -218,3 +218,96 @@ def test_staged_hold_survives_driver_restart(spark, tmp_path):
     )
     assert second == ["A1", "A2", "B1"]
     assert d2.metrics()["held_count"] == 1  # A3 (-100) still held
+
+
+def test_staged_release_failure_keeps_rows_releasable(spark, tmp_path):
+    """Crash-safety ordering (review r5): the release is delivered while
+    staging is intact, so an on_release failure loses nothing — the
+    retry re-releases the same rows (at-least-once out)."""
+    staging = str(tmp_path / "staging")
+    released: list[str] = []
+    fail = {"on": True}
+
+    def on_release(df):
+        if fail["on"]:
+            raise RuntimeError("downstream sink outage")
+        released.extend(r.value for r in df.collect())
+
+    def make():
+        return AlignedReleaseDriver(
+            source_col="source",
+            ts_col="ts",
+            cutoff=CUTOFF,
+            sources=["x", "y"],
+            on_release=on_release,
+            order_tiebreak=["offset"],
+            staging_dir=staging,
+        )
+
+    d = make()
+    d.process_batch(
+        spark.createDataFrame(
+            [_msg("x", -200, "A1", 0), _msg("x", -150, "A2", 1)], SCHEMA
+        ),
+        0,
+    )
+    # y catches up -> release attempt fails downstream
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        d.process_batch(
+            spark.createDataFrame([_msg("y", -120, "B1", 0)], SCHEMA), 1
+        )
+    assert released == []
+
+    # "restart" after the failure: staging still holds everything, the
+    # recovered driver (fresh progress marks — it needs to hear from
+    # both sources) re-releases the same rows once downstream heals
+    fail["on"] = False
+    d2 = make()
+    d2.process_batch(
+        spark.createDataFrame(
+            [_msg("x", -105, "A3", 2), _msg("y", -90, "B2", 1)], SCHEMA
+        ),
+        2,
+    )
+    assert released == ["A1", "A2", "B1", "A3"]
+
+
+def test_staged_boundary_tail_survives_release(spark, tmp_path):
+    """The boundary hour is rewritten to just its tail on release (one
+    dynamic-overwrite swap, no delete-then-reappend window): the tail
+    stays held and releases later in order."""
+    staging = str(tmp_path / "staging")
+    released: list[str] = []
+    d = AlignedReleaseDriver(
+        source_col="source",
+        ts_col="ts",
+        cutoff=CUTOFF,
+        sources=["x", "y"],
+        on_release=lambda df: released.extend(r.value for r in df.collect()),
+        order_tiebreak=["offset"],
+        staging_dir=staging,
+    )
+    # same hour: A1(-200) releases at lwm=-150, A2's tail would be empty;
+    # plant a tail by keeping x ahead: A2(-100) stays held past the mark
+    d.process_batch(
+        spark.createDataFrame(
+            [_msg("x", -200, "A1", 0), _msg("x", -100, "A2", 1)], SCHEMA
+        ),
+        0,
+    )
+    d.process_batch(
+        spark.createDataFrame([_msg("y", -150, "B1", 0)], SCHEMA), 1
+    )
+    # lwm = -150: A1, B1 out; A2 (the boundary-hour tail) still held
+    assert released == ["A1", "B1"]
+    assert d.metrics()["held_count"] == 1
+    # both sources pass A2 -> the preserved tail releases in order
+    d.process_batch(
+        spark.createDataFrame(
+            [_msg("x", -50, "A3", 2), _msg("y", -60, "B2", 1)], SCHEMA
+        ),
+        2,
+    )
+    assert released == ["A1", "B1", "A2", "B2"]

@@ -119,3 +119,31 @@ def test_kafka_serialization_without_key(spark):
     df = spark.createDataFrame([(1,)], "x long")
     row = serialize_for_kafka(df, KafkaSinkConfig("t")).collect()[0]
     assert row.key is None
+
+
+def test_kafka_reader_rejects_mixed_value_schemas(spark):
+    """Mixed / partial value_schema declarations would either silently
+    drop the schemaless topics' rows or fail at union type-check depth;
+    the reader refuses up front with the per-topic-deserializer hint."""
+    import pytest
+
+    from beavers_spark.sources.kafka import KafkaSourceConfig, kafka_reader
+
+    with pytest.raises(ValueError, match="SAME value_schema"):
+        kafka_reader(
+            spark,
+            [
+                KafkaSourceConfig(topic="a", value_schema="x int"),
+                KafkaSourceConfig(topic="b"),
+            ],
+            "localhost:9092",
+        )
+    with pytest.raises(ValueError, match="SAME value_schema"):
+        kafka_reader(
+            spark,
+            [
+                KafkaSourceConfig(topic="a", value_schema="x int"),
+                KafkaSourceConfig(topic="b", value_schema="y string"),
+            ],
+            "localhost:9092",
+        )

@@ -295,3 +295,39 @@ def test_cross_source_event_time_alignment():
     # and no record was released before its cycle's virtual time
     for cycle_time, batch in sink.appended:
         assert all(r_ts <= cycle_time for r_ts, _ in batch)
+
+
+def test_replay_driver_rejects_unknown_sink_name():
+    """A typo'd sink key would silently discard all output (review r5):
+    validation is now symmetric with sources."""
+    import pytest as _pytest
+
+    from beavers_spark.dag import Dag
+    from beavers_spark.streaming.replay import (
+        ListDataSink,
+        ReplayContext,
+        ReplayDriver,
+    )
+
+    dag = Dag()
+    src = dag.source_stream(name="in")
+    dag.sink("results", dag.stream(lambda xs: xs).map(src))
+    ctx = ReplayContext(
+        start=pd.Timestamp("2024-01-01", tz="UTC"),
+        end=pd.Timestamp("2024-01-02", tz="UTC"),
+        frequency=pd.Timedelta(hours=1),
+    )
+    with _pytest.raises(ValueError, match="no dag sink named 'reslts'"):
+        ReplayDriver(dag, ctx, sources={}, sinks={"reslts": ListDataSink()})
+
+
+def test_batch_len_handles_empty_dataframe(spark):
+    """An un-len()-able empty Spark DataFrame counts as 0 records, so
+    gap cycles skip instead of running phantom dag cycles (review r5)."""
+    from beavers_spark.streaming.replay import _batch_len
+
+    df = spark.range(3)
+    assert _batch_len(df.filter("id < 0")) == 0
+    assert _batch_len(df) == 1  # non-empty, count unknown
+    assert _batch_len([1, 2]) == 2
+    assert _batch_len(None) == 0

@@ -245,3 +245,40 @@ def test_streaming_dedup(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="set together"):
         streaming_dedup(stream, ["user"], ts_col="ts")
+
+
+def test_empty_batch_fires_due_timers(spark):
+    """Live/replay parity (review r5): an empty micro-batch still runs a
+    dag cycle when a timer deadline has passed — an idle stream must not
+    starve timer nodes (replay.run_cycle and the Kafka driver loop both
+    fire due timers with zero records)."""
+    import pandas as pd
+
+    from beavers_spark.dag import TimerManager
+
+    dag = Dag(spark=spark)
+    src = dag.source_table(SCHEMA, name="in")
+    tm = dag.timer_manager()
+    fired = []
+
+    def schedule(df, timer: TimerManager):
+        if df is not None and not df.isEmpty():
+            # arm a deadline firmly in the past relative to "now"
+            timer.set_next_timer(pd.Timestamp.now(tz="UTC"))
+            return None
+        fired.append("fired")
+        return None
+
+    node = dag.stream(schedule).map(src, tm)
+    dag.sink("out", node)
+    driver = StreamingDagDriver(dag, source_name="in")
+
+    rows = spark.createDataFrame(
+        [("2024-01-01T00:00:00", "a", 1.0)], "ts string, user string, value double"
+    ).select(F.col("ts").cast("timestamp"), "user", "value")
+    driver(rows, 0)  # data cycle arms the timer
+    assert fired == []
+    empty = rows.filter(F.lit(False))
+    driver(empty, 1)  # empty batch, due timer -> cycle runs, timer fires
+    assert fired == ["fired"]
+    assert len(driver.metrics) == 2  # the timer cycle is metered too

@@ -45,8 +45,11 @@ _COL_CACHE_CTX: list = [None]
 def _cached_cols(key, builder):
     from pyspark import SparkContext
 
-    ctx = id(SparkContext._active_spark_context)
-    if ctx != _COL_CACHE_CTX[0]:
+    # identity check on the OBJECT (kept referenced in the cell): an
+    # id()-only comparison could collide if CPython reuses the freed
+    # address of a stopped context for its replacement
+    ctx = SparkContext._active_spark_context
+    if ctx is not _COL_CACHE_CTX[0]:
         _COL_CACHE.clear()
         _COL_CACHE_CTX[0] = ctx
     if key in _COL_CACHE:
@@ -101,9 +104,15 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact duplicate groups by content hash: fingerprint -> canonical
     (min id) + copy count. ``min_copies=2`` -> only true duplicates;
-    ``min_copies=1`` -> the full canonicalization map."""
+    ``min_copies=1`` -> the full canonicalization map.
+
+    Null-text docs are EXCLUDED: md5(null) is null and groupBy buckets
+    nulls together, which would report unrelated extraction-failure docs
+    as duplicates of each other (and canonicalization would delete all
+    but one)."""
     out = (
-        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -177,8 +186,13 @@ def ngram_jaccard_pairs(
     computed from per-doc shingle counts. No cartesian product anywhere.
     Emits (doc1, doc2, jaccard) with doc1 < doc2, jaccard rounded to 6dp.
     """
-    sh = _exploded_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # materialize the shingle sets once: the exploded frame feeds both
+    # join sides and the sizes would otherwise re-run tokenize+shingle
+    # 3x (the sibling minhash_lsh_pairs stages its frame for the same
+    # reason); n_sh comes straight from shingle_sets, no recount shuffle
+    sets = shingle_sets(df, text_col, id_col, n).localCheckpoint()
+    sh = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sets.select("doc_id", "n_sh")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -526,25 +540,45 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting the budget with changes still in flight means the
+        # labels are WRONG (a component split across the unreached
+        # hops); returning them silently would let apply_dedup keep
+        # multiple "canonical" docs from one duplicate cluster
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations ({changed} labels still "
+            "changing — the pair graph has a longer path); raise "
+            "max_iterations"
+        )
     edges.unpersist()
     return labels
 
 
 def apply_dedup(
-    df: DataFrame, clusters: DataFrame, id_col: str
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    broadcast_drop_list: bool = True,
 ) -> DataFrame:
     """Curated corpus: drop every non-canonical member of a near-dup
     cluster (keep rows whose id equals their cluster_id, plus all rows
     in no cluster). ``clusters`` is ``connected_components`` output.
 
-    Plan: a broadcastable anti-join against just the non-canonical ids —
-    the drop list is |cluster members| - |clusters|, tiny relative to the
-    corpus, so the scan never shuffles.
+    Plan: an anti-join against just the non-canonical ids. With
+    ``broadcast_drop_list=True`` (default) the drop list is broadcast —
+    right while it fits the 8 GB broadcast bound (gate scale, modest
+    dedup rates); at web-crawl scale (30%+ duplicates of billions of
+    docs the hint would FORCE an over-limit broadcast and kill the job,
+    so pass False and let the anti-join shuffle (AQE still broadcasts
+    automatically when the list turns out small).
     """
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    if broadcast_drop_list:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")
 
 
 def winnowing_fingerprints(

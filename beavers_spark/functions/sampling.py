@@ -38,7 +38,10 @@ def deterministic_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:
     """Keep ~``fraction`` of rows by id-hash bucket — reproducible on any
-    engine/partitioning, membership stable as the corpus grows."""
+    engine/partitioning, membership stable as the corpus grows.
+    Contract: ``id_col`` must be non-null — ``hash_bucket(null)`` is
+    null and the ``bucket < N`` filter silently DROPS null-id rows.
+    """
     return df.filter(
         hash_bucket(F.col(id_col), salt) < int(round(fraction * BUCKETS))
     )
@@ -55,6 +58,10 @@ def split_assign(
 
     Every row lands in exactly one split; the assignment is a pure
     projection (no shuffle) and deterministic forever for a given id.
+    
+    Contract: ``id_col`` must be non-null — a null id hashes to null,
+    falls through every ``bucket < N`` branch, and lands in the LAST
+    split; validate ids upstream or such rows contaminate one split.
     """
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     if abs(sum(splits.values()) - 1.0) > 1e-9:

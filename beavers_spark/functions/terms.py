@@ -195,13 +195,7 @@ def bigram_pmi(
     # bigrams via per-doc array slicing (narrow, order-preserving) —
     # not via window-lead over the exploded rows, whose cross-partition
     # order is not guaranteed
-    arr = docs.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: t != F.lit(""),
-        ).alias("tk"),
-    )
+    arr = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
     bi = arr.select(
         F.explode(
             F.when(

@@ -48,7 +48,15 @@ def quality_score(text: Column) -> dict[str, Column]:
         "n_tokens": n_tokens,
         "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
         "stopword_ratio": n_stop / F.greatest(n_tokens, F.lit(1)),
-        "mean_word_len": (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)),
+        # exact mean token length (sum of token chars / tokens) — the
+        # old (n_chars - (n_tokens-1))/n_tokens shortcut assumed exactly
+        # one single-space separator and no padding, so double spaces /
+        # newlines / leading whitespace inflated the metric (review r5);
+        # same formulation as gopher_quality_flags below
+        "mean_word_len": F.aggregate(
+            toks, F.lit(0), lambda acc, w: acc + F.length(w)
+        )
+        / F.greatest(n_tokens, F.lit(1)),
     }
 
 
@@ -139,18 +147,23 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 def redact_pii(text: Column) -> dict[str, Column]:
     """PII scrubbing for training corpora: emails, SSNs, IPv4 addresses
     and phone-number-shaped digit runs replaced by typed placeholders,
-    plus per-category match counts (counted BEFORE redaction, on the
-    original text, so categories don't shadow each other's counts).
+    plus per-category match counts.
 
-    Redaction applies patterns in PII_PATTERNS order (email before
-    phone, so an address's digits can't be half-eaten as a phone
-    number). Pure ``regexp_replace`` / ``regexp_count`` chain — JVM
-    regex inside codegen, one scan, no shuffle, no UDF.
+    Counts follow the REDACTION order (each category counted on the
+    text with all earlier categories already replaced): counting every
+    category on the raw text double-counted overlapping spans — the
+    broad phone pattern also matches every SSN and most IPv4s, so
+    n_phone over-reported while zero phone redactions happened (review
+    r5). Now Σ n_* == the number of replaced spans. Pattern order:
+    email before phone (an address's digits can't be half-eaten),
+    narrow before broad (ssn/ipv4 before phone). Pure
+    ``regexp_replace``/``regexp_count`` chain — JVM regex inside
+    codegen, one scan, no shuffle, no UDF.
     """
     out: dict[str, Column] = {}
     redacted = text
     for name, (pat, repl) in PII_PATTERNS.items():
-        out[f"n_{name}"] = F.regexp_count(text, F.lit(pat))
+        out[f"n_{name}"] = F.regexp_count(redacted, F.lit(pat))
         redacted = F.regexp_replace(redacted, pat, repl)
     out["redacted"] = redacted
     return out

@@ -229,8 +229,10 @@ def _cached_udf(key, builder):
     # jobs outright on a real cluster
     from pyspark import SparkContext
 
-    ctx = id(SparkContext._active_spark_context)
-    if ctx != _UDF_CACHE_CTX[0]:
+    # object-identity check (strong ref in the cell) — see
+    # dedup._cached_cols for why id()-only comparison is unsafe
+    ctx = SparkContext._active_spark_context
+    if ctx is not _UDF_CACHE_CTX[0]:
         _UDF_CACHE.clear()
         _UDF_CACHE_CTX[0] = ctx
     if key in _UDF_CACHE:

@@ -171,14 +171,19 @@ def weighted_average(
     returning None when any constituent price is absent
     (examples/etfs.py:70-91, golden scenario tests/test_etfs.py:60-76).
 
-    The missing-component null is expressed relationally: if
-    ``count(value) < count(weight)`` the group has a hole -> null.
-    One hash-shuffle on ``keys`` with map-side partial aggregation.
+    The missing-component null is expressed relationally: a group has a
+    hole iff ANY row's value OR weight is null (count(*) exceeds either
+    column's non-null count — comparing count(value) to count(weight)
+    alone missed groups where a null value and a null weight sit on
+    DIFFERENT rows and silently dropped null-weight rows). A group whose
+    weights sum to zero is also null, not a division error. One
+    hash-shuffle on ``keys`` with map-side partial aggregation.
     """
     v, w = F.col(value_col), F.col(weight_col)
+    n = F.count(F.lit(1))
     return df.groupBy(*keys).agg(
         F.when(
-            F.count(v) < F.count(w),
+            (F.count(v) < n) | (F.count(w) < n) | (F.sum(w) == 0),
             F.lit(None).cast("double"),
         )
         .otherwise(F.sum(v * w) / F.sum(w))

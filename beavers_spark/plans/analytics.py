@@ -79,23 +79,28 @@ def gopher_quality(spark, sf_dir):
 @query(
     "pii_redact",
     oracle=f"""
+    WITH r0 AS (SELECT doc_id, text AS t0 FROM documents),
+    r1 AS (SELECT doc_id, t0,
+                  regexp_replace(t0, '{PII_PATTERNS["email"][0]}',
+                                 '<EMAIL>', 'g') AS t1 FROM r0),
+    r2 AS (SELECT doc_id, t0, t1,
+                  regexp_replace(t1, '{PII_PATTERNS["ssn"][0]}',
+                                 '<SSN>', 'g') AS t2 FROM r1),
+    r3 AS (SELECT doc_id, t0, t1, t2,
+                  regexp_replace(t2, '{PII_PATTERNS["ipv4"][0]}',
+                                 '<IP>', 'g') AS t3 FROM r2)
     SELECT doc_id,
-           len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}'))
+           len(regexp_extract_all(t0, '{PII_PATTERNS["email"][0]}'))
                AS n_email,
-           len(regexp_extract_all(text, '{PII_PATTERNS["ssn"][0]}'))
+           len(regexp_extract_all(t1, '{PII_PATTERNS["ssn"][0]}'))
                AS n_ssn,
-           len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"][0]}'))
+           len(regexp_extract_all(t2, '{PII_PATTERNS["ipv4"][0]}'))
                AS n_ipv4,
-           len(regexp_extract_all(text, '{PII_PATTERNS["phone"][0]}'))
+           len(regexp_extract_all(t3, '{PII_PATTERNS["phone"][0]}'))
                AS n_phone,
-           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               text,
-               '{PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
-               '{PII_PATTERNS["ssn"][0]}', '<SSN>', 'g'),
-               '{PII_PATTERNS["ipv4"][0]}', '<IP>', 'g'),
-               '{PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'))
-               AS redacted_fp
-    FROM documents
+           md5(regexp_replace(t3, '{PII_PATTERNS["phone"][0]}',
+                              '<PHONE>', 'g')) AS redacted_fp
+    FROM r3
     """,
 )
 def pii_redact_q(spark, sf_dir):

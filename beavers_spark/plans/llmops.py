@@ -100,7 +100,7 @@ exact AS (
     SELECT md5(text) AS fingerprint,
            min(doc_id) AS canonical_id,
            count(*) AS n_copies
-    FROM documents GROUP BY md5(text)
+    FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
     """,
 )
 def dedup_exact(spark, sf_dir):

@@ -78,8 +78,9 @@ def _exprs() -> dict:
     """
     from pyspark import SparkContext
 
-    ctx = id(SparkContext._active_spark_context)
-    if ctx != _EXPRS_CTX[0]:
+    # object identity, not id() (see dedup._cached_cols)
+    ctx = SparkContext._active_spark_context
+    if ctx is not _EXPRS_CTX[0]:
         _EXPRS.clear()
         _EXPRS_CTX[0] = ctx
     if _EXPRS:

@@ -336,3 +336,20 @@ def test_hashed_features_signed_counts(spark):
     # deterministic under repartitioning
     again = hashed_features(df.repartition(5), "text", "doc_id", dim=64).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_redact_pii_counts_follow_redaction_order(spark):
+    """Review r5: counts are taken on the progressively-redacted text,
+    so the broad phone pattern no longer double-counts SSNs/IPv4s —
+    sum of category counts == number of replaced spans."""
+    df = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 ip 192.168.100.200 call +1 (555) 123-4567 ok")],
+        "doc_id long, text string",
+    )
+    cols = redact_pii(F.col("text"))
+    row = df.select(
+        *(cols[k].alias(k) for k in ("n_email", "n_ssn", "n_ipv4", "n_phone")),
+        cols["redacted"].alias("red"),
+    ).collect()[0]
+    assert (row.n_email, row.n_ssn, row.n_ipv4, row.n_phone) == (0, 1, 1, 1)
+    assert "<SSN>" in row.red and "<IP>" in row.red and "<PHONE>" in row.red

@@ -400,3 +400,20 @@ def test_token_budget_mix_zero_length_source(spark):
     )
     got = {r.doc_id for r in out.collect()}
     assert {1, 2} <= got  # the zero-length source is fully kept
+
+
+def test_quality_score_mean_word_len_exact(spark):
+    """Mean word length is the exact token-chars/tokens mean — padding,
+    double spaces and newlines no longer inflate it (review r5)."""
+    from beavers_spark.functions.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "  hello  "), (2, "a\n\nbc"), (3, "one two")],
+        "doc_id long, text string",
+    )
+    qs = quality_score(F.col("text"))
+    out = {
+        r.doc_id: r.m
+        for r in df.select("doc_id", qs["mean_word_len"].alias("m")).collect()
+    }
+    assert out[1] == 5.0 and out[2] == 1.5 and out[3] == 3.0

@@ -240,3 +240,24 @@ def test_interval_join_matches_naive(spark):
         and l.user_id == "u"
     }
     assert got == naive and len(naive) > 50
+
+
+def test_weighted_average_null_contract(spark):
+    """Null if ANY component value or weight is missing (review r5: a
+    null value and a null weight on DIFFERENT rows used to slip through
+    the count(v) < count(w) hole detector), and a zero-weight group is
+    null rather than a division error."""
+    from beavers_spark.operators.tabular import weighted_average
+
+    df = spark.createDataFrame(
+        [
+            ("a", None, 1.0), ("a", 2.0, None), ("a", 3.0, 4.0),   # holes on different rows
+            ("b", 1.0, 2.0), ("b", 3.0, 2.0),                      # clean
+            ("c", 5.0, 0.0), ("c", 6.0, 0.0),                      # zero weights
+            ("d", None, 2.0), ("d", 3.0, 4.0),                     # value hole
+        ],
+        "k string, v double, w double",
+    )
+    out = {r.k: r.wavg for r in weighted_average(df, ["k"], "v", "w").collect()}
+    assert out["a"] is None and out["d"] is None and out["c"] is None
+    assert abs(out["b"] - (1 * 2 + 3 * 2) / 4.0) < 1e-9

@@ -217,26 +217,33 @@ def extract_audio_features(
 
 
 def frame_sample_plan(
-    df: DataFrame, id_col: str, payload_col: str, every_ms: int = 1000
+    df: DataFrame, id_col: str, every_ms: int = 1000
 ) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into frame-index
     rows (JVM-side sequence over duration metadata) to be decoded by a
-    downstream ``mapInPandas`` kernel. Demonstrates the scale pattern:
-    the expansion happens before the shuffle so decode work distributes
-    evenly across executors even when a few videos are huge."""
+    downstream ``mapInPandas`` kernel (which re-joins the payload by
+    doc_id — the heavy binary column must NOT ride the fan-out).
+    Demonstrates the scale pattern: the expansion happens before the
+    shuffle so decode work distributes evenly across executors even when
+    a few videos are huge.
+
+    Frame timestamps cover [0, duration_ms): ``ceil(duration/every)``
+    frames — a sequence bounded by ``duration/every`` emitted an
+    out-of-range seek at ts == duration for every exact-multiple
+    duration (and one frame for a zero-length video)."""
+    n_frames = F.ceil(
+        F.col("duration_ms") / F.lit(float(every_ms))
+    ).cast("bigint")
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.col("media_meta.duration_ms").alias("duration_ms"),
         )
-        .filter(F.col("duration_ms").isNotNull())
+        .filter(F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0))
         .select(
             "doc_id",
             F.explode(
-                F.sequence(
-                    F.lit(0),
-                    (F.col("duration_ms") / every_ms).cast("bigint"),
-                )
+                F.sequence(F.lit(0), n_frames - 1)
             ).alias("frame_idx"),
         )
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)

@@ -27,9 +27,14 @@ def salted_join(
     """Equi-join where ``skewed``'s hot keys are spread over ``n_salts``
     shuffle partitions.
 
-    The skewed side gets a deterministic per-row salt (hash of all
-    columns — stable across retries, so no shuffle-replay
-    inconsistency); the other side is replicated ``n_salts`` times via a
+    The skewed side gets a per-row salt from a uniform column over the
+    partition's row position (monotonically_increasing_id mod n_salts) —
+    a content hash here was a silent no-op for the exact case salting
+    exists for: identical hot-key rows all hashed to ONE salt and still
+    landed on a single reducer (review r5). The id is deterministic
+    within a task attempt, and on a replayed task a row may get a
+    different salt — harmless, any salt joins the same replicated
+    other-side rows. The other side is replicated ``n_salts`` times via a
     single narrow ``explode`` (cost: |other| * n_salts rows through the
     shuffle — keep ``other`` the smaller side). The join keys become
     (keys..., salt), so each hot key's rows land on ``n_salts`` separate
@@ -45,7 +50,8 @@ def salted_join(
             "(right/full would duplicate unmatched rows per salt)"
         )
     salted = skewed.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts))
+        SALT_COL,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
     )
     replicated = other.withColumn(
         SALT_COL,

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beavers_spark.functions.dedup import connected_components
+from beavers_spark.functions.dedup import MAX_LOCAL_CC_EDGES, connected_components
 from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
 
 _BUCKET = "__bucket"
@@ -84,9 +84,10 @@ class IncrementalClusters:
 
     #: per-batch graphs above this edge count fall back to the
     #: distributed component run; below it, driver-side union-find wins.
-    #: Matches functions.dedup.MAX_LOCAL_CC_EDGES (measured ≈86 MB of
-    #: driver RSS at the cap).
-    MAX_LOCAL_EDGES = 250_000
+    #: imported from functions.dedup (whose RSS measurement justifies
+    #: the value) so retuning there cannot silently leave this kernel's
+    #: presized guarantee computed against a stale cap
+    MAX_LOCAL_EDGES = MAX_LOCAL_CC_EDGES
 
     def _components(
         self, spark: SparkSession, edges: DataFrame, n_pairs: int

@@ -94,8 +94,19 @@ class ContinuousDistinct:
         spark = batch_df.sparkSession
         delta = self._sketch(batch_df)
         if self._initialized or self._table_exists(spark):
+            # probe on the RAW batch (the sibling rollups' discipline):
+            # probing delta re-executed the whole sketch aggregation a
+            # second time for the collect — the batch's bucket set is
+            # identical either way
             touched = [
-                r["bucket"] for r in delta.select("bucket").distinct().collect()
+                r["bucket"]
+                for r in batch_df.select(
+                    F.window(F.col(self.ts_col), self.bucket).start.alias(
+                        "bucket"
+                    )
+                )
+                .distinct()
+                .collect()
             ]
             if not touched:  # every row was null-ts: nothing to merge
                 self._watermark.mark(batch_id)
@@ -113,9 +124,13 @@ class ContinuousDistinct:
         else:
             merged = delta
         # per-write dynamic overwrite (replaces only the partitions in
-        # `merged`) without mutating the shared session's semantics
+        # `merged`) without mutating the shared session's semantics; the
+        # bucket repartition clusters rows so each touched bucket gets
+        # ONE file per batch instead of one per (task, bucket) — the
+        # splinter the sibling rollups also guard against
         (
-            merged.write.mode("overwrite")
+            merged.repartition(F.col("bucket"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(self.path)

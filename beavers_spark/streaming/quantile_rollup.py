@@ -67,30 +67,35 @@ def quantiles_from_histogram(
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
         totals, list(group_cols)
     )
-    out = None
-    for q in qs:
-        # first bin whose cumulative count reaches the q-th row
-        target = F.ceil(F.lit(q) * F.col("n"))
-        hit = (
-            cum.filter(F.col("cum") >= target)
-            .withColumn(
-                "r",
-                F.row_number().over(
-                    Window.partitionBy(*group_cols).orderBy("bin")
-                ),
-            )
-            .filter(F.col("r") == 1)
+    # ALL quantiles in one pass: explode the qs literal per cumulative
+    # row (histogram-sized input — groups x n_bins x |qs|, tiny), then
+    # one window finds each (group, q)'s first crossing. A per-q Python
+    # loop + union re-ran the state scan and both windows once per
+    # requested quantile (review r5).
+    q_col = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    expanded = cum.select("*", q_col).withColumn(
+        "target", F.ceil(F.col("q") * F.col("n"))
+    )
+    hit = (
+        expanded.filter(F.col("cum") >= F.col("target"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "q").orderBy("bin")
+            ),
         )
-        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
-        est = hit.select(
-            *group_cols,
-            F.lit(float(q)).alias("q"),
-            F.round(
-                F.lit(lo) + (F.col("bin") + frac) * F.lit(width), 6
-            ).alias("value"),
-        )
-        out = est if out is None else out.unionByName(est)
-    return out
+        .filter(F.col("r") == 1)
+    )
+    frac = (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    return hit.select(
+        *group_cols,
+        "q",
+        F.round(
+            F.lit(lo) + (F.col("bin") + frac) * F.lit(width), 6
+        ).alias("value"),
+    )
 
 
 class ContinuousQuantile:
@@ -249,6 +254,13 @@ def batch_quantile(
     window, so the window input is groups × n_bins no matter the corpus
     size.
     """
+    # construct via __new__ (no state dir exists for the one-shot twin)
+    # but run the SAME argument validation __init__ enforces — bypassing
+    # it let hi == lo flow into zero-width bins (inf/NaN garbage)
+    if not hi > lo:
+        raise ValueError(f"hi ({hi}) must be > lo ({lo})")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
     helper = ContinuousQuantile.__new__(ContinuousQuantile)
     helper.ts_col, helper.keys, helper.value_col = ts_col, keys, value_col
     helper.lo, helper.hi, helper.n_bins = float(lo), float(hi), n_bins

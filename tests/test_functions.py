@@ -156,8 +156,22 @@ def test_media_meta_and_frame_sampling(spark):
         "media_meta",
         F.col("media_meta").withField("duration_ms", F.lit(3500).cast("bigint")),
     )
-    frames = frame_sample_plan(vids, "doc_id", "payload", every_ms=1000).collect()
+    frames = frame_sample_plan(vids, "doc_id", every_ms=1000).collect()
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
+    # exact-multiple duration: frames cover [0, duration) — no seek AT
+    # the duration (review r5), and a zero-length video has no frames
+    for dur, expected in ((2000, [0, 1000]), (0, [])):
+        v = with_meta.withColumn(
+            "media_meta",
+            F.col("media_meta").withField(
+                "duration_ms", F.lit(dur).cast("bigint")
+            ),
+        )
+        got = [
+            f.frame_ts_ms
+            for f in frame_sample_plan(v, "doc_id", every_ms=1000).collect()
+        ]
+        assert got == expected
 
 
 def test_ivf_recall_vs_brute_force(spark, embeddings):

@@ -261,3 +261,33 @@ def test_weighted_average_null_contract(spark):
     out = {r.k: r.wavg for r in weighted_average(df, ["k"], "v", "w").collect()}
     assert out["a"] is None and out["d"] is None and out["c"] is None
     assert abs(out["b"] - (1 * 2 + 3 * 2) / 4.0) < 1e-9
+
+
+def test_salted_join_matches_plain_join_and_spreads_hot_rows(spark):
+    from beavers_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 0)],
+        "k string, v long",
+    )
+    dim = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    out = salted_join(skewed, dim, ["k"], n_salts=4)
+    plain = skewed.join(dim, ["k"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # identical hot rows must take MULTIPLE salts (a content-hash salt
+    # was constant across byte-identical rows — review r5)
+    from beavers_spark.operators.skew import SALT_COL
+    import pyspark.sql.functions as F2
+
+    salts = (
+        skewed.filter(F2.col("k") == "hot")
+        .withColumn(SALT_COL, F2.pmod(F2.monotonically_increasing_id(), F2.lit(4)))
+        .select(SALT_COL).distinct().count()
+    )
+    assert salts > 1
+    # left join keeps unmatched skewed rows exactly once
+    left = salted_join(
+        skewed.union(spark.createDataFrame([("orphan", 9)], "k string, v long")),
+        dim, ["k"], how="left",
+    )
+    assert left.filter(F2.col("k") == "orphan").count() == 1

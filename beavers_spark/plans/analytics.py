@@ -45,7 +45,7 @@ _SQL_STOP = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
     feats AS (
         SELECT doc_id,
                len(tk) AS n_words,
-               list_sum(list_transform(tk, w -> len(w)))
+               coalesce(list_sum(list_transform(tk, w -> len(w))), 0)
                    / greatest(len(tk), 1) AS mean_wl,
                len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
                    / greatest(len(tk), 1)::DOUBLE AS alpha_frac,
@@ -293,8 +293,13 @@ def label_centroids_q(spark, sf_dir):
         GROUP BY p.label, p.vec_id
     ),
     scored AS (
+        -- zero-norm guard mirrors the Spark side's ANSI-safe _cos:
+        -- a zero vector scores 0.0 on BOTH engines (DuckDB's bare
+        -- division would yield NULL and rank last instead of first)
         SELECT label, vec_id,
-               round(dot / (sqrt(n1) * sqrt(n2)), 4) AS cos_sim
+               round(CASE WHEN sqrt(n1) * sqrt(n2) > 0
+                          THEN dot / (sqrt(n1) * sqrt(n2))
+                          ELSE 0 END, 4) AS cos_sim
         FROM dots
     )
     SELECT label, vec_id, cos_sim, rk FROM (
@@ -318,7 +323,7 @@ def embedding_outliers_q(spark, sf_dir):
 @query(
     "heavy_hitters",
     oracle="""
-    SELECT bucket, event_type, item, cnt, rnk FROM (
+    SELECT epoch_us(bucket) AS bucket_us, event_type, item, cnt, rnk FROM (
         SELECT time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01') AS bucket,
                event_type, user_id AS item, count(*) AS cnt,
                row_number() OVER (
@@ -336,15 +341,20 @@ def heavy_hitters_q(spark, sf_dir):
     count shuffle keyed on (bucket, type, item), then a per-group window
     that only the grouped counts (not raw rows) pass through."""
     events = t(spark, sf_dir, "events")
+    # epoch_us output convention (every timestamp-emitting plan): a raw
+    # TimestampType would collect() in the DRIVER's local timezone and
+    # hash-diverge from DuckDB's naive-UTC on any non-UTC host
     counts = (
         events.groupBy(
-            F.window("ts", "7 days").start.alias("bucket"),
+            F.unix_micros(F.window("ts", "7 days").start).alias(
+                "bucket_us"
+            ),
             "event_type",
             F.col("user_id").alias("item"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("bucket", "event_type").orderBy(
+    w = Window.partitionBy("bucket_us", "event_type").orderBy(
         F.col("cnt").desc(), F.col("item").asc()
     )
     return counts.withColumn("rnk", F.row_number().over(w)).filter(
@@ -381,7 +391,7 @@ def heavy_hitters_q(spark, sf_dir):
         FROM cum CROSS JOIN qs
         WHERE cum >= ceil(q * n)
     )
-    SELECT bucket, event_type, q,
+    SELECT epoch_us(bucket) AS bucket_us, event_type, q,
            round((bin + (ceil(q * n) - (cum - cnt)) / cnt) * 5.0, 6) AS value
     FROM hits WHERE r = 1
     """,
@@ -399,7 +409,7 @@ def bucketed_quantile_q(spark, sf_dir):
     raw events, at any corpus size."""
     from beavers_spark.streaming.quantile_rollup import batch_quantile
 
-    return batch_quantile(
+    out = batch_quantile(
         t(spark, sf_dir, "events"),
         ts_col="ts",
         keys=["event_type"],
@@ -409,6 +419,13 @@ def bucketed_quantile_q(spark, sf_dir):
         n_bins=200,
         bucket="7 days",
         qs=[0.5, 0.95, 0.99],
+    )
+    # epoch_us output convention — see heavy_hitters
+    return out.select(
+        F.unix_micros("bucket").alias("bucket_us"),
+        "event_type",
+        "q",
+        "value",
     )
 
 

@@ -20,6 +20,11 @@ def query(name: str, oracle: str | None = None):
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # a duplicate would silently REPLACE the original plan,
+            # shrinking coverage with no visible count change — fail at
+            # import time instead
+            raise ValueError(f"query {name!r} registered twice")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -354,13 +354,18 @@ def tpch_q22(spark, sf_dir):
 @query(
     "tpch_q2",
     oracle="""
-    WITH min_price AS (
+    WITH f AS (
+        SELECT * FROM part WHERE p_size < 10 AND p_type = 'PROMO'
+    ),
+    min_price AS (
+        -- min over the FILTERED domain, matching the Spark plan (an
+        -- unfiltered min could undercut every filtered row for a key
+        -- whose global-cheapest row fails the predicate)
         SELECT p_partkey AS mk, min(p_retailprice) AS mp
-        FROM part GROUP BY p_partkey
+        FROM f GROUP BY p_partkey
     )
     SELECT p_partkey, p_name, p_brand, p_retailprice
-    FROM part JOIN min_price ON p_partkey = mk AND p_retailprice = mp
-    WHERE p_size < 10 AND p_type = 'PROMO'
+    FROM f JOIN min_price ON p_partkey = mk AND p_retailprice = mp
     """,
 )
 def tpch_q2(spark, sf_dir):
@@ -677,9 +682,12 @@ def tpch_q15(spark, sf_dir):
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("total_revenue")
         )
-        .persist()
+        # lazy checkpoint: materializes ONCE at first action and serves
+        # both downstream branches; a persist()+count() here ran a full
+        # lineitem job at plan-CONSTRUCTION time and leaked cache for
+        # the session (every other registered plan is lazy)
+        .localCheckpoint(eager=False)
     )
-    revenue.count()  # fill the cache before the two downstream branches
     max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))
@@ -931,9 +939,9 @@ def tpch_q11(spark, sf_dir):
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("value")
         )
-        .persist()
+        # lazy checkpoint — see tpch_q15's note
+        .localCheckpoint(eager=False)
     )
-    supplied.count()  # fill the cache before the two downstream branches
     total = supplied.agg((0.001 * F.sum("value")).alias("threshold"))
     return (
         supplied.crossJoin(F.broadcast(total))

@@ -57,7 +57,7 @@ def get_spark(app_name: str = "beavers_spark", extra_conf: dict | None = None) -
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -50,6 +50,12 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    # a typo'd filter name would otherwise match nothing and exit 0
+    # with "0/0 pass" — a check that validated nothing reported green
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     checked = 0
     for name, fn in qs.items():

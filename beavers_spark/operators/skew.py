@@ -23,22 +23,34 @@ def salted_join(
     on: list[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_by: str | None = None,
 ) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys are spread over ``n_salts``
     shuffle partitions.
 
-    The skewed side gets a per-row salt from a uniform column over the
-    partition's row position (monotonically_increasing_id mod n_salts) —
-    a content hash here was a silent no-op for the exact case salting
-    exists for: identical hot-key rows all hashed to ONE salt and still
-    landed on a single reducer (review r5). The id is deterministic
-    within a task attempt, and on a replayed task a row may get a
-    different salt — harmless, any salt joins the same replicated
-    other-side rows. The other side is replicated ``n_salts`` times via a
-    single narrow ``explode`` (cost: |other| * n_salts rows through the
-    shuffle — keep ``other`` the smaller side). The join keys become
-    (keys..., salt), so each hot key's rows land on ``n_salts`` separate
-    reducers instead of one straggler.
+    The per-row salt must be (a) roughly uniform WITHIN a hot key —
+    hashing only the join keys would send every hot-key row to one
+    reducer again (review r5) — and (b) DETERMINISTIC per row across
+    task retries: a retry-variable salt (e.g. one derived from
+    ``monotonically_increasing_id``) changes the row's reduce partition
+    between attempts, and Spark's partial stage retries then duplicate
+    or drop rows (the SPARK-23207 class of bug — review r6). So:
+
+    * pass ``salt_by`` naming any unique-per-row column (an event id,
+      a primary key): the salt is ``pmod(xxhash64(salt_by), n_salts)``
+      — uniform and retry-stable, the recommended mode;
+    * without ``salt_by``, the salt hashes ALL of ``skewed``'s columns
+      — still retry-stable, and uniform whenever hot-key rows differ
+      anywhere in their payload. The one degenerate case is hot rows
+      that are FULLY bit-identical duplicates: those share a salt and
+      stay on one reducer (balance degrades, results stay correct) —
+      dedup them or provide ``salt_by``.
+
+    The other side is replicated ``n_salts`` times via a single narrow
+    ``explode`` (cost: |other| * n_salts rows through the shuffle —
+    keep ``other`` the smaller side). The join keys become
+    (keys..., salt), so each hot key's rows land on ``n_salts``
+    separate reducers instead of one straggler.
 
     Semantics match ``skewed.join(other, on, how)`` for inner/left joins.
     Right/full joins would duplicate unmatched ``other`` rows per salt —
@@ -49,9 +61,14 @@ def salted_join(
             f"salted_join supports inner/left joins, got {how!r} "
             "(right/full would duplicate unmatched rows per salt)"
         )
+    salt_src = (
+        [F.col(salt_by)]
+        if salt_by is not None
+        else [F.col(c) for c in skewed.columns]
+    )
     salted = skewed.withColumn(
         SALT_COL,
-        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
+        F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)),
     )
     replicated = other.withColumn(
         SALT_COL,

@@ -10,17 +10,23 @@ O(batch + state-hash probe), and history is never re-segmented.
 Per batch:
 
 1. segment + hash ONLY the new documents (``word_chunks`` +
-   ``md5_hash64`` — one narrow pass, the fan-out stays in the scan);
+   ``md5_hash64`` — one narrow pass), persisted as the batch's one
+   heavy materialization;
 2. within-batch ownership: min (doc, pos) occurrence per segment hash —
    one groupBy on the 60-bit hash, never the segment text;
-3. cross-batch ownership: anti-join the batch winners against the
-   persistent hash registry (a column-pruned scan of the ``h`` column
-   only — the chunk strings in old waves are never read);
+3. cross-batch ownership: the batch winners' hash set is broadcast
+   into a LEFT SEMI probe of the persistent hash registry, and the
+   small matched set broadcast back into an anti-join — the registry
+   is scanned (column-pruned to ``h``, wave-Bloom- and hash-bucket-
+   pruned) but NEVER shuffled; a bulk batch past the broadcast cap
+   falls back to a shuffled anti-join;
 4. the surviving segments land in the state table as their own wave
-   partition (``w=<batch_id>/``) — written FIRST, the batch's one
-   materialization barrier, mirroring ``IncrementalNearDedup``;
+   partition sub-partitioned by hash prefix
+   (``w=<batch_id>/b=<pmod(h, N)>/``) — written FIRST, mirroring
+   ``IncrementalNearDedup``;
 5. the kept-document view (``doc_id, clean_text, n_kept, n_chunks``)
-   is assembled from the wave read-back and appended to the output.
+   is assembled from the same persisted winner set and appended to the
+   output.
 
 A segment is owned exactly once, in the batch it first arrives; state
 rows are append-only, so ownership can never flip. When batches arrive
@@ -30,13 +36,12 @@ owner is the first ARRIVAL rather than the global min (doc, pos) — the
 semantics an ingest pipeline actually wants.
 
 At 100 TB: the per-batch probe reads one 8-byte column of the state —
-columnar, but O(corpus segments). That is the inherent cost of EXACT
-dedup at ingest; the standard mitigations compose here without changing
-the kernel: compact waves periodically (``compact``), and front the
-probe with per-wave Bloom-filter sidecars so only waves with possible
-collisions are scanned (hash registry lookups are the textbook Bloom
-use case). The near-dedup twin has the same probe shape on its band
-table.
+columnar, O(corpus segments) scan but O(batch) shuffle (broadcast
+probe). Wave Bloom sidecars (gated on wave count, lazily backfilled)
+prune whole waves; the ``b`` hash-prefix buckets prune within a wave
+when the batch's hash set leaves buckets untouched; ``compact`` bounds
+the file count. The near-dedup twin has the same probe shape on its
+band table.
 
 Reference parity: composes the reference's state-node semantics
 (beavers dag.py:501-518 — durable value folded per cycle) with its
@@ -56,6 +61,10 @@ from beavers_spark.streaming.maintenance import (
     ProbeMetrics,
     WaveBloomIndex,
     table_exists,
+)
+from beavers_spark.streaming.substring_dedup import (
+    PROBE_BROADCAST_CAP,
+    _wave_keys,
 )
 
 
@@ -80,6 +89,8 @@ class IncrementalChunkDedup:
         id_col: str,
         k: int = 10,
         bloom_bits: int | None = 1 << 23,
+        bloom_min_waves: int = 8,
+        n_hash_buckets: int = 16,
     ) -> None:
         self.state_path = state_path
         self.out_path = out_path
@@ -88,9 +99,14 @@ class IncrementalChunkDedup:
         self.k = k
         #: bits per wave Bloom sidecar (None disables the probe filter)
         self.bloom_bits = bloom_bits
+        #: hash-prefix sub-partitions per wave (``b = pmod(h, N)``)
+        self.n_hash_buckets = n_hash_buckets
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
-        self._bloom = WaveBloomIndex(state_path, bloom_bits)
+        self._bloom = WaveBloomIndex(
+            state_path, bloom_bits, min_waves=bloom_min_waves,
+            keys_of=_wave_keys,
+        )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
 
@@ -104,8 +120,8 @@ class IncrementalChunkDedup:
         return False
 
     def read_state(self, spark: SparkSession) -> DataFrame:
-        """Segment ownership registry ``(h, doc_id, idx)`` (the wave
-        column ``w`` is a storage detail)."""
+        """Segment ownership registry ``(h, doc_id, idx)`` (the wave and
+        hash-bucket columns ``w``/``b`` are storage details)."""
         return spark.read.parquet(self.state_path).select(
             "h", "doc_id", "idx"
         )
@@ -115,9 +131,9 @@ class IncrementalChunkDedup:
 
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` (see
-        ``IncrementalNearDedup.compact`` for why the partition column
-        must survive compaction); returns the post-compaction file
-        count."""
+        ``IncrementalNearDedup.compact`` for why the partition columns
+        must survive compaction; the registry keeps its ``b``
+        hash-prefix layout); returns the post-compaction file count."""
         from beavers_spark.streaming.maintenance import compact_parquet
 
         compact_parquet(spark, self.out_path)
@@ -125,7 +141,7 @@ class IncrementalChunkDedup:
             lambda: compact_parquet(
                 spark,
                 self.state_path,
-                partition_by="w",
+                partition_by=["w", "b"],
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
             )
         )
@@ -155,12 +171,17 @@ class IncrementalChunkDedup:
         # repartition before the fan-out (same rationale as the batch
         # operator: a single-partition batch serializes segment hashing)
         batch = batch.repartition(spark.sparkContext.defaultParallelism)
+        # persist (NOT localCheckpoint): the ownership groupBy and the
+        # winner join-back both read the segmented batch, and the
+        # blocking unpersist below releases the blocks deterministically
+        # at batch end instead of leaving checkpoint-RDD cleanup to the
+        # GC-driven ContextCleaner (the r5 rep-over-rep slowdown source)
         segs = batch.select(
             F.col(self.id_col).alias("doc_id"),
             # bigint to match the batch twin's count()-derived column
             F.size(chunks).cast("bigint").alias("n_chunks"),
             F.posexplode(chunks).alias("idx", "chunk"),
-        ).withColumn("h", md5_hash64(F.col("chunk")))
+        ).withColumn("h", md5_hash64(F.col("chunk"))).persist()
         # lexicographic struct min — no packing range limit (mirrors
         # the batch twin in functions/curation.py)
         occ = F.struct(F.col("doc_id"), F.col("idx"))
@@ -171,50 +192,103 @@ class IncrementalChunkDedup:
         )
         winners = segs.join(
             owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
-        ).select("h", "doc_id", "idx", "chunk", "n_chunks")
-        # the checkpoint is the batch's one heavy materialization: the
-        # Bloom-probe collect, the cross-batch anti-join, and the wave
-        # write all read the checkpointed result instead of
-        # re-segmenting the batch
-        winners = winners.localCheckpoint()
-        pre_h = self._bloom.collect_keys(winners, "h")
-        if had_state:
-            # cross-batch ownership: any hash already registered wins.
-            # Column pruning keeps this scan to the 8-byte h column; the
-            # wave Bloom sidecars additionally prune WAVES that cannot
-            # contain any batch hash (see WaveBloomIndex — a pruned wave
-            # has no possible match, so excluding it is exact)
-            prior = spark.read.parquet(self.state_path).filter(
-                F.col("w") != batch_id
+        ).select("h", "doc_id", "idx", "chunk", "n_chunks").persist()
+        new_owned = winners
+        try:
+            n_winners = winners.count()
+            probe_on = had_state and self._bloom.probe_active(
+                exclude=batch_id
             )
-            prior = self._bloom.prune_prior(
-                prior, pre_h, batch_id, self.probe_metrics
+            pre_h = (
+                self._bloom.collect_keys(winners, "h") if probe_on else None
             )
-            if prior is not None:
-                winners = winners.join(
-                    prior.select("h"), "h", "left_anti"
+            if had_state and n_winners:
+                # cross-batch ownership: any hash already registered
+                # wins. Scan pruning, cheapest first: 8-byte h column
+                # only, minus this wave, minus Bloom-rejected waves,
+                # minus untouched hash-prefix buckets.
+                prior = spark.read.parquet(self.state_path).filter(
+                    F.col("w") != batch_id
                 )
+                prior = self._bloom.prune_prior(
+                    prior, pre_h, batch_id, self.probe_metrics, spark
+                )
+                if prior is not None and pre_h is not None:
+                    import numpy as np
 
-        # overwriting one wave directory is idempotent under replays
-        wave_dir = f"{self.state_path}/w={batch_id}"
-        winners.write.mode("overwrite").parquet(wave_dir)
-        if pre_h is not None:
-            # PRE-anti hash set: a superset bitmap only adds false
-            # positives (an unnecessary wave scan), never wrong answers
-            self._bloom.save_wave(wave_dir, pre_h)
-        self._has_state = True
-        wave = spark.read.parquet(wave_dir)
-        kept = wave.groupBy("doc_id").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count("*").alias("n_kept"),
-            F.first("n_chunks").alias("n_chunks"),
-        )
-        # written even when empty so read_kept() is valid from batch 0
-        kept.write.mode("append").parquet(self.out_path)
-        self._watermark.mark(batch_id)
+                    touched = np.unique(pre_h % self.n_hash_buckets)
+                    if len(touched) < self.n_hash_buckets:
+                        prior = prior.filter(
+                            F.col("b").isin([int(x) for x in touched])
+                        )
+                if prior is not None:
+                    if n_winners <= PROBE_BROADCAST_CAP:
+                        # broadcast probe: registry scanned, never
+                        # shuffled — O(batch) shuffle volume
+                        hits = prior.select("h").join(
+                            F.broadcast(winners.select("h")),
+                            "h",
+                            "left_semi",
+                        )
+                        new_owned = winners.join(
+                            F.broadcast(hits), "h", "left_anti"
+                        ).persist()
+                    else:
+                        new_owned = winners.join(
+                            prior.select("h"), "h", "left_anti"
+                        ).persist()
+
+            if n_winners == 0:
+                # nothing segmentable (or fully redelivered): keep the
+                # output table valid from batch 0, mark, stop — no
+                # registry wave is written
+                empty = spark.createDataFrame(
+                    [],
+                    "doc_id long, clean_text string, n_kept bigint,"
+                    " n_chunks bigint",
+                )
+                empty.write.mode("append").parquet(self.out_path)
+                self._watermark.mark(batch_id)
+                return
+
+            # overwriting one wave directory is idempotent under
+            # replays; b = pmod(h, N) sub-partitions by hash prefix
+            # (repartition on b first so each bucket gets one file)
+            wave_dir = f"{self.state_path}/w={batch_id}"
+            (
+                new_owned.withColumn(
+                    "b", F.pmod(F.col("h"), F.lit(self.n_hash_buckets))
+                )
+                .repartition(self.n_hash_buckets, F.col("b"))
+                .write.mode("overwrite")
+                .partitionBy("b")
+                .parquet(wave_dir)
+            )
+            if pre_h is not None:
+                # PRE-anti hash set: a superset bitmap only adds false
+                # positives (an unnecessary wave scan), never wrong
+                # answers
+                self._bloom.save_wave(wave_dir, pre_h)
+            self._has_state = True
+            kept = new_owned.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "chunk"))
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ).alias("clean_text"),
+                F.count("*").alias("n_kept"),
+                F.first("n_chunks").alias("n_chunks"),
+            )
+            # written even when empty so read_kept() is valid from batch 0
+            kept.write.mode("append").parquet(self.out_path)
+            self._watermark.mark(batch_id)
+        finally:
+            # deterministic block release (see module docstring)
+            if new_owned is not winners:
+                new_owned.unpersist(blocking=True)
+            winners.unpersist(blocking=True)
+            segs.unpersist(blocking=True)

@@ -61,6 +61,15 @@ from beavers_spark.streaming.maintenance import (
 
 _SIG_COLS = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
 _BAND_KEYS = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
+
+
+def _wave_band_keys(spark: SparkSession, wave_dir: str) -> DataFrame:
+    """Band-key hash column of one state wave, for lazy Bloom backfill
+    of waves written while the sidecar machinery was gated off (see
+    ``WaveBloomIndex.min_waves``)."""
+    return band_rows(
+        spark.read.parquet(wave_dir).select(*_SIG_COLS)
+    ).select(F.xxhash64(*_BAND_KEYS).alias("bh"))
 _EXPRS: dict[str, "F.Column"] = {}
 _EXPRS_CTX: list = [None]
 
@@ -132,6 +141,7 @@ class IncrementalNearDedup:
         n: int = 3,
         threshold: float = 0.5,
         bloom_bits: int | None = 1 << 23,
+        bloom_min_waves: int = 8,
     ) -> None:
         self.state_path = state_path
         self.pairs_path = pairs_path
@@ -143,7 +153,10 @@ class IncrementalNearDedup:
         self.bloom_bits = bloom_bits
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
-        self._bloom = WaveBloomIndex(state_path, bloom_bits)
+        self._bloom = WaveBloomIndex(
+            state_path, bloom_bits, min_waves=bloom_min_waves,
+            keys_of=_wave_band_keys,
+        )
         #: one WaveMetrics per applied wave over the wave's state
         #: directory — bytes appended to state per wave and its file
         #: count (the compaction-due signal; see maintenance.WaveMetrics)
@@ -266,10 +279,17 @@ class IncrementalNearDedup:
         # keys — exactly the no-possible-collision pruning an append-only
         # band table wants (a pruned wave can contribute no candidate,
         # so excluding it from the band join AND the shingle lookup is
-        # exact). One bounded collect over the wave read-back.
-        band_h = self._bloom.collect_keys(
-            new_bands.select(F.xxhash64(*_BAND_KEYS).alias("bh")), "bh"
-        )
+        # exact). One bounded collect over the wave read-back — GATED on
+        # wave count: with only a handful of live waves the prune cannot
+        # beat the per-batch collect + bitmap overhead (measured +40% on
+        # the 4-wave bench, VERDICT r5 item 5); waves written while
+        # gated are lazily backfilled by WaveBloomIndex once the table
+        # crosses the threshold.
+        band_h = None
+        if self._bloom.probe_active(exclude=batch_id):
+            band_h = self._bloom.collect_keys(
+                new_bands.select(F.xxhash64(*_BAND_KEYS).alias("bh")), "bh"
+            )
         if band_h is not None:
             self._bloom.save_wave(wave_dir, band_h)
 
@@ -285,7 +305,7 @@ class IncrementalNearDedup:
                 F.col("w") != batch_id
             )
             old = self._bloom.prune_prior(
-                old, band_h, batch_id, self.probe_metrics
+                old, band_h, batch_id, self.probe_metrics, spark
             )
             if old is not None:
                 old = old.drop("w")

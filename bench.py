@@ -189,10 +189,14 @@ def _inc_clusters(spark, sf_dir: str, workdir: str) -> int:
 
 def _inc_chunk_dedup(spark, sf_dir: str, workdir: str) -> int:
     """documents fed in waves through IncrementalChunkDedup: per wave,
-    segment + hash the batch only, anti-join winners against the
-    column-pruned hash registry, append the reassembled survivors."""
+    segment + hash the batch only, broadcast-probe the hash registry,
+    append the reassembled survivors. A mid-stream ``compact()`` after
+    wave 1 exercises the maintenance path UNDER TIMING (wave ->
+    compact -> wave): later waves probe the coalesced ``w=-1``
+    registry, and the post-compaction file count must drop."""
     from beavers_spark.plans.common import t
     from beavers_spark.streaming import IncrementalChunkDedup
+    from beavers_spark.streaming.maintenance import partition_stats
 
     dedup = IncrementalChunkDedup(
         os.path.join(workdir, "state"),
@@ -202,8 +206,17 @@ def _inc_chunk_dedup(spark, sf_dir: str, workdir: str) -> int:
         k=10,
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    state = os.path.join(workdir, "state")
     for i in range(_WAVES):
         dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+        if i == 1:
+            before, _, _ = partition_stats(spark, [state])
+            after = dedup.compact(spark)
+            print(
+                f"#   inc_chunk_dedup compact: {before} -> {after} files",
+                file=sys.stderr,
+            )
+            assert after <= before
     return dedup.read_kept(spark).count()
 
 
@@ -256,28 +269,44 @@ def main() -> None:
     cold_total = 0.0
     cold_full = 0.0
     batch_total = 0.0
-    for name in HEADLINE + ANALYTICS:
-        fn = QUERIES[name]
-        times = []
-        for _ in range(3):
-            start = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - start)
-        cold, warm = times[0], min(times[1:])
-        per_query[name] = round(warm, 3)
-        total += warm
-        cold_full += cold
-        if name in HEADLINE:
-            # the 28 stateless queries — comparable r1<->rN; cold_total
-            # is restricted the same way so cold_value is r1-comparable
-            # (r4 accidentally folded the ANALYTICS tier into it — see
-            # ADVICE r4); cold_full_value covers every timed query
-            batch_total += warm
-            cold_total += cold
-        print(
-            f"# {name}: {warm:.3f}s warm / {cold:.3f}s cold ({n} rows)",
-            file=sys.stderr,
-        )
+
+    def run_tier(names):
+        nonlocal total, cold_total, cold_full, batch_total
+        for name in names:
+            fn = QUERIES[name]
+            times = []
+            for _ in range(3):
+                start = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - start)
+            cold, warm = times[0], min(times[1:])
+            per_query[name] = round(warm, 3)
+            total += warm
+            cold_full += cold
+            if name in HEADLINE:
+                # the 28 stateless queries — comparable r1<->rN;
+                # cold_total is restricted the same way so cold_value is
+                # r1-comparable (r4 accidentally folded the ANALYTICS
+                # tier into it — see ADVICE r4); cold_full_value covers
+                # every timed query
+                batch_total += warm
+                cold_total += cold
+            print(
+                f"# {name}: {warm:.3f}s warm / {cold:.3f}s cold ({n} rows)",
+                file=sys.stderr,
+            )
+
+    run_tier(HEADLINE)
+
+    # analytics-tier session isolation (VERDICT r5 item 2): the tier
+    # runs right after the heavyweight substring/PQ entries, where
+    # accumulated block-manager/codegen pressure showed up as
+    # position-dependent noise (bigram_pmi recorded 7.15s vs 1.79s
+    # isolated). Same method as the state tier below; restart untimed.
+    spark.stop()
+    spark = get_spark("beavers_spark_bench_analytics")
+    spark.range(1).count()
+    run_tier(ANALYTICS)
     import gc
 
     # state-tier session isolation (VERDICT r4 item 7): the inc_*
@@ -327,9 +356,11 @@ def main() -> None:
                 # inc_* scenarios were added in r2 — compare THIS subtotal
                 # against BENCH_r01's value for round-over-round drift
                 "batch_value": round(batch_total, 3),
-                # method note: inc_* scenarios run in a fresh
-                # SparkContext (see the restart above), so their times
-                # are position-independent from r5 on
+                # method notes: the ANALYTICS tier (r6 on) and the inc_*
+                # scenarios (r5 on) each run in a fresh SparkContext
+                # (see the restarts above), so their times are
+                # position-independent
+                "analytics_session": "fresh",
                 "state_session": "fresh",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -186,6 +186,7 @@ def test_band_bloom_prunes_disjoint_waves(spark, tmp_path):
     dedup = IncrementalNearDedup(
         str(tmp_path / "state"), str(tmp_path / "pairs"),
         text_col="text", id_col="doc_id",
+        bloom_min_waves=0,  # exercise the sidecar path from wave 0
     )
     # wave vocabularies are disjoint: wave 0's band bitmap must reject
     # every wave-1 band key, so wave 1 scans zero prior waves

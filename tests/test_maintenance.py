@@ -204,3 +204,31 @@ def test_near_dedup_wave_metrics(spark, tmp_path):
         if not f.startswith(("_", "."))
     )
     assert total == on_disk
+
+
+def test_bloom_m_bits_must_be_word_aligned():
+    """bloom_build packs m_bits//64 words but the probe reconstructs the
+    modulus as len(bits)*64 — a non-multiple-of-64 m_bits would make the
+    two disagree and produce Bloom FALSE NEGATIVES (silently missed
+    duplicates). The low-level builder refuses; WaveBloomIndex rounds
+    caller knobs up instead."""
+    import numpy as np
+    import pytest
+
+    from beavers_spark.streaming.maintenance import (
+        WaveBloomIndex,
+        bloom_build,
+        bloom_may_contain_any,
+    )
+
+    for bad in (100, 63, -64, 0):
+        with pytest.raises(ValueError):
+            bloom_build(np.array([1, 2], dtype=np.int64), m_bits=bad)
+
+    idx = WaveBloomIndex("/nonexistent", m_bits=100)
+    assert idx.m_bits == 128  # rounded up, build and probe agree
+    keys = np.arange(50, dtype=np.int64)
+    bits = bloom_build(keys, m_bits=idx.m_bits)
+    assert len(bits) * 64 == idx.m_bits
+    for h in keys:
+        assert bloom_may_contain_any(bits, np.asarray([h], dtype=np.int64))

@@ -274,17 +274,26 @@ def test_salted_join_matches_plain_join_and_spreads_hot_rows(spark):
     out = salted_join(skewed, dim, ["k"], n_salts=4)
     plain = skewed.join(dim, ["k"])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
-    # identical hot rows must take MULTIPLE salts (a content-hash salt
-    # was constant across byte-identical rows — review r5)
-    from beavers_spark.operators.skew import SALT_COL
+    # hot-key rows (distinct payloads) must take MULTIPLE salts, and
+    # the salt must be DETERMINISTIC per row (retry-stable — a
+    # monotonically_increasing_id salt changed reduce partitions
+    # between task attempts, the SPARK-23207 class of bug, review r6):
+    # the operator's own salt expression over the full row
     import pyspark.sql.functions as F2
 
-    salts = (
-        skewed.filter(F2.col("k") == "hot")
-        .withColumn(SALT_COL, F2.pmod(F2.monotonically_increasing_id(), F2.lit(4)))
-        .select(SALT_COL).distinct().count()
+    salt = F2.pmod(F2.xxhash64(F2.col("k"), F2.col("v")), F2.lit(4))
+    hot = skewed.filter(F2.col("k") == "hot").withColumn("s", salt)
+    assert hot.select("s").distinct().count() > 1
+    # deterministic: recomputing yields identical per-row salts
+    a = {(r.k, r.v): r.s for r in hot.collect()}
+    b = {(r.k, r.v): r.s for r in hot.collect()}
+    assert a == b
+    # salt_by mode: a unique id column spreads even byte-identical rows
+    ident = spark.createDataFrame(
+        [(i, "hot", 7) for i in range(40)], "rid long, k string, v long"
     )
-    assert salts > 1
+    by = salted_join(ident, dim, ["k"], n_salts=4, salt_by="rid")
+    assert by.count() == 40
     # left join keeps unmatched skewed rows exactly once
     left = salted_join(
         skewed.union(spark.createDataFrame([("orphan", 9)], "k string, v long")),

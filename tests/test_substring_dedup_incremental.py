@@ -165,6 +165,7 @@ def test_wave_bloom_sidecars_prune_disjoint_waves(spark, tmp_path):
     dedup = IncrementalSubstringDedup(
         str(tmp_path / "state"), str(tmp_path / "out"),
         text_col="text", id_col="doc_id", k=3,
+        bloom_min_waves=0,  # exercise the sidecar path from wave 0
     )
     # wave vocabularies are disjoint: wave 0's bitmap must reject every
     # wave-1 hash, so wave 1's registry probe scans zero prior waves
@@ -215,3 +216,69 @@ def test_bloom_disabled_path_equal(spark, tmp_path):
     assert _range_set(on.read_dup_ranges(spark)) == _range_set(
         off.read_dup_ranges(spark)
     )
+
+
+def test_bloom_gating_and_lazy_backfill(spark, tmp_path):
+    """Below ``bloom_min_waves`` no sidecar work runs (the per-batch
+    collect is overhead when scanning a handful of waves is cheap);
+    once the table crosses the threshold, sidecars for the gated-era
+    waves are backfilled lazily and pruning turns on — with identical
+    results throughout."""
+    import os
+
+    from beavers_spark.streaming.maintenance import BLOOM_SIDECAR
+
+    dedup = IncrementalSubstringDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=3, bloom_min_waves=2,
+    )
+    dedup(spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"), 0)
+    dedup(spark.createDataFrame(
+        [(2, "q r s t u v")], "doc_id long, text string"), 1)
+    # gated: no sidecars, no probe accounting
+    assert not os.path.exists(tmp_path / "state" / "w=0" / BLOOM_SIDECAR)
+    assert not os.path.exists(tmp_path / "state" / "w=1" / BLOOM_SIDECAR)
+    assert dedup.probe_metrics == []
+
+    # wave 2 sees 2 live waves -> probe activates, backfills w=0/w=1
+    # sidecars from the registry's h column, and still catches the
+    # cross-batch duplicate of wave 0's text
+    dedup(spark.createDataFrame(
+        [(3, "a b c d e f")], "doc_id long, text string"), 2)
+    assert os.path.exists(tmp_path / "state" / "w=0" / BLOOM_SIDECAR)
+    assert os.path.exists(tmp_path / "state" / "w=1" / BLOOM_SIDECAR)
+    assert [(m.batch_id, m.waves_total) for m in dedup.probe_metrics] == [
+        (2, 2)
+    ]
+    # disjoint wave 1 was pruned; only wave 0 scanned
+    assert dedup.probe_metrics[0].waves_scanned == 1
+    got = _range_set(dedup.read_dup_ranges(spark))
+    assert (3, 0, 6, 6) in got
+
+
+def test_default_gating_matches_batch(spark, tmp_path):
+    """With the default ``bloom_min_waves`` the 3-wave run never builds
+    sidecars, and the (broadcast-probe, hash-bucketed) registry path
+    alone still equals the batch operator."""
+    import os
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(120)
+    dedup = IncrementalSubstringDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    _feed(spark, dedup, docs, waves=3)
+    assert dedup.probe_metrics == []
+    assert not any(
+        f == "_bloom.npy"
+        for _, _, fs in os.walk(tmp_path / "state") for f in fs
+    )
+    # hash-prefix bucket directories exist under each wave
+    assert any(
+        name.startswith("b=")
+        for name in os.listdir(tmp_path / "state" / "w=0")
+    )
+    got = _range_set(dedup.read_dup_ranges(spark))
+    expected = _range_set(substring_dedup(docs, "text", "doc_id", k=5))
+    assert expected and got == expected

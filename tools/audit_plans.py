@@ -80,9 +80,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct"],
     ],
     "tpch_q15": [
-        # the revenue view is reused: must read the cache, not rescan
-        [r"InMemoryTableScan"],
-        [r"CartesianProduct Inner"],
+        # the revenue view is a lazy localCheckpoint reused by BOTH
+        # branches (each consumer shows Scan ExistingRDD over the
+        # checkpointed MapPartitionsRDD — re-pinned from the old
+        # persist()/InMemoryTableScan shape, see plans/tpch.py note);
+        # the scalar max joins back as a 1-row broadcast, never a
+        # cartesian
+        [r"Scan ExistingRDD", r"localCheckpoint",
+         r"BroadcastHashJoin Cross BuildRight"],
+        [r"CartesianProduct Inner", r"InMemoryTableScan"],
     ],
     "tpch_q17": [
         [r"BroadcastHashJoin", r"partial_avg"],
@@ -105,9 +111,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"LeftSemi", r"LeftAnti"],
     ],
     "tpch_q11": [
-        # the supplied view is reused: cache scan + 1-row broadcast total
-        [r"InMemoryTableScan", r"BroadcastHashJoin"],
-        [r"CartesianProduct Inner", r"SortMergeJoin"],
+        # the supplied view is a lazy localCheckpoint reused by both
+        # branches (Scan ExistingRDD — re-pinned from the old persist()
+        # shape); the scalar threshold is a 1-row broadcast
+        # nested-loop, never a data-sized cartesian
+        [r"Scan ExistingRDD", r"localCheckpoint",
+         r"BroadcastNestedLoopJoin Cross BuildRight"],
+        [r"CartesianProduct Inner", r"SortMergeJoin",
+         r"InMemoryTableScan"],
     ],
     "tpch_q16": [
         # complaint suppliers excluded via broadcast anti; distinct agg

@@ -72,9 +72,12 @@ _CHECKED_R04 = [
 ]
 
 #: exposure order after the never-checked plans: least-recently-checked
-#: blocks first (r03, then the r04 additions, then the r01 block — the
-#: r01 block was just re-checked in r04)
-_DRIVER_CHECKED = _CHECKED_R03 + _CHECKED_R04 + _CHECKED_R01
+#: blocks first. Round 5 re-checked the r03 block, so the r04 analytics
+#: block (one green row, from r04, with terms.py/vectorized.py/
+#: similarity.py touched since) rotates to the front for round 6, then
+#: the r01 block (last re-checked r04), then the freshly-checked r03
+#: block
+_DRIVER_CHECKED = _CHECKED_R04 + _CHECKED_R01 + _CHECKED_R03
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -440,6 +440,7 @@ def pq_topk(
     seed: int = 7,
     max_queries: int = 1024,
     scan_partitions: int | None = None,
+    strict_exact: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scoring and an
     exact refine — the compressed-scan scale path (IVF's complement: IVF
@@ -484,8 +485,12 @@ def pq_topk(
     # ``scan_partitions`` (hash on the id) pins the partitioning — and
     # with it the per-partition top-r candidate set — independent of the
     # session's parallelism: registered plans pass a fixed value so the
-    # result is deterministic in ANY session (and provably exact while
-    # corpus/partitions <= refine*k); default None = session parallelism
+    # result is deterministic in ANY session. Exactness holds while
+    # EVERY partition holds <= refine*k rows (then no partition ever
+    # prunes and the refine sees the whole corpus); note hash
+    # partitioning is only even ON AVERAGE — ``strict_exact`` turns the
+    # bound into a loud per-partition assertion instead of trusting the
+    # average case (review r6). Default None = session parallelism.
     parallelism = scan_partitions or (
         corpus.sparkSession.sparkContext.defaultParallelism
     )
@@ -494,7 +499,10 @@ def pq_topk(
         F.col(corpus_id).alias("neighbor_id"),
         pq_encode(F.col(vec_col), codebooks).alias("code"),
     )
-    cand = _adc_candidates(codes_df, qid_arr, qmat, codebooks, refine * k)
+    cand = _adc_candidates(
+        codes_df, qid_arr, qmat, codebooks, refine * k,
+        strict_exact=strict_exact,
+    )
     return _exact_refine(queries, corpus, query_id, corpus_id, vec_col, cand, k)
 
 
@@ -514,6 +522,7 @@ def ivfpq_topk(
     max_queries: int = 1024,
     n_assign: int = 1,
     scan_partitions: int | None = None,
+    strict_exact: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN — the two scale levers composed: the coarse quantizer
     prunes WHICH vectors are scored (queries probe ``n_probe`` of
@@ -592,7 +601,8 @@ def ivfpq_topk(
         .filter(F.col("cell").isin(union_cells))
     )
     cand = _adc_candidates(
-        codes_df, qid_arr, qmat, codebooks, refine * k, probed=probed
+        codes_df, qid_arr, qmat, codebooks, refine * k, probed=probed,
+        strict_exact=strict_exact,
     )
     return _exact_refine(queries, corpus, query_id, corpus_id, vec_col, cand, k)
 
@@ -640,9 +650,10 @@ def ivfpq_exact_twin(
     This is a stronger check than the recall gate: it pins rank order
     and similarity values, not just set overlap, and it holds EXACTLY —
     not statistically — whenever the ADC candidate keep covers the
-    probed cells (rows-per-scan-partition <= refine*k, true at registry
-    scale with ``scan_partitions`` pinned). Register alongside
-    ``ann_ivfpq_recall``, which gates the approximate regime.
+    probed cells (EVERY scan partition <= refine*k rows; the actual-side
+    call runs ``strict_exact`` so a skewed partition past the bound
+    fails loudly instead of flaking the gate — review r6). Register
+    alongside ``ann_ivfpq_recall``, which gates the approximate regime.
     """
     import numpy as np
 
@@ -653,6 +664,7 @@ def ivfpq_exact_twin(
         k=k, n_cells=n_cells, n_probe=n_probe, m=m, nbits=nbits,
         refine=refine, seed=seed, max_queries=max_queries,
         n_assign=n_assign, scan_partitions=scan_partitions,
+        strict_exact=True,
     )
     got = _collect_queries(queries, query_id, vec_col, max_queries, "ivfpq_exact_twin")
     if got is None:
@@ -905,6 +917,7 @@ def _adc_candidates(
     codebooks: list[list[list[float]]],
     r_keep: int,
     probed=None,
+    strict_exact: bool = False,
 ) -> DataFrame:
     """Candidate pairs ``(query_id, neighbor_id)`` from one ADC scan of
     the encoded corpus: per Arrow batch one LUT gather scores ALL
@@ -913,6 +926,16 @@ def _adc_candidates(
     never O(corpus). With ``probed`` (a |Q| × n_cells bool mask,
     ``codes_df`` carrying a ``cell`` column), each query scores only the
     rows in cells it probed.
+
+    ``strict_exact`` asserts the exactness precondition AT THE DATA: a
+    result is provably exact only when no partition ever applies the
+    top-``r_keep`` keep, and hash partitioning is even only on average
+    — a skewed partition exceeding ``r_keep`` candidate rows for some
+    query silently drops potential true top-k members. Under
+    ``strict_exact`` that partition raises with an actionable message
+    (raise ``scan_partitions``/``refine``) instead of returning a
+    nondeterministically-approximate result; plans registered against
+    an exact brute-force oracle set it (review r6).
     """
     import numpy as np
     import pandas as pd
@@ -965,6 +988,16 @@ def _adc_candidates(
                     s = s[mask]
                     loc_ids = ids[mask]
                 if len(loc_ids) > r_keep:
+                    if strict_exact:
+                        raise ValueError(
+                            "strict_exact: a scan partition holds "
+                            f"{len(loc_ids)} candidate rows for one "
+                            f"query, over the no-prune bound r_keep="
+                            f"{r_keep}; the ADC top-r keep would make "
+                            "the result approximate. Raise "
+                            "scan_partitions or refine (or drop "
+                            "strict_exact for recall-gated use)."
+                        )
                     part = np.argpartition(-s, r_keep)[:r_keep]
                 else:
                     part = np.arange(len(loc_ids))

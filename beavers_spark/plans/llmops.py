@@ -660,6 +660,43 @@ def ann_knn_join_recall(spark, sf_dir):
     )
 
 
+_KNN_JOIN_TWIN_ORACLE = """
+WITH s AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE vec_id % 5 = 0
+),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM s a CROSS JOIN s b
+    WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored)
+WHERE rnk <= 5
+"""
+
+
+@query("ann_knn_join_exact_twin", oracle=_KNN_JOIN_TWIN_ORACLE)
+def ann_knn_join_exact_twin(spark, sf_dir):
+    """Exact-equivalence gate for the corpus-scale k-NN self-join: with
+    EXHAUSTIVE banding parameters (1 hyperplane, multi-probe) every
+    query probes both buckets, so the candidate universe is all pairs
+    and ``knn_join``'s banded shuffle-join result must equal brute-force
+    k-NN row-for-row — checked against a full-value DuckDB oracle on a
+    corpus slice. Complements ``ann_knn_join_recall`` (which gates the
+    production n_planes=3/n_tables=16 configuration)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return knn_join(
+        emb, "vec_id", "embedding", k=5,
+        dim=64, n_planes=1, n_tables=1, multi_probe=True,
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
 _AGREE_ORACLE = """
 SELECT vec_id AS query_id, TRUE AS agree
 FROM embeddings WHERE vec_id < 10
@@ -734,17 +771,21 @@ def ann_pq_topk(spark, sf_dir):
 
     Carries the FULL brute-force SQL oracle (VERDICT r4 item 3): with
     ``scan_partitions`` pinned to 32 the candidate keep is deterministic
-    in any session, and at registry scale (corpus/32 <= refine*k rows
-    per scan partition, true through sf0.1) every row survives the ADC
-    keep, so the exact refine provably returns the exact top-k —
-    verified equal to brute force at sf0.001/0.01/0.1. Past that scale
+    in any session, and exactness needs EVERY scan partition to hold
+    <= refine*k rows so no ADC keep ever prunes — hash partitioning is
+    only even on average, so ``strict_exact`` turns that bound into a
+    loud per-partition assertion (review r6) rather than trusting the
+    average case: a data/scale shift past the margin fails with an
+    actionable message instead of silently breaking the oracle.
+    Verified equal to brute force at sf0.001/0.01/0.1. Past that scale
     the op is approximate by design; ``ann_pq_recall`` gates that
-    regime."""
+    regime (without strict_exact)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
         k=10, m=16, nbits=6, refine=16, scan_partitions=32,
+        strict_exact=True,
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 

@@ -57,15 +57,15 @@ from pyspark.sql import functions as F
 from beavers_spark.functions.curation import word_chunks
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
+    PROBE_BROADCAST_CAP,
     BatchWatermark,
     ProbeMetrics,
     WaveBloomIndex,
+    prune_hash_buckets,
+    registry_anti_probe,
     table_exists,
 )
-from beavers_spark.streaming.substring_dedup import (
-    PROBE_BROADCAST_CAP,
-    _wave_keys,
-)
+from beavers_spark.streaming.substring_dedup import _wave_keys
 
 
 class IncrementalChunkDedup:
@@ -214,29 +214,17 @@ class IncrementalChunkDedup:
                     prior, pre_h, batch_id, self.probe_metrics, spark
                 )
                 if prior is not None and pre_h is not None:
-                    import numpy as np
-
-                    touched = np.unique(pre_h % self.n_hash_buckets)
-                    if len(touched) < self.n_hash_buckets:
-                        prior = prior.filter(
-                            F.col("b").isin([int(x) for x in touched])
-                        )
+                    prior = prune_hash_buckets(
+                        prior, pre_h, self.n_hash_buckets
+                    )
                 if prior is not None:
-                    if n_winners <= PROBE_BROADCAST_CAP:
-                        # broadcast probe: registry scanned, never
-                        # shuffled — O(batch) shuffle volume
-                        hits = prior.select("h").join(
-                            F.broadcast(winners.select("h")),
-                            "h",
-                            "left_semi",
-                        )
-                        new_owned = winners.join(
-                            F.broadcast(hits), "h", "left_anti"
-                        ).persist()
-                    else:
-                        new_owned = winners.join(
-                            prior.select("h"), "h", "left_anti"
-                        ).persist()
+                    # broadcast semi/anti probe: the registry is
+                    # scanned but never shuffled (see
+                    # maintenance.registry_anti_probe)
+                    new_owned = registry_anti_probe(
+                        winners, prior, "h", n_winners,
+                        PROBE_BROADCAST_CAP,
+                    ).persist()
 
             if n_winners == 0:
                 # nothing segmentable (or fully redelivered): keep the

@@ -441,6 +441,56 @@ class WaveBloomIndex:
         return out
 
 
+#: past this many batch winner rows the registry probe falls back from
+#: the broadcast semi/anti pair to a shuffled anti-join (2M int64 keys
+#: ~= 16 MB broadcast — comfortably under executor memory, far over any
+#: micro-batch's distinct-key count)
+PROBE_BROADCAST_CAP = 2_000_000
+
+
+def registry_anti_probe(
+    winners, prior, key: str, n_rows: int,
+    broadcast_cap: int = PROBE_BROADCAST_CAP,
+):
+    """``winners`` minus already-registered keys, with the registry on
+    the NEVER-SHUFFLED side — the shared cross-batch probe of the
+    chunk/substring dedup twins.
+
+    A plain ``winners.join(prior, key, "left_anti")`` exchanges BOTH
+    sides on ``key`` — at 100 TB that shuffles the whole registry every
+    batch. Instead, while the batch's key set fits the broadcast cap:
+    the registry scan is semi-joined against the broadcast batch keys
+    (map-side, no exchange on the registry), and the small matched set
+    is broadcast back into the anti-join — total shuffle volume
+    O(batch), registry cost reduced to its (column- and partition-
+    pruned) scan. Past the cap (a bulk load through the streaming
+    path), falls back to the shuffled anti-join. Plan shape is pinned
+    by tests/test_maintenance.py.
+    """
+    if n_rows <= broadcast_cap:
+        hits = prior.select(key).join(
+            F.broadcast(winners.select(key)), key, "left_semi"
+        )
+        return winners.join(F.broadcast(hits), key, "left_anti")
+    return winners.join(prior.select(key), key, "left_anti")
+
+
+def prune_hash_buckets(prior, keys, n_buckets: int):
+    """Partition-prune a ``b = pmod(key, n_buckets)``-partitioned
+    registry frame to the buckets the batch's key set actually touches
+    (exact: an untouched bucket cannot contain a batch key). ``keys``
+    is the batch's collected int64 key array; with a uniform hash and a
+    large batch every bucket is touched and this is a no-op — the win
+    is small/trickle batches, where the scan drops to the touched
+    buckets' files."""
+    import numpy as np
+
+    touched = np.unique(np.asarray(keys) % n_buckets)
+    if len(touched) < n_buckets:
+        return prior.filter(F.col("b").isin([int(x) for x in touched]))
+    return prior
+
+
 def recover_compaction(path: str) -> bool:
     """Restore a table lost to a crash between compact_parquet's two
     renames: if ``path`` is missing but ``path.__compact_old`` exists,

@@ -67,19 +67,16 @@ from pyspark.sql import functions as F
 from beavers_spark.functions.curation import sliding_spans
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
+    PROBE_BROADCAST_CAP,
     BatchWatermark,
     ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
     partition_stats,
+    prune_hash_buckets,
+    registry_anti_probe,
     table_exists,
 )
-
-#: past this many batch winner rows the registry probe falls back from
-#: the broadcast semi/anti pair to a shuffled anti-join (2M int64 keys
-#: ~= 16 MB broadcast — comfortably under executor memory, far over any
-#: micro-batch's distinct-span count)
-PROBE_BROADCAST_CAP = 2_000_000
 
 
 def _wave_keys(spark: SparkSession, wave_dir: str) -> DataFrame:
@@ -264,34 +261,17 @@ class IncrementalSubstringDedup:
                     prior, pre_h, batch_id, self.probe_metrics, spark
                 )
                 if prior is not None and pre_h is not None:
-                    import numpy as np
-
-                    touched = np.unique(pre_h % self.n_hash_buckets)
-                    if len(touched) < self.n_hash_buckets:
-                        prior = prior.filter(
-                            F.col("b").isin([int(x) for x in touched])
-                        )
+                    prior = prune_hash_buckets(
+                        prior, pre_h, self.n_hash_buckets
+                    )
                 if prior is not None:
-                    if n_winners <= PROBE_BROADCAST_CAP:
-                        # broadcast probe: the registry is scanned but
-                        # NEVER shuffled — semi-join it against the
-                        # broadcast batch-hash set, then anti-join the
-                        # (small) matched set back. Shuffle volume is
-                        # O(batch), not O(corpus).
-                        hits = prior.select("h").join(
-                            F.broadcast(winners.select("h")),
-                            "h",
-                            "left_semi",
-                        )
-                        new_owned = winners.join(
-                            F.broadcast(hits), "h", "left_anti"
-                        ).persist()
-                    else:
-                        # bulk load past the broadcast cap: shuffled
-                        # anti-join (both sides exchange on h)
-                        new_owned = winners.join(
-                            prior.select("h"), "h", "left_anti"
-                        ).persist()
+                    # broadcast semi/anti probe: the registry is
+                    # scanned but never shuffled (see
+                    # maintenance.registry_anti_probe)
+                    new_owned = registry_anti_probe(
+                        winners, prior, "h", n_winners,
+                        PROBE_BROADCAST_CAP,
+                    ).persist()
 
             if n_winners == 0:
                 # no spannable docs in the batch (all < k tokens, or all

@@ -431,3 +431,27 @@ def test_quality_score_mean_word_len_exact(spark):
         for r in df.select("doc_id", qs["mean_word_len"].alias("m")).collect()
     }
     assert out[1] == 5.0 and out[2] == 1.5 and out[3] == 3.0
+
+
+def test_pq_topk_strict_exact_guards_partition_bound(spark, embeddings):
+    """strict_exact turns the exactness precondition (no scan partition
+    ever applies the ADC top-r keep) into a loud failure: with
+    scan_partitions=1 every corpus row lands in one partition, far over
+    refine*k, so the keep WOULD prune — the strict run must raise
+    rather than return a silently-approximate result. The same
+    parameters without strict_exact stay the recall-gated approximate
+    path."""
+    from beavers_spark.functions.similarity import pq_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    strict = pq_topk(
+        queries, embeddings, "vec_id", "vec_id",
+        k=2, m=8, nbits=4, refine=2, scan_partitions=1, strict_exact=True,
+    )
+    with pytest.raises(Exception, match="strict_exact"):
+        strict.collect()
+    loose = pq_topk(
+        queries, embeddings, "vec_id", "vec_id",
+        k=2, m=8, nbits=4, refine=2, scan_partitions=1,
+    )
+    assert loose.count() > 0

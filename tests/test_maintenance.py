@@ -232,3 +232,63 @@ def test_bloom_m_bits_must_be_word_aligned():
     assert len(bits) * 64 == idx.m_bits
     for h in keys:
         assert bloom_may_contain_any(bits, np.asarray([h], dtype=np.int64))
+
+
+def test_registry_anti_probe_never_shuffles_registry(spark, tmp_path):
+    """The cross-batch probe's plan pin (VERDICT r5 item 4): under the
+    broadcast cap the registry side appears only below broadcast
+    semi/anti joins — no ``Exchange hashpartitioning(h...`` anywhere, so
+    shuffle volume is O(batch) regardless of registry size. Past the
+    cap the shuffled fallback engages. Results equal the plain
+    anti-join either way."""
+    import re
+
+    from beavers_spark.streaming.maintenance import registry_anti_probe
+
+    winners = spark.range(0, 100).selectExpr(
+        "id AS h", "id AS doc_id", "id AS idx"
+    )
+    spark.range(50, 2000).selectExpr("id AS h").write.parquet(
+        str(tmp_path / "registry")
+    )
+    prior = spark.read.parquet(str(tmp_path / "registry"))
+
+    probed = registry_anti_probe(winners, prior, "h", n_rows=100)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftSemi|LeftSemi BuildRight", plan)
+    assert not re.search(r"Exchange hashpartitioning\(h", plan)
+    got = {r.h for r in probed.collect()}
+    assert got == set(range(0, 50))
+
+    # over-cap fallback: same result through the shuffled anti-join
+    fallback = registry_anti_probe(
+        winners, prior, "h", n_rows=100, broadcast_cap=10
+    )
+    assert {r.h for r in fallback.collect()} == got
+
+
+def test_prune_hash_buckets_exact_and_noop(spark, tmp_path):
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from beavers_spark.streaming.maintenance import prune_hash_buckets
+
+    reg = spark.range(0, 160).select(
+        F2.col("id").alias("h"), F2.pmod("id", F2.lit(16)).alias("b")
+    )
+    # batch touches buckets {0, 1} only -> pruned frame holds exactly
+    # those buckets' rows (exact: untouched buckets can't match)
+    keys = np.array([0, 16, 17], dtype=np.int64)
+    pruned = prune_hash_buckets(reg, keys, 16)
+    assert {r.b for r in pruned.select("b").distinct().collect()} == {0, 1}
+    # negative keys follow pmod semantics (non-negative bucket)
+    assert {
+        r.b
+        for r in prune_hash_buckets(
+            reg, np.array([-1], dtype=np.int64), 16
+        ).select("b").distinct().collect()
+    } == {15}
+    # all buckets touched -> no-op
+    allb = prune_hash_buckets(reg, np.arange(16, dtype=np.int64), 16)
+    assert allb is reg

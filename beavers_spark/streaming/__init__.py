@@ -36,6 +36,9 @@ from beavers_spark.streaming.dedup_incremental import (  # noqa: F401
 from beavers_spark.streaming.substring_dedup import (  # noqa: F401
     IncrementalSubstringDedup,
 )
+from beavers_spark.streaming.timers_v2 import (  # noqa: F401
+    streaming_timeout_monitor_v2,
+)
 from beavers_spark.streaming.distinct_rollup import (  # noqa: F401
     ContinuousDistinct,
 )

@@ -63,6 +63,7 @@ from beavers_spark.streaming.maintenance import (
     WaveBloomIndex,
     prune_hash_buckets,
     registry_anti_probe,
+    seen_anti_join,
     table_exists,
 )
 from beavers_spark.streaming.substring_dedup import _wave_keys
@@ -158,14 +159,15 @@ class IncrementalChunkDedup:
             # re-own their unique segments and duplicate output rows;
             # the probe reads the doc_id column only, excluding this
             # wave's own half-committed directory (crash-replay safety —
-            # same reasoning as IncrementalNearDedup)
+            # same reasoning as IncrementalNearDedup), and runs through
+            # the broadcast semi/anti pair so the corpus-sized seen
+            # scan is never shuffled (maintenance.seen_anti_join)
             seen = (
                 spark.read.parquet(self.state_path)
                 .filter(F.col("w") != batch_id)
-                .select(F.col("doc_id").alias(self.id_col))
-                .distinct()
+                .select("doc_id")
             )
-            batch = batch.join(seen, self.id_col, "left_anti")
+            batch = seen_anti_join(batch, seen, self.id_col)
 
         chunks = word_chunks(F.col(self.text_col), self.k)
         # repartition before the fan-out (same rationale as the batch

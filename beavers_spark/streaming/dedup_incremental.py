@@ -56,6 +56,7 @@ from beavers_spark.streaming.maintenance import (
     WaveBloomIndex,
     WaveMetrics,
     partition_stats,
+    seen_anti_join,
     table_exists,
 )
 
@@ -230,7 +231,10 @@ class IncrementalNearDedup:
             # redelivered in a LATER batch (producer retry, re-ingest)
             # would duplicate its state row and from then on duplicate
             # every pair it participates in. Anti-join the batch against
-            # the indexed ids — the state scan is doc_id-only (pruned).
+            # the indexed ids — the state scan is doc_id-only (pruned)
+            # and runs through the broadcast semi/anti pair so the
+            # corpus-sized id column is never shuffled
+            # (maintenance.seen_anti_join).
             # The w != batch_id filter is load-bearing: a crash AFTER
             # this wave's directory was written but BEFORE the watermark
             # mark replays the batch, and without the filter the batch
@@ -240,9 +244,9 @@ class IncrementalNearDedup:
             seen = (
                 spark.read.parquet(self.state_path)
                 .filter(F.col("w") != batch_id)
-                .select(F.col("doc_id").alias(self.id_col))
+                .select("doc_id")
             )
-            batch = batch.join(seen, self.id_col, "left_anti")
+            batch = seen_anti_join(batch, seen, self.id_col)
         # One row-wise pass carries the shingle set AND the signature
         # columns (keep=) — no sets⋈signatures shuffle join. The state
         # table is hive-partitioned by wave (``w=<batch_id>/``), and the

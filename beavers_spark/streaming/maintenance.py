@@ -475,6 +475,40 @@ def registry_anti_probe(
     return winners.join(prior.select(key), key, "left_anti")
 
 
+def seen_anti_join(
+    batch, seen_src, id_col: str, seen_id: str = "doc_id",
+    broadcast_cap: int = PROBE_BROADCAST_CAP,
+):
+    """Drop redelivered ids from ``batch`` with the seen-set on the
+    NEVER-SHUFFLED side — the redelivery guard shared by the dedup
+    twins.
+
+    The naive ``batch.join(seen.distinct(), id, "left_anti")`` pays a
+    corpus-wide shuffle every batch: ``seen_src`` is the registry's id
+    column (one row per owned span/segment — corpus-sized, duplicated),
+    and both the distinct and the anti-join exchange it. Instead the
+    batch's (bounded) id column is broadcast into a LEFT SEMI probe of
+    the seen scan, the small matched set is de-duplicated and broadcast
+    back into the anti-join — registry cost reduced to its column-
+    pruned scan, every join broadcast, shuffle volume O(batch hits).
+    The cap check is one bounded ``limit(cap+1)`` count over the raw
+    batch ids (no distinct — a batch shuffle just for the check would
+    cost more than it saves; raw rows >= distinct ids, so the check is
+    conservative); past it (a bulk load), falls back to the shuffled
+    distinct + anti-join.
+    """
+    ids = batch.select(F.col(id_col).alias(seen_id))
+    if ids.limit(broadcast_cap + 1).count() <= broadcast_cap:
+        hits = (
+            seen_src.join(F.broadcast(ids), seen_id, "left_semi")
+            .distinct()
+            .withColumnRenamed(seen_id, id_col)
+        )
+        return batch.join(F.broadcast(hits), id_col, "left_anti")
+    seen = seen_src.distinct().withColumnRenamed(seen_id, id_col)
+    return batch.join(seen, id_col, "left_anti")
+
+
 def prune_hash_buckets(prior, keys, n_buckets: int):
     """Partition-prune a ``b = pmod(key, n_buckets)``-partitioned
     registry frame to the buckets the batch's key set actually touches

@@ -75,6 +75,7 @@ from beavers_spark.streaming.maintenance import (
     partition_stats,
     prune_hash_buckets,
     registry_anti_probe,
+    seen_anti_join,
     table_exists,
 )
 
@@ -192,7 +193,9 @@ class IncrementalSubstringDedup:
             # owned spans) or the output (its dup ranges), so the union
             # of both doc_id columns is the seen-set. Both probes are
             # column-pruned and exclude this wave's own half-committed
-            # directories (crash-replay safety)
+            # directories (crash-replay safety); the anti-join runs
+            # through the broadcast semi/anti pair so the corpus-sized
+            # seen scan is never shuffled (maintenance.seen_anti_join)
             seen = (
                 spark.read.parquet(self.state_path)
                 .filter(F.col("w") != batch_id)
@@ -204,8 +207,7 @@ class IncrementalSubstringDedup:
                     .filter(F.col("w") != batch_id)
                     .select("doc_id")
                 )
-            seen = seen.distinct().withColumnRenamed("doc_id", self.id_col)
-            batch = batch.join(seen, self.id_col, "left_anti")
+            batch = seen_anti_join(batch, seen, self.id_col)
 
         # repartition before the fan-out: a single-file (or
         # single-partition) batch would serialize span construction +

@@ -260,9 +260,18 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     from beavers_spark.plans import QUERIES
 
+    def _warm(s) -> None:
+        # JVM + whole-stage codegen + the Python/Arrow worker pool, all
+        # untimed: without the mapInPandas no-op, the first pandas-UDF
+        # query of a fresh session pays worker fork + Arrow init inside
+        # its timed region (seen when the ANALYTICS tier moved to its
+        # own session: ann_pq_topk absorbed the tier's warmup cost)
+        s.range(1).count()
+        s.range(64).mapInPandas(lambda it: it, "id long").count()
+
     spark = get_spark("beavers_spark_bench")
-    # warm up the JVM + parquet footers outside the timed region
-    spark.range(1).count()
+    # warm up outside the timed region
+    _warm(spark)
 
     per_query: dict[str, float] = {}
     total = 0.0
@@ -305,7 +314,7 @@ def main() -> None:
     # isolated). Same method as the state tier below; restart untimed.
     spark.stop()
     spark = get_spark("beavers_spark_bench_analytics")
-    spark.range(1).count()
+    _warm(spark)
     run_tier(ANALYTICS)
     import gc
 
@@ -317,7 +326,7 @@ def main() -> None:
     # session; the restart itself is untimed.
     spark.stop()
     spark = get_spark("beavers_spark_bench_state")
-    spark.range(1).count()
+    _warm(spark)
 
     for name, scenario in INCREMENTAL:
         times = []

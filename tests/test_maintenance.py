@@ -292,3 +292,39 @@ def test_prune_hash_buckets_exact_and_noop(spark, tmp_path):
     # all buckets touched -> no-op
     allb = prune_hash_buckets(reg, np.arange(16, dtype=np.int64), 16)
     assert allb is reg
+
+
+def test_seen_anti_join_never_shuffles_seen_set(spark, tmp_path):
+    """The redelivery guard's plan pin: the corpus-sized seen column is
+    scanned, semi-joined against the broadcast batch ids, and never
+    exchanged — no ``Exchange hashpartitioning(doc_id`` in the plan.
+    Duplicated seen rows (one per owned span) must not duplicate
+    surviving batch rows, and the over-cap fallback gives identical
+    results."""
+    import re
+
+    from beavers_spark.streaming.maintenance import seen_anti_join
+
+    batch = spark.range(0, 10).selectExpr("id AS doc_id", "id * 2 AS v")
+    # seen ids 5..19, each duplicated 3x (registry shape: one row per
+    # owned span)
+    spark.range(5, 20).selectExpr("id AS doc_id").unionAll(
+        spark.range(5, 20).selectExpr("id AS doc_id")
+    ).unionAll(spark.range(5, 20).selectExpr("id AS doc_id")).write.parquet(
+        str(tmp_path / "seen")
+    )
+    seen = spark.read.parquet(str(tmp_path / "seen"))
+
+    out = seen_anti_join(batch, seen, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every join is broadcast (semi probe of the seen scan + anti join
+    # of the matched set) — a shuffled join would mean the corpus-sized
+    # seen column entered an exchange
+    assert re.search(r"BroadcastHashJoin .*LeftSemi|LeftSemi, BuildRight", plan)
+    assert re.search(r"LeftAnti", plan)
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    rows = sorted((r.doc_id, r.v) for r in out.collect())
+    assert rows == [(i, 2 * i) for i in range(5)]
+
+    fallback = seen_anti_join(batch, seen, "doc_id", broadcast_cap=3)
+    assert sorted((r.doc_id, r.v) for r in fallback.collect()) == rows

@@ -25,8 +25,11 @@ Per batch:
    (``w=<batch_id>/b=<pmod(h, N)>/``) — written FIRST, mirroring
    ``IncrementalNearDedup``;
 5. the kept-document view (``doc_id, clean_text, n_kept, n_chunks``)
-   is assembled from the same persisted winner set and appended to the
-   output.
+   is assembled from the same persisted winner set and lands in the
+   output as its own wave partition (``w=<batch_id>/``) — per-wave
+   overwrite, so a crash between the output write and the watermark
+   mark replays idempotently (the old append-mode output duplicated
+   the batch's rows on exactly that replay).
 
 A segment is owned exactly once, in the batch it first arrives; state
 rows are append-only, so ownership can never flip. When batches arrive
@@ -128,7 +131,11 @@ class IncrementalChunkDedup:
         )
 
     def read_kept(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.out_path)
+        """Deduplicated documents emitted so far (the wave column ``w``
+        is a storage detail)."""
+        return spark.read.parquet(self.out_path).select(
+            "doc_id", "clean_text", "n_kept", "n_chunks"
+        )
 
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` (see
@@ -137,7 +144,12 @@ class IncrementalChunkDedup:
         hash-prefix layout); returns the post-compaction file count."""
         from beavers_spark.streaming.maintenance import compact_parquet
 
-        compact_parquet(spark, self.out_path)
+        compact_parquet(
+            spark,
+            self.out_path,
+            partition_by="w",
+            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        )
         return self._bloom.compact_merge(
             lambda: compact_parquet(
                 spark,
@@ -237,7 +249,9 @@ class IncrementalChunkDedup:
                     "doc_id long, clean_text string, n_kept bigint,"
                     " n_chunks bigint",
                 )
-                empty.write.mode("append").parquet(self.out_path)
+                empty.write.mode("overwrite").parquet(
+                    f"{self.out_path}/w={batch_id}"
+                )
                 self._watermark.mark(batch_id)
                 return
 
@@ -273,8 +287,13 @@ class IncrementalChunkDedup:
                 F.count("*").alias("n_kept"),
                 F.first("n_chunks").alias("n_chunks"),
             )
-            # written even when empty so read_kept() is valid from batch 0
-            kept.write.mode("append").parquet(self.out_path)
+            # per-wave overwrite (idempotent under a crash between this
+            # write and the mark — append mode duplicated the batch's
+            # rows on exactly that replay); written even when empty so
+            # read_kept() is valid from batch 0
+            kept.write.mode("overwrite").parquet(
+                f"{self.out_path}/w={batch_id}"
+            )
             self._watermark.mark(batch_id)
         finally:
             # deterministic block release (see module docstring)

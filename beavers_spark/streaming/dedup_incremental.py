@@ -189,7 +189,11 @@ class IncrementalNearDedup:
         return spark.read.parquet(self.state_path).drop("w")
 
     def read_pairs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.pairs_path)
+        """Near-dup pairs emitted so far (the wave column ``w`` is a
+        storage detail)."""
+        return spark.read.parquet(self.pairs_path).select(
+            "doc1", "doc2", "est_jaccard", "jaccard"
+        )
 
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into the single ``w=-1`` directory
@@ -207,7 +211,12 @@ class IncrementalNearDedup:
         """
         from beavers_spark.streaming.maintenance import compact_parquet
 
-        compact_parquet(spark, self.pairs_path)
+        compact_parquet(
+            spark,
+            self.pairs_path,
+            partition_by="w",
+            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        )
         return self._bloom.compact_merge(
             lambda: compact_parquet(
                 spark,
@@ -219,8 +228,9 @@ class IncrementalNearDedup:
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        # the state write is overwrite-per-wave (idempotent), but the
-        # pairs table is append-mode: skip replayed batches
+        # both writes are overwrite-per-wave (idempotent under crash
+        # replays); the watermark still skips committed batches so a
+        # replay does no redundant work
         if self._watermark.is_applied(batch_id):
             return
         spark = batch_df.sparkSession
@@ -354,7 +364,12 @@ class IncrementalNearDedup:
             .select("doc1", "doc2", _exprs()["est_jaccard"], _exprs()["jaccard"])
             .filter(F.col("jaccard") >= self.threshold)
         )
-        # written even when empty so read_pairs() is valid from batch 0
-        pairs.write.mode("append").parquet(self.pairs_path)
+        # per-wave overwrite (idempotent under a crash between this
+        # write and the mark — append mode duplicated the batch's pairs
+        # on exactly that replay); written even when the batch found no
+        # pairs so read_pairs() is valid from batch 0
+        pairs.write.mode("overwrite").parquet(
+            f"{self.pairs_path}/w={batch_id}"
+        )
         self._record_wave(spark, batch_id, wave_dir)
         self._watermark.mark(batch_id)

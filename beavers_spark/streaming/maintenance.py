@@ -151,9 +151,13 @@ class BatchWatermark:
     Scope, honestly: this makes replays after CLEAN restarts and
     post-commit crashes exactly-once. A crash in the middle of a batch's
     writes (after some output, before ``mark``) still re-applies the
-    whole batch — full atomicity would need staged directory commits per
-    output. Batch ids are monotonic per checkpoint, which is what makes
-    a single high-watermark sufficient.
+    whole batch — harmless for writers whose every output is a per-wave
+    directory OVERWRITE (the dedup twins since r6: the replay rewrites
+    the same wave dirs byte-for-equivalent, pinned by the
+    mid-batch-crash tests), but a sink with any append-mode output
+    needs the mark to be the commit point. Batch ids are monotonic per
+    checkpoint, which is what makes a single high-watermark
+    sufficient.
     """
 
     def __init__(self, state_dir: str) -> None:

@@ -173,18 +173,25 @@ def _inc_clusters(spark, sf_dir: str, workdir: str) -> int:
     from beavers_spark.streaming import IncrementalClusters
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # persist + blocking unpersist (NOT localCheckpoint): checkpoint-RDD
+    # blocks are only reclaimed by the GC-driven ContextCleaner, whose
+    # backlog bled into later repetitions (same fix as the dedup
+    # kernels, r6)
     pairs = (
         minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
         .select("doc1", "doc2")
-        .localCheckpoint()
+        .persist()
     )
-    clusters = IncrementalClusters(
-        os.path.join(workdir, "state"),
-        n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-    )
-    for i in range(_WAVES):
-        clusters(pairs.filter(F.pmod("doc1", F.lit(_WAVES)) == i), i)
-    return clusters.read_clusters(spark).count()
+    try:
+        clusters = IncrementalClusters(
+            os.path.join(workdir, "state"),
+            n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        )
+        for i in range(_WAVES):
+            clusters(pairs.filter(F.pmod("doc1", F.lit(_WAVES)) == i), i)
+        return clusters.read_clusters(spark).count()
+    finally:
+        pairs.unpersist(blocking=True)
 
 
 def _inc_chunk_dedup(spark, sf_dir: str, workdir: str) -> int:

@@ -154,3 +154,27 @@ def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
     got = _kept_set(dedup.read_kept(spark))
     expected = _kept_set(chunk_dedup(docs, "text", "doc_id", k=5))
     assert expected and got == expected
+
+
+def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash after the wave's state + output writes, before the
+    watermark mark: the replayed batch must not duplicate kept rows
+    (the old append-mode output did exactly that)."""
+    import os
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(80)
+    dedup = IncrementalChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=10,
+    )
+    dedup(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    dedup(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    before = sorted(
+        (r.doc_id, r.n_kept) for r in dedup.read_kept(spark).collect()
+    )
+    os.remove(os.path.join(str(tmp_path / "state"), "_last_batch.json"))
+    dedup._watermark.mark(0)
+    dedup(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    assert sorted(
+        (r.doc_id, r.n_kept) for r in dedup.read_kept(spark).collect()
+    ) == before

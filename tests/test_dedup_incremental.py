@@ -230,3 +230,39 @@ def test_band_bloom_prunes_disjoint_waves(spark, tmp_path):
         for r in minhash_lsh_pairs(docs, "text", "doc_id", n=3).collect()
     }
     assert pairs == expected
+
+
+def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
+    """A crash AFTER the wave's state + pairs writes but BEFORE the
+    watermark mark replays the whole batch (foreachBatch redelivers the
+    same batch_id). Both writes are per-wave overwrites, so the replay
+    must change nothing — the old append-mode pairs table duplicated
+    the batch's pairs on exactly this path."""
+    import os
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(120)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    dedup(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    dedup(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    before_pairs = sorted(
+        (r.doc1, r.doc2) for r in dedup.read_pairs(spark).collect()
+    )
+    before_state = dedup.read_state(spark).count()
+
+    # simulate the crash: the outputs of batch 1 are on disk but the
+    # watermark was never advanced past batch 0
+    os.remove(os.path.join(str(tmp_path / "state"), "_last_batch.json"))
+    dedup._watermark.mark(0)
+    dedup(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    assert sorted(
+        (r.doc1, r.doc2) for r in dedup.read_pairs(spark).collect()
+    ) == before_pairs
+    assert dedup.read_state(spark).count() == before_state

@@ -312,6 +312,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     staging_dir: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding + Jaccard verify.
 
@@ -340,6 +341,20 @@ def minhash_lsh_pairs(
       join start from columnar scans with pruned reads (the band join
       reads only doc_id + signatures, the verify join only doc_id/sh).
       This is the 100 TB mode.
+
+    ``bucket_cap`` bounds the hot-bucket blowup. A band bucket holding B
+    docs emits B*(B-1)/2 candidate pairs; at corpus scale, boilerplate
+    text (empty pages, template headers, license blocks) lands millions
+    of docs in ONE bucket and the self-join goes quadratic on exactly
+    the keys AQE can't split (every row carries the same join key). With
+    a cap, buckets of size <= cap keep exact all-pairs semantics;
+    oversized buckets degrade to a doc_id-ordered CHAIN (row i paired
+    with row i+1): O(B) pairs that keep every member of the bucket
+    reachable for connected-components clustering, at the cost of
+    pairwise recall INSIDE the mega-bucket (a chain pair failing the
+    Jaccard verify can split a cluster that all-pairs would have
+    joined). The rank/chain pass shuffles on the same band key as the
+    join it protects, ordered by doc_id — deterministic under retries.
     """
     # ONE combined (doc_id, sh, n_sh, mh*) frame: signatures are row-wise
     # projections of the shingle sets (keep=), so a single materialization
@@ -359,20 +374,54 @@ def minhash_lsh_pairs(
     sig = state.drop("sh", "n_sh")
     bands = band_rows(sig)
 
-    a = bands.alias("a")
-    b = bands.alias("b")
     join_cond = (F.col("a.band_id") == F.col("b.band_id")) & (
         F.col("a.doc_id") < F.col("b.doc_id")
     )
     for r in range(ROWS_PER_BAND):
         join_cond = join_cond & (F.col(f"a.h{r}") == F.col(f"b.h{r}"))
-    candidates = (
-        a.join(b, join_cond)
-        .select(
+
+    if bucket_cap is None:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        candidates = (
+            a.join(b, join_cond)
+            .select(
+                F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+            )
+            .distinct()
+        )
+    else:
+        if bucket_cap < 2:
+            raise ValueError(
+                f"bucket_cap must be >= 2 (a 1-cap chains every bucket), "
+                f"got {bucket_cap}"
+            )
+        band_key = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
+        w = Window.partitionBy(*band_key).orderBy("doc_id")
+        ranked = bands.select(
+            "doc_id",
+            *band_key,
+            F.count(F.lit(1))
+            .over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("cnt"),
+            F.lead("doc_id").over(w).alias("nxt"),
+        )
+        within = ranked.filter(F.col("cnt") <= bucket_cap)
+        a = within.alias("a")
+        b = within.alias("b")
+        all_pairs = a.join(b, join_cond).select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
-        .distinct()
-    )
+        # doc_id is unique within a bucket (one band row per doc), so the
+        # ascending order makes nxt strictly greater: doc1 < doc2 holds
+        chain = ranked.filter(
+            (F.col("cnt") > bucket_cap) & F.col("nxt").isNotNull()
+        ).select(F.col("doc_id").alias("doc1"), F.col("nxt").alias("doc2"))
+        candidates = all_pairs.unionByName(chain).distinct()
 
     # signature-agreement estimate
     sa = sig.alias("sa")

@@ -144,7 +144,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(bucket_cap: int | None = None) -> str:
     sig_cols = ",\n           ".join(
         f"min({_sql_hash64('shingle', s)}) AS mh{s}" for s in range(NUM_HASHES)
     )
@@ -159,6 +159,34 @@ def _minhash_oracle() -> str:
     est_sum = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
     )
+    if bucket_cap is None:
+        cand_ctes = f"""
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND {band_eq} AND a.doc_id < b.doc_id
+    )"""
+    else:
+        h_list = ", ".join(f"h{r}" for r in range(ROWS_PER_BAND))
+        part = f"PARTITION BY band_id, {h_list}"
+        cand_ctes = f"""
+    ranked AS (
+        SELECT doc_id, band_id, {h_list},
+               count(*) OVER ({part}) AS cnt,
+               lead(doc_id) OVER ({part} ORDER BY doc_id) AS nxt
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT doc1, doc2 FROM (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM ranked a JOIN ranked b
+              ON a.band_id = b.band_id AND {band_eq} AND a.doc_id < b.doc_id
+            WHERE a.cnt <= {bucket_cap} AND b.cnt <= {bucket_cap}
+            UNION ALL
+            SELECT doc_id, nxt FROM ranked
+            WHERE cnt > {bucket_cap} AND nxt IS NOT NULL
+        )
+    )"""
     return f"""
     WITH toks AS (
         SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
@@ -177,12 +205,7 @@ def _minhash_oracle() -> str:
         SELECT doc_id, {sig_cols}
         FROM sh GROUP BY doc_id
     ),
-    bands AS ({bands_sql}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND {band_eq} AND a.doc_id < b.doc_id
-    ),
+    bands AS ({bands_sql}),{cand_ctes},
     est AS (
         SELECT doc1, doc2, round(({est_sum}) / {float(NUM_HASHES)}, 6) AS est_jaccard
         FROM cand
@@ -207,6 +230,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     The scale path for near-dedup: only band-colliding docs are compared."""
     return minhash_lsh_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+@query("dedup_minhash_capped", oracle=_minhash_oracle(bucket_cap=2))
+def dedup_minhash_capped(spark, sf_dir):
+    """MinHash-LSH with the hot-bucket cap engaged (cap=2 so the chain
+    path runs even at sf0.01, where the largest band bucket holds 3
+    docs). At corpus scale the cap is what stops boilerplate mega-buckets
+    from going quadratic in the band self-join; buckets within the cap
+    keep exact all-pairs semantics, oversized ones chain-link in doc_id
+    order."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2,
+        bucket_cap=2,
     )
 
 

@@ -1,0 +1,44 @@
+"""Storage-layout plans: Z-order clustered write + pruned read-back.
+
+The query writes a Z-ordered copy of ``lineitem`` and reads it back
+through a two-column range filter — exactly the filter shape Z-order
+exists for (a single-column sort would leave the second column's
+per-file ranges full-width). The DuckDB oracle filters the original
+table directly, so a hash-match proves the clustered write is a
+lossless re-layout AND the pruned read returns exactly the selected
+rows. File-skipping effectiveness is asserted separately in
+tests/test_layout.py via parquet footer statistics.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from beavers_spark.plans.common import t
+from beavers_spark.plans.registry import query
+from beavers_spark.sources.layout import write_zordered
+
+
+@query(
+    "zorder_scan",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 20 AND 80
+    """,
+)
+def zorder_scan(spark, sf_dir):
+    """Z-order lineitem by (l_partkey, l_suppkey), then range-filter
+    both dimensions on the read-back. The write pays one range
+    exchange; every later two-sided range filter prunes most files via
+    row-group min/max — the 100 TB pattern for multi-dimension scans."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="beavers_zorder_") + "/lineitem_z"
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+    return spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 400) & F.col("l_suppkey").between(20, 80)
+    )

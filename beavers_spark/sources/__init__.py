@@ -21,6 +21,12 @@ from beavers_spark.sources.bucketing import (  # noqa: F401
     bucketed_join,
     write_bucketed,
 )
+from beavers_spark.sources.layout import (  # noqa: F401
+    column_bounds,
+    file_span_report,
+    write_zordered,
+    zorder_key,
+)
 from beavers_spark.sources.files import (  # noqa: F401
     read_csv_source,
     read_json_source,

@@ -455,3 +455,58 @@ def test_pq_topk_strict_exact_guards_partition_bound(spark, embeddings):
         k=2, m=8, nbits=4, refine=2, scan_partitions=1,
     )
     assert loose.count() > 0
+
+
+def test_minhash_bucket_cap_chains_mega_buckets(spark):
+    # 8 identical docs (one mega-bucket per band) + 1 unrelated doc
+    boiler = "terms of service copyright all rights reserved contact us"
+    rows = [(i, boiler) for i in range(1, 9)]
+    rows.append((99, "completely different content about spark query engines"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.3, bucket_cap=3
+    ).collect()
+    # identical docs: every chain pair survives the Jaccard verify at 1.0;
+    # chain emits exactly 7 edges (8 docs), not 8*7/2 = 28 all-pairs
+    pairs = {(r.doc1, r.doc2) for r in capped}
+    assert pairs == {(i, i + 1) for i in range(1, 8)}
+    assert all(r.jaccard == 1.0 for r in capped)
+
+    # connectivity is preserved: union-find over the chain links all 8
+    parent = {i: i for i in range(1, 9)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(1, 9)}) == 1
+
+    # cap off -> exact all-pairs semantics unchanged
+    full = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    assert len(full) == 28
+
+
+def test_minhash_bucket_cap_within_cap_is_exact(spark, docs):
+    # largest bucket here is 2 docs; a cap of 3 must change nothing
+    base = set(
+        map(tuple, minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3).collect())
+    )
+    capped = set(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, "text", "doc_id", threshold=0.3, bucket_cap=3
+            ).collect(),
+        )
+    )
+    assert base == capped
+
+
+def test_minhash_bucket_cap_validates(spark, docs):
+    with pytest.raises(ValueError, match="bucket_cap"):
+        minhash_lsh_pairs(docs, "text", "doc_id", bucket_cap=1).collect()

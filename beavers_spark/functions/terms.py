@@ -120,6 +120,90 @@ def unigram_logprob(
     )
 
 
+def train_unigram_lm(
+    docs: DataFrame, text_col: str, id_col: str, alpha: float = 1.0
+) -> DataFrame:
+    """Additively-smoothed unigram LM from a training corpus:
+    ``(term, logp)`` with ``p(term) = (c + alpha) / (T + alpha*(V+1))``.
+    The ``+1`` in the denominator reserves one pseudo-count of mass for
+    the OOV event, so ``lm_score`` can assign unseen terms
+    ``log(alpha / (T + alpha*(V+1)))`` and the model stays a proper
+    distribution over V known terms plus OOV.
+
+    The output is vocabulary-sized — persist it (or write it as a
+    table) and score any number of corpora against it; training is one
+    vocabulary-keyed shuffle over the training split.
+    """
+    counts = (
+        doc_terms(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("t_total"), F.count("*").alias("v_size")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.log(
+            (F.col("c") + F.lit(alpha))
+            / (F.col("t_total") + F.lit(alpha) * (F.col("v_size") + 1))
+        ).alias("logp"),
+        "t_total",
+        "v_size",
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score documents against a TRAINED unigram LM (the CCNet-style
+    held-out quality gate: the model comes from a clean reference
+    corpus, not from the data being scored). Emits ``(doc_id,
+    avg_logp, perplexity, oov_rate, n_toks)``; low perplexity = looks
+    like the training corpus, high OOV rate = off-vocabulary junk.
+
+    Unseen terms get the reserved-OOV probability ``alpha / (T_train +
+    alpha*(V+1))`` (see ``train_unigram_lm``) via a LEFT join +
+    coalesce — no driver-side vocabulary, no UDF. The join is
+    scored-corpus-tokens vs a vocabulary-sized LM table: AQE broadcasts
+    the LM side when it fits, so scoring 100 TB is one shuffle for the
+    per-doc term counts plus a broadcast probe.
+    """
+    tf = (
+        doc_terms(docs, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    lm_tot = lm.select("t_total", "v_size").limit(1)
+    oov_logp = F.log(
+        F.lit(alpha)
+        / (F.col("t_total") + F.lit(alpha) * (F.col("v_size") + 1))
+    )
+    scored = (
+        tf.join(lm.select("term", "logp"), "term", "left")
+        .crossJoin(F.broadcast(lm_tot))
+        .select(
+            id_col,
+            "tf",
+            F.coalesce(F.col("logp"), oov_logp).alias("logp_eff"),
+            F.col("logp").isNull().cast("int").alias("is_oov"),
+        )
+    )
+    avg_logp = F.sum(F.col("tf") * F.col("logp_eff")) / F.sum("tf")
+    return scored.groupBy(id_col).agg(
+        F.round(avg_logp, 6).alias("avg_logp"),
+        F.round(F.exp(-avg_logp), 4).alias("perplexity"),
+        F.round(
+            F.sum(F.col("tf") * F.col("is_oov")) / F.sum("tf"), 6
+        ).alias("oov_rate"),
+        F.sum("tf").alias("n_toks"),
+    )
+
+
 def vocab_coverage(
     docs: DataFrame, text_col: str, id_col: str, k: int = 100
 ) -> DataFrame:

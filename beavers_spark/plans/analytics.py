@@ -20,7 +20,9 @@ from beavers_spark.functions.embeddings import (
 from beavers_spark.functions.terms import (
     bigram_pmi,
     hashed_features,
+    lm_score,
     tfidf_top_terms,
+    train_unigram_lm,
     unigram_logprob,
     vocab_coverage,
     vocab_drift,
@@ -205,6 +207,56 @@ def unigram_logprob_q(spark, sf_dir):
     (doc-term counts; vocabulary counts) + a vocabulary-sized join —
     the model IS the aggregation, no driver-side fit at any scale."""
     return unigram_logprob(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "lm_perplexity_holdout",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    train_cnt AS (
+        SELECT term, count(*) AS c FROM toks WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(c) AS t_total, count(*) AS v_size FROM train_cnt
+    ),
+    lm AS (
+        SELECT term, ln((c + 1.0) / (t_total + v_size + 1)) AS logp
+        FROM train_cnt, tot
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_id, tf,
+               coalesce(logp, ln(1.0 / (t_total + v_size + 1))) AS logp_eff,
+               CASE WHEN logp IS NULL THEN 1 ELSE 0 END AS is_oov
+        FROM tf LEFT JOIN lm USING (term), tot
+    )
+    SELECT doc_id,
+           round(sum(tf * logp_eff) / sum(tf), 6) AS avg_logp,
+           round(exp(-(sum(tf * logp_eff) / sum(tf))), 4) AS perplexity,
+           round(sum(tf * is_oov) / sum(tf), 6) AS oov_rate,
+           sum(tf)::BIGINT AS n_toks
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_perplexity_holdout(spark, sf_dir):
+    """Held-out LM scoring — the actual CCNet workflow: train a smoothed
+    unigram LM on the even-doc_id split, score the odd split against it
+    with reserved-OOV smoothing. Training is one vocabulary-keyed
+    shuffle; scoring is per-doc term counts + a broadcast-able
+    vocabulary-sized LEFT join. At 100 TB the LM comes from a clean
+    reference corpus and is just a table — train once, score forever."""
+    docs = t(spark, sf_dir, "documents")
+    lm = train_unigram_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", alpha=1.0
+    )
+    return lm_score(
+        docs.filter(F.col("doc_id") % 2 == 1), lm, "text", "doc_id", alpha=1.0
+    )
 
 
 @query(

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.embeddings import (
@@ -353,3 +354,39 @@ def test_redact_pii_counts_follow_redaction_order(spark):
     ).collect()[0]
     assert (row.n_email, row.n_ssn, row.n_ipv4, row.n_phone) == (0, 1, 1, 1)
     assert "<SSN>" in row.red and "<IP>" in row.red and "<PHONE>" in row.red
+
+
+def test_lm_score_holdout_semantics(spark):
+    from beavers_spark.functions.terms import lm_score, train_unigram_lm
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "alpha beta beta")],
+        "doc_id long, text string",
+    )
+    # train counts: alpha=3, beta=3, gamma=1 -> T=7, V=3
+    lm = train_unigram_lm(train, "text", "doc_id", alpha=1.0)
+    got = {r.term: r.logp for r in lm.collect()}
+    denom = 7 + 1.0 * (3 + 1)
+    assert got["alpha"] == pytest.approx(math.log(4 / denom))
+    assert got["gamma"] == pytest.approx(math.log(2 / denom))
+
+    score = spark.createDataFrame(
+        [(10, "alpha alpha beta"), (11, "zzz qqq"), (12, "gamma zzz")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(score, lm, "text", "doc_id").collect()}
+    # all-in-vocab doc: exact expected average logp, zero OOV
+    exp10 = (2 * math.log(4 / denom) + math.log(4 / denom)) / 3
+    assert out[10].avg_logp == pytest.approx(exp10, abs=1e-6)
+    assert out[10].oov_rate == 0.0
+    # all-OOV doc: every token gets the reserved-OOV logp
+    oov_logp = math.log(1.0 / denom)
+    assert out[11].avg_logp == pytest.approx(oov_logp, abs=1e-6)
+    assert out[11].oov_rate == 1.0
+    assert out[11].perplexity == pytest.approx(round(math.exp(-oov_logp), 4))
+    # mixed doc: rates and averages blend
+    assert out[12].oov_rate == 0.5
+    exp12 = (math.log(2 / denom) + oov_logp) / 2
+    assert out[12].avg_logp == pytest.approx(exp12, abs=1e-6)
+    # ranking: in-domain text scores better (lower ppl) than junk
+    assert out[10].perplexity < out[11].perplexity

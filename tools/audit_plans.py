@@ -181,6 +181,27 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashJoin \[shingle"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
+    "dedup_minhash_capped": [
+        # hot-bucket cap: bucket rank/chain is a window on the band key
+        # (same shuffle the join needs); candidates still equi-join on
+        # bands and doc ids — capping must not introduce any cross shape
+        [r"Window", r"HashJoin \[band_id", r"HashJoin \[doc1"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
+    "zorder_scan": [
+        # read-back of the z-ordered copy: BOTH range predicates reach
+        # the parquet scan (file + row-group pruning on the clustered
+        # layout), nothing else in the plan
+        [r"PushedFilters: \[.*GreaterThanOrEqual\(l_partkey,100",
+         r"LessThanOrEqual\(l_suppkey,80"],
+        [r"Exchange", r"CartesianProduct"],
+    ],
+    "lm_perplexity_holdout": [
+        # train + score partial-combine; LM join is vocabulary-keyed;
+        # only cross shapes are the whitelisted 1-row total broadcasts
+        [r"partial_count", r"partial_sum", r"HashJoin \[term"],
+        [r"CartesianProduct Inner", r"BatchEvalPython"],
+    ],
     "ann_lsh_topk": [
         # multi-table (tbl, bucket) equi-join + per-query top-k window
         [r"HashJoin \[tbl", r"row_number"],
@@ -466,6 +487,7 @@ def main() -> int:
         "unigram_logprob",      # 1-row broadcast corpus total token count
         "bigram_pmi",           # 1-row broadcast corpus total token count
         "vocab_drift",          # 1-row broadcast (V, N_old, N_new) scalars
+        "lm_perplexity_holdout",  # 1-row broadcast (T_train, V) LM totals
     }
     blanket_failures = 0
     for name, fn in QUERIES.items():

@@ -40,7 +40,7 @@ near-dedup surface itself (README.md:43-50 scope).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.dedup import (
@@ -143,6 +143,7 @@ class IncrementalNearDedup:
         threshold: float = 0.5,
         bloom_bits: int | None = 1 << 23,
         bloom_min_waves: int = 8,
+        bucket_cap: int | None = None,
     ) -> None:
         self.state_path = state_path
         self.pairs_path = pairs_path
@@ -152,6 +153,27 @@ class IncrementalNearDedup:
         self.threshold = threshold
         #: bits per wave band-key Bloom sidecar (None disables)
         self.bloom_bits = bloom_bits
+        #: hot-bucket bound for the cross-batch band join (None = exact
+        #: all-collisions). With a cap, each wave persists at most
+        #: ``bucket_cap`` ANCHOR docs per band key (first by doc_id —
+        #: deterministic) in a parallel ``<state>_anchors`` table, and
+        #: later batches band-join against anchors instead of the full
+        #: band expansion of state. Per-batch join fan-out per hot key
+        #: drops from O(corpus-bucket) to O(cap x live_waves) while
+        #: every bucket member stays reachable for clustering: a doc
+        #: links to its wave's anchors via the (batch-bounded)
+        #: within-batch join, and each wave's anchors linked to prior
+        #: anchors when they arrived. Same recall caveat as the batch
+        #: ``minhash_lsh_pairs(bucket_cap=)``: a sub-threshold anchor
+        #: pair can split a cluster all-pairs would have joined;
+        #: identical-text mega-buckets (the case the cap exists for)
+        #: verify at jaccard 1.0 and lose nothing. Must be set from the
+        #: table's first wave (or after ``rebuild_anchors``) — the
+        #: kernel refuses to run capped against a state table with
+        #: waves that have no anchors.
+        self.bucket_cap = bucket_cap
+        self.anchors_path = state_path.rstrip("/") + "_anchors"
+        self._anchors_checked = False
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
         self._bloom = WaveBloomIndex(
@@ -173,6 +195,70 @@ class IncrementalNearDedup:
         the signal for when ``compact()`` is due."""
         files, nbytes, mx = partition_stats(spark, [wave_dir])
         self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))
+
+    # -- anchor maintenance (bucket_cap mode) -----------------------------
+    def _anchor_wave(self, bands: DataFrame) -> DataFrame:
+        """First-``bucket_cap`` docs per band key of one wave's band
+        rows — a batch-local window shuffle keyed on the band key."""
+        wv = Window.partitionBy(*_BAND_KEYS).orderBy("doc_id")
+        return (
+            bands.withColumn("__rn", F.row_number().over(wv))
+            .filter(F.col("__rn") <= self.bucket_cap)
+            .drop("__rn")
+        )
+
+    def _check_anchor_parity(
+        self, spark: SparkSession, batch_id: int
+    ) -> None:
+        """Refuse to run capped against state waves with no anchors —
+        silently skipping their collisions would be a wrong answer, not
+        a slow one. One partition-discovery listing, first capped batch
+        with prior state only. The current batch's wave is excluded: on
+        a crash replay its state dir may exist with the anchors write
+        still pending (the kernel re-writes both)."""
+        if self._anchors_checked:
+            return
+        state_waves = set(self._bloom.wave_ids(exclude=batch_id))
+        anchor_waves: set[int] = set()
+        if table_exists(spark, self.anchors_path):
+            anchor_waves = {
+                r.w
+                for r in spark.read.parquet(self.anchors_path)
+                .select("w")
+                .distinct()
+                .collect()
+            }
+        missing = state_waves - anchor_waves
+        if missing:
+            raise RuntimeError(
+                f"bucket_cap={self.bucket_cap} but state waves "
+                f"{sorted(missing)} have no anchor partitions — enable "
+                "the cap from the table's first wave, or call "
+                "rebuild_anchors(spark) once to derive them"
+            )
+        self._anchors_checked = True
+
+    def rebuild_anchors(self, spark: SparkSession) -> None:
+        """Derive the anchors table for every existing state wave (one
+        band expansion + rank per wave). For enabling ``bucket_cap`` on
+        a pre-existing uncapped table, and called by ``compact()`` to
+        re-anchor the coalesced wave."""
+        if self.bucket_cap is None:
+            raise RuntimeError("rebuild_anchors requires bucket_cap")
+        import shutil
+
+        shutil.rmtree(self.anchors_path, ignore_errors=True)
+        for w in self._bloom.wave_ids():
+            wave_dir = f"{self.state_path}/w={w}"
+            if not table_exists(spark, wave_dir):
+                continue
+            bands = band_rows(
+                spark.read.parquet(wave_dir).select(*_SIG_COLS)
+            )
+            self._anchor_wave(bands).write.mode("overwrite").parquet(
+                f"{self.anchors_path}/w={w}"
+            )
+        self._anchors_checked = False
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -217,7 +303,7 @@ class IncrementalNearDedup:
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
-        return self._bloom.compact_merge(
+        out = self._bloom.compact_merge(
             lambda: compact_parquet(
                 spark,
                 self.state_path,
@@ -225,6 +311,11 @@ class IncrementalNearDedup:
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
             )
         )
+        if self.bucket_cap is not None:
+            # re-anchor the coalesced wave: merged-wave anchors are the
+            # first-cap docs per band key ACROSS the compacted docs
+            self.rebuild_anchors(spark)
+        return out
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -236,6 +327,8 @@ class IncrementalNearDedup:
         spark = batch_df.sparkSession
         batch = batch_df
         had_state = self._state_exists(spark)
+        if had_state and self.bucket_cap is not None:
+            self._check_anchor_parity(spark, batch_id)
         if had_state:
             # BatchWatermark only guards post-commit replays: a doc_id
             # redelivered in a LATER batch (producer retry, re-ingest)
@@ -276,6 +369,15 @@ class IncrementalNearDedup:
         # check (an empty or fully-redelivered batch just marks the mark)
         new_state = spark.read.parquet(wave_dir)
         if new_state.count() == 0:
+            if self.bucket_cap is not None:
+                # empty anchors wave keeps the state/anchors wave sets
+                # 1:1 (the parity guard treats a missing wave as data
+                # loss, not emptiness)
+                self._anchor_wave(
+                    band_rows(new_state.select(*_SIG_COLS))
+                ).write.mode("overwrite").parquet(
+                    f"{self.anchors_path}/w={batch_id}"
+                )
             if self.bloom_bits:
                 # zero bitmap: future probes prune the empty wave
                 import numpy as np
@@ -306,6 +408,13 @@ class IncrementalNearDedup:
             )
         if band_h is not None:
             self._bloom.save_wave(wave_dir, band_h)
+        if self.bucket_cap is not None:
+            # persist this wave's anchors (first-cap docs per band key)
+            # for future batches' cross joins — a batch-local window +
+            # small write, idempotent per-wave overwrite like the state
+            self._anchor_wave(new_bands).write.mode("overwrite").parquet(
+                f"{self.anchors_path}/w={batch_id}"
+            )
 
         # within-batch collisions, canonical doc1 < doc2
         a, b = new_bands.alias("a"), new_bands.alias("b")
@@ -314,20 +423,42 @@ class IncrementalNearDedup:
         )
 
         old = None
+        kept: list | None = None  # None = bloom made no pruning decision
         if had_state:
             old = spark.read.parquet(self.state_path).filter(
                 F.col("w") != batch_id
             )
-            old = self._bloom.prune_prior(
-                old, band_h, batch_id, self.probe_metrics, spark
-            )
+            if band_h is not None:
+                # inline prune_prior so the SAME kept-wave decision (and
+                # one ProbeMetrics row) covers both the state scan and,
+                # in capped mode, the anchors scan
+                waves = self._bloom.wave_ids(exclude=batch_id)
+                kept = self._bloom.live_waves(
+                    band_h, exclude=batch_id, spark=spark
+                )
+                self.probe_metrics.append(
+                    ProbeMetrics(batch_id, len(waves), len(kept))
+                )
+                old = old.filter(F.col("w").isin(kept)) if kept else None
             if old is not None:
                 old = old.drop("w")
         if old is not None:
-            # column pruning: this scan reads doc_id + mh* only, never the
-            # shingle arrays; the w-filter prunes this wave's directory
-            # at the file listing
-            old_bands = band_rows(old.select(*_SIG_COLS)).alias("o")
+            if self.bucket_cap is None:
+                # column pruning: this scan reads doc_id + mh* only,
+                # never the shingle arrays; the w-filter prunes this
+                # wave's directory at the file listing
+                old_bands = band_rows(old.select(*_SIG_COLS)).alias("o")
+            else:
+                # capped mode: join against the persisted per-wave
+                # anchors — already band-exploded AND bounded to
+                # bucket_cap rows per band key per wave, so a hot key
+                # meets O(cap x live_waves) rows, never the corpus bucket
+                ob = spark.read.parquet(self.anchors_path).filter(
+                    F.col("w") != batch_id
+                )
+                if kept is not None:
+                    ob = ob.filter(F.col("w").isin(kept))
+                old_bands = ob.drop("w").alias("o")
             nb = new_bands.alias("n")
             # != guard in _CROSS_COND: belt-and-braces with the anti-join
             # above — a self-collision would emit a (doc, doc, 1.0) pair

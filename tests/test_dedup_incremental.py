@@ -266,3 +266,149 @@ def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
         (r.doc1, r.doc2) for r in dedup.read_pairs(spark).collect()
     ) == before_pairs
     assert dedup.read_state(spark).count() == before_state
+
+
+def _mk_capped(tmp_path, cap, name="c"):
+    return IncrementalNearDedup(
+        state_path=str(tmp_path / f"state_{name}"),
+        pairs_path=str(tmp_path / f"pairs_{name}"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+        bucket_cap=cap,
+    )
+
+
+def test_bucket_cap_bounds_cross_join_and_keeps_connectivity(spark, tmp_path):
+    """A boilerplate mega-bucket arriving over several waves: capped mode
+    joins new docs against at most bucket_cap anchors per wave instead
+    of the whole historical bucket, and every member stays reachable."""
+    boiler = "terms of service copyright all rights reserved contact us now"
+    wave0 = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 5)], "doc_id long, text string"
+    )
+    wave1 = spark.createDataFrame(
+        [(i, boiler) for i in range(5, 7)], "doc_id long, text string"
+    )
+    dedup = _mk_capped(tmp_path, cap=2)
+    dedup(wave0, 0)
+    dedup(wave1, 1)
+
+    pairs = {(r.doc1, r.doc2) for r in dedup.read_pairs(spark).collect()}
+    # wave 0: within-batch all-pairs (batch-bounded)
+    wave0_pairs = {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+    # wave 1: 5,6 join wave 0's anchors {1, 2} ONLY, plus each other
+    cross = {(1, 5), (2, 5), (1, 6), (2, 6), (5, 6)}
+    assert pairs == wave0_pairs | cross
+    # notably absent: (3,5), (4,5), (3,6), (4,6) — the capped fan-out
+
+    # identical docs verify at 1.0, so no edge was dropped by verify
+    assert all(
+        r.jaccard == 1.0 for r in dedup.read_pairs(spark).collect()
+    )
+    # connectivity: one cluster spanning all six docs
+    parent = {i: i for i in range(1, 7)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(1, 7)}) == 1
+
+    # anchors table: per wave, at most cap rows per band key
+    anchors = spark.read.parquet(dedup.anchors_path)
+    per_key = (
+        anchors.groupBy("w", "band_id", "h0", "h1", "h2", "h3")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_key <= 2
+
+
+def test_bucket_cap_parity_guard_refuses_uncapped_state(spark, tmp_path):
+    """Enabling the cap against a pre-existing uncapped state table must
+    fail loudly (silent anchor-less waves would skip collisions), and
+    rebuild_anchors must cure it."""
+    import pytest
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    plain = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_c"),
+        pairs_path=str(tmp_path / "pairs_c"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    plain(docs, 0)
+
+    capped = _mk_capped(tmp_path, cap=2)
+    with pytest.raises(RuntimeError, match="no anchor partitions"):
+        capped(docs.limit(5), 1)
+    capped.rebuild_anchors(spark)
+    capped(docs.limit(5), 1)  # now runs
+
+
+def test_bucket_cap_compaction_reanchors(spark, tmp_path):
+    """compact() coalesces state to w=-1 and must re-derive anchors for
+    the merged wave; a post-compaction wave still links to the cluster."""
+    boiler = "terms of service copyright all rights reserved contact us now"
+    dedup = _mk_capped(tmp_path, cap=2)
+    dedup(
+        spark.createDataFrame(
+            [(i, boiler) for i in (1, 2)], "doc_id long, text string"
+        ),
+        0,
+    )
+    dedup(
+        spark.createDataFrame(
+            [(i, boiler) for i in (3, 4)], "doc_id long, text string"
+        ),
+        1,
+    )
+    dedup.compact(spark)
+    anchor_waves = {
+        r.w
+        for r in spark.read.parquet(dedup.anchors_path)
+        .select("w")
+        .distinct()
+        .collect()
+    }
+    assert anchor_waves == {-1}
+    # merged anchors = first-cap docs across the compacted corpus: {1, 2}
+    dedup(
+        spark.createDataFrame(
+            [(9, boiler)], "doc_id long, text string"
+        ),
+        2,
+    )
+    pairs = {(r.doc1, r.doc2) for r in dedup.read_pairs(spark).collect()}
+    assert {(1, 9), (2, 9)} <= pairs
+    assert (3, 9) not in pairs and (4, 9) not in pairs
+
+
+def test_bucket_cap_none_unchanged_vs_batch(spark, tmp_path):
+    """Default (uncapped) kernel still equals the one-shot batch result
+    after the capped-mode refactor of the prune/join block."""
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(90)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_u"),
+        pairs_path=str(tmp_path / "pairs_u"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    dedup(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    dedup(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    got = _pair_set(dedup.read_pairs(spark))
+    expected = _pair_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
+    )
+    assert got == expected

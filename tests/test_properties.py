@@ -284,3 +284,98 @@ def test_bloom_never_false_negative(inserted, probes):
     assert agg == singles
     # empty probe set can never match
     assert not bloom_may_contain_any(bits, np.asarray([], dtype=np.int64))
+
+
+grid_points = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_SETTINGS
+@given(points=grid_points)
+def test_zorder_key_matches_bit_interleave_model(spark, points):
+    """zorder_key must equal a pure-Python Morton model that replicates
+    the same IEEE-754 scaling expression bit for bit."""
+    import math
+
+    from beavers_spark.sources.layout import zorder_key
+
+    bits = 8
+    grid = (1 << bits) - 1
+    bounds = {"x": (0.0, 300.0), "y": (0.0, 300.0)}
+
+    def model(x, y):
+        key = 0
+        for j, (v, (lo, hi)) in enumerate(
+            [(x, bounds["x"]), (y, bounds["y"])]
+        ):
+            span = hi - lo
+            cell = math.floor((float(v) - lo) / span * grid)
+            cell = max(0, min(cell, grid))
+            for i in range(bits):
+                key |= ((cell >> i) & 1) << (i * 2 + j)
+        return key
+
+    df = spark.createDataFrame(points, "x int, y int")
+    got = [
+        (r.x, r.y, r.z)
+        for r in df.withColumn(
+            "z", zorder_key(["x", "y"], bounds, bits=bits)
+        ).collect()
+    ]
+    for x, y, z in got:
+        assert z == model(x, y), (x, y, z, model(x, y))
+
+
+group_sizes = st.lists(st.integers(1, 6), min_size=1, max_size=4)
+
+
+@_SETTINGS
+@given(sizes=group_sizes, cap=st.integers(2, 4))
+def test_minhash_bucket_cap_matches_group_model(spark, sizes, cap):
+    """Identical-text groups: a group of size s emits C(s,2) pairs when
+    s <= cap, else s-1 chain pairs — and always one connected component
+    per group, never a cross-group pair."""
+    from beavers_spark.functions.dedup import minhash_lsh_pairs
+
+    words = [
+        "alpha beta gamma delta epsilon zeta", "one two three four five six",
+        "red green blue yellow purple orange", "cat dog bird fish horse goat",
+    ]
+    rows, group_of = [], {}
+    nid = 0
+    for g, s in enumerate(sizes):
+        for _ in range(s):
+            nid += 1
+            rows.append((nid, words[g]))
+            group_of[nid] = g
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc1, r.doc2)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.5, bucket_cap=cap
+        ).collect()
+    }
+    # no cross-group pair (distinct word sets share no shingle)
+    assert all(group_of[a] == group_of[b] for a, b in pairs)
+    # per-group pair counts and connectivity
+    for g, s in enumerate(sizes):
+        members = [d for d, gg in group_of.items() if gg == g]
+        gp = {(a, b) for a, b in pairs if group_of[a] == g}
+        if s <= cap:
+            assert len(gp) == s * (s - 1) // 2
+        else:
+            assert len(gp) == s - 1
+        parent = {m: m for m in members}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in gp:
+            parent[find(a)] = find(b)
+        assert len({find(m) for m in members}) == 1

@@ -76,6 +76,9 @@ ANALYTICS = [
     "rolling_avg",
     "anomaly_zscore",
     "time_weighted_avg",
+    "dedup_minhash_capped",
+    "lm_perplexity_holdout",
+    "zorder_scan",
 ]
 
 
@@ -378,6 +381,10 @@ def main() -> None:
                 # position-independent
                 "analytics_session": "fresh",
                 "state_session": "fresh",
+                # r6 on: inc_chunk_dedup's scenario compacts mid-stream
+                # (wave -> compact -> wave), so its time includes one
+                # state rewrite the r5 number did not
+                "inc_chunk_dedup_compacts": True,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

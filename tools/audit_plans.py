@@ -432,6 +432,41 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas|ArrowEvalPython", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
+    "dsir_logweights": [
+        # model probes are BROADCAST hash joins on bucket (models are
+        # ≤ n_buckets rows); doc×bucket counts partial-combine; the only
+        # cross shapes are the two whitelisted 1-row smoothing totals
+        [r"BroadcastHashJoin", r"partial_count"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython"],
+    ],
+    "dsir_select": [
+        # the global top-n over Gumbel keys must be per-partition heaps
+        # (TakeOrderedAndProject), never a full sort of the scored pool
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython"],
+    ],
+    "kmeans_assign": [
+        # assignment = k-row broadcast nested probe (whitelisted cross)
+        # + min_by argmin with map-side partial combine; the corpus is
+        # never sorted or windowed
+        [r"BroadcastNestedLoopJoin", r"partial_min"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython",
+         r"Window"],
+    ],
+    "kmeans_centroids": [
+        # the fit collects k × dim cells per iteration; the FINAL plan
+        # must start from the driver-built centroid rows (Scan
+        # ExistingRDD), not a lineage re-executing prior iterations
+        [r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"Exchange"],
+    ],
+    "cluster_balanced_sample": [
+        # per-cluster cap: the window is PARTITIONED by cluster — never
+        # the single-partition global window WindowExec warns about
+        [r"windowspecdefinition\(cluster", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython"],
+    ],
 }
 
 
@@ -488,6 +523,10 @@ def main() -> int:
         "bigram_pmi",           # 1-row broadcast corpus total token count
         "vocab_drift",          # 1-row broadcast (V, N_old, N_new) scalars
         "lm_perplexity_holdout",  # 1-row broadcast (T_train, V) LM totals
+        "dsir_logweights",      # 1-row broadcast smoothing totals (x2)
+        "dsir_select",          # same totals under the Gumbel top-k
+        "kmeans_assign",        # k-row broadcast centroid probe
+        "cluster_balanced_sample",  # k-row centroid probe via assignment
     }
     blanket_failures = 0
     for name, fn in QUERIES.items():

@@ -71,13 +71,23 @@ _CHECKED_R04 = [
     "bucketed_quantile", "vocab_drift", "hashed_features",
 ]
 
+#: round 5's 50 rows = these 8 round-5 additions + the first 42 of the
+#: r03 block (count_distinct..tfidf_top_terms missed the cap; they keep
+#: their r03 green row and r03-block priority).
+_CHECKED_R05 = [
+    "ann_knn_join", "ann_knn_join_recall", "ann_lsh_exact_twin",
+    "ann_ivf_exact_twin", "ann_ivfpq_exact_twin", "substring_dedup",
+    "substring_dedup_apply", "dup_rate_by_source",
+]
+
 #: exposure order after the never-checked plans: least-recently-checked
-#: blocks first. Round 5 re-checked the r03 block, so the r04 analytics
-#: block (one green row, from r04, with terms.py/vectorized.py/
-#: similarity.py touched since) rotates to the front for round 6, then
-#: the r01 block (last re-checked r04), then the freshly-checked r03
-#: block
-_DRIVER_CHECKED = _CHECKED_R04 + _CHECKED_R01 + _CHECKED_R03
+#: blocks first. Round 6 exposes the 9 round-6 additions (capped LSH,
+#: knn exact twin, held-out LM, Z-order, DSIR + k-means selection),
+#: then the r04 analytics block (one green row, from r04, with
+#: terms.py/vectorized.py/similarity.py touched since — round 5's
+#: verdict item 7), then the r01 block (last re-checked r04); the r03
+#: and r05 blocks were checked in round 5 and queue last.
+_DRIVER_CHECKED = _CHECKED_R04 + _CHECKED_R01 + _CHECKED_R03 + _CHECKED_R05
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -51,12 +51,21 @@ def hashed_ngram_features(
     ``(id_col, bucket)`` with one row per feature OCCURRENCE (unigrams
     and bigrams, multiplicity preserved — DSIR models are count-based).
 
-    The fan-out is narrow (flatMap inside the scan stage); every
-    downstream aggregation groups on ``bucket`` or ``id_col`` and gets
-    map-side combine, so shuffle volume is bounded by ``n_buckets``
-    (model fit) or the doc count (scoring) — never tokens × corpus.
+    Every downstream aggregation groups on ``bucket`` or ``id_col`` and
+    gets map-side combine, so shuffle volume is bounded by ``n_buckets``
+    (model fit) or the doc count (scoring) — never tokens × corpus. The
+    input is repartitioned BEFORE the fan-out: a single small parquet
+    file arrives as ONE partition, which would serialize this CPU-heavy
+    (md5-per-occurrence) stage (same rationale as dedup.shingle_sets).
     """
-    tk = tokens(F.col(text_col))
+    # tokenize behind its own projection: inlined, every element_at in
+    # the bigram lambda would re-split the document (Catalyst does not
+    # duplicate non-cheap exprs across a project boundary — the same
+    # boundary fix as dedup.shingle_sets)
+    toked = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select(id_col, tokens(F.col(text_col)).alias("tk"))
+    tk = F.col("tk")
     bigrams = F.when(
         F.size(tk) >= 2,
         F.transform(
@@ -67,11 +76,27 @@ def hashed_ngram_features(
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(tk, bigrams)
-    return docs.select(
+    return toked.select(
         id_col, F.explode(feats).alias("feat")
     ).select(
         id_col,
         F.pmod(md5_hash64(F.col("feat")), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def _model_from_counts(
+    counts: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    """Smoothed model table from occupied-bucket counts ``(bucket, c)``:
+    ``(bucket, logp, t_total)``."""
+    tot = counts.agg(F.sum("c").alias("t_total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            (F.col("c") + F.lit(alpha))
+            / (F.col("t_total") + F.lit(alpha * n_buckets))
+        ).alias("logp"),
+        "t_total",
     )
 
 
@@ -96,15 +121,7 @@ def hashed_ngram_model(
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
     )
-    tot = counts.agg(F.sum("c").alias("t_total"))
-    return counts.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.log(
-            (F.col("c") + F.lit(alpha))
-            / (F.col("t_total") + F.lit(alpha * n_buckets))
-        ).alias("logp"),
-        "t_total",
-    )
+    return _model_from_counts(counts, n_buckets, alpha)
 
 
 def dsir_logweights(
@@ -120,20 +137,27 @@ def dsir_logweights(
     hashed-n-gram occurrences. Emits ``(id_col, logw, n_feats)`` with
     ``logw`` rounded to 6 dp.
 
-    Plan shape: two model fits (each one bucket-keyed shuffle, output
-    ≤ ``n_buckets`` rows), one doc×bucket count shuffle over the raw
-    pool, then TWO BROADCAST left joins (the models) — at 100 TB the
-    models are fitted once and reused; scoring is a single pass.
+    Plan shape: the RAW pool is scanned exactly once — the per-doc
+    bucket counts it produces (one doc×bucket shuffle with map-side
+    combine) are re-aggregated into the raw model's bucket totals
+    (``Σ_docs tf`` ≡ occurrence count; a second shuffle of ≤ pool-size
+    ×n_buckets rows, NOT a second explode+hash pass over 100 TB of
+    text). The target fit scans only the target slice. Scoring is then
+    two ≤``n_buckets``-row BROADCAST left joins.
 
     Documents with no features (empty text) produce no feature rows and
     drop out — callers that need them keep a left join on the pool.
     """
-    p_t = hashed_ngram_model(target, text_col, id_col, n_buckets, alpha)
-    p_q = hashed_ngram_model(raw, text_col, id_col, n_buckets, alpha)
     doc_tf = (
         hashed_ngram_features(raw, text_col, id_col, n_buckets)
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("tf"))
+    )
+    p_t = hashed_ngram_model(target, text_col, id_col, n_buckets, alpha)
+    p_q = _model_from_counts(
+        doc_tf.groupBy("bucket").agg(F.sum("tf").alias("c")),
+        n_buckets,
+        alpha,
     )
     # Smoothing floors for buckets absent from a model's count table.
     t_tot = p_t.select("t_total").limit(1).withColumnRenamed(
@@ -166,8 +190,13 @@ def dsir_logweights(
             ).alias("ratio"),
         )
     )
+    # per-term 9 dp round + decimal-exact sum: the reduce is identical
+    # under ANY partition layout / merge order (the anomaly_zscore
+    # order-exact-sum pattern), so logw never drifts across engines,
+    # reruns or cluster sizes
+    term = F.round(F.col("tf") * F.col("ratio"), 9).cast("decimal(27,9)")
     return scored.groupBy(id_col).agg(
-        F.round(F.sum(F.col("tf") * F.col("ratio")), 6).alias("logw"),
+        F.round(F.sum(term).cast("double"), 6).alias("logw"),
         F.sum("tf").alias("n_feats"),
     )
 

@@ -76,7 +76,9 @@ scored AS (
          tt, qt
 ),
 w AS (
-    SELECT doc_id, round(sum(tf * ratio), 6) AS logw,
+    SELECT doc_id,
+           round(sum(CAST(round(tf * ratio, 9) AS DECIMAL(27,9)))::DOUBLE,
+                 6) AS logw,
            sum(tf)::BIGINT AS n_feats
     FROM scored GROUP BY doc_id
 )

@@ -79,6 +79,11 @@ ANALYTICS = [
     "dedup_minhash_capped",
     "lm_perplexity_holdout",
     "zorder_scan",
+    # selection tier (r6): end-to-end plans — dsir_select runs both
+    # model fits + scoring + Gumbel top-k; cluster_balanced_sample runs
+    # the full 2-iteration k-means fit + assignment + per-cluster cap
+    "dsir_select",
+    "cluster_balanced_sample",
 ]
 
 

@@ -1,0 +1,217 @@
+"""Quality-classifier data selection: a fastText-style linear model
+over hashed bag-of-n-gram features, trained with full-batch gradient
+descent (the GPT-3 / CCNet "quality classifier" stage — score every
+pool document by how much it looks like the curated positive class).
+
+Spark-first shape, same parameter-server-bounded contract as
+``functions.kmeans``:
+
+- features are the SHARED hashed unigram+bigram space of
+  ``functions.dsir`` (fixed ``n_buckets`` dimensionality, md5-parity
+  hashing — every step has a DuckDB twin);
+- the MODEL lives on the driver between iterations (≤ ``n_buckets``
+  floats — bounded by contract, like MLlib's LBFGS aggregates), and
+  enters each per-iteration job as a BROADCAST literal table; the
+  corpus never leaves the executors;
+- one iteration = one doc-keyed margin aggregation + one bucket-keyed
+  gradient aggregation, both map-side combinable: shuffle volume is
+  O(docs) + O(n_buckets) per iteration, never tokens × corpus;
+- the FINAL scoring plan starts from the literal trained weights (no
+  lineage back through training), exactly like ``kmeans_fit``.
+
+Determinism contract (what makes iterative training exactly
+oracle-checkable): weights are quantized to 6 dp after every update;
+margins are decimal-exact sums of (6 dp weight × integer count) — an
+exact multiple of 1e-6 under ANY partition layout; sigmoid residuals
+are rounded to 9 dp before the decimal-exact gradient sum. Every
+reduce is integer or decimal; every float enters a reduce only after
+an explicit round — so a DuckDB replay of the same fixed iterations
+reproduces weights, margins and probabilities hash-exactly.
+
+Reference: no model-training surface in the reference (README.md:43-50)
+— beyond-reference training-data tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.dsir import hashed_ngram_features
+
+
+def _doc_tf(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """Per-doc hashed-feature counts ``(id_col, bucket, tf)``. Documents
+    with no features (empty text) drop out — same contract as DSIR."""
+    return (
+        hashed_ngram_features(docs, text_col, id_col, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _margins(doc_tf: DataFrame, weights: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc linear margin ``Σ_b w_b · tf_b`` as ``(id_col, margin)``.
+
+    The weight table is ≤ ``n_buckets`` rows — broadcast at any corpus
+    size; the sum is decimal-exact (6 dp weight × integer tf), so the
+    margin is an exact multiple of 1e-6 regardless of merge order.
+    """
+    return (
+        doc_tf.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        # tf as decimal(10,0), NOT bigint: a bigint
+                        # operand becomes decimal(20,0) and pushes the
+                        # product past precision 38, where Spark's
+                        # allowPrecisionLoss silently DROPS scale — the
+                        # sum would stop being exact
+                        F.col("w").cast("decimal(18,6)")
+                        * F.col("tf").cast("decimal(10,0)")
+                    ).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 -> +0.0, engine-identical sign
+            ).alias("margin")
+        )
+    )
+
+
+def logreg_fit(
+    spark: SparkSession,
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    iters: int = 2,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Fit ``iters`` full-batch GD steps of bias-free logistic regression
+    on hashed n-gram counts; returns the literal trained weight table
+    ``(bucket, w)`` — one row per bucket observed in the pool.
+
+    ``label_col`` must be an integer 0/1 column on ``docs``. No
+    intercept: the hashed space covers every token, so a constant
+    feature is redundant for the RANKING use (selection thresholds are
+    chosen on the score distribution anyway) and dropping it keeps the
+    iteration-1 margins identically zero — which the SQL oracle
+    exploits (w0 = 0 ⇒ p = 0.5 exactly).
+
+    Per iteration the driver holds ≤ ``n_buckets`` (bucket, weight)
+    pairs — the bounded-collect contract — and the update itself is
+    computed IN Spark (``F.round`` half-up) so driver Python rounding
+    semantics never enter the math.
+    """
+    labels = docs.select(
+        id_col, F.col(label_col).cast("int").alias("y")
+    )
+    doc_tf = _doc_tf(docs, text_col, id_col, n_buckets).localCheckpoint(
+        eager=False
+    )  # one explode+hash pass for all iterations AND the caller's scoring
+    n_docs = doc_tf.select(id_col).distinct().count()
+    if n_docs == 0:
+        return spark.createDataFrame([], "bucket bigint, w double")
+
+    # w0 = 0 for every observed bucket: iteration 1 needs no margin job.
+    weights = [
+        (r["bucket"], 0.0)
+        for r in doc_tf.select("bucket").distinct().collect()
+    ]
+    for step in range(iters):
+        w_df = spark.createDataFrame(weights, "bucket bigint, w double")
+        if step == 0:
+            # all margins are exactly 0 ⇒ p = 0.5 for every doc
+            resid = labels.select(
+                id_col, F.round(0.5 - F.col("y"), 9).alias("r")
+            )
+        else:
+            m = _margins(doc_tf, w_df, id_col)
+            resid = m.join(labels, id_col).select(
+                id_col,
+                F.round(
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-F.col("margin")))
+                    - F.col("y"),
+                    9,
+                ).alias("r"),
+            )
+        grad = (
+            doc_tf.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(
+                # decimal(10,0) tf for the same precision-38 reason as
+                # _margins: keeps the product at scale 9, sum exact
+                F.sum(
+                    F.col("r").cast("decimal(20,9)")
+                    * F.col("tf").cast("decimal(10,0)")
+                ).alias("s")
+            )
+        )
+        updated = (
+            w_df.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.round(
+                        F.col("w")
+                        - F.lit(lr)
+                        * F.coalesce(
+                            F.col("s").cast("double"), F.lit(0.0)
+                        )
+                        / F.lit(float(n_docs)),
+                        6,
+                    )
+                    + F.lit(0.0)  # -0.0 -> +0.0
+                ).alias("w"),
+            )
+            .collect()
+        )
+        weights = [(r["bucket"], r["w"]) for r in updated]
+    return spark.createDataFrame(weights, "bucket bigint, w double")
+
+
+def logreg_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score every document under a trained weight table: ``(id_col,
+    margin, prob)`` with ``prob = round(σ(margin), 6)``.
+
+    One feature pass + one broadcast join — the plan you'd run over
+    100 TB after fitting on a sample. Unseen buckets carry no weight
+    row and contribute 0 (inner join + the fit emits a row for every
+    observed bucket, so only genuinely-unseen features drop).
+    """
+    doc_tf = _doc_tf(docs, text_col, id_col, n_buckets)
+    m = _margins(doc_tf, weights, id_col)
+    return m.select(
+        id_col,
+        "margin",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6
+        ).alias("prob"),
+    )
+
+
+def quality_select(
+    docs: DataFrame,
+    weights: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Top-``n`` documents by classifier probability (id tie-break on
+    the ROUNDED prob — engine-independent). Executes as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    scored = logreg_score(docs, weights, text_col, id_col, n_buckets)
+    return scored.orderBy(F.desc("prob"), F.asc(id_col)).limit(n)

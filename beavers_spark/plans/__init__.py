@@ -27,3 +27,4 @@ from beavers_spark.plans import views_setops  # noqa: E402,F401
 from beavers_spark.plans import analytics  # noqa: E402,F401
 from beavers_spark.plans import storage  # noqa: E402,F401
 from beavers_spark.plans import selection  # noqa: E402,F401
+from beavers_spark.plans import classifier  # noqa: E402,F401

@@ -467,6 +467,25 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"windowspecdefinition\(cluster", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython"],
     ],
+    "quality_classifier_weights": [
+        # trained model is the driver-held literal (Scan ExistingRDD);
+        # no lineage back through the training iterations
+        [r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Exchange"],
+    ],
+    "quality_classifier_score": [
+        # one feature pass + a ≤n_buckets-row BROADCAST model join;
+        # margins partial-combine map-side
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"SortMergeJoin", r"BatchEvalPython"],
+    ],
+    "quality_classifier_select": [
+        # global top-n as per-partition heaps, never a full sort
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"SortMergeJoin", r"BatchEvalPython"],
+    ],
 }
 
 

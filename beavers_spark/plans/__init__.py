@@ -28,3 +28,4 @@ from beavers_spark.plans import analytics  # noqa: E402,F401
 from beavers_spark.plans import storage  # noqa: E402,F401
 from beavers_spark.plans import selection  # noqa: E402,F401
 from beavers_spark.plans import classifier  # noqa: E402,F401
+from beavers_spark.plans import pca  # noqa: E402,F401

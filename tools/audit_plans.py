@@ -486,6 +486,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
          r"SortMergeJoin", r"BatchEvalPython"],
     ],
+    "pca_component": [
+        # the fitted component is the driver-held literal
+        [r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Exchange"],
+    ],
+    "pca_project": [
+        # SCAN-ONLY: the literal-array fold runs inside the projection —
+        # no join, no shuffle, no Python
+        [r"Scan parquet"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Exchange",
+         r"Join", r"BatchEvalPython"],
+    ],
 }
 
 

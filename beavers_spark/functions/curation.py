@@ -466,6 +466,88 @@ def token_budget_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    length_col: str,
+    alpha: float,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual/LLaMA
+    ``p^α`` scheme): source shares ``p_s = T_s / T`` are flattened to
+    ``q_s ∝ p_s^α`` (α < 1 upsamples the tail), then each source keeps
+    rate ``min(1, budget·q_s / T_s)`` by the deterministic id-hash
+    buckets — ``token_budget_mix`` with weights derived from the data
+    instead of hand-picked.
+
+    Same scale shape as token_budget_mix: totals collapse to
+    |sources| rows, two 1-row scalar broadcasts (corpus total, weight
+    normalizer), keep decision is a scan-level filter — zero
+    corpus-keyed shuffle.
+
+    Engine-exactness: α = 0.5 / 0.25 run as IEEE-correctly-rounded
+    ``sqrt`` chains (bit-identical in any engine); other α fall back to
+    ``pow`` (libm 1-ulp class). The scaled weights round to 9 dp BEFORE
+    the Decimal-exact normalizer sum, so rates never depend on
+    aggregation order. The per-source rate table is computed on the
+    DRIVER from the collected totals (|sources| rows — a dimension, not
+    data) with the exact same double ops the SQL twin performs, and
+    re-enters as a literal broadcast — no scalar cross joins anywhere.
+    """
+    import math
+    from decimal import Decimal
+
+    from beavers_spark.functions.pca import _round_half_up
+
+    if alpha == 0.5:
+        def _pw(x):  # noqa: E306
+            return math.sqrt(x)
+    elif alpha == 0.25:
+        def _pw(x):  # noqa: E306
+            return math.sqrt(math.sqrt(x))
+    else:
+        def _pw(x):  # noqa: E306
+            return math.pow(x, alpha)
+
+    totals = {
+        r[source_col]: r["__tot"]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(length_col).alias("__tot"))
+        .collect()
+    }
+    if not totals:
+        return df.limit(0)
+    t_all = sum(v or 0 for v in totals.values())
+    q = {
+        s: _round_half_up(_pw((v or 0) / t_all), 9) if t_all > 0 else 0.0
+        for s, v in totals.items()
+    }
+    q_norm = float(sum((Decimal(repr(x)) for x in q.values()), Decimal(0)))
+    rates = [
+        (
+            s,
+            min(1.0, budget * (q[s] / q_norm) / totals[s])
+            if (totals[s] or 0) > 0 and q_norm > 0
+            else 1.0,
+        )
+        for s in totals
+    ]
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        rates, f"{source_col} string, __rate double"
+    )
+    return (
+        df.join(F.broadcast(rate_df), source_col)
+        .filter(
+            hash_bucket(F.col(id_col), salt)
+            < F.floor(F.col("__rate") * BUCKETS)
+        )
+        .drop("__rate")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -22,6 +22,7 @@ from beavers_spark.functions.curation import (
     pack_sequences,
     repetition_ratio,
     stratified_sample,
+    temperature_mix,
     token_budget_mix,
 )
 from beavers_spark.plans.common import t
@@ -412,6 +413,45 @@ def token_budget_mix_q(spark, sf_dir):
         weights=_MIX_WEIGHTS,
         budget=4000,
         default_weight=1.0,
+    ).select("doc_id", "source")
+
+
+@query(
+    "temperature_mix",
+    oracle=f"""
+    WITH totals AS (
+        SELECT source, sum(n_chars) AS tot FROM documents GROUP BY 1
+    ),
+    tt AS (SELECT sum(tot) AS t FROM totals),
+    q AS (
+        SELECT source, tot, round(sqrt(tot / tt.t), 9) AS q
+        FROM totals, tt
+    ),
+    qq AS (SELECT sum(CAST(q AS DECIMAL(20,9))) AS qn FROM q),
+    rates AS (
+        SELECT source,
+               CASE WHEN tot > 0
+                    THEN least(1.0, 6000 * (q / (qq.qn)::DOUBLE) / tot)
+                    ELSE 1.0 END AS rate
+        FROM q, qq
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_sql_hash64("d.doc_id::VARCHAR")} % 10000 < floor(r.rate * 10000)
+    """,
+)
+def temperature_mix_q(spark, sf_dir):
+    """Temperature-scaled source mixture (α = 0.5): shares flattened by
+    sqrt — IEEE-correctly-rounded, so the weights are bit-identical in
+    any engine — then budget-rate sampling per source. Totals collapse
+    to |sources| rows; the keep decision is a scan-level filter."""
+    return temperature_mix(
+        t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        "n_chars",
+        alpha=0.5,
+        budget=6000,
     ).select("doc_id", "source")
 
 

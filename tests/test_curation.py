@@ -196,6 +196,69 @@ def test_token_budget_mix_rates_and_cap(spark):
     assert a == b
 
 
+def test_temperature_mix_flattens_shares(spark):
+    from beavers_spark.functions.curation import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # alpha=0.5 flattens 0.9/0.1 shares to ~0.75/0.25 of the budget:
+    # the small source gets a ~2.5x higher keep RATE than its raw share
+    out = temperature_mix(
+        df, "source", "doc_id", "n_chars", alpha=0.5, budget=40000
+    )
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # big: rate = 0.4*0.75/0.9 = 1/3 of 900; small: 0.4*0.25/0.1 = 1.0 cap
+    assert counts["small"] == 100
+    assert 240 <= counts["big"] <= 360
+    # alpha=1.0 degenerates to proportional sampling: equal keep rates
+    prop = temperature_mix(
+        df, "source", "doc_id", "n_chars", alpha=1.0, budget=40000
+    )
+    pc = {
+        r.source: r.n
+        for r in prop.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert 320 <= pc["big"] <= 400  # ~40% of 900
+    assert 25 <= pc["small"] <= 55  # ~40% of 100
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_mix(
+            df.repartition(7), "source", "doc_id", "n_chars",
+            alpha=0.5, budget=40000,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_mix_empty_and_zero_lengths(spark):
+    from beavers_spark.functions.curation import temperature_mix
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, source string, n_chars long"
+    )
+    assert temperature_mix(
+        empty, "source", "doc_id", "n_chars", alpha=0.5, budget=100
+    ).count() == 0
+    # all-zero lengths: every source keeps everything (rate 1.0 guard)
+    zeros = spark.createDataFrame(
+        [(i, "s", 0) for i in range(5)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = temperature_mix(
+        zeros, "source", "doc_id", "n_chars", alpha=0.5, budget=100
+    )
+    assert out.count() == 5
+
+
 def test_sliding_spans_shapes(spark):
     from beavers_spark.functions.curation import sliding_spans
 

@@ -486,6 +486,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
          r"SortMergeJoin", r"BatchEvalPython"],
     ],
+    "temperature_mix": [
+        # rate table is a driver-built literal (|sources| rows)
+        # broadcast back; the keep decision is a scan-level filter — no
+        # corpus shuffle, no scalar cross joins
+        [r"BroadcastHashJoin", r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"SortMergeJoin", r"Window"],
+    ],
     "pca_component": [
         # the fitted component is the driver-held literal
         [r"Scan ExistingRDD"],

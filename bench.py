@@ -81,9 +81,13 @@ ANALYTICS = [
     "zorder_scan",
     # selection tier (r6): end-to-end plans — dsir_select runs both
     # model fits + scoring + Gumbel top-k; cluster_balanced_sample runs
-    # the full 2-iteration k-means fit + assignment + per-cluster cap
+    # the full 2-iteration k-means fit + assignment + per-cluster cap;
+    # quality_classifier_select trains 2 GD steps + scores + top-k;
+    # pca_project fits 2 power iterations + the scan-only projection
     "dsir_select",
     "cluster_balanced_sample",
+    "quality_classifier_select",
+    "pca_project",
 ]
 
 

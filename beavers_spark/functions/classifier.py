@@ -114,6 +114,24 @@ def logreg_fit(
     doc_tf = _doc_tf(docs, text_col, id_col, n_buckets).localCheckpoint(
         eager=False
     )  # one explode+hash pass for all iterations AND the caller's scoring
+    return logreg_fit_from_counts(
+        spark, doc_tf, labels, id_col=id_col, iters=iters, lr=lr
+    )
+
+
+def logreg_fit_from_counts(
+    spark: SparkSession,
+    doc_tf: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    iters: int = 2,
+    lr: float = 0.5,
+) -> DataFrame:
+    """The GD core of ``logreg_fit`` on pre-featurized counts: ``doc_tf
+    = (id_col, bucket, tf)``, ``labels = (id_col, y∈{0,1})``. Weights
+    are a pure deterministic function of the (doc_tf, labels) SET —
+    feed it the same rows from any storage/partitioning and the model
+    is byte-identical (what the incremental refit relies on)."""
     n_docs = doc_tf.select(id_col).distinct().count()
     if n_docs == 0:
         return spark.createDataFrame([], "bucket bigint, w double")

@@ -27,6 +27,9 @@ from beavers_spark.streaming.ann_index import (  # noqa: F401
 from beavers_spark.streaming.chunk_dedup import (  # noqa: F401
     IncrementalChunkDedup,
 )
+from beavers_spark.streaming.classifier_stream import (  # noqa: F401
+    IncrementalQualityClassifier,
+)
 from beavers_spark.streaming.clusters import (  # noqa: F401
     IncrementalClusters,
 )

@@ -1,0 +1,170 @@
+"""Incremental quality classifier: a durable labeled-feature registry
+plus a model refit per micro-batch — the streaming twin of
+``functions.classifier.logreg_fit`` for a pipeline that keeps
+ingesting labeled pool/target documents and always wants the CURRENT
+classifier.
+
+Design (exact-parity refit, not online SGD):
+
+1. each batch is featurized ONCE (the hashed unigram+bigram pass) and
+   its ``(doc_id, bucket, tf, y)`` rows land in the state table as
+   their own wave partition (``w=<batch_id>/`` — per-wave overwrite,
+   so crash replays are idempotent), history is never re-tokenized;
+2. the model is then REFIT from the accumulated counts with the same
+   fixed-iteration decimal-exact GD as the batch operator. Weights are
+   a pure function of the accumulated (doc_tf, labels) SET, so after
+   any wave sequence the model is BYTE-IDENTICAL to ``logreg_fit`` on
+   the union of the batches — pinned by tests, no drift to monitor;
+3. the fitted weights overwrite a small model sidecar
+   (``<state>/_model`` — ≤ n_buckets rows), which ``score()`` joins
+   broadcast against any corpus.
+
+Why refit instead of online gradient steps: online SGD's result
+depends on arrival order and cannot be equated to any batch quantity —
+an audit nightmare. The refit reads the count registry (already
+hashed; integers only), NOT the raw text, and each GD iteration is two
+map-side-combinable shuffles over it. At 100 TB of accumulated labeled
+data you would cap the registry (labeled sets are curated samples, not
+the raw corpus — fastText-class models train on millions of rows, not
+billions) or refit on a deterministic-sample slice; the per-wave
+ingest cost stays O(batch) regardless.
+
+Reference parity: composes the reference's state-node semantics
+(beavers dag.py:501-518 — durable value folded per cycle) with its
+live-driver loop (kafka.py:534-544); the reference has no model
+surface itself (README.md:43-50 scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.classifier import (
+    _doc_tf,
+    logreg_fit_from_counts,
+    logreg_score,
+)
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    seen_anti_join,
+    table_exists,
+)
+
+
+class IncrementalQualityClassifier:
+    """``foreachBatch`` callable maintaining a labeled-feature registry
+    and an always-current classifier.
+
+    ::
+
+        clf = IncrementalQualityClassifier(state_path, label_col="y")
+        stream.writeStream.foreachBatch(clf).start()
+        ...
+        scored = clf.score(clf_corpus_df)   # current model, broadcast
+
+    ``label_col`` must be 0/1 on the arriving batches (the caller's
+    "is this a curated-target document" flag).
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        label_col: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 4096,
+        iters: int = 2,
+        lr: float = 0.5,
+    ) -> None:
+        self.state_path = state_path
+        self.model_path = state_path.rstrip("/") + "/_model"
+        self.label_col = label_col
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self.iters = iters
+        self.lr = lr
+        self._has_state = False
+        self._watermark = BatchWatermark(state_path)
+
+    # -- state access -----------------------------------------------------
+    def _state_exists(self, spark: SparkSession) -> bool:
+        if self._has_state:
+            return True
+        if table_exists(spark, self.state_path):
+            self._has_state = True
+            return True
+        return False
+
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """Accumulated labeled counts ``(doc_id, bucket, tf, y)`` (the
+        wave column ``w`` is a storage detail)."""
+        return spark.read.parquet(self.state_path).select(
+            self.id_col, "bucket", "tf", "y"
+        )
+
+    def model(self, spark: SparkSession) -> DataFrame:
+        """Current fitted weights ``(bucket, w)`` — empty before the
+        first wave."""
+        if not table_exists(spark, self.model_path):
+            return spark.createDataFrame([], "bucket bigint, w double")
+        return spark.read.parquet(self.model_path).select("bucket", "w")
+
+    def score(self, docs: DataFrame) -> DataFrame:
+        """Score a corpus under the CURRENT model: ``(id_col, margin,
+        prob)`` — one feature pass + one broadcast join, same plan as
+        the batch ``logreg_score``."""
+        return logreg_score(
+            docs,
+            self.model(docs.sparkSession),
+            self.text_col,
+            self.id_col,
+            self.n_buckets,
+        )
+
+    # -- the kernel -------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._watermark.is_applied(batch_id):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df
+        if self._state_exists(spark):
+            # redelivered doc ids (producer retry / re-ingest) would
+            # double-count their features in every future refit; the
+            # probe reads the id column only, excluding this wave's own
+            # half-committed directory (crash-replay safety), broadcast
+            # semi/anti so the registry is never shuffled
+            seen = (
+                spark.read.parquet(self.state_path)
+                .filter(F.col("w") != batch_id)
+                .select(self.id_col)
+            )
+            batch = seen_anti_join(batch, seen, self.id_col)
+
+        labels = batch.select(
+            self.id_col, F.col(self.label_col).cast("int").alias("y")
+        )
+        wave = _doc_tf(
+            batch, self.text_col, self.id_col, self.n_buckets
+        ).join(labels, self.id_col)
+        # wave lands FIRST (overwriting one wave directory is idempotent
+        # under replays — the dedup-twin convention), then the refit
+        # reads the whole registry back: the arriving batch is
+        # featurized exactly once, by this write
+        wave.write.mode("overwrite").parquet(
+            f"{self.state_path}/w={batch_id}"
+        )
+        self._has_state = True
+
+        state = spark.read.parquet(self.state_path)
+        fitted = logreg_fit_from_counts(
+            spark,
+            state.select(self.id_col, "bucket", "tf"),
+            state.select(self.id_col, "y").distinct(),
+            id_col=self.id_col,
+            iters=self.iters,
+            lr=self.lr,
+        )
+        fitted.write.mode("overwrite").parquet(self.model_path)
+        self._watermark.mark(batch_id)

@@ -132,15 +132,18 @@ def logreg_fit_from_counts(
     are a pure deterministic function of the (doc_tf, labels) SET —
     feed it the same rows from any storage/partitioning and the model
     is byte-identical (what the incremental refit relies on)."""
-    n_docs = doc_tf.select(id_col).distinct().count()
+    # one setup job for both bounded model-shaped aggregates: the doc
+    # count and the observed-bucket set (≤ n_buckets values)
+    setup = doc_tf.agg(
+        F.countDistinct(id_col).alias("n"),
+        F.collect_set("bucket").alias("buckets"),
+    ).collect()[0]
+    n_docs = setup["n"]
     if n_docs == 0:
         return spark.createDataFrame([], "bucket bigint, w double")
 
     # w0 = 0 for every observed bucket: iteration 1 needs no margin job.
-    weights = [
-        (r["bucket"], 0.0)
-        for r in doc_tf.select("bucket").distinct().collect()
-    ]
+    weights = [(b, 0.0) for b in sorted(setup["buckets"])]
     for step in range(iters):
         w_df = spark.createDataFrame(weights, "bucket bigint, w double")
         if step == 0:

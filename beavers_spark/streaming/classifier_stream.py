@@ -157,14 +157,23 @@ class IncrementalQualityClassifier:
         )
         self._has_state = True
 
-        state = spark.read.parquet(self.state_path)
-        fitted = logreg_fit_from_counts(
-            spark,
-            state.select(self.id_col, "bucket", "tf"),
-            state.select(self.id_col, "y").distinct(),
-            id_col=self.id_col,
-            iters=self.iters,
-            lr=self.lr,
-        )
-        fitted.write.mode("overwrite").parquet(self.model_path)
+        # persist (NOT localCheckpoint) the registry for the refit: the
+        # setup aggregate and each GD iteration re-read it, and the
+        # blocking unpersist releases the blocks deterministically at
+        # batch end (the r5 ContextCleaner-backlog lesson)
+        state = spark.read.parquet(self.state_path).select(
+            self.id_col, "bucket", "tf", "y"
+        ).persist()
+        try:
+            fitted = logreg_fit_from_counts(
+                spark,
+                state.select(self.id_col, "bucket", "tf"),
+                state.select(self.id_col, "y").distinct(),
+                id_col=self.id_col,
+                iters=self.iters,
+                lr=self.lr,
+            )
+            fitted.write.mode("overwrite").parquet(self.model_path)
+        finally:
+            state.unpersist(blocking=True)
         self._watermark.mark(batch_id)

@@ -260,6 +260,32 @@ def _inc_substring_dedup(spark, sf_dir: str, workdir: str) -> int:
     return dedup.read_dup_ranges(spark).count()
 
 
+def _inc_classifier(spark, sf_dir: str, workdir: str) -> int:
+    """labeled documents fed in waves through
+    IncrementalQualityClassifier: per wave, featurize the batch only
+    (wave-partitioned registry) and refit the 2-step GD model from the
+    accumulated counts — the always-current quality classifier."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalQualityClassifier
+
+    clf = IncrementalQualityClassifier(
+        os.path.join(workdir, "state"),
+        label_col="is_target",
+        text_col="text",
+        id_col="doc_id",
+    )
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .withColumn(
+            "is_target", F.col("source").isin("src0", "src1", "src2")
+        )
+    )
+    for i in range(_WAVES):
+        clf(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+    return clf.model(spark).count()
+
+
 #: durable incremental-state scenarios (VERDICT r1 item 10) — timed as
 #: whole multi-wave runs into a fresh workdir per repetition, so
 #: round-over-round regressions in the state family are visible
@@ -271,6 +297,7 @@ INCREMENTAL = [
     ("inc_clusters", _inc_clusters),
     ("inc_chunk_dedup", _inc_chunk_dedup),
     ("inc_substring_dedup", _inc_substring_dedup),
+    ("inc_classifier", _inc_classifier),
 ]
 
 

@@ -198,3 +198,43 @@ def pca_project(
         id_col,
         (_centered_dot(F.col(vec_col), mu, v) + F.lit(0.0)).alias("score"),
     )
+
+
+def pca_residual_outliers(
+    spark: SparkSession,
+    emb: DataFrame,
+    n: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``n`` vectors by squared residual AFTER removing the top-PC
+    mode: ``r2 = |x - μ|² - score²`` — the "what does the dominant
+    direction NOT explain" outlier cut (an outlier along the main mode
+    is ordinary; an outlier ORTHOGONAL to it is structurally unusual).
+
+    Emits ``(id_col, score, r2)``, ``r2`` rounded to 6 dp, largest
+    first (id tie-break on the rounded value). Like the projection,
+    the plan is scan-only up to the TakeOrderedAndProject top-n:
+    two in-order folds against literal μ/v — no join, no shuffle.
+    """
+    mu, v = power_component(spark, emb, iters, vec_col)
+    if not v:
+        return emb.select(
+            id_col, F.lit(0.0).alias("score"), F.lit(0.0).alias("r2")
+        ).limit(0)
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.lit(mu).cast("array<double>"),
+        lambda x, m: (x - m) * (x - m),
+    )
+    norm2 = F.round(
+        F.aggregate(centered, F.lit(0.0), lambda acc, t: acc + t), 6
+    )
+    s = _centered_dot(F.col(vec_col), mu, v)
+    scored = emb.select(
+        id_col,
+        (s + F.lit(0.0)).alias("score"),
+        (F.round(norm2 - s * s, 6) + F.lit(0.0)).alias("r2"),
+    )
+    return scored.orderBy(F.desc("r2"), F.asc(id_col)).limit(n)

@@ -11,7 +11,11 @@ plans/selection.py.
 
 from __future__ import annotations
 
-from beavers_spark.functions.pca import pca_component_cells, pca_project
+from beavers_spark.functions.pca import (
+    pca_component_cells,
+    pca_project,
+    pca_residual_outliers,
+)
 from beavers_spark.plans.common import t
 from beavers_spark.plans.registry import query
 
@@ -118,3 +122,33 @@ def pca_project_q(spark, sf_dir):
     literal-array fold inside the projection): no join, no shuffle —
     embarrassingly parallel at 100 TB."""
     return pca_project(spark, t(spark, sf_dir, "embeddings"), iters=_ITERS)
+
+
+@query(
+    "pca_residual_outliers",
+    oracle=f"""
+    {_SQL_PCA_CHAIN},
+    proj AS (
+        SELECT p.vec_id,
+               round(list_reduce(list_prepend(0.0::DOUBLE,
+                   list((p.x - mu.m) * v2.v ORDER BY p.pos)),
+                   (a, b) -> a + b), 6) + 0.0 AS score,
+               round(list_reduce(list_prepend(0.0::DOUBLE,
+                   list((p.x - mu.m) * (p.x - mu.m) ORDER BY p.pos)),
+                   (a, b) -> a + b), 6) AS n2
+        FROM posx p JOIN mu USING (pos) JOIN v2 USING (pos)
+        GROUP BY p.vec_id
+    )
+    SELECT vec_id, score, round(n2 - score * score, 6) + 0.0 AS r2
+    FROM proj
+    ORDER BY r2 DESC, vec_id LIMIT 50
+    """,
+)
+def pca_residual_outliers_q(spark, sf_dir):
+    """Top-50 vectors by squared residual AFTER removing the top-PC
+    mode (|x-μ|² − score²): the structurally-unusual cut — an outlier
+    ORTHOGONAL to the dominant direction, not merely along it.
+    Scan-only folds + TakeOrderedAndProject."""
+    return pca_residual_outliers(
+        spark, t(spark, sf_dir, "embeddings"), n=50, iters=_ITERS
+    )

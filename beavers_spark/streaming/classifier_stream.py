@@ -157,23 +157,34 @@ class IncrementalQualityClassifier:
         )
         self._has_state = True
 
-        # persist (NOT localCheckpoint) the registry for the refit: the
-        # setup aggregate and each GD iteration re-read it, and the
-        # blocking unpersist releases the blocks deterministically at
-        # batch end (the r5 ContextCleaner-backlog lesson)
-        state = spark.read.parquet(self.state_path).select(
-            self.id_col, "bucket", "tf", "y"
-        ).persist()
+        # persist (NOT localCheckpoint) the refit inputs: every GD
+        # iteration re-reads both, and the blocking unpersist releases
+        # the blocks deterministically at batch end (the r5
+        # ContextCleaner-backlog lesson). doc_tf is persisted ALREADY
+        # id-partitioned — the per-iteration margin groupBy and the
+        # residual/gradient joins all key on id, so they reuse this one
+        # exchange instead of shuffling the registry every iteration;
+        # labels' distinct shuffle likewise runs once
+        state = spark.read.parquet(self.state_path)
+        doc_tf = (
+            state.select(self.id_col, "bucket", "tf")
+            .repartition(
+                spark.sparkContext.defaultParallelism, self.id_col
+            )
+            .persist()
+        )
+        labels = state.select(self.id_col, "y").distinct().persist()
         try:
             fitted = logreg_fit_from_counts(
                 spark,
-                state.select(self.id_col, "bucket", "tf"),
-                state.select(self.id_col, "y").distinct(),
+                doc_tf,
+                labels,
                 id_col=self.id_col,
                 iters=self.iters,
                 lr=self.lr,
             )
             fitted.write.mode("overwrite").parquet(self.model_path)
         finally:
-            state.unpersist(blocking=True)
+            doc_tf.unpersist(blocking=True)
+            labels.unpersist(blocking=True)
         self._watermark.mark(batch_id)

@@ -75,6 +75,26 @@ def test_empty_corpus(spark):
     assert pca_project(spark, emb).count() == 0
 
 
+def test_residual_outlier_is_the_orthogonal_point(spark):
+    from beavers_spark.functions.pca import pca_residual_outliers
+
+    # main mode along axis 0; vec 8 sits orthogonal to it on axis 1 —
+    # modest |x|, but nothing of it is explained by the top PC
+    rows = [[float(i - 4) * 10.0, 0.0] for i in range(8)] + [[0.0, 15.0]]
+    emb = _vecs(spark, rows)
+    out = pca_residual_outliers(spark, emb, n=3, iters=3).collect()
+    assert out[0].vec_id == 8
+    assert out[0].r2 > out[1].r2
+    # top-n plan: per-partition heaps, not a global sort
+    plan = (
+        pca_residual_outliers(spark, emb, n=3, iters=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_zero_variance_degenerates_to_zero(spark):
     emb = _vecs(spark, [[5.0, 5.0]] * 4)
     _, v = power_component(spark, emb, iters=2)

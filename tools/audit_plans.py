@@ -506,6 +506,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Exchange",
          r"Join", r"BatchEvalPython"],
     ],
+    "pca_residual_outliers": [
+        # scan-only folds feeding per-partition heaps — never a global
+        # sort or any join
+        [r"TakeOrderedAndProject", r"Scan parquet"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Join",
+         r"BatchEvalPython"],
+    ],
 }
 
 

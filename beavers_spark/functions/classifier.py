@@ -58,9 +58,13 @@ def _margins(doc_tf: DataFrame, weights: DataFrame, id_col: str) -> DataFrame:
     The weight table is ≤ ``n_buckets`` rows — broadcast at any corpus
     size; the sum is decimal-exact (6 dp weight × integer tf), so the
     margin is an exact multiple of 1e-6 regardless of merge order.
+    LEFT join + zero-coalesce: a bucket unseen at fit time contributes
+    0, and a document whose EVERY bucket is unseen still scores
+    (margin 0 ⇒ prob 0.5) instead of vanishing from the output.
     """
     return (
-        doc_tf.join(F.broadcast(weights), "bucket")
+        doc_tf.join(F.broadcast(weights), "bucket", "left")
+        .withColumn("w", F.coalesce(F.col("w"), F.lit(0.0)))
         .groupBy(id_col)
         .agg(
             (
@@ -113,7 +117,9 @@ def logreg_fit(
     )
     doc_tf = _doc_tf(docs, text_col, id_col, n_buckets).localCheckpoint(
         eager=False
-    )  # one explode+hash pass for all iterations AND the caller's scoring
+    )  # one explode+hash pass shared by every GD iteration (callers
+    # that also score should featurize once themselves and use the
+    # *_from_counts pair — see plans/classifier.py)
     return logreg_fit_from_counts(
         spark, doc_tf, labels, id_col=id_col, iters=iters, lr=lr
     )
@@ -208,11 +214,24 @@ def logreg_score(
     margin, prob)`` with ``prob = round(σ(margin), 6)``.
 
     One feature pass + one broadcast join — the plan you'd run over
-    100 TB after fitting on a sample. Unseen buckets carry no weight
-    row and contribute 0 (inner join + the fit emits a row for every
-    observed bucket, so only genuinely-unseen features drop).
+    100 TB after fitting on a sample. Buckets unseen at fit time
+    contribute exactly 0 (LEFT join + coalesce in ``_margins``), so a
+    document whose every feature is new still scores margin 0 /
+    prob 0.5 rather than dropping from the output. Only genuinely
+    featureless documents (empty text) are absent.
     """
     doc_tf = _doc_tf(docs, text_col, id_col, n_buckets)
+    return logreg_score_from_counts(doc_tf, weights, id_col)
+
+
+def logreg_score_from_counts(
+    doc_tf: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``logreg_score`` on pre-featurized counts — lets a caller that
+    already built (or checkpointed) ``doc_tf`` score without paying
+    the explode+hash feature pass a second time."""
     m = _margins(doc_tf, weights, id_col)
     return m.select(
         id_col,

@@ -535,16 +535,30 @@ def temperature_mix(
         for s in totals
     ]
     spark = df.sparkSession
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # the rate table inherits the source column's ACTUAL type (int
+    # domain codes are as legal as strings)
     rate_df = spark.createDataFrame(
-        rates, f"{source_col} string, __rate double"
+        rates,
+        StructType([
+            StructField("__src", df.schema[source_col].dataType, True),
+            StructField("__rate", DoubleType(), False),
+        ]),
     )
+    # null-safe equality: a NULL source group got its own rate entry
+    # above, and <=> keeps those rows (a plain equi-join would silently
+    # drop every NULL-source document)
     return (
-        df.join(F.broadcast(rate_df), source_col)
+        df.join(
+            F.broadcast(rate_df),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+        )
         .filter(
             hash_bucket(F.col(id_col), salt)
             < F.floor(F.col("__rate") * BUCKETS)
         )
-        .drop("__rate")
+        .drop("__src", "__rate")
     )
 
 

@@ -160,11 +160,16 @@ def dsir_logweights(
         alpha,
     )
     # Smoothing floors for buckets absent from a model's count table.
-    t_tot = p_t.select("t_total").limit(1).withColumnRenamed(
-        "t_total", "tt_t"
+    # agg (not limit(1)): an EMPTY model — a target filter matching
+    # nothing, or only empty-text docs — still yields exactly one row
+    # (null total, coalesced to 0 ⇒ the uniform floor ln(1/n_buckets)),
+    # instead of an empty frame whose cross join would silently
+    # annihilate every scored row.
+    t_tot = p_t.agg(
+        F.coalesce(F.max("t_total"), F.lit(0.0)).alias("tt_t")
     )
-    q_tot = p_q.select("t_total").limit(1).withColumnRenamed(
-        "t_total", "tt_q"
+    q_tot = p_q.agg(
+        F.coalesce(F.max("t_total"), F.lit(0.0)).alias("tt_q")
     )
     floor_t = F.log(F.lit(alpha) / (F.col("tt_t") + F.lit(alpha * n_buckets)))
     floor_q = F.log(F.lit(alpha) / (F.col("tt_q") + F.lit(alpha * n_buckets)))

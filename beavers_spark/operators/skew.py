@@ -39,12 +39,15 @@ def salted_join(
     * pass ``salt_by`` naming any unique-per-row column (an event id,
       a primary key): the salt is ``pmod(xxhash64(salt_by), n_salts)``
       — uniform and retry-stable, the recommended mode;
-    * without ``salt_by``, the salt hashes ALL of ``skewed``'s columns
-      — still retry-stable, and uniform whenever hot-key rows differ
-      anywhere in their payload. The one degenerate case is hot rows
-      that are FULLY bit-identical duplicates: those share a salt and
-      stay on one reducer (balance degrades, results stay correct) —
-      dedup them or provide ``salt_by``.
+    * without ``salt_by``, the salt hashes every HASHABLE column of
+      ``skewed`` (map-typed columns are skipped — ``xxhash64`` rejects
+      MapType, and a schema with maps used to make the default mode
+      crash outright) — still retry-stable, and uniform whenever
+      hot-key rows differ in any hashed column. Degenerate cases: hot
+      rows that are bit-identical across every hashed column share a
+      salt and stay on one reducer (balance degrades, results stay
+      correct) — dedup them or provide ``salt_by``; a frame with NO
+      hashable column at all is rejected (pass ``salt_by``).
 
     The other side is replicated ``n_salts`` times via a single narrow
     ``explode`` (cost: |other| * n_salts rows through the shuffle —
@@ -61,11 +64,21 @@ def salted_join(
             f"salted_join supports inner/left joins, got {how!r} "
             "(right/full would duplicate unmatched rows per salt)"
         )
-    salt_src = (
-        [F.col(salt_by)]
-        if salt_by is not None
-        else [F.col(c) for c in skewed.columns]
-    )
+    if salt_by is not None:
+        salt_src = [F.col(salt_by)]
+    else:
+        from pyspark.sql.types import MapType
+
+        salt_src = [
+            F.col(f.name)
+            for f in skewed.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
+        if not salt_src:
+            raise ValueError(
+                "salted_join: no hashable columns for the default salt "
+                "(all columns are map-typed) — pass salt_by"
+            )
     salted = skewed.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)),

@@ -18,9 +18,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.classifier import (
-    logreg_fit,
-    logreg_score,
-    quality_select,
+    _doc_tf,
+    logreg_fit_from_counts,
+    logreg_score_from_counts,
 )
 from beavers_spark.plans.common import t
 from beavers_spark.plans.llmops import _SQL_TOKS, _sql_hash64
@@ -94,13 +94,21 @@ score AS (
 
 
 def _fit(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "is_target", F.col("source").isin(*_TARGET_SOURCES)
+    """Featurize ONCE (checkpointed), fit, and hand the same counts to
+    the caller — scoring plans must not pay the explode+md5 feature
+    pass a second time."""
+    docs = t(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.col("source").isin(*_TARGET_SOURCES).cast("int").alias("y"),
     )
-    return docs, logreg_fit(
-        spark, docs, "is_target",
-        n_buckets=_N_BUCKETS, iters=_ITERS, lr=_LR,
+    doc_tf = _doc_tf(docs, "text", "doc_id", _N_BUCKETS).localCheckpoint(
+        eager=False
     )
+    w = logreg_fit_from_counts(
+        spark, doc_tf, labels, iters=_ITERS, lr=_LR
+    )
+    return doc_tf, w
 
 
 @query(
@@ -128,11 +136,12 @@ def quality_classifier_weights_q(spark, sf_dir):
     """,
 )
 def quality_classifier_score_q(spark, sf_dir):
-    """Every pool document scored under the trained classifier: one
-    feature pass + one ≤n_buckets-row broadcast join — the plan that
-    runs over the full 100 TB pool after fitting on a sample."""
-    docs, w = _fit(spark, sf_dir)
-    return logreg_score(docs, w, n_buckets=_N_BUCKETS)
+    """Every pool document scored under the trained classifier: ONE
+    feature pass (shared with the fit via the checkpoint) + one
+    ≤n_buckets-row broadcast join — the plan that runs over the full
+    100 TB pool after fitting on a sample."""
+    doc_tf, w = _fit(spark, sf_dir)
+    return logreg_score_from_counts(doc_tf, w)
 
 
 @query(
@@ -148,7 +157,10 @@ def quality_classifier_select_q(spark, sf_dir):
     """Top-100 documents by classifier probability — the selection cut.
     Global top-k executes as TakeOrderedAndProject (per-partition
     heaps), id tie-break on the rounded prob."""
-    docs, w = _fit(spark, sf_dir)
-    return quality_select(docs, w, n=100, n_buckets=_N_BUCKETS).select(
-        "doc_id", "prob"
+    doc_tf, w = _fit(spark, sf_dir)
+    scored = logreg_score_from_counts(doc_tf, w)
+    return (
+        scored.orderBy(F.desc("prob"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "prob")
     )

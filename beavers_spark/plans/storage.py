@@ -12,6 +12,8 @@ tests/test_layout.py via parquet footer statistics.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -37,8 +39,25 @@ def zorder_scan(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
-    path = tempfile.mkdtemp(prefix="beavers_zorder_") + "/lineitem_z"
-    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+    # one clustered copy per (session, sf_dir), reused across
+    # invocations — bench reps and audit runs were each leaking a fresh
+    # tens-of-MB mkdtemp copy of lineitem into /tmp
+    path = _zordered_copy(spark, li, sf_dir)
     return spark.read.parquet(path).filter(
         F.col("l_partkey").between(100, 400) & F.col("l_suppkey").between(20, 80)
     )
+
+
+#: sf_dir -> path of the session's Z-ordered lineitem copy
+_Z_CACHE: dict[str, str] = {}
+
+
+def _zordered_copy(spark, li, sf_dir: str) -> str:
+    path = _Z_CACHE.get(sf_dir)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="beavers_zorder_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/lineitem_z"
+        write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+        _Z_CACHE[sf_dir] = path
+    return path

@@ -58,6 +58,10 @@ def zorder_key(
     parts: list[Column] = []
     for j, c in enumerate(cols):
         lo, hi = bounds[c]
+        if lo is None or hi is None:
+            # all-NULL column (column_bounds yields (None, None)):
+            # every row is grid cell 0 — skip it like a constant column
+            continue
         span = float(hi) - float(lo)
         if span <= 0:  # constant column: contributes nothing to the key
             continue

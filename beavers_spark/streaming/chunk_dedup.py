@@ -64,6 +64,7 @@ from beavers_spark.streaming.maintenance import (
     BatchWatermark,
     ProbeMetrics,
     WaveBloomIndex,
+    ensure_layout,
     prune_hash_buckets,
     registry_anti_probe,
     seen_anti_join,
@@ -165,6 +166,12 @@ class IncrementalChunkDedup:
             return
         spark = batch_df.sparkSession
         batch = batch_df
+        # segment length and bucket modulus are baked into the persisted
+        # hashes / b-partitions: refuse to mix layouts (silent missed
+        # duplicates otherwise — see maintenance.ensure_layout)
+        ensure_layout(
+            self.state_path, k=self.k, n_hash_buckets=self.n_hash_buckets
+        )
         had_state = self._state_exists(spark)
         if had_state:
             # redelivered doc ids (producer retry, re-ingest) would
@@ -243,12 +250,16 @@ class IncrementalChunkDedup:
             if n_winners == 0:
                 # nothing segmentable (or fully redelivered): keep the
                 # output table valid from batch 0, mark, stop — no
-                # registry wave is written
-                empty = spark.createDataFrame(
-                    [],
-                    "doc_id long, clean_text string, n_kept bigint,"
-                    " n_chunks bigint",
-                )
+                # registry wave is written. The doc_id type comes from
+                # the BATCH (id_col accepts any type): a hardcoded long
+                # would make this wave's schema disagree with real
+                # waves for string-keyed corpora
+                empty = batch.select(
+                    F.col(self.id_col).alias("doc_id"),
+                    F.lit(None).cast("string").alias("clean_text"),
+                    F.lit(None).cast("bigint").alias("n_kept"),
+                    F.lit(None).cast("bigint").alias("n_chunks"),
+                ).limit(0)
                 empty.write.mode("overwrite").parquet(
                     f"{self.out_path}/w={batch_id}"
                 )

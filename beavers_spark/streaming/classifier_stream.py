@@ -140,7 +140,12 @@ class IncrementalQualityClassifier:
                 .filter(F.col("w") != batch_id)
                 .select(self.id_col)
             )
-            batch = seen_anti_join(batch, seen, self.id_col)
+            # seen_id must name the STATE side's column: here that is
+            # id_col itself (the dedup twins' registries store a
+            # literal doc_id; ours stores whatever the caller named)
+            batch = seen_anti_join(
+                batch, seen, self.id_col, seen_id=self.id_col
+            )
 
         labels = batch.select(
             self.id_col, F.col(self.label_col).cast("int").alias("y")

@@ -513,6 +513,47 @@ def seen_anti_join(
     return batch.join(seen, id_col, "left_anti")
 
 
+def ensure_layout(state_dir: str, **layout) -> None:
+    """Persist-or-validate a state table's IMMUTABLE layout knobs
+    (hash-bucket modulus, span/segment length, signature shape).
+
+    The first writer records them in a ``_layout.json`` sidecar
+    (underscore: invisible to Spark's reader, preserved by
+    ``compact_parquet``); every later open validates and raises on any
+    mismatch. Without this, restarting a dedup kernel with a different
+    ``n_hash_buckets`` silently MISSES duplicates: waves persist
+    ``b = h % N_old`` while ``prune_hash_buckets`` filters with
+    ``N_new``, pruning away exactly the rows that should match — wrong
+    answers with no error (same invariant class as the Bloom word
+    alignment and the bucket-cap anchors parity, which already fail
+    loudly).
+    """
+    path = os.path.join(state_dir, "_layout.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            saved = json.load(fh)
+        bad = {
+            k: (saved.get(k), v)
+            for k, v in layout.items()
+            if saved.get(k) != v
+        }
+        if bad:
+            detail = ", ".join(
+                f"{k}: state has {old!r}, kernel configured {new!r}"
+                for k, (old, new) in sorted(bad.items())
+            )
+            raise ValueError(
+                f"state layout mismatch at {state_dir} ({detail}); "
+                "these knobs are immutable for the life of a state "
+                "table — recreate the state or restore the original "
+                "configuration"
+            )
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(layout, fh)
+
+
 def prune_hash_buckets(prior, keys, n_buckets: int):
     """Partition-prune a ``b = pmod(key, n_buckets)``-partitioned
     registry frame to the buckets the batch's key set actually touches

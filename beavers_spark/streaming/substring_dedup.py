@@ -67,16 +67,17 @@ from pyspark.sql import functions as F
 from beavers_spark.functions.curation import sliding_spans
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
-    PROBE_BROADCAST_CAP,
     BatchWatermark,
-    ProbeMetrics,
-    WaveBloomIndex,
-    WaveMetrics,
+    ensure_layout,
     partition_stats,
+    PROBE_BROADCAST_CAP,
+    ProbeMetrics,
     prune_hash_buckets,
     registry_anti_probe,
     seen_anti_join,
     table_exists,
+    WaveBloomIndex,
+    WaveMetrics,
 )
 
 
@@ -185,6 +186,12 @@ class IncrementalSubstringDedup:
             return
         spark = batch_df.sparkSession
         batch = batch_df
+        # span length and bucket modulus are baked into the persisted
+        # hashes / b-partitions: refuse to mix layouts (silent missed
+        # duplicates otherwise — see maintenance.ensure_layout)
+        ensure_layout(
+            self.state_path, k=self.k, n_hash_buckets=self.n_hash_buckets
+        )
         had_state = self._state_exists(spark)
         if had_state:
             # redelivered doc ids (producer retry, re-ingest) would
@@ -278,12 +285,15 @@ class IncrementalSubstringDedup:
             if n_winners == 0:
                 # no spannable docs in the batch (all < k tokens, or all
                 # redelivered): no registry wave, empty output wave so
-                # read_dup_ranges() stays valid, mark and stop
-                empty = spark.createDataFrame(
-                    [],
-                    "doc_id long, span_start bigint, span_end bigint,"
-                    " n_dup_tokens bigint",
-                )
+                # read_dup_ranges() stays valid, mark and stop. doc_id
+                # type comes from the BATCH (see chunk_dedup: a
+                # hardcoded long breaks string-keyed corpora)
+                empty = batch.select(
+                    F.col(self.id_col).alias("doc_id"),
+                    F.lit(None).cast("bigint").alias("span_start"),
+                    F.lit(None).cast("bigint").alias("span_end"),
+                    F.lit(None).cast("bigint").alias("n_dup_tokens"),
+                ).limit(0)
                 empty.write.mode("overwrite").parquet(
                     f"{self.out_path}/w={batch_id}"
                 )

@@ -119,3 +119,38 @@ def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
 def test_empty_before_first_wave(spark, tmp_path):
     clf = _mk(spark, tmp_path)
     assert clf.model(spark).count() == 0
+    # scoring under the empty model: every featurized doc scores the
+    # neutral margin 0 / prob 0.5 instead of vanishing (left-join
+    # semantics of _margins)
+    pool = _docs(spark, POS[:2])
+    out = clf.score(pool).collect()
+    assert {r.doc_id for r in out} == {0, 1}
+    assert all(r.margin == 0.0 and r.prob == 0.5 for r in out)
+
+
+def test_string_id_column_end_to_end(spark, tmp_path):
+    # review r6: seen_anti_join was called with the default
+    # seen_id='doc_id' — any non-default id_col crashed on batch 2
+    clf = IncrementalQualityClassifier(
+        str(tmp_path / "clf_state"), label_col="y",
+        id_col="uid", n_buckets=64,
+    )
+    w1 = spark.createDataFrame(
+        [("a", "quality prose citation", 1), ("b", "spam buy now", 0)],
+        "uid string, text string, y int",
+    )
+    w2 = spark.createDataFrame(
+        [("a", "quality prose citation", 1),  # redelivered
+         ("c", "more quality prose", 1)],
+        "uid string, text string, y int",
+    )
+    clf(w1, 0)
+    clf(w2, 1)
+    ids = {
+        r.uid
+        for r in clf.read_state(spark).select("uid").distinct().collect()
+    }
+    assert ids == {"a", "b", "c"}
+    # the redelivered doc's features were not double-counted
+    per_doc = clf.read_state(spark).filter(F.col("uid") == "a")
+    assert per_doc.count() == per_doc.select("bucket").distinct().count()

@@ -347,3 +347,21 @@ def test_substring_dedup_apply_cuts_ranges(spark):
     assert out[3].clean_text == "" and out[3].n_dup_tokens == 10
     assert out[4].clean_text == "p q r s t u v w x y"
     assert all(r.n_tokens == 10 for r in out.values())
+
+
+def test_temperature_mix_int_source_and_nulls(spark):
+    # review r6: the rate table hardcoded a string source schema, and
+    # the inner equi-join silently dropped NULL-source rows
+    from beavers_spark.functions.curation import temperature_mix
+
+    rows = [(i, i % 3 if i % 5 else None, 10) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain int, n_chars long"
+    )
+    out = temperature_mix(
+        df, "domain", "doc_id", "n_chars", alpha=0.5, budget=6000
+    )
+    # a 10x budget caps every rate at 1.0: every row survives,
+    # including the NULL-domain group (null-safe rate join)
+    assert out.count() == 60
+    assert out.filter(F.col("domain").isNull()).count() == 12

@@ -94,3 +94,19 @@ def test_constant_column_contributes_nothing(spark, tmp_path):
     rows = keyed.orderBy("x").collect()
     zs = [r.z for r in rows]
     assert zs == sorted(zs)
+
+
+def test_all_null_zorder_column_is_skipped(spark, tmp_path):
+    # review r6: (None, None) bounds from an all-NULL column crashed
+    # zorder_key with a TypeError instead of clustering like a
+    # constant column
+    from beavers_spark.sources.layout import write_zordered
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), None) for i in range(40)],
+        "id long, x double, y double",
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["x", "y"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 40

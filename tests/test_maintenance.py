@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from beavers_spark.plans.common import t
@@ -328,3 +330,38 @@ def test_seen_anti_join_never_shuffles_seen_set(spark, tmp_path):
 
     fallback = seen_anti_join(batch, seen, "doc_id", broadcast_cap=3)
     assert sorted((r.doc_id, r.v) for r in fallback.collect()) == rows
+
+
+def test_ensure_layout_guards_immutable_knobs(tmp_path):
+    from beavers_spark.streaming.maintenance import ensure_layout
+
+    state = str(tmp_path / "state")
+    ensure_layout(state, k=8, n_hash_buckets=16)
+    # same layout: fine
+    ensure_layout(state, k=8, n_hash_buckets=16)
+    # changed modulus against existing state: loud refusal, not silent
+    # missed duplicates (review r6: waves persist b = h % N_old while
+    # the probe prunes with N_new)
+    with pytest.raises(ValueError, match="n_hash_buckets"):
+        ensure_layout(state, k=8, n_hash_buckets=32)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ensure_layout(state, k=10, n_hash_buckets=16)
+
+
+def test_kernel_refuses_changed_bucket_modulus(spark, tmp_path):
+    from beavers_spark.streaming import IncrementalChunkDedup
+
+    d1 = IncrementalChunkDedup(
+        str(tmp_path / "s"), str(tmp_path / "o"),
+        text_col="text", id_col="doc_id", k=3, n_hash_buckets=8,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    d1(docs, 0)
+    d2 = IncrementalChunkDedup(
+        str(tmp_path / "s"), str(tmp_path / "o"),
+        text_col="text", id_col="doc_id", k=3, n_hash_buckets=16,
+    )
+    with pytest.raises(ValueError, match="n_hash_buckets"):
+        d2(docs, 1)

@@ -300,3 +300,19 @@ def test_salted_join_matches_plain_join_and_spreads_hot_rows(spark):
         dim, ["k"], how="left",
     )
     assert left.filter(F2.col("k") == "orphan").count() == 1
+
+
+def test_salted_join_skips_map_columns_in_default_salt(spark):
+    # review r6: the default salt hashed every column; xxhash64 rejects
+    # MapType, so any frame with a map column crashed
+    from beavers_spark.operators import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, {"a": 1}, 10), (1, {"b": 2}, 20), (2, {"c": 3}, 30)],
+        "k int, payload map<string,int>, v int",
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, name string")
+    out = salted_join(skewed, dim, ["k"], n_salts=4)
+    assert out.count() == 3
+    got = sorted((r.k, r.v, r.name) for r in out.collect())
+    assert got == [(1, 10, "x"), (1, 20, "x"), (2, 30, "y")]

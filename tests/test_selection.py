@@ -158,3 +158,16 @@ def test_cluster_balanced_sample_caps_each_cluster(spark):
         assert 1 <= r.rk <= 3
     # big blob capped at 3, small blob keeps both members
     assert sorted(sizes.values()) == [2, 3]
+
+
+def test_dsir_empty_target_uses_uniform_floor(spark):
+    # review r6: an empty target model made t_tot an EMPTY frame whose
+    # cross join silently annihilated every scored row
+    docs = _docs(spark, ["alpha beta", "gamma delta", "alpha gamma"])
+    empty_target = docs.filter(F.col("doc_id") < 0)
+    out = dsir_logweights(
+        docs, empty_target, "text", "doc_id", n_buckets=64
+    ).collect()
+    assert len(out) == 3  # every doc still scored
+    # uniform target floor vs the fitted raw model: weights are finite
+    assert all(r.logw == r.logw and abs(r.logw) < 1e6 for r in out)

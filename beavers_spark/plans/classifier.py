@@ -164,3 +164,41 @@ def quality_classifier_select_q(spark, sf_dir):
         .limit(100)
         .select("doc_id", "prob")
     )
+
+
+@query(
+    "quality_threshold_by_source",
+    oracle=f"""
+    WITH {_SQL_GD_CHAIN},
+    probs AS (
+        SELECT s.doc_id, d.source,
+               round(1.0 / (1.0 + exp(-s.margin)), 6) AS prob
+        FROM score s JOIN documents d USING (doc_id)
+    ),
+    thr AS (
+        SELECT source, round(quantile_cont(prob, 0.75), 6) AS thr
+        FROM probs GROUP BY 1
+    )
+    SELECT p.doc_id, p.source, p.prob, t.thr
+    FROM probs p JOIN thr t USING (source)
+    WHERE p.prob > t.thr
+    """,
+)
+def quality_threshold_by_source_q(spark, sf_dir):
+    """ADAPTIVE per-source quality gate: keep documents above their own
+    source's P75 classifier score — a fixed global threshold would
+    empty low-quality sources entirely and keep all of high-quality
+    ones; a per-source quantile keeps the best slice of each. The
+    thresholds collapse to |sources| rows (exact interpolated
+    percentile, map-side combinable) and broadcast back; one corpus
+    id-join attaches sources to scores."""
+    doc_tf, w = _fit(spark, sf_dir)
+    scored = logreg_score_from_counts(doc_tf, w)
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    probs = scored.join(src, "doc_id").select("doc_id", "source", "prob")
+    thr = probs.groupBy("source").agg(
+        F.round(F.percentile("prob", 0.75), 6).alias("thr")
+    )
+    return probs.join(F.broadcast(thr), "source").filter(
+        F.col("prob") > F.col("thr")
+    ).select("doc_id", "source", "prob", "thr")

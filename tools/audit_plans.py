@@ -494,6 +494,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
          r"SortMergeJoin", r"Window"],
     ],
+    "quality_threshold_by_source": [
+        # thresholds collapse to |sources| rows and broadcast back; the
+        # one corpus-sized join is the id-keyed score×source attach
+        [r"BroadcastHashJoin", r"partial_percentile|percentile"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"Window"],
+    ],
     "pca_component": [
         # the fitted component is the driver-held literal
         [r"Scan ExistingRDD"],

@@ -705,3 +705,108 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
             F.lit(0).cast("bigint")
         )
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_buckets: int = 4096,
+    max_df: int = 64,
+) -> DataFrame:
+    """TF-IDF cosine near-duplicate pairs via an INVERTED-INDEX join —
+    the lexical-weighting alternative to MinHash: shared RARE terms
+    dominate the score, so boilerplate/stopword overlap (which fools
+    raw Jaccard) contributes almost nothing.
+
+    Emits ``(doc1, doc2, cos)`` for pairs with ``cos >= threshold``,
+    ``doc1 < doc2``, ``cos`` rounded to 6 dp.
+
+    Scale shape: the pair generation joins postings lists on the
+    hashed-term bucket, with buckets whose document frequency exceeds
+    ``max_df`` EXCLUDED from pairing (the classic postings-length
+    prune: a stop-term's O(df²) pair fan-out would dominate the join,
+    while contributing the least-informative weight). Pruned buckets
+    still count toward weights and norms — only the CANDIDATE
+    generation skips them, so a reported cosine is exact; a pair
+    sharing nothing rarer than a stop term is not reported (at
+    ``threshold`` 0.8 such a pair is far below the bar anyway).
+
+    Engine-exactness: idf and weights quantize to 6 dp; dot products
+    and squared norms are decimal-exact sums of 9 dp-rounded terms
+    (order-independent under any partition layout); the final cosine
+    is one deterministic IEEE divide + sqrt chain.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(parallelism).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    )
+    tf = (
+        toked.select("doc_id", F.explode("tk").alias("token"))
+        .select(
+            "doc_id",
+            F.pmod(md5_hash64(F.col("token")), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    # corpus size for idf: one bounded count (docs with >= 1 token)
+    n = tf.select("doc_id").distinct().count()
+    df_counts = tf.groupBy("bucket").agg(
+        F.count("*").alias("df_b")
+    )
+    weighted = (
+        tf.join(F.broadcast(df_counts), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            "df_b",
+            F.round(
+                F.col("tf")
+                * F.log((F.lit(float(n)) + 1.0) / (F.col("df_b") + 1.0)),
+                6,
+            ).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 9).cast("decimal(27,9)")
+        ).cast("double").alias("n2")
+    )
+    # inverted-index candidate join on prunable postings only
+    postings = weighted.filter(F.col("df_b") <= max_df).select(
+        "doc_id", "bucket", "w"
+    )
+    left = postings.select(
+        F.col("doc_id").alias("doc1"), "bucket", F.col("w").alias("w1")
+    )
+    right = postings.select(
+        F.col("doc_id").alias("doc2"), "bucket", F.col("w").alias("w2")
+    )
+    dots = (
+        left.join(right, "bucket")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.sum(
+                F.round(F.col("w1") * F.col("w2"), 9).cast("decimal(27,9)")
+            ).cast("double").alias("dot")
+        )
+    )
+    n1 = norms.select(F.col("doc_id").alias("doc1"), F.col("n2").alias("n2_1"))
+    n2 = norms.select(F.col("doc_id").alias("doc2"), F.col("n2").alias("n2_2"))
+    cos = (
+        dots.join(n1, "doc1")
+        .join(n2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("n2_1") * F.col("n2_2")), 6
+            ).alias("cos"),
+        )
+    )
+    return cos.filter(F.col("cos") >= F.lit(threshold))

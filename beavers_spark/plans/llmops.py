@@ -19,6 +19,7 @@ from beavers_spark.functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    tfidf_cosine_pairs,
 )
 from beavers_spark.functions.similarity import (
     brute_force_topk,
@@ -141,6 +142,61 @@ def dedup_ngram_jaccard(spark, sf_dir):
     join — no cartesian product; shuffle keyed on shingle."""
     return ngram_jaccard_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+_TFIDF_B = 4096
+_TFIDF_MAXDF = 64
+
+
+@query(
+    "dedup_tfidf_cosine",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    tf AS (
+        SELECT doc_id, {_sql_hash64('token', 0)} % {_TFIDF_B} AS bucket,
+               count(*) AS tf
+        FROM (SELECT doc_id, unnest(tk) AS token FROM toks)
+        GROUP BY 1, 2
+    ),
+    nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    dfc AS (SELECT bucket, count(*) AS df_b FROM tf GROUP BY 1),
+    wtd AS (
+        SELECT tf.doc_id, tf.bucket, dfc.df_b,
+               round(tf.tf * ln((nn.n + 1.0) / (dfc.df_b + 1.0)), 6) AS w
+        FROM tf JOIN dfc USING (bucket), nn
+    ),
+    nrm AS (
+        SELECT doc_id,
+               (sum(CAST(round(w * w, 9) AS DECIMAL(27,9))))::DOUBLE AS n2
+        FROM wtd GROUP BY 1
+    ),
+    post AS (
+        SELECT doc_id, bucket, w FROM wtd WHERE df_b <= {_TFIDF_MAXDF}
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               (sum(CAST(round(a.w * b.w, 9)
+                         AS DECIMAL(27,9))))::DOUBLE AS dot
+        FROM post a JOIN post b USING (bucket)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(dot / sqrt(x.n2 * y.n2), 6) AS cos
+    FROM dots JOIN nrm x ON x.doc_id = dots.doc1
+              JOIN nrm y ON y.doc_id = dots.doc2
+    WHERE round(dot / sqrt(x.n2 * y.n2), 6) >= 0.8
+    """,
+)
+def dedup_tfidf_cosine_q(spark, sf_dir):
+    """TF-IDF cosine near-dup pairs (cos ≥ 0.8) via an inverted-index
+    join with the classic postings-length prune (df ≤ 64 buckets pair;
+    stop-term buckets still weight, never fan out) — the
+    lexical-weighting alternative to MinHash: boilerplate overlap
+    contributes almost nothing, shared rare terms dominate."""
+    return tfidf_cosine_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.8, n_buckets=_TFIDF_B, max_df=_TFIDF_MAXDF,
     )
 
 

@@ -510,3 +510,48 @@ def test_minhash_bucket_cap_within_cap_is_exact(spark, docs):
 def test_minhash_bucket_cap_validates(spark, docs):
     with pytest.raises(ValueError, match="bucket_cap"):
         minhash_lsh_pairs(docs, "text", "doc_id", bucket_cap=1).collect()
+
+
+def test_tfidf_cosine_pairs_weighting_and_prune(spark):
+    from beavers_spark.functions.dedup import tfidf_cosine_pairs
+
+    # docs 1/2 identical -> cos 1.0; doc 3 shares the rarer terms of 1
+    # (substantial cos despite its extra term); doc 4 shares ONLY the
+    # ubiquitous filler, whose idf is exactly 0 (df == n) -> its dot
+    # with every doc is 0, so it never pairs at any threshold
+    common = "the a of and"
+    docs = spark.createDataFrame(
+        [
+            (1, f"zyqrst wvuxkz {common}"),
+            (2, f"zyqrst wvuxkz {common}"),
+            (3, f"zyqrst wvuxkz {common} extra"),
+            (4, f"{common} totally different rare terms"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc1, r.doc2): r.cos
+        for r in tfidf_cosine_pairs(
+            docs, "text", "doc_id", threshold=0.3, n_buckets=512
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0 and 0.3 <= pairs[(2, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+    # the postings prune: with max_df=1 NO bucket can pair (every
+    # shared bucket has df >= 2) -> empty, not an error
+    assert (
+        tfidf_cosine_pairs(
+            docs, "text", "doc_id", threshold=0.1, n_buckets=512, max_df=1
+        ).count()
+        == 0
+    )
+    # deterministic under repartitioning (decimal-exact reduces)
+    again = {
+        (r.doc1, r.doc2): r.cos
+        for r in tfidf_cosine_pairs(
+            docs.repartition(7), "text", "doc_id",
+            threshold=0.3, n_buckets=512,
+        ).collect()
+    }
+    assert again == pairs

@@ -494,6 +494,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
          r"SortMergeJoin", r"Window"],
     ],
+    "dedup_tfidf_cosine": [
+        # inverted-index candidate join on the postings-pruned bucket
+        # key — pair generation is keyed, never all-pairs
+        [r"partial_count", r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"Window"],
+    ],
     "quality_threshold_by_source": [
         # thresholds collapse to |sources| rows and broadcast back; the
         # one corpus-sized join is the id-keyed score×source attach

@@ -148,44 +148,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _TFIDF_B = 4096
 _TFIDF_MAXDF = 64
 
+_SQL_TFIDF_CTES = f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+tf AS (
+    SELECT doc_id, {_sql_hash64('token', 0)} % {_TFIDF_B} AS bucket,
+           count(*) AS tf
+    FROM (SELECT doc_id, unnest(tk) AS token FROM toks)
+    GROUP BY 1, 2
+),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+dfc AS (SELECT bucket, count(*) AS df_b FROM tf GROUP BY 1),
+wtd AS (
+    SELECT tf.doc_id, tf.bucket, dfc.df_b,
+           round(tf.tf * ln((nn.n + 1.0) / (dfc.df_b + 1.0)), 6) AS w
+    FROM tf JOIN dfc USING (bucket), nn
+),
+nrm AS (
+    SELECT doc_id,
+           (sum(CAST(round(w * w, 9) AS DECIMAL(27,9))))::DOUBLE AS n2
+    FROM wtd GROUP BY 1
+),
+post AS (
+    SELECT doc_id, bucket, w FROM wtd WHERE df_b <= {_TFIDF_MAXDF}
+),
+dots AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           (sum(CAST(round(a.w * b.w, 9)
+                     AS DECIMAL(27,9))))::DOUBLE AS dot
+    FROM post a JOIN post b USING (bucket)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+tpairs AS (
+    SELECT doc1, doc2, round(dot / sqrt(x.n2 * y.n2), 6) AS cos
+    FROM dots JOIN nrm x ON x.doc_id = dots.doc1
+              JOIN nrm y ON y.doc_id = dots.doc2
+)"""
+
 
 @query(
     "dedup_tfidf_cosine",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
-    tf AS (
-        SELECT doc_id, {_sql_hash64('token', 0)} % {_TFIDF_B} AS bucket,
-               count(*) AS tf
-        FROM (SELECT doc_id, unnest(tk) AS token FROM toks)
-        GROUP BY 1, 2
-    ),
-    nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
-    dfc AS (SELECT bucket, count(*) AS df_b FROM tf GROUP BY 1),
-    wtd AS (
-        SELECT tf.doc_id, tf.bucket, dfc.df_b,
-               round(tf.tf * ln((nn.n + 1.0) / (dfc.df_b + 1.0)), 6) AS w
-        FROM tf JOIN dfc USING (bucket), nn
-    ),
-    nrm AS (
-        SELECT doc_id,
-               (sum(CAST(round(w * w, 9) AS DECIMAL(27,9))))::DOUBLE AS n2
-        FROM wtd GROUP BY 1
-    ),
-    post AS (
-        SELECT doc_id, bucket, w FROM wtd WHERE df_b <= {_TFIDF_MAXDF}
-    ),
-    dots AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-               (sum(CAST(round(a.w * b.w, 9)
-                         AS DECIMAL(27,9))))::DOUBLE AS dot
-        FROM post a JOIN post b USING (bucket)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    )
-    SELECT doc1, doc2,
-           round(dot / sqrt(x.n2 * y.n2), 6) AS cos
-    FROM dots JOIN nrm x ON x.doc_id = dots.doc1
-              JOIN nrm y ON y.doc_id = dots.doc2
-    WHERE round(dot / sqrt(x.n2 * y.n2), 6) >= 0.8
+    WITH {_SQL_TFIDF_CTES}
+    SELECT doc1, doc2, cos FROM tpairs WHERE cos >= 0.8
     """,
 )
 def dedup_tfidf_cosine_q(spark, sf_dir):
@@ -198,6 +201,37 @@ def dedup_tfidf_cosine_q(spark, sf_dir):
         t(spark, sf_dir, "documents"), "text", "doc_id",
         threshold=0.8, n_buckets=_TFIDF_B, max_df=_TFIDF_MAXDF,
     )
+
+
+@query(
+    "dedup_tfidf_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TFIDF_CTES},
+    pairs AS (SELECT doc1, doc2 FROM tpairs WHERE cos >= 0.8),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_tfidf_clusters_q(spark, sf_dir):
+    """Connected components over the TF-IDF cosine pair graph — the
+    lexical-weighting modality's full pair→cluster pipeline, same
+    min-label fixpoint as dedup_clusters, hash-checked against the
+    recursive-CTE closure."""
+    from beavers_spark.functions.dedup import connected_components
+
+    pairs = tfidf_cosine_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.8, n_buckets=_TFIDF_B, max_df=_TFIDF_MAXDF,
+    ).select("doc1", "doc2")
+    return connected_components(pairs)
 
 
 def _minhash_oracle(bucket_cap: int | None = None) -> str:

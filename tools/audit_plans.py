@@ -501,6 +501,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
          r"BatchEvalPython", r"Window"],
     ],
+    "dedup_tfidf_clusters": [
+        # small pair graphs take the bounded union-find fast path (the
+        # labels scan out as driver-built literals); either way, no
+        # cross shapes and no Python rows
+        [r"Scan ExistingRDD|partial_count"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ],
     "quality_threshold_by_source": [
         # thresholds collapse to |sources| rows and broadcast back; the
         # one corpus-sized join is the id-keyed score×source attach

@@ -29,3 +29,4 @@ from beavers_spark.plans import storage  # noqa: E402,F401
 from beavers_spark.plans import selection  # noqa: E402,F401
 from beavers_spark.plans import classifier  # noqa: E402,F401
 from beavers_spark.plans import pca  # noqa: E402,F401
+from beavers_spark.plans import bpe  # noqa: E402,F401

@@ -494,6 +494,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
          r"SortMergeJoin", r"Window"],
     ],
+    "bpe_merges": [
+        # the learned merge list is the driver-held literal
+        [r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Exchange"],
+    ],
+    "bpe_token_count": [
+        # corpus word pass joined word-keyed against the fitted vocab;
+        # doc-keyed count partial-combines; no Python, no cross shapes
+        [r"partial_sum", r"HashJoin \[word"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython"],
+    ],
     "dedup_tfidf_cosine": [
         # inverted-index candidate join on the postings-pruned bucket
         # key — pair generation is keyed, never all-pairs

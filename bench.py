@@ -88,6 +88,10 @@ ANALYTICS = [
     "cluster_balanced_sample",
     "quality_classifier_select",
     "pca_project",
+    # bpe_token_count runs the full 4-merge tokenizer fit + the corpus
+    # count under it; dedup_tfidf_cosine is the inverted-index pair join
+    "bpe_token_count",
+    "dedup_tfidf_cosine",
 ]
 
 

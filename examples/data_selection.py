@@ -74,15 +74,19 @@ mixed = temperature_mix(
 n_mixed = mixed.count()
 assert 0 < n_mixed <= n_docs
 
-# 4. the shipped cut: docs that pass the mix AND score in the
-#    target-like half of both models
+# 4. the shipped cut: docs that pass the mix AND sit in the
+#    target-like half of BOTH models — relative cuts (medians), not
+#    absolute thresholds: a 2-step GD model's probabilities are
+#    well-ORDERED long before they are calibrated
+p50_prob = probs.agg(F.percentile("prob", 0.5).alias("m")).collect()[0]["m"]
+p50_logw = dsir.agg(F.percentile("logw", 0.5).alias("m")).collect()[0]["m"]
 cut = (
     mixed.select("doc_id")
-    .join(dsir.filter(F.col("logw") > 0).select("doc_id"), "doc_id")
-    .join(probs.filter(F.col("prob") > 0.5).select("doc_id"), "doc_id")
+    .join(dsir.filter(F.col("logw") > p50_logw).select("doc_id"), "doc_id")
+    .join(probs.filter(F.col("prob") > p50_prob).select("doc_id"), "doc_id")
 )
 n_cut = cut.count()
-assert n_cut < n_docs
+assert 0 < n_cut < n_docs
 
 # 5. embedding side: cluster-balanced sample + dominant-mode scores
 emb = t(spark, SF_DIR, "embeddings")
@@ -92,9 +96,24 @@ assert all(r["count"] <= 25 for r in per_cluster)
 pc_scores = pca_project(spark, emb, iters=2)
 assert pc_scores.count() == emb.count()
 
+# 6. budget the shipped cut in REAL tokens: train a 4-merge BPE
+#    tokenizer on the pool and count the cut under it (whitespace
+#    counts overestimate; the learned tokenizer is the honest number)
+from beavers_spark.functions.bpe import bpe_token_counts  # noqa: E402
+
+bpe_counts = bpe_token_counts(spark, docs, n_merges=4)
+cut_tokens = (
+    bpe_counts.join(cut.select("doc_id"), "doc_id")
+    .agg(F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("t"))
+    .collect()[0]["t"]
+)
+# every shipped doc has tokens, so the budget is positive iff the cut
+# is non-empty (tiny fixtures can legitimately ship zero docs)
+assert (cut_tokens > 0) == (n_cut > 0)
+
 print(
     f"pool={n_docs} mixed={n_mixed} shipped={n_cut} "
-    f"clusters={len(per_cluster)} "
+    f"shipped_bpe_tokens={cut_tokens} clusters={len(per_cluster)} "
     f"clean_prob={by_clean[True]:.3f} other_prob={by_clean[False]:.3f}"
 )
 print("OK data_selection")

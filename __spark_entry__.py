@@ -80,14 +80,49 @@ _CHECKED_R05 = [
     "substring_dedup_apply", "dup_rate_by_source",
 ]
 
+#: round 6's 50 rows = the 22 round-6 selection-tier additions + the
+#: r04 analytics block (18) + the first 10 of the r01 block
+#: (CORRECTNESS_r06.json keys, verbatim).
+_CHECKED_R06 = [
+    "dedup_tfidf_cosine", "dedup_tfidf_clusters", "dedup_minhash_capped",
+    "ann_knn_join_exact_twin", "temperature_mix", "lm_perplexity_holdout",
+    "zorder_scan", "dsir_logweights", "dsir_select", "kmeans_assign",
+    "kmeans_centroids", "cluster_balanced_sample",
+    "quality_classifier_weights", "quality_classifier_score",
+    "quality_classifier_select", "quality_threshold_by_source",
+    "pca_component", "pca_project", "pca_residual_outliers", "bpe_merges",
+    "bpe_vocab", "bpe_token_count", "rolling_avg", "anomaly_zscore",
+    "time_weighted_avg", "ann_pq_topk", "ann_pq_recall", "ann_ivfpq_topk",
+    "ann_ivfpq_recall", "chunk_dedup", "token_budget_mix", "vocab_coverage",
+    "unigram_logprob", "bigram_pmi", "label_centroids",
+    "embedding_outliers", "heavy_hitters", "bucketed_quantile",
+    "vocab_drift", "hashed_features", "etf_valuation", "filter_predicate",
+    "projection_rename", "last_by_keys", "argmax_latest", "concat_streams",
+    "distinct_values", "set_dedup_batch", "merge_sorted_union", "semi_join",
+]
+
+_R06_SET = set(_CHECKED_R06)
+
 #: exposure order after the never-checked plans: least-recently-checked
-#: blocks first. Round 6 exposes the 9 round-6 additions (capped LSH,
-#: knn exact twin, held-out LM, Z-order, DSIR + k-means selection),
-#: then the r04 analytics block (one green row, from r04, with
-#: terms.py/vectorized.py/similarity.py touched since — round 5's
-#: verdict item 7), then the r01 block (last re-checked r04); the r03
-#: and r05 blocks were checked in round 5 and queue last.
-_DRIVER_CHECKED = _CHECKED_R04 + _CHECKED_R01 + _CHECKED_R03 + _CHECKED_R05
+#: blocks first, with round 6's verdict item 7 honored explicitly.
+#: Round 7 fronts the r05-addition block (one green row from r05, with
+#: curation.py / similarity.py / maintenance.py touched since), then
+#: the r03 tail (the 8 plans that missed round 5's 50-row cap — last
+#: green in r03, the oldest rows anywhere), then the r05-checked plans
+#: the verdict named by touched file (winnowing, live_view), then the
+#: rest of the r03 block (green r05), then the r01 remainder (green
+#: r04, minus the 10 re-greened in r06); everything checked in round 6
+#: queues last. Names in several lists dedupe to their FIRST position
+#: (queries() builds a dict).
+_DRIVER_CHECKED = (
+    _CHECKED_R05
+    + _CHECKED_R03[42:]
+    + ["winnow_fingerprint", "winnow_near_dup", "live_view"]
+    + _CHECKED_R03[:42]
+    + [n for n in _CHECKED_R01 if n not in _R06_SET]
+    + _CHECKED_R04
+    + _CHECKED_R06
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

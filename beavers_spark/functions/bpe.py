@@ -143,10 +143,18 @@ def bpe_merge_table(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    fitted: tuple[list[tuple[str, str]], DataFrame] | None = None,
 ) -> DataFrame:
     """The learned merges as ordered rows ``(step, left, right)`` — a
-    literal scan of the driver-held result (k rows by contract)."""
-    merges, _ = bpe_fit(spark, docs, n_merges, text_col)
+    literal scan of the driver-held result (k rows by contract).
+    ``fitted`` injects an already-trained ``(merges, vocab)`` (e.g. the
+    plan layer's per-corpus cache) so sibling plans don't re-run the k
+    merge jobs per call."""
+    merges = (
+        fitted[0]
+        if fitted is not None
+        else bpe_fit(spark, docs, n_merges, text_col)[0]
+    )
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "step int, left string, right string",
@@ -159,16 +167,32 @@ def bpe_token_counts(
     n_merges: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fitted: tuple[list[tuple[str, str]], DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document token count under the LEARNED tokenizer:
     ``(id_col, n_bpe_tokens)`` — the real "how many tokens is my corpus"
     number, which whitespace or BPE-ish regex counts only approximate.
 
+    OOV-safe: the corpus being counted need not be the training corpus
+    (``fitted`` injects a tokenizer trained elsewhere — the held-out
+    scoring split). Words absent from the fitted vocabulary fall back
+    to their CHARACTER count (the un-merged, character-level
+    segmentation every BPE tokenizer bottoms out at; a production
+    tokenizer would additionally replay the merges over the unseen
+    word, so this fallback is that count's upper bound) via a LEFT join
+    + coalesce — no inner join silently DROPPING unseen words from a
+    document's total.
+
     One corpus word pass joined (word-keyed) against the fitted
-    vocabulary's symbol counts — the vocabulary is a dimension, the
-    join shuffles O(corpus words) with map-side combine on the doc key.
+    vocabulary's symbol counts — the vocabulary is a dimension (AQE
+    broadcasts it when it fits), the aggregation shuffles O(corpus
+    words) with map-side combine on the doc key.
     """
-    _, vocab = bpe_fit(spark, docs, n_merges, text_col)
+    vocab = (
+        fitted[1]
+        if fitted is not None
+        else bpe_fit(spark, docs, n_merges, text_col)[1]
+    )
     n_syms = vocab.select(
         "word", F.size(F.split("sym", SEP)).alias("n_syms")
     )
@@ -176,7 +200,11 @@ def bpe_token_counts(
         id_col, F.explode(tokens(F.col(text_col))).alias("word")
     )
     return (
-        doc_words.join(n_syms, "word")
+        doc_words.join(n_syms, "word", "left")
         .groupBy(id_col)
-        .agg(F.sum("n_syms").alias("n_bpe_tokens"))
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_syms"), F.length("word"))
+            ).alias("n_bpe_tokens")
+        )
     )

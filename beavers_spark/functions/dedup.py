@@ -753,20 +753,30 @@ def tfidf_cosine_pairs(
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("tf"))
     )
-    # corpus size for idf: one bounded count (docs with >= 1 token)
-    n = tf.select("doc_id").distinct().count()
+    # corpus size for idf: a 1-row aggregate cross-joined in (dsir
+    # totals pattern) — NOT a separate .count() action, which would
+    # re-run the tokenize+md5+groupBy pass a second time. Inside one
+    # plan Catalyst's ReuseExchange dedupes the identical tf shuffles,
+    # so the feature pass over the corpus runs once per action.
+    n_row = tf.agg(
+        F.coalesce(F.count_distinct("doc_id"), F.lit(0)).alias("n_docs")
+    )
     df_counts = tf.groupBy("bucket").agg(
         F.count("*").alias("df_b")
     )
     weighted = (
         tf.join(F.broadcast(df_counts), "bucket")
+        .crossJoin(F.broadcast(n_row))
         .select(
             "doc_id",
             "bucket",
             "df_b",
             F.round(
                 F.col("tf")
-                * F.log((F.lit(float(n)) + 1.0) / (F.col("df_b") + 1.0)),
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df_b") + 1.0)
+                ),
                 6,
             ).alias("w"),
         )

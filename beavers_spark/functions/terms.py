@@ -178,7 +178,13 @@ def lm_score(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    lm_tot = lm.select("t_total", "v_size").limit(1)
+    # agg + coalesce (not .limit(1)): an EMPTY trained LM must still
+    # yield exactly one totals row, else the crossJoin below silently
+    # annihilates every scored row instead of using the uniform floor.
+    lm_tot = lm.agg(
+        F.coalesce(F.max("t_total"), F.lit(0)).alias("t_total"),
+        F.coalesce(F.max("v_size"), F.lit(0)).alias("v_size"),
+    )
     oov_logp = F.log(
         F.lit(alpha)
         / (F.col("t_total") + F.lit(alpha) * (F.col("v_size") + 1))

@@ -40,9 +40,10 @@ def salted_join(
       a primary key): the salt is ``pmod(xxhash64(salt_by), n_salts)``
       — uniform and retry-stable, the recommended mode;
     * without ``salt_by``, the salt hashes every HASHABLE column of
-      ``skewed`` (map-typed columns are skipped — ``xxhash64`` rejects
-      MapType, and a schema with maps used to make the default mode
-      crash outright) — still retry-stable, and uniform whenever
+      ``skewed`` (columns containing a map ANYWHERE in their type tree
+      — top-level, ``array<map>``, struct field — are skipped:
+      ``xxhash64`` rejects MapType at any nesting depth, and such
+      schemas used to make the default mode crash outright) — still retry-stable, and uniform whenever
       hot-key rows differ in any hashed column. Degenerate cases: hot
       rows that are bit-identical across every hashed column share a
       salt and stay on one reducer (balance degrades, results stay
@@ -67,17 +68,28 @@ def salted_join(
     if salt_by is not None:
         salt_src = [F.col(salt_by)]
     else:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _has_map(dt) -> bool:
+            # xxhash64 rejects MapType anywhere in the type tree, not
+            # just at top level (array<map<..>>, struct{m: map<..>}).
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
 
         salt_src = [
             F.col(f.name)
             for f in skewed.schema.fields
-            if not isinstance(f.dataType, MapType)
+            if not _has_map(f.dataType)
         ]
         if not salt_src:
             raise ValueError(
                 "salted_join: no hashable columns for the default salt "
-                "(all columns are map-typed) — pass salt_by"
+                "(every column contains a map type) — pass salt_by"
             )
     salted = skewed.withColumn(
         SALT_COL,

@@ -520,7 +520,11 @@ def ensure_layout(state_dir: str, **layout) -> None:
     The first writer records them in a ``_layout.json`` sidecar
     (underscore: invisible to Spark's reader, preserved by
     ``compact_parquet``); every later open validates and raises on any
-    mismatch. Without this, restarting a dedup kernel with a different
+    mismatch. "First writer" means a FRESH directory: a dir that
+    already holds wave data but no sidecar (pre-sidecar state, or a
+    lost sidecar) is refused rather than silently stamped with the
+    current knobs — the operator must record the ORIGINAL knobs by
+    hand. Without this, restarting a dedup kernel with a different
     ``n_hash_buckets`` silently MISSES duplicates: waves persist
     ``b = h % N_old`` while ``prune_hash_buckets`` filters with
     ``N_new``, pruning away exactly the rows that should match — wrong
@@ -549,6 +553,28 @@ def ensure_layout(state_dir: str, **layout) -> None:
                 "configuration"
             )
         return
+    # No sidecar: only a genuinely FRESH directory may record the
+    # kernel's current knobs. A pre-existing registry whose sidecar
+    # predates this feature (or was lost) must NOT silently adopt
+    # whatever the restarting kernel happens to be configured with —
+    # if the knobs differ from the original, batches in that window
+    # would miss duplicates before a later mixed-layout read fails.
+    if os.path.isdir(state_dir):
+        existing = [
+            name
+            for name in os.listdir(state_dir)
+            if not name.startswith((".", "_"))
+        ]
+        if existing:
+            raise ValueError(
+                f"state at {state_dir} contains data "
+                f"(e.g. {existing[0]!r}) but no _layout.json sidecar; "
+                "refusing to adopt the current kernel knobs. If these "
+                "ARE the original knobs, record them explicitly: "
+                "ensure_layout is first-write-only — write the sidecar "
+                f"by hand ({json.dumps(layout)}) after verifying them "
+                "against the state's actual layout"
+            )
     os.makedirs(state_dir, exist_ok=True)
     with open(path, "w") as fh:
         json.dump(layout, fh)

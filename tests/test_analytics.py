@@ -390,3 +390,24 @@ def test_lm_score_holdout_semantics(spark):
     assert out[12].avg_logp == pytest.approx(exp12, abs=1e-6)
     # ranking: in-domain text scores better (lower ppl) than junk
     assert out[10].perplexity < out[11].perplexity
+
+
+def test_lm_score_empty_lm_uses_uniform_floor(spark):
+    # ADVICE r6: an EMPTY trained LM (empty/filtered-out training
+    # corpus) used to produce a zero-row totals frame whose crossJoin
+    # annihilated every scored row; the agg+coalesce totals keep
+    # exactly one row, so every token scores at the uniform floor
+    from beavers_spark.functions.terms import lm_score, train_unigram_lm
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    lm = train_unigram_lm(empty, "text", "doc_id", alpha=1.0)
+    assert lm.count() == 0
+    score = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in lm_score(score, lm, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    # T=0, V=0 -> every term is OOV at logp = log(alpha / (0 + alpha*1))
+    floor = math.log(1.0 / 1.0)
+    assert out[1].avg_logp == pytest.approx(floor, abs=1e-6)
+    assert out[1].oov_rate == 1.0 and out[2].oov_rate == 1.0

@@ -348,6 +348,36 @@ def test_ensure_layout_guards_immutable_knobs(tmp_path):
         ensure_layout(state, k=10, n_hash_buckets=16)
 
 
+def test_ensure_layout_refuses_sidecar_less_existing_state(tmp_path):
+    # A registry created before the sidecar existed (or whose sidecar
+    # was lost) must NOT silently adopt the restarting kernel's knobs
+    # (ADVICE r6): between the adoption and the first mixed-layout
+    # failure, probes would prune with the wrong modulus and miss
+    # duplicates. The operator must record the original knobs by hand.
+    import os
+
+    from beavers_spark.streaming.maintenance import ensure_layout
+
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(state, "w=0"))
+    with open(os.path.join(state, "w=0", "part-0.parquet"), "wb") as fh:
+        fh.write(b"\x00")
+    with pytest.raises(ValueError, match="no _layout.json"):
+        ensure_layout(state, k=8, n_hash_buckets=16)
+    # hand-written sidecar with the original knobs: validated normally
+    import json
+
+    with open(os.path.join(state, "_layout.json"), "w") as fh:
+        json.dump({"k": 8, "n_hash_buckets": 16}, fh)
+    ensure_layout(state, k=8, n_hash_buckets=16)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ensure_layout(state, k=8, n_hash_buckets=32)
+    # an empty pre-made directory (mkdir then open) is still "fresh"
+    fresh = str(tmp_path / "fresh")
+    os.makedirs(fresh)
+    ensure_layout(fresh, k=4)
+
+
 def test_kernel_refuses_changed_bucket_modulus(spark, tmp_path):
     from beavers_spark.streaming import IncrementalChunkDedup
 

@@ -316,3 +316,28 @@ def test_salted_join_skips_map_columns_in_default_salt(spark):
     assert out.count() == 3
     got = sorted((r.k, r.v, r.name) for r in out.collect())
     assert got == [(1, 10, "x"), (1, 20, "x"), (2, 30, "y")]
+
+
+def test_salted_join_skips_nested_map_columns_too(spark):
+    # ADVICE r6: xxhash64 rejects MapType at ANY nesting depth, not
+    # just top level — array<map<..>> and struct{m: map<..>} columns
+    # must also be excluded from the default salt
+    import pytest as _pytest
+
+    from beavers_spark.operators import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, [{"a": 1}], ({"x": 1}, 5), 10), (2, [{"b": 2}], ({"y": 2}, 6), 20)],
+        "k int, am array<map<string,int>>, "
+        "st struct<m: map<string,int>, n: int>, v int",
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, name string")
+    out = salted_join(skewed, dim, ["k"], n_salts=4)
+    got = sorted((r.k, r.v, r.name) for r in out.collect())
+    assert got == [(1, 10, "x"), (2, 20, "y")]
+    # every column map-bearing -> loud refusal, not an analyzer crash
+    allmaps = spark.createDataFrame(
+        [([{"a": 1}],)], "am array<map<string,int>>"
+    )
+    with _pytest.raises(ValueError, match="salt_by"):
+        salted_join(allmaps, dim, ["k"], n_salts=4)

@@ -508,10 +508,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ],
     "dedup_tfidf_cosine": [
         # inverted-index candidate join on the postings-pruned bucket
-        # key — pair generation is keyed, never all-pairs
+        # key — pair generation is keyed, never all-pairs; the one
+        # cross shape is the 1-row broadcast corpus-size N for idf
+        # (replaced the separate .count() action that re-ran the
+        # feature pass — ADVICE r6)
         [r"partial_count", r"partial_sum"],
-        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
-         r"BatchEvalPython", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"Window"],
     ],
     "dedup_tfidf_clusters": [
         # small pair graphs take the bounded union-find fast path (the
@@ -602,6 +604,7 @@ def main() -> int:
         "bigram_pmi",           # 1-row broadcast corpus total token count
         "vocab_drift",          # 1-row broadcast (V, N_old, N_new) scalars
         "lm_perplexity_holdout",  # 1-row broadcast (T_train, V) LM totals
+        "dedup_tfidf_cosine",   # 1-row broadcast corpus size N for idf
         "dsir_logweights",      # 1-row broadcast smoothing totals (x2)
         "dsir_select",          # same totals under the Gumbel top-k
         "kmeans_assign",        # k-row broadcast centroid probe

@@ -23,11 +23,22 @@ Why refit instead of online gradient steps: online SGD's result
 depends on arrival order and cannot be equated to any batch quantity —
 an audit nightmare. The refit reads the count registry (already
 hashed; integers only), NOT the raw text, and each GD iteration is two
-map-side-combinable shuffles over it. At 100 TB of accumulated labeled
-data you would cap the registry (labeled sets are curated samples, not
-the raw corpus — fastText-class models train on millions of rows, not
-billions) or refit on a deterministic-sample slice; the per-wave
-ingest cost stays O(batch) regardless.
+map-side-combinable shuffles over it. Per-wave ingest cost stays
+O(batch) regardless; the refit cost is bounded by two knobs (both
+keep the model an exact, testable function of a well-defined row set):
+
+* ``refit_every=N`` — refit only on waves whose ``batch_id % N == 0``
+  (batch-id keyed, so crash replays take the same decision). The
+  model is then up to N-1 waves stale; call :meth:`refit` after the
+  stream stops (or at any checkpoint) for a fresh fit on demand.
+* ``max_refit_docs=M`` — when the registry holds more than M labeled
+  docs, refit on the deterministic id-hash slice of ~M docs
+  (``functions.sampling.hash_bucket`` membership: stable as the
+  corpus grows, nested as the threshold shrinks — the slice at any
+  moment is a pure function of (registry ids, M), NOT of arrival
+  order). The fitted weights equal ``logreg_fit_from_counts`` on
+  exactly that slice — pinned by test. fastText-class models train
+  on curated millions, not the raw corpus, so a cap loses little.
 
 Reference parity: composes the reference's state-node semantics
 (beavers dag.py:501-518 — durable value folded per cycle) with its
@@ -45,6 +56,7 @@ from beavers_spark.functions.classifier import (
     logreg_fit_from_counts,
     logreg_score,
 )
+from beavers_spark.functions.sampling import BUCKETS, hash_bucket
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
     seen_anti_join,
@@ -76,7 +88,13 @@ class IncrementalQualityClassifier:
         n_buckets: int = 4096,
         iters: int = 2,
         lr: float = 0.5,
+        refit_every: int = 1,
+        max_refit_docs: int | None = None,
     ) -> None:
+        if refit_every < 1:
+            raise ValueError("refit_every must be >= 1")
+        if max_refit_docs is not None and max_refit_docs < 1:
+            raise ValueError("max_refit_docs must be >= 1 (or None)")
         self.state_path = state_path
         self.model_path = state_path.rstrip("/") + "/_model"
         self.label_col = label_col
@@ -85,6 +103,8 @@ class IncrementalQualityClassifier:
         self.n_buckets = n_buckets
         self.iters = iters
         self.lr = lr
+        self.refit_every = refit_every
+        self.max_refit_docs = max_refit_docs
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
 
@@ -162,6 +182,44 @@ class IncrementalQualityClassifier:
         )
         self._has_state = True
 
+        # refit cadence is keyed on the WAVE id (not a call counter) so
+        # a crash replay of wave k takes the same refit/skip decision
+        if batch_id % self.refit_every == 0:
+            self.refit(spark)
+        self._watermark.mark(batch_id)
+
+    def refit_inputs(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, DataFrame]:
+        """The exact ``(doc_tf, labels)`` row set the next refit trains
+        on — the full registry, or (over ``max_refit_docs``) its
+        deterministic id-hash slice. Public so the sampled-refit parity
+        is testable: ``logreg_fit_from_counts`` on THESE frames must
+        equal the model sidecar byte-for-byte."""
+        state = spark.read.parquet(self.state_path)
+        doc_tf = state.select(self.id_col, "bucket", "tf")
+        labels = state.select(self.id_col, "y").distinct()
+        if self.max_refit_docs is not None:
+            n = labels.count()
+            if n > self.max_refit_docs:
+                # floor keeps the expected slice size <= cap; the
+                # id-hash membership is growth-stable and NESTED as the
+                # threshold shrinks, so the slice is a pure function of
+                # (registry ids, cap) — never of arrival order
+                thresh = max(
+                    1, (BUCKETS * self.max_refit_docs) // n
+                )
+                keep = hash_bucket(
+                    F.col(self.id_col), salt="refit"
+                ) < F.lit(thresh)
+                doc_tf = doc_tf.filter(keep)
+                labels = labels.filter(keep)
+        return doc_tf, labels
+
+    def refit(self, spark: SparkSession) -> None:
+        """Refit from the accumulated registry and overwrite the model
+        sidecar. Runs automatically on every ``refit_every``-th wave;
+        call directly after a stream stops to clear any staleness."""
         # persist (NOT localCheckpoint) the refit inputs: every GD
         # iteration re-reads both, and the blocking unpersist releases
         # the blocks deterministically at batch end (the r5
@@ -170,15 +228,11 @@ class IncrementalQualityClassifier:
         # residual/gradient joins all key on id, so they reuse this one
         # exchange instead of shuffling the registry every iteration;
         # labels' distinct shuffle likewise runs once
-        state = spark.read.parquet(self.state_path)
-        doc_tf = (
-            state.select(self.id_col, "bucket", "tf")
-            .repartition(
-                spark.sparkContext.defaultParallelism, self.id_col
-            )
-            .persist()
-        )
-        labels = state.select(self.id_col, "y").distinct().persist()
+        doc_tf, labels = self.refit_inputs(spark)
+        doc_tf = doc_tf.repartition(
+            spark.sparkContext.defaultParallelism, self.id_col
+        ).persist()
+        labels = labels.persist()
         try:
             fitted = logreg_fit_from_counts(
                 spark,
@@ -192,4 +246,3 @@ class IncrementalQualityClassifier:
         finally:
             doc_tf.unpersist(blocking=True)
             labels.unpersist(blocking=True)
-        self._watermark.mark(batch_id)

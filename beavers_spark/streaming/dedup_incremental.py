@@ -10,14 +10,22 @@ Per batch:
 
 1. shingle + MinHash ONLY the new documents;
 2. candidate pairs = new-vs-new band collisions (within the batch) plus
-   new-vs-state band collisions (against the persistent band table);
+   new-vs-registry band collisions — the registry is a PERSISTENT
+   band table (one wave per batch, hash-prefix-partitioned by
+   ``b = pmod(xxhash64(band key), n_hash_buckets)`` like the
+   substring/chunk registries), so history is never re-banded and the
+   probe scans only Bloom-kept waves × touched bucket directories;
 3. verify candidates with exact Jaccard over stored shingle sets, emit
    pairs with ``jaccard >= threshold``;
 4. the new documents' state rows (shingle set + signature) land in the
    state table as their own wave partition — written FIRST, so the write
    is the batch's one materialization barrier (steps 2-3 read the
    columnar result back instead of re-hashing, with no persist()/count()
-   job and no trailing append job).
+   job and no trailing append job); the wave's band rows follow into
+   the band registry, and that write doubles as the Bloom build: the
+   batch's band-key hashes are read back COLUMNAR AND DRIVER-LOCAL
+   from the just-written wave (pyarrow over the ``bh`` column — no
+   separate Spark collect job per wave).
 
 A pair is emitted exactly once, in the batch its later member arrives —
 old-old pairs were emitted in earlier batches, and state rows are
@@ -40,6 +48,8 @@ near-dedup surface itself (README.md:43-50 scope).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -51,10 +61,12 @@ from beavers_spark.functions.dedup import (
     shingle_sets,
 )
 from beavers_spark.streaming.maintenance import (
+    BLOOM_PROBE_CAP,
     BatchWatermark,
     ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
+    ensure_layout,
     partition_stats,
     seen_anti_join,
     table_exists,
@@ -67,7 +79,13 @@ _BAND_KEYS = ["band_id"] + [f"h{r}" for r in range(ROWS_PER_BAND)]
 def _wave_band_keys(spark: SparkSession, wave_dir: str) -> DataFrame:
     """Band-key hash column of one state wave, for lazy Bloom backfill
     of waves written while the sidecar machinery was gated off (see
-    ``WaveBloomIndex.min_waves``)."""
+    ``WaveBloomIndex.min_waves``). Prefers the band registry's stored
+    ``bh`` column (no re-banding); falls back to expanding the wave's
+    signatures for registries written before the band table existed."""
+    head, _, base = wave_dir.rpartition("/")
+    band_dir = head.rstrip("/") + "_anchors/" + base
+    if table_exists(spark, band_dir):
+        return spark.read.parquet(band_dir).select("bh")
     return band_rows(
         spark.read.parquet(wave_dir).select(*_SIG_COLS)
     ).select(F.xxhash64(*_BAND_KEYS).alias("bh"))
@@ -144,6 +162,7 @@ class IncrementalNearDedup:
         bloom_bits: int | None = 1 << 23,
         bloom_min_waves: int = 8,
         bucket_cap: int | None = None,
+        n_hash_buckets: int = 16,
     ) -> None:
         self.state_path = state_path
         self.pairs_path = pairs_path
@@ -154,11 +173,14 @@ class IncrementalNearDedup:
         #: bits per wave band-key Bloom sidecar (None disables)
         self.bloom_bits = bloom_bits
         #: hot-bucket bound for the cross-batch band join (None = exact
-        #: all-collisions). With a cap, each wave persists at most
-        #: ``bucket_cap`` ANCHOR docs per band key (first by doc_id —
-        #: deterministic) in a parallel ``<state>_anchors`` table, and
-        #: later batches band-join against anchors instead of the full
-        #: band expansion of state. Per-batch join fan-out per hot key
+        #: all-collisions). Every kernel persists a per-wave BAND
+        #: registry in the parallel ``<state>_anchors`` table (doc_id +
+        #: band key columns + their xxhash64 ``bh``, hash-prefix-
+        #: partitioned by ``b = pmod(bh, n_hash_buckets)``), and later
+        #: batches band-join against it instead of re-expanding the
+        #: full state's bands each batch. With a cap, each wave keeps
+        #: at most ``bucket_cap`` ANCHOR docs per band key (first by
+        #: doc_id — deterministic). Per-batch join fan-out per hot key
         #: drops from O(corpus-bucket) to O(cap x live_waves) while
         #: every bucket member stays reachable for clustering: a doc
         #: links to its wave's anchors via the (batch-bounded)
@@ -172,8 +194,14 @@ class IncrementalNearDedup:
         #: kernel refuses to run capped against a state table with
         #: waves that have no anchors.
         self.bucket_cap = bucket_cap
+        #: band-registry bucket-directory count: ``b = pmod(bh, N)`` is
+        #: PERSISTED in wave layouts, so N is immutable for the life of
+        #: the table (guarded by the ``_layout.json`` sidecar — a
+        #: mismatched modulus would prune away matching buckets)
+        self.n_hash_buckets = n_hash_buckets
         self.anchors_path = state_path.rstrip("/") + "_anchors"
         self._anchors_checked = False
+        self._layout_checked = False
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
         self._bloom = WaveBloomIndex(
@@ -210,44 +238,46 @@ class IncrementalNearDedup:
     def _check_anchor_parity(
         self, spark: SparkSession, batch_id: int
     ) -> None:
-        """Refuse to run capped against state waves with no anchors —
-        silently skipping their collisions would be a wrong answer, not
-        a slow one. One partition-discovery listing, first capped batch
-        with prior state only. The current batch's wave is excluded: on
-        a crash replay its state dir may exist with the anchors write
-        still pending (the kernel re-writes both)."""
+        """Refuse to run against state waves with no band-registry wave
+        — silently skipping their collisions would be a wrong answer,
+        not a slow one. Two driver directory listings, first batch with
+        prior state only (an EMPTY band wave leaves its ``w=`` directory
+        with a ``_SUCCESS`` marker and no data files, so listings — not
+        parquet reads — are the 1:1 evidence). The current batch's wave
+        is excluded: on a crash replay its state dir may exist with the
+        band write still pending (the kernel re-writes both)."""
         if self._anchors_checked:
             return
         state_waves = set(self._bloom.wave_ids(exclude=batch_id))
         anchor_waves: set[int] = set()
-        if table_exists(spark, self.anchors_path):
-            anchor_waves = {
-                r.w
-                for r in spark.read.parquet(self.anchors_path)
-                .select("w")
-                .distinct()
-                .collect()
-            }
+        if os.path.isdir(self.anchors_path):
+            for name in os.listdir(self.anchors_path):
+                if name.startswith("w="):
+                    try:
+                        anchor_waves.add(int(name[2:]))
+                    except ValueError:
+                        continue
         missing = state_waves - anchor_waves
         if missing:
             raise RuntimeError(
-                f"bucket_cap={self.bucket_cap} but state waves "
-                f"{sorted(missing)} have no anchor partitions — enable "
-                "the cap from the table's first wave, or call "
-                "rebuild_anchors(spark) once to derive them"
+                f"state waves {sorted(missing)} have no band-registry "
+                "partitions (pre-band-table state, or anchors lost) — "
+                "call rebuild_anchors(spark) once to derive them"
             )
         self._anchors_checked = True
 
     def rebuild_anchors(self, spark: SparkSession) -> None:
-        """Derive the anchors table for every existing state wave (one
-        band expansion + rank per wave). For enabling ``bucket_cap`` on
-        a pre-existing uncapped table, and called by ``compact()`` to
-        re-anchor the coalesced wave."""
-        if self.bucket_cap is None:
-            raise RuntimeError("rebuild_anchors requires bucket_cap")
+        """Derive the band registry for every existing state wave (one
+        band expansion — plus the anchor rank, when capped — per wave).
+        For migrating a pre-band-table state, changing ``bucket_cap``,
+        and called by ``compact()`` to re-band the coalesced wave. The
+        rebuilt table gets a fresh ``_layout.json`` recording THIS
+        kernel's knobs."""
         import shutil
 
         shutil.rmtree(self.anchors_path, ignore_errors=True)
+        self._layout_checked = False
+        self._ensure_band_layout()
         for w in self._bloom.wave_ids():
             wave_dir = f"{self.state_path}/w={w}"
             if not table_exists(spark, wave_dir):
@@ -255,10 +285,85 @@ class IncrementalNearDedup:
             bands = band_rows(
                 spark.read.parquet(wave_dir).select(*_SIG_COLS)
             )
-            self._anchor_wave(bands).write.mode("overwrite").parquet(
-                f"{self.anchors_path}/w={w}"
-            )
+            self._write_band_wave(bands, f"{self.anchors_path}/w={w}")
         self._anchors_checked = False
+
+    def _ensure_band_layout(self) -> None:
+        """First-write records / later opens validate the band
+        registry's immutable layout knobs (``_layout.json`` sidecar —
+        see maintenance.ensure_layout): a restart with a different
+        bucket modulus would partition-prune away matching band rows
+        (missed duplicates), and a different ``bucket_cap`` would mix
+        anchor semantics across waves. Changing either requires
+        ``rebuild_anchors``."""
+        if self._layout_checked:
+            return
+        ensure_layout(
+            self.anchors_path,
+            n=self.n,
+            n_hash_buckets=self.n_hash_buckets,
+            bucket_cap=self.bucket_cap,
+        )
+        self._layout_checked = True
+
+    def _write_band_wave(self, bands: DataFrame, band_dir: str) -> None:
+        """One band-registry wave: ``(doc_id, band key cols, bh)``
+        hash-prefix-partitioned by ``b = pmod(bh, n_hash_buckets)`` —
+        the substring/chunk registries' layout, so the cross-batch
+        probe prunes untouched bucket directories. In capped mode only
+        the first-``bucket_cap`` anchors per band key are kept; any key
+        present in the wave keeps >= 1 row, so the wave's DISTINCT key
+        set (what the Bloom bitmap and partition prune need) is intact.
+        Repartition on b first so each bucket directory gets one file
+        instead of one per task."""
+        if self.bucket_cap is not None:
+            bands = self._anchor_wave(bands)
+        (
+            bands.withColumn("bh", F.xxhash64(*_BAND_KEYS))
+            .withColumn(
+                "b", F.pmod(F.col("bh"), F.lit(self.n_hash_buckets))
+            )
+            .repartition(self.n_hash_buckets, F.col("b"))
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(band_dir)
+        )
+
+    def _band_keys_local(self, spark: SparkSession, band_dir: str):
+        """The wave's unique band-key hashes, read COLUMNAR AND
+        DRIVER-LOCAL from the just-written band wave (pyarrow over the
+        8-byte ``bh`` column) — the Bloom-build + probe keys without
+        the extra Spark job the old per-wave ``collect_keys`` paid.
+        Falls back to the bounded Spark collect when the state root
+        isn't driver-readable (object-store deployments). Returns None
+        past BLOOM_PROBE_CAP (callers skip pruning AND the sidecar —
+        conservative, correct)."""
+        import glob as _glob
+
+        import numpy as np
+
+        try:
+            if not os.path.isdir(band_dir):
+                raise OSError(band_dir)
+            files = _glob.glob(
+                os.path.join(band_dir, "**", "*.parquet"), recursive=True
+            )
+            if not files:  # empty wave: nothing to probe, zero bitmap
+                return np.array([], dtype=np.int64)
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(files, format="parquet").to_table(
+                columns=["bh"]
+            )
+        except Exception:
+            return self._bloom.collect_keys(
+                spark.read.parquet(band_dir).select("bh"), "bh"
+            )
+        if tbl.num_rows > BLOOM_PROBE_CAP:
+            return None
+        return np.unique(
+            tbl.column("bh").to_numpy(zero_copy_only=False)
+        )
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -311,10 +416,11 @@ class IncrementalNearDedup:
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
             )
         )
-        if self.bucket_cap is not None:
-            # re-anchor the coalesced wave: merged-wave anchors are the
-            # first-cap docs per band key ACROSS the compacted docs
-            self.rebuild_anchors(spark)
+        # re-band the coalesced wave (both modes — the band registry's
+        # wave set must stay 1:1 with the state's); in capped mode the
+        # merged wave's anchors are the first-cap docs per band key
+        # ACROSS the compacted docs
+        self.rebuild_anchors(spark)
         return out
 
     # -- the kernel -------------------------------------------------------
@@ -326,8 +432,11 @@ class IncrementalNearDedup:
             return
         spark = batch_df.sparkSession
         batch = batch_df
+        self._ensure_band_layout()
         had_state = self._state_exists(spark)
-        if had_state and self.bucket_cap is not None:
+        if had_state:
+            # the band registry is load-bearing in BOTH modes now (the
+            # cross probe joins it instead of re-expanding state bands)
             self._check_anchor_parity(spark, batch_id)
         if had_state:
             # BatchWatermark only guards post-commit replays: a doc_id
@@ -368,16 +477,14 @@ class IncrementalNearDedup:
         # parquet count() is footer-metadata only — a near-free emptiness
         # check (an empty or fully-redelivered batch just marks the mark)
         new_state = spark.read.parquet(wave_dir)
+        band_dir = f"{self.anchors_path}/w={batch_id}"
         if new_state.count() == 0:
-            if self.bucket_cap is not None:
-                # empty anchors wave keeps the state/anchors wave sets
-                # 1:1 (the parity guard treats a missing wave as data
-                # loss, not emptiness)
-                self._anchor_wave(
-                    band_rows(new_state.select(*_SIG_COLS))
-                ).write.mode("overwrite").parquet(
-                    f"{self.anchors_path}/w={batch_id}"
-                )
+            # empty band wave keeps the state/band wave sets 1:1 (the
+            # parity guard treats a missing wave as data loss, not
+            # emptiness; zero rows leave just the directory + marker)
+            self._write_band_wave(
+                band_rows(new_state.select(*_SIG_COLS)), band_dir
+            )
             if self.bloom_bits:
                 # zero bitmap: future probes prune the empty wave
                 import numpy as np
@@ -390,31 +497,28 @@ class IncrementalNearDedup:
             return
 
         new_bands = band_rows(new_state.select(*_SIG_COLS))
+        # persist this wave's band rows (capped mode: first-cap anchors
+        # per band key) for future batches' cross joins — a batch-local
+        # write, idempotent per-wave overwrite like the state. The write
+        # doubles as the Bloom/probe-key materialization: the band-key
+        # hashes come back COLUMNAR AND DRIVER-LOCAL from the written
+        # files (pyarrow over ``bh``) — no separate Spark collect job.
+        self._write_band_wave(new_bands, band_dir)
         # per-wave band-key Bloom sidecar: the collision probe below only
         # scans waves whose bitmap may contain one of THIS batch's band
         # keys — exactly the no-possible-collision pruning an append-only
         # band table wants (a pruned wave can contribute no candidate,
         # so excluding it from the band join AND the shingle lookup is
-        # exact). One bounded collect over the wave read-back — GATED on
-        # wave count: with only a handful of live waves the prune cannot
-        # beat the per-batch collect + bitmap overhead (measured +40% on
-        # the 4-wave bench, VERDICT r5 item 5); waves written while
-        # gated are lazily backfilled by WaveBloomIndex once the table
-        # crosses the threshold.
+        # exact). GATED on wave count: with only a handful of live waves
+        # the prune cannot beat the per-batch bitmap overhead (measured
+        # +40% on the 4-wave bench, VERDICT r5 item 5); waves written
+        # while gated are lazily backfilled by WaveBloomIndex once the
+        # table crosses the threshold.
         band_h = None
         if self._bloom.probe_active(exclude=batch_id):
-            band_h = self._bloom.collect_keys(
-                new_bands.select(F.xxhash64(*_BAND_KEYS).alias("bh")), "bh"
-            )
+            band_h = self._band_keys_local(spark, band_dir)
         if band_h is not None:
             self._bloom.save_wave(wave_dir, band_h)
-        if self.bucket_cap is not None:
-            # persist this wave's anchors (first-cap docs per band key)
-            # for future batches' cross joins — a batch-local window +
-            # small write, idempotent per-wave overwrite like the state
-            self._anchor_wave(new_bands).write.mode("overwrite").parquet(
-                f"{self.anchors_path}/w={batch_id}"
-            )
 
         # within-batch collisions, canonical doc1 < doc2
         a, b = new_bands.alias("a"), new_bands.alias("b")
@@ -443,22 +547,32 @@ class IncrementalNearDedup:
             if old is not None:
                 old = old.drop("w")
         if old is not None:
-            if self.bucket_cap is None:
-                # column pruning: this scan reads doc_id + mh* only,
-                # never the shingle arrays; the w-filter prunes this
-                # wave's directory at the file listing
-                old_bands = band_rows(old.select(*_SIG_COLS)).alias("o")
-            else:
-                # capped mode: join against the persisted per-wave
-                # anchors — already band-exploded AND bounded to
-                # bucket_cap rows per band key per wave, so a hot key
-                # meets O(cap x live_waves) rows, never the corpus bucket
-                ob = spark.read.parquet(self.anchors_path).filter(
-                    F.col("w") != batch_id
-                )
-                if kept is not None:
-                    ob = ob.filter(F.col("w").isin(kept))
-                old_bands = ob.drop("w").alias("o")
+            # join against the persisted band registry — already
+            # band-exploded (history is never re-banded), bounded to
+            # bucket_cap rows per band key per wave when capped (a hot
+            # key meets O(cap x live_waves) rows, never the corpus
+            # bucket). Scan pruning, cheapest first: Bloom-rejected
+            # waves, then untouched hash-prefix bucket directories
+            # (b = pmod(bh, N) partition pruning — the substring/chunk
+            # registries' probe shape), then column pruning to the
+            # doc_id + band key columns.
+            ob = spark.read.parquet(self.anchors_path).filter(
+                F.col("w") != batch_id
+            )
+            if kept is not None:
+                ob = ob.filter(F.col("w").isin(kept))
+            # bucket pruning from the wave's own partition LISTING
+            # (free — no job, no collect), so it engages even while the
+            # Bloom machinery is gated by min_waves: a bucket directory
+            # this batch didn't touch cannot contain a colliding band
+            touched_b = [
+                int(name[2:])
+                for name in os.listdir(band_dir)
+                if name.startswith("b=")
+            ]
+            if len(touched_b) < self.n_hash_buckets:
+                ob = ob.filter(F.col("b").isin(touched_b))
+            old_bands = ob.select("doc_id", *_BAND_KEYS).alias("o")
             nb = new_bands.alias("n")
             # != guard in _CROSS_COND: belt-and-braces with the anti-join
             # above — a self-collision would emit a (doc, doc, 1.0) pair

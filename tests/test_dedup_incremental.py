@@ -333,8 +333,10 @@ def test_bucket_cap_bounds_cross_join_and_keeps_connectivity(spark, tmp_path):
 
 def test_bucket_cap_parity_guard_refuses_uncapped_state(spark, tmp_path):
     """Enabling the cap against a pre-existing uncapped state table must
-    fail loudly (silent anchor-less waves would skip collisions), and
-    rebuild_anchors must cure it."""
+    fail loudly — mixed anchor semantics across waves would silently
+    change which collisions are reachable — and rebuild_anchors must
+    cure it by re-deriving the band registry under the new knobs. The
+    band registry's _layout.json sidecar carries the refusal."""
     import pytest
 
     docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
@@ -349,10 +351,86 @@ def test_bucket_cap_parity_guard_refuses_uncapped_state(spark, tmp_path):
     plain(docs, 0)
 
     capped = _mk_capped(tmp_path, cap=2)
-    with pytest.raises(RuntimeError, match="no anchor partitions"):
+    with pytest.raises(ValueError, match="layout mismatch"):
         capped(docs.limit(5), 1)
     capped.rebuild_anchors(spark)
     capped(docs.limit(5), 1)  # now runs
+
+
+def test_missing_band_registry_refuses_and_rebuilds(spark, tmp_path):
+    """A state table whose band registry is lost (or predates the band
+    table) must refuse — scanning state without its band waves would
+    silently skip those waves' collisions — and rebuild_anchors cures
+    it from the stored signatures."""
+    import shutil
+
+    import pytest
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_m"),
+        pairs_path=str(tmp_path / "pairs_m"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    dedup(docs, 0)
+    shutil.rmtree(dedup.anchors_path)
+    fresh = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_m"),
+        pairs_path=str(tmp_path / "pairs_m"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    with pytest.raises(RuntimeError, match="band-registry"):
+        fresh(docs.limit(5), 1)
+    fresh.rebuild_anchors(spark)
+    fresh(docs.limit(5), 1)  # now runs (all redelivered: no-op wave)
+
+
+def test_band_registry_is_hash_bucket_partitioned(spark, tmp_path):
+    """The band registry's waves carry b = pmod(bh, n_hash_buckets)
+    bucket directories (the substring/chunk registries' layout), so the
+    cross-batch probe partition-prunes untouched buckets, and the
+    layout sidecar locks the modulus."""
+    import json
+    import os
+
+    import pytest
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_b"),
+        pairs_path=str(tmp_path / "pairs_b"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+        n_hash_buckets=8,
+    )
+    dedup(docs, 0)
+    assert any(
+        name.startswith("b=")
+        for name in os.listdir(os.path.join(dedup.anchors_path, "w=0"))
+    )
+    with open(os.path.join(dedup.anchors_path, "_layout.json")) as fh:
+        assert json.load(fh)["n_hash_buckets"] == 8
+    # a restart with a different modulus would prune with the wrong
+    # b values — refused before any write
+    other = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_b"),
+        pairs_path=str(tmp_path / "pairs_b"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+        n_hash_buckets=32,
+    )
+    with pytest.raises(ValueError, match="n_hash_buckets"):
+        other(docs.limit(5), 1)
 
 
 def test_bucket_cap_compaction_reanchors(spark, tmp_path):

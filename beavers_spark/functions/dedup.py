@@ -738,11 +738,23 @@ def tfidf_cosine_pairs(
     (order-independent under any partition layout); the final cosine
     is one deterministic IEEE divide + sqrt chain.
     """
+    tf = _tfidf_tf(df, text_col, id_col, n_buckets)
+    weighted = _tfidf_weighted(tf)
+    return _tfidf_cos_pairs(weighted, threshold, max_df)
+
+
+def _tfidf_tf(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """The hashed-term-frequency pass: ``(doc_id, bucket, tf)`` —
+    shared by the batch operator and the incremental kernel's per-wave
+    featurize (the registry stores exactly these rows, so accumulated
+    counts are bit-identical to featurizing the union)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     toked = df.repartition(parallelism).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
     )
-    tf = (
+    return (
         toked.select("doc_id", F.explode("tk").alias("token"))
         .select(
             "doc_id",
@@ -753,18 +765,31 @@ def tfidf_cosine_pairs(
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("tf"))
     )
+
+
+def _tfidf_weighted(
+    tf: DataFrame, tf_stats: DataFrame | None = None
+) -> DataFrame:
+    """TF-IDF weights ``(doc_id, bucket, df_b, w)``. Corpus statistics
+    (document frequency per bucket, corpus size) come from ``tf_stats``
+    when given — the incremental kernel weights only the CANDIDATE
+    docs' rows but under the FULL registry's statistics, which is what
+    makes its read-time scoring equal the batch operator on the
+    accumulated corpus."""
+    if tf_stats is None:
+        tf_stats = tf
     # corpus size for idf: a 1-row aggregate cross-joined in (dsir
     # totals pattern) — NOT a separate .count() action, which would
     # re-run the tokenize+md5+groupBy pass a second time. Inside one
     # plan Catalyst's ReuseExchange dedupes the identical tf shuffles,
     # so the feature pass over the corpus runs once per action.
-    n_row = tf.agg(
+    n_row = tf_stats.agg(
         F.coalesce(F.count_distinct("doc_id"), F.lit(0)).alias("n_docs")
     )
-    df_counts = tf.groupBy("bucket").agg(
+    df_counts = tf_stats.groupBy("bucket").agg(
         F.count("*").alias("df_b")
     )
-    weighted = (
+    return (
         tf.join(F.broadcast(df_counts), "bucket")
         .crossJoin(F.broadcast(n_row))
         .select(
@@ -781,6 +806,21 @@ def tfidf_cosine_pairs(
             ).alias("w"),
         )
     )
+
+
+def _tfidf_cos_pairs(
+    weighted: DataFrame,
+    threshold: float,
+    max_df: int,
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """Cosine scoring over the inverted-index join: pairs sharing >= 1
+    live (``df_b <= max_df``) bucket, dot products over live buckets,
+    norms over EVERY bucket, 6 dp cosine, threshold filter. With
+    ``cand``, pair generation is semi-joined to the given ``(doc1,
+    doc2)`` set — the incremental kernel's bounded candidate list; a
+    candidate sharing no live bucket anymore produces no dots row and
+    drops out, exactly as the batch operator never generates it."""
     norms = weighted.groupBy("doc_id").agg(
         F.sum(
             F.round(F.col("w") * F.col("w"), 9).cast("decimal(27,9)")
@@ -796,15 +836,15 @@ def tfidf_cosine_pairs(
     right = postings.select(
         F.col("doc_id").alias("doc2"), "bucket", F.col("w").alias("w2")
     )
-    dots = (
-        left.join(right, "bucket")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(
-            F.sum(
-                F.round(F.col("w1") * F.col("w2"), 9).cast("decimal(27,9)")
-            ).cast("double").alias("dot")
+    joined = left.join(right, "bucket").filter(F.col("doc1") < F.col("doc2"))
+    if cand is not None:
+        joined = joined.join(
+            F.broadcast(cand), ["doc1", "doc2"], "left_semi"
         )
+    dots = joined.groupBy("doc1", "doc2").agg(
+        F.sum(
+            F.round(F.col("w1") * F.col("w2"), 9).cast("decimal(27,9)")
+        ).cast("double").alias("dot")
     )
     n1 = norms.select(F.col("doc_id").alias("doc1"), F.col("n2").alias("n2_1"))
     n2 = norms.select(F.col("doc_id").alias("doc2"), F.col("n2").alias("n2_2"))
@@ -814,8 +854,16 @@ def tfidf_cosine_pairs(
         .select(
             "doc1",
             "doc2",
+            # try_divide: a zero-norm doc (every term at idf 0 — a
+            # corpus of identical docs) has no defined cosine; the null
+            # fails the threshold filter, matching DuckDB's IEEE
+            # NaN-compares-false on the same degenerate input (ANSI
+            # Spark would otherwise hard-error the whole job)
             F.round(
-                F.col("dot") / F.sqrt(F.col("n2_1") * F.col("n2_2")), 6
+                F.try_divide(
+                    F.col("dot"), F.sqrt(F.col("n2_1") * F.col("n2_2"))
+                ),
+                6,
             ).alias("cos"),
         )
     )

@@ -39,6 +39,9 @@ from beavers_spark.streaming.dedup_incremental import (  # noqa: F401
 from beavers_spark.streaming.substring_dedup import (  # noqa: F401
     IncrementalSubstringDedup,
 )
+from beavers_spark.streaming.tfidf_dedup import (  # noqa: F401
+    IncrementalTfidfDedup,
+)
 from beavers_spark.streaming.timers_v2 import (  # noqa: F401
     streaming_timeout_monitor_v2,
 )

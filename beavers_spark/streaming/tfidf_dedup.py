@@ -1,0 +1,311 @@
+"""Incremental TF-IDF cosine near-duplicate detection: the streaming
+twin of ``functions.dedup.tfidf_cosine_pairs`` — new documents are
+checked against the ENTIRE corpus seen so far without re-featurizing
+history, and ``read_pairs`` equals the batch operator on the
+accumulated corpus EXACTLY.
+
+The moving-idf problem and how this kernel sidesteps it: TF-IDF
+weights depend on GLOBAL corpus statistics (document frequency per
+term bucket, corpus size), so any cosine computed mid-stream drifts as
+the corpus grows — an eagerly-emitted pair score can neither be
+trusted later nor equated to any batch quantity. The kernel therefore
+splits the work by what is and isn't stable under corpus growth:
+
+* **per wave (incremental, append-only)**: the batch's hashed-term
+  pass runs over the NEW docs only and lands in a wave-partitioned
+  ``(doc_id, bucket, tf)`` registry — raw counts are growth-stable, so
+  accumulated registry == featurizing the union, bit for bit. The wave
+  then generates CANDIDATE pairs (doc ids only, no scores): new docs'
+  postings joined against the registry's postings on the term bucket,
+  with buckets over ``max_df`` (at current counts) excluded. Document
+  frequency only GROWS, so every pair the batch operator would
+  generate at any later point is already a candidate here — a bucket
+  live in the final corpus was live when the pair's later member
+  arrived. Candidates are a superset; scores are not computed yet.
+* **at read (exact, candidate-bounded)**: ``read_pairs`` scores ONLY
+  the accumulated candidates under the CURRENT full-registry
+  statistics, through the same weighting/scoring code path as the
+  batch operator (``_tfidf_weighted(tf_stats=registry)`` +
+  ``_tfidf_cos_pairs(cand=...)``). Candidates whose every shared
+  bucket has since gone over ``max_df`` drop out in the dots join —
+  exactly the pairs batch would never generate — so the result set,
+  scores included, equals ``tfidf_cosine_pairs`` on the union.
+
+Cost shape at 100 TB: per wave O(batch + candidates) — the registry
+side of the candidate join is partition-pruned to the wave's touched
+hash-prefix buckets (``b = pmod(bucket, n_hash_buckets)`` directories,
+the substring/chunk registries' layout) and postings-pruned by
+``max_df``; read-time scoring scans the registry once for the (4096-
+row) df aggregate and touches full postings only for candidate docs
+(broadcast semi-join). History is never re-tokenized.
+
+Reference parity: composes the reference's state-node semantics
+(beavers dag.py:501-518 — durable value folded per cycle) with its
+live-driver loop (kafka.py:534-544); the reference has no TF-IDF
+surface itself (README.md:43-50 scope).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.dedup import (
+    _tfidf_cos_pairs,
+    _tfidf_tf,
+    _tfidf_weighted,
+)
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    WaveMetrics,
+    ensure_layout,
+    partition_stats,
+    seen_anti_join,
+    table_exists,
+)
+
+
+class IncrementalTfidfDedup:
+    """``foreachBatch`` callable maintaining the term registry and the
+    candidate-pair table.
+
+    ::
+
+        dedup = IncrementalTfidfDedup(state_path, cand_path,
+                                      text_col="text", id_col="doc_id")
+        stream.writeStream.foreachBatch(dedup).start()
+        ...
+        pairs = dedup.read_pairs(spark)   # == batch tfidf_cosine_pairs
+
+    ``threshold`` is read-time only (re-readable under a different
+    bar); ``n_buckets`` / ``max_df`` / ``n_hash_buckets`` shape what
+    the registry and candidate table STORE and are immutable for the
+    life of the state (guarded by the ``_layout.json`` sidecar).
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        cand_path: str,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.8,
+        n_buckets: int = 4096,
+        max_df: int = 64,
+        n_hash_buckets: int = 16,
+    ) -> None:
+        self.state_path = state_path
+        self.cand_path = cand_path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.n_buckets = n_buckets
+        self.max_df = max_df
+        self.n_hash_buckets = n_hash_buckets
+        self._has_state = False
+        self._layout_checked = False
+        self._watermark = BatchWatermark(state_path)
+        #: one WaveMetrics per applied wave over the wave's registry
+        #: directory (bytes appended + file count — the compaction-due
+        #: signal)
+        self.metrics: list[WaveMetrics] = []
+
+    # -- state access -----------------------------------------------------
+    def _state_exists(self, spark: SparkSession) -> bool:
+        if self._has_state:
+            return True
+        if table_exists(spark, self.state_path):
+            self._has_state = True
+            return True
+        return False
+
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """Accumulated term counts ``(doc_id, bucket, tf)`` (the wave
+        ``w`` and hash-prefix ``b`` columns are storage details)."""
+        return spark.read.parquet(self.state_path).select(
+            "doc_id", "bucket", "tf"
+        )
+
+    def read_candidates(self, spark: SparkSession) -> DataFrame:
+        """Accumulated candidate pairs ``(doc1, doc2)`` — ids only,
+        unscored (scores depend on corpus statistics that move)."""
+        return (
+            spark.read.parquet(self.cand_path)
+            .select("doc1", "doc2")
+            .distinct()
+        )
+
+    def read_pairs(self, spark: SparkSession) -> DataFrame:
+        """Near-dup pairs ``(doc1, doc2, cos)`` under the CURRENT
+        accumulated corpus — equal to ``tfidf_cosine_pairs`` on the
+        union of every batch so far (scores included). Scoring is
+        candidate-bounded: the registry is scanned once for the
+        bucket-df aggregate and postings are fetched only for candidate
+        docs."""
+        reg = self.read_state(spark)
+        cand = self.read_candidates(spark)
+        ids = (
+            cand.select(F.col("doc1").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc2").alias("doc_id")))
+            .distinct()
+        )
+        tf_c = reg.join(F.broadcast(ids), "doc_id", "left_semi")
+        weighted = _tfidf_weighted(tf_c, tf_stats=reg)
+        return _tfidf_cos_pairs(
+            weighted, self.threshold, self.max_df, cand=cand
+        )
+
+    def _ensure_layout(self) -> None:
+        """First-write records / later opens validate the immutable
+        storage knobs: a different ``n_buckets`` changes every stored
+        bucket id, a different ``n_hash_buckets`` partition-prunes with
+        the wrong modulus, and a LOWER ``max_df`` cannot retroactively
+        un-generate candidates (nor a higher one resurrect the pairs
+        earlier waves skipped) — all three silently corrupt results
+        rather than erroring, so they are locked to the table."""
+        if self._layout_checked:
+            return
+        ensure_layout(
+            self.state_path,
+            n_buckets=self.n_buckets,
+            max_df=self.max_df,
+            n_hash_buckets=self.n_hash_buckets,
+        )
+        self._layout_checked = True
+
+    # -- the kernel -------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._watermark.is_applied(batch_id):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df
+        self._ensure_layout()
+        if self._state_exists(spark):
+            # redelivered doc ids would double their tf rows in every
+            # future statistic; the probe reads the id column only,
+            # excluding this wave's own half-committed directory
+            # (crash-replay safety), broadcast semi/anti so the
+            # registry is never shuffled
+            seen = (
+                spark.read.parquet(self.state_path)
+                .filter(F.col("w") != batch_id)
+                .select(F.col("doc_id").alias(self.id_col))
+            )
+            batch = seen_anti_join(
+                batch, seen, self.id_col, seen_id=self.id_col
+            )
+
+        # the batch's hashed-term pass (the same _tfidf_tf the batch
+        # operator runs) lands as this wave's registry partition,
+        # hash-prefix-bucketed by b = pmod(bucket, N) — repartition on
+        # b first so each bucket directory gets one file. The write is
+        # the batch's one materialization barrier: candidate generation
+        # reads the columnar result back.
+        wave_dir = f"{self.state_path}/w={batch_id}"
+        (
+            _tfidf_tf(batch, self.text_col, self.id_col, self.n_buckets)
+            .withColumn(
+                "b", F.pmod(F.col("bucket"), F.lit(self.n_hash_buckets))
+            )
+            .repartition(self.n_hash_buckets, F.col("b"))
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(wave_dir)
+        )
+        self._has_state = True
+
+        cand_dir = f"{self.cand_path}/w={batch_id}"
+        # touched hash-prefix buckets, from the wave's partition
+        # DIRECTORIES (driver listing — no job): the registry side of
+        # the candidate join prunes to these directories. An empty or
+        # fully-redelivered batch leaves NO b= directories (and no data
+        # files — the wave must not be read back), so this listing is
+        # also the emptiness check.
+        touched = [
+            int(name[2:])
+            for name in os.listdir(wave_dir)
+            if name.startswith("b=")
+        ]
+        if not touched:
+            # empty candidate wave keeps read_candidates valid from
+            # batch 0 and the wave sets 1:1; doc type comes from the
+            # BATCH (a hardcoded long would break string-keyed corpora
+            # — the chunk_dedup lesson)
+            batch.select(
+                F.col(self.id_col).alias("doc1"),
+                F.col(self.id_col).alias("doc2"),
+            ).limit(0).write.mode("overwrite").parquet(cand_dir)
+            self._record_wave(spark, batch_id, wave_dir)
+            self._watermark.mark(batch_id)
+            return
+        new_tf = spark.read.parquet(wave_dir)
+
+        # candidate generation: new docs' postings x registry postings
+        # on the term bucket, under the CURRENT df cap. df only grows,
+        # so every pair the batch operator would generate against the
+        # final corpus is generated here in its later member's wave;
+        # read-time scoring drops the extras (module docstring). The
+        # registry scan is partition-pruned to touched b directories
+        # and column-pruned to (doc_id, bucket).
+        reg_touched = spark.read.parquet(self.state_path).filter(
+            F.col("b").isin(touched)
+        )
+        df_live = (
+            reg_touched.groupBy("bucket")
+            .agg(F.count("*").alias("df_b"))
+            .filter(F.col("df_b") <= self.max_df)
+            .select("bucket")
+        )
+        left = new_tf.join(F.broadcast(df_live), "bucket").select(
+            F.col("doc_id").alias("d1"), "bucket"
+        )
+        right = reg_touched.join(F.broadcast(df_live), "bucket").select(
+            F.col("doc_id").alias("d2"), "bucket"
+        )
+        cand = (
+            left.join(right, "bucket")
+            .filter(F.col("d1") != F.col("d2"))
+            .select(
+                F.least("d1", "d2").alias("doc1"),
+                F.greatest("d1", "d2").alias("doc2"),
+            )
+            .distinct()
+        )
+        # per-wave overwrite (idempotent under a crash between this
+        # write and the mark); a candidate generated in several waves
+        # dedupes in read_candidates
+        cand.write.mode("overwrite").parquet(cand_dir)
+        self._record_wave(spark, batch_id, wave_dir)
+        self._watermark.mark(batch_id)
+
+    def _record_wave(
+        self, spark: SparkSession, batch_id: int, wave_dir: str
+    ) -> None:
+        files, nbytes, mx = partition_stats(spark, [wave_dir])
+        self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))
+
+    def compact(self, spark: SparkSession) -> int:
+        """Coalesce all wave partitions into single ``w=-1`` directories
+        (registry keeps its ``b`` sub-partitioning; candidates also
+        dedupe); returns the registry's post-compaction file count.
+        Raw tf counts and candidate ids are both growth-stable, so
+        compaction is a pure layout rewrite — no re-weighting is needed
+        because the kernel never persists weights (module docstring)."""
+        from beavers_spark.streaming.maintenance import compact_parquet
+
+        compact_parquet(
+            spark,
+            self.cand_path,
+            partition_by="w",
+            transform=lambda df: df.dropDuplicates(
+                ["doc1", "doc2"]
+            ).withColumn("w", F.lit(-1)),
+        )
+        return compact_parquet(
+            spark,
+            self.state_path,
+            partition_by=["w", "b"],
+            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        )

@@ -555,3 +555,19 @@ def test_tfidf_cosine_pairs_weighting_and_prune(spark):
         ).collect()
     }
     assert again == pairs
+
+
+def test_tfidf_cosine_pairs_degenerate_identical_corpus(spark):
+    # a corpus of identical docs puts every term at idf 0: all weights
+    # and norms are 0 and no cosine is defined — the operator must
+    # return empty, not raise ANSI DIVIDE_BY_ZERO (found by the
+    # incremental twin's wave-0 read)
+    from beavers_spark.functions.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "same text every time") for i in range(3)],
+        "doc_id long, text string",
+    )
+    assert tfidf_cosine_pairs(
+        docs, "text", "doc_id", threshold=0.1
+    ).count() == 0

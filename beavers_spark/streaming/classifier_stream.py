@@ -105,6 +105,10 @@ class IncrementalQualityClassifier:
         self.lr = lr
         self.refit_every = refit_every
         self.max_refit_docs = max_refit_docs
+        #: refits performed by this instance (observability: with
+        #: ``refit_every=N`` the bench/operator can verify the cadence
+        #: actually held)
+        self.refit_count = 0
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
 
@@ -243,6 +247,7 @@ class IncrementalQualityClassifier:
                 lr=self.lr,
             )
             fitted.write.mode("overwrite").parquet(self.model_path)
+            self.refit_count += 1
         finally:
             doc_tf.unpersist(blocking=True)
             labels.unpersist(blocking=True)

@@ -100,7 +100,25 @@ ANALYTICS = [
 _WAVES = 4
 
 
-def _inc_keyed_state(spark, sf_dir: str, workdir: str) -> int:
+def _kernel_metrics(waves=None, probes=None, **extra) -> dict:
+    """Summarize a kernel's WaveMetrics / ProbeMetrics lists into the
+    per-scenario counters the BENCH json records (VERDICT r6 item 8:
+    regressions should be diagnosable from artifacts alone — a timing
+    uptick with unchanged wave/probe counters points at the machine,
+    one with changed counters points at the plan)."""
+    out = dict(extra)
+    if waves is not None:
+        out["waves"] = len(waves)
+        out["state_files"] = sum(m.files for m in waves)
+        out["state_bytes"] = sum(m.bytes for m in waves)
+    if probes is not None:
+        out["probe_batches"] = len(probes)
+        out["probe_waves_total"] = sum(p.waves_total for p in probes)
+        out["probe_waves_scanned"] = sum(p.waves_scanned for p in probes)
+    return out
+
+
+def _inc_keyed_state(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """100k event upserts -> latest-row-per-user durable state, fed in
     event-stream waves (KeyedStateTable merge path: touched-bucket
     partition-pruned read + dynamic-partition overwrite per wave)."""
@@ -120,10 +138,10 @@ def _inc_keyed_state(spark, sf_dir: str, workdir: str) -> int:
     events = t(spark, sf_dir, "events")
     for i in range(_WAVES):
         state(events.filter(F.pmod("event_id", F.lit(_WAVES)) == i), i)
-    return state.read(spark).count()
+    return state.read(spark).count(), _kernel_metrics(waves=state.metrics)
 
 
-def _inc_near_dedup(spark, sf_dir: str, workdir: str) -> int:
+def _inc_near_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """documents fed in waves through IncrementalNearDedup: per wave, a
     new-vs-new plus new-vs-state band join emits only pairs touching the
     wave (O(batch + candidates), never a corpus rescan)."""
@@ -140,10 +158,12 @@ def _inc_near_dedup(spark, sf_dir: str, workdir: str) -> int:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     for i in range(_WAVES):
         dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
-    return dedup.read_pairs(spark).count()
+    return dedup.read_pairs(spark).count(), _kernel_metrics(
+        waves=dedup.metrics, probes=dedup.probe_metrics
+    )
 
 
-def _inc_ivf_index(spark, sf_dir: str, workdir: str) -> int:
+def _inc_ivf_index(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """embeddings ingested in waves into the cell-partitioned IVF index
     (wave 0 trains the quantizer), then a 100-query top-10 probe search
     over the built index."""
@@ -157,10 +177,12 @@ def _inc_ivf_index(spark, sf_dir: str, workdir: str) -> int:
     for i in range(_WAVES):
         index(vecs.filter(F.pmod("vec_id", F.lit(_WAVES)) == i), i)
     queries = vecs.filter(F.col("vec_id") < 100)
-    return index.search(queries, k=10, n_probe=4).count()
+    return index.search(queries, k=10, n_probe=4).count(), _kernel_metrics(
+        waves_ingested=_WAVES
+    )
 
 
-def _inc_ivfpq_index(spark, sf_dir: str, workdir: str) -> int:
+def _inc_ivfpq_index(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """embeddings ingested in waves into the cell-partitioned IVF-PQ
     index (wave 0 trains coarse quantizer + PQ codebooks from one shared
     sample; every row stores cell, m codes, and the raw vector), then a
@@ -176,10 +198,13 @@ def _inc_ivfpq_index(spark, sf_dir: str, workdir: str) -> int:
     for i in range(_WAVES):
         index(vecs.filter(F.pmod("vec_id", F.lit(_WAVES)) == i), i)
     queries = vecs.filter(F.col("vec_id") < 100)
-    return index.search(queries, k=10, n_probe=4, refine=16).count()
+    return (
+        index.search(queries, k=10, n_probe=4, refine=16).count(),
+        _kernel_metrics(waves_ingested=_WAVES),
+    )
 
 
-def _inc_clusters(spark, sf_dir: str, workdir: str) -> int:
+def _inc_clusters(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """near-dup pairs streamed in waves through IncrementalClusters: per
     wave, components run over the touched subgraph only (driver-side
     union-find under the edge cap) and merged labels propagate via the
@@ -205,12 +230,14 @@ def _inc_clusters(spark, sf_dir: str, workdir: str) -> int:
         )
         for i in range(_WAVES):
             clusters(pairs.filter(F.pmod("doc1", F.lit(_WAVES)) == i), i)
-        return clusters.read_clusters(spark).count()
+        return clusters.read_clusters(spark).count(), _kernel_metrics(
+            waves_ingested=_WAVES
+        )
     finally:
         pairs.unpersist(blocking=True)
 
 
-def _inc_chunk_dedup(spark, sf_dir: str, workdir: str) -> int:
+def _inc_chunk_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """documents fed in waves through IncrementalChunkDedup: per wave,
     segment + hash the batch only, broadcast-probe the hash registry,
     append the reassembled survivors. A mid-stream ``compact()`` after
@@ -240,10 +267,12 @@ def _inc_chunk_dedup(spark, sf_dir: str, workdir: str) -> int:
                 file=sys.stderr,
             )
             assert after <= before
-    return dedup.read_kept(spark).count()
+    return dedup.read_kept(spark).count(), _kernel_metrics(
+        probes=dedup.probe_metrics, compactions=1
+    )
 
 
-def _inc_substring_dedup(spark, sf_dir: str, workdir: str) -> int:
+def _inc_substring_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """documents fed in waves through IncrementalSubstringDedup: per
     wave, new docs' stride-1 span hashes probe the append-only registry
     (8-byte column scan) and duplicate token ranges are emitted for the
@@ -261,10 +290,12 @@ def _inc_substring_dedup(spark, sf_dir: str, workdir: str) -> int:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     for i in range(_WAVES):
         dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
-    return dedup.read_dup_ranges(spark).count()
+    return dedup.read_dup_ranges(spark).count(), _kernel_metrics(
+        waves=dedup.metrics, probes=dedup.probe_metrics
+    )
 
 
-def _inc_classifier(spark, sf_dir: str, workdir: str) -> int:
+def _inc_classifier(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """labeled documents fed in waves through
     IncrementalQualityClassifier: per wave, featurize the batch only
     (wave-partitioned registry) and refit the 2-step GD model from the
@@ -272,11 +303,17 @@ def _inc_classifier(spark, sf_dir: str, workdir: str) -> int:
     from beavers_spark.plans.common import t
     from beavers_spark.streaming import IncrementalQualityClassifier
 
+    # refit_every=2: the realistic configuration for a growing stream —
+    # waves 0 and 2 refit, waves 1 and 3 only ingest (the model is at
+    # most one wave stale; see classifier_stream.py's staleness
+    # contract). The scenario therefore times 4 ingests + 2 refits,
+    # bounding the one cost that grew with accumulated stream length.
     clf = IncrementalQualityClassifier(
         os.path.join(workdir, "state"),
         label_col="is_target",
         text_col="text",
         id_col="doc_id",
+        refit_every=2,
     )
     docs = (
         t(spark, sf_dir, "documents")
@@ -287,7 +324,33 @@ def _inc_classifier(spark, sf_dir: str, workdir: str) -> int:
     )
     for i in range(_WAVES):
         clf(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
-    return clf.model(spark).count()
+    return clf.model(spark).count(), _kernel_metrics(
+        waves_ingested=_WAVES, refits=clf.refit_count
+    )
+
+
+def _inc_tfidf_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
+    """documents fed in waves through IncrementalTfidfDedup: per wave,
+    featurize the batch only and generate candidate pairs against the
+    bucket-pruned term registry; the timed read_pairs at the end scores
+    the accumulated candidates under the final corpus statistics —
+    exactly the batch tfidf_cosine_pairs result."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalTfidfDedup
+
+    dedup = IncrementalTfidfDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "cand"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.8,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(_WAVES):
+        dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+    return dedup.read_pairs(spark).count(), _kernel_metrics(
+        waves=dedup.metrics
+    )
 
 
 #: durable incremental-state scenarios (VERDICT r1 item 10) — timed as
@@ -302,12 +365,24 @@ INCREMENTAL = [
     ("inc_chunk_dedup", _inc_chunk_dedup),
     ("inc_substring_dedup", _inc_substring_dedup),
     ("inc_classifier", _inc_classifier),
+    ("inc_tfidf_dedup", _inc_tfidf_dedup),
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # isolation re-times (VERDICT r6 item 2): SPARK_GRAFT_ONLY=a,b runs
+    # just those entries, each tier still in its own fresh session —
+    # the adjudication tool for upticks the per-rep record can't settle
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s
+    }
+    headline = [n for n in HEADLINE if not only or n in only]
+    analytics = [n for n in ANALYTICS if not only or n in only]
+    incremental = [
+        (n, f) for n, f in INCREMENTAL if not only or n in only
+    ]
     from beavers_spark.plans import QUERIES
 
     def _warm(s) -> None:
@@ -324,6 +399,13 @@ def main() -> None:
     _warm(spark)
 
     per_query: dict[str, float] = {}
+    #: every repetition's wall time, in run order (first = cold): the
+    #: adjudication record for timing upticks — a single recorded min
+    #: per scenario made load noise indistinguishable from real
+    #: regressions (VERDICT r6 item 2)
+    per_reps: dict[str, list[float]] = {}
+    #: per-scenario kernel counters (waves, probe prunes, compactions)
+    per_metrics: dict[str, dict] = {}
     total = 0.0
     cold_total = 0.0
     cold_full = 0.0
@@ -340,6 +422,7 @@ def main() -> None:
                 times.append(time.perf_counter() - start)
             cold, warm = times[0], min(times[1:])
             per_query[name] = round(warm, 3)
+            per_reps[name] = [round(x, 3) for x in times]
             total += warm
             cold_full += cold
             if name in HEADLINE:
@@ -355,7 +438,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    run_tier(HEADLINE)
+    run_tier(headline)
 
     # analytics-tier session isolation (VERDICT r5 item 2): the tier
     # runs right after the heavyweight substring/PQ entries, where
@@ -365,7 +448,7 @@ def main() -> None:
     spark.stop()
     spark = get_spark("beavers_spark_bench_analytics")
     _warm(spark)
-    run_tier(ANALYTICS)
+    run_tier(analytics)
     import gc
 
     # state-tier session isolation (VERDICT r4 item 7): the inc_*
@@ -378,8 +461,9 @@ def main() -> None:
     spark = get_spark("beavers_spark_bench_state")
     _warm(spark)
 
-    for name, scenario in INCREMENTAL:
+    for name, scenario in incremental:
         times = []
+        scen_metrics: dict = {}
         for _ in range(2):
             # the state scenarios localCheckpoint per wave; dropping the
             # Python references and forcing a GC lets the ContextCleaner
@@ -391,10 +475,12 @@ def main() -> None:
             spark.catalog.clearCache()
             with tempfile.TemporaryDirectory() as workdir:
                 start = time.perf_counter()
-                n = scenario(spark, sf_dir, workdir)
+                n, scen_metrics = scenario(spark, sf_dir, workdir)
                 times.append(time.perf_counter() - start)
         cold, warm = times[0], min(times[1:])
         per_query[name] = round(warm, 3)
+        per_reps[name] = [round(x, 3) for x in times]
+        per_metrics[name] = scen_metrics
         total += warm
         cold_full += cold
         print(
@@ -409,6 +495,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                # all repetitions per entry, run order (first = cold)
+                "reps": per_reps,
+                # per-scenario kernel counters from the last repetition
+                "metrics": per_metrics,
                 "cold_value": round(cold_total, 3),
                 "cold_full_value": round(cold_full, 3),
                 # r1's BENCH covered only the stateless batch queries; the

@@ -113,14 +113,14 @@ _R06_SET = set(_CHECKED_R06)
 #: rest of the r03 block (green r05), then the r01 remainder (green
 #: r04, minus the 10 re-greened in r06); everything checked in round 6
 #: queues last. Names in several lists dedupe to their FIRST position
-#: (queries() builds a dict).
+#: (queries() builds a dict); _CHECKED_R04 needs no term of its own —
+#: every r04 name was re-checked in round 6 and rides _CHECKED_R06.
 _DRIVER_CHECKED = (
     _CHECKED_R05
     + _CHECKED_R03[42:]
     + ["winnow_fingerprint", "winnow_near_dup", "live_view"]
     + _CHECKED_R03[:42]
     + [n for n in _CHECKED_R01 if n not in _R06_SET]
-    + _CHECKED_R04
     + _CHECKED_R06
 )
 

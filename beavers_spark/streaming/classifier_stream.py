@@ -32,11 +32,12 @@ keep the model an exact, testable function of a well-defined row set):
   model is then up to N-1 waves stale; call :meth:`refit` after the
   stream stops (or at any checkpoint) for a fresh fit on demand.
 * ``max_refit_docs=M`` — when the registry holds more than M labeled
-  docs, refit on the deterministic id-hash slice of ~M docs
-  (``functions.sampling.hash_bucket`` membership: stable as the
-  corpus grows, nested as the threshold shrinks — the slice at any
-  moment is a pure function of (registry ids, M), NOT of arrival
-  order). The fitted weights equal ``logreg_fit_from_counts`` on
+  docs, refit on the deterministic id-hash slice of ~M docs (the
+  md5-derived hash family of ``functions.sampling``, at a finer
+  2^40 modulus so the cap holds at any realistic registry size:
+  membership is stable as the corpus grows and nested as the
+  threshold shrinks — the slice at any moment is a pure function of
+  (registry ids, M), NOT of arrival order). The fitted weights equal ``logreg_fit_from_counts`` on
   exactly that slice — pinned by test. fastText-class models train
   on curated millions, not the raw corpus, so a cap loses little.
 
@@ -56,7 +57,16 @@ from beavers_spark.functions.classifier import (
     logreg_fit_from_counts,
     logreg_score,
 )
-from beavers_spark.functions.sampling import BUCKETS, hash_bucket
+from beavers_spark.functions.dedup import md5_hash64
+
+#: modulus of the refit-slice membership hash. Much finer than
+#: sampling.BUCKETS (10k): the slice can never shrink below 1/MOD of
+#: the registry, so a coarse modulus silently un-bounds the cap once
+#: n > BUCKETS x max_refit_docs (at 10M labeled docs and a 100-doc cap
+#: the 10k-bucket floor kept ~1,000 docs — 10x the cap, growing with
+#: n). 2^40 pushes that breakdown past 10^14 x cap docs while staying
+#: far inside the 60-bit md5 hash family's range.
+_SLICE_MOD = 1 << 40
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
     seen_anti_join,
@@ -206,15 +216,23 @@ class IncrementalQualityClassifier:
         if self.max_refit_docs is not None:
             n = labels.count()
             if n > self.max_refit_docs:
-                # floor keeps the expected slice size <= cap; the
-                # id-hash membership is growth-stable and NESTED as the
-                # threshold shrinks, so the slice is a pure function of
-                # (registry ids, cap) — never of arrival order
+                # floor keeps the expected slice size <= cap (the fine
+                # _SLICE_MOD granularity holds that bound up to 2^40 x
+                # cap docs); the id-hash membership is growth-stable
+                # and NESTED as the threshold shrinks, so the slice is
+                # a pure function of (registry ids, cap) — never of
+                # arrival order
                 thresh = max(
-                    1, (BUCKETS * self.max_refit_docs) // n
+                    1, (_SLICE_MOD * self.max_refit_docs) // n
                 )
-                keep = hash_bucket(
-                    F.col(self.id_col), salt="refit"
+                keep = F.pmod(
+                    md5_hash64(
+                        F.concat(
+                            F.col(self.id_col).cast("string"),
+                            F.lit("refit"),
+                        )
+                    ),
+                    F.lit(_SLICE_MOD),
                 ) < F.lit(thresh)
                 doc_tf = doc_tf.filter(keep)
                 labels = labels.filter(keep)

@@ -298,12 +298,28 @@ class IncrementalNearDedup:
         ``rebuild_anchors``."""
         if self._layout_checked:
             return
-        ensure_layout(
-            self.anchors_path,
-            n=self.n,
-            n_hash_buckets=self.n_hash_buckets,
-            bucket_cap=self.bucket_cap,
-        )
+        try:
+            ensure_layout(
+                self.anchors_path,
+                n=self.n,
+                n_hash_buckets=self.n_hash_buckets,
+                bucket_cap=self.bucket_cap,
+            )
+        except ValueError as e:
+            if "_layout.json" in str(e):
+                # a sidecar-less anchors table predates the band
+                # registry entirely (round-5 capped deployments): its
+                # waves lack the bh/b columns, so ensure_layout's
+                # generic "write the sidecar by hand" advice would pass
+                # validation and then crash the probe on the missing b
+                # column. The cure here is a rebuild.
+                raise ValueError(
+                    f"anchors table at {self.anchors_path} predates the "
+                    "band registry (no _layout.json; waves lack the "
+                    "bh/b layout) — call rebuild_anchors(spark) once to "
+                    "re-derive it from the stored signatures"
+                ) from e
+            raise
         self._layout_checked = True
 
     def _write_band_wave(self, bands: DataFrame, band_dir: str) -> None:

@@ -214,7 +214,6 @@ class IncrementalTfidfDedup:
             .partitionBy("b")
             .parquet(wave_dir)
         )
-        self._has_state = True
 
         cand_dir = f"{self.cand_path}/w={batch_id}"
         # touched hash-prefix buckets, from the wave's partition
@@ -229,17 +228,26 @@ class IncrementalTfidfDedup:
             if name.startswith("b=")
         ]
         if not touched:
+            # an empty partitionBy write leaves NO schema-bearing data
+            # file — were the directory kept, every later read of
+            # state_path would crash with UNABLE_TO_INFER_SCHEMA when
+            # this is the only wave (a leading empty trigger used to
+            # wedge the kernel permanently). The wave dir holds only a
+            # _SUCCESS marker: remove it, registry-wise the batch never
+            # happened (replays rewrite and re-remove — idempotent).
+            import shutil
+
+            shutil.rmtree(wave_dir, ignore_errors=True)
             # empty candidate wave keeps read_candidates valid from
-            # batch 0 and the wave sets 1:1; doc type comes from the
-            # BATCH (a hardcoded long would break string-keyed corpora
-            # — the chunk_dedup lesson)
+            # batch 0; doc type comes from the BATCH (a hardcoded long
+            # would break string-keyed corpora — the chunk_dedup lesson)
             batch.select(
                 F.col(self.id_col).alias("doc1"),
                 F.col(self.id_col).alias("doc2"),
             ).limit(0).write.mode("overwrite").parquet(cand_dir)
-            self._record_wave(spark, batch_id, wave_dir)
             self._watermark.mark(batch_id)
             return
+        self._has_state = True
         new_tf = spark.read.parquet(wave_dir)
 
         # candidate generation: new docs' postings x registry postings

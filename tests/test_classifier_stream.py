@@ -211,19 +211,24 @@ def test_max_refit_docs_slice_parity_and_stability(spark, tmp_path):
                                lr=clf.lr)
     )
     assert _model_map(clf.model(spark)) == want
-    # growth-stable membership: the slice ids after more ingest are a
-    # SUBSET of the slice taken at a lower doc count with the same cap
+    # growth-stable NESTING: as the corpus grows the threshold only
+    # shrinks, so the later slice must be a subset of the earlier one
+    # restricted to surviving ids — membership is decided by hash once,
+    # never re-rolled (a regression to e.g. rand()-based sampling
+    # breaks this containment)
     ids_now = {r.doc_id for r in labels.select("doc_id").collect()}
     clf(_docs(spark, rows[:4], start=300), 2)
     _, labels2 = clf.refit_inputs(spark)
     ids_later = {r.doc_id for r in labels2.select("doc_id").collect()}
-    kept_overlap = ids_later & ids_now
-    # every previously-sliced id that survives the shrunken threshold
-    # is still chosen by hash, never re-rolled
+    assert ids_later and ids_later <= ids_now | {300, 301, 302, 303}
+    # ids sliced at the lower count that are NOT in the later slice
+    # were dropped by the shrunken threshold, not re-rolled: re-reading
+    # gives the identical set (pure function of ids + cap)
     _, labels_chk = clf.refit_inputs(spark)
     assert {r.doc_id for r in labels_chk.select("doc_id").collect()} \
         == ids_later
-    assert kept_overlap <= ids_now
+    # old ids in the later slice were all in the earlier slice
+    assert {i for i in ids_later if i < 300} <= ids_now
 
 
 def test_refit_knob_validation(tmp_path):

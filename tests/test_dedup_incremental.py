@@ -490,3 +490,31 @@ def test_bucket_cap_none_unchanged_vs_batch(spark, tmp_path):
         minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
     )
     assert got == expected
+
+
+def test_pre_band_registry_anchors_point_to_rebuild(spark, tmp_path):
+    """A round-5-style anchors table (wave data, no sidecar, no bh/b
+    layout) must refuse with rebuild_anchors guidance — the generic
+    'write the sidecar by hand' advice would pass validation and then
+    crash the probe on the missing b column."""
+    import os
+
+    import pytest
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(30)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_p"),
+        pairs_path=str(tmp_path / "pairs_p"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    # fabricate the legacy layout: wave data, no _layout.json
+    os.makedirs(os.path.join(dedup.anchors_path, "w=0"))
+    with open(
+        os.path.join(dedup.anchors_path, "w=0", "part-0.parquet"), "wb"
+    ) as fh:
+        fh.write(b"\x00")
+    with pytest.raises(ValueError, match="rebuild_anchors"):
+        dedup(docs, 0)

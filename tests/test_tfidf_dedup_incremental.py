@@ -171,3 +171,25 @@ def test_layout_sidecar_locks_storage_knobs(spark, tmp_path):
     reread = _mk(tmp_path, name="l", n_hash_buckets=8)
     reread.threshold = 0.9
     assert all(r.cos >= 0.9 for r in reread.read_pairs(spark).collect())
+
+
+def test_leading_empty_batch_does_not_wedge_kernel(spark, tmp_path):
+    """A stream's first trigger is often empty: the empty wave's
+    partitionBy write leaves no schema-bearing file, and keeping the
+    directory used to crash EVERY later read of the registry with
+    UNABLE_TO_INFER_SCHEMA — the kernel never recovered. The empty wave
+    is removed instead; later batches proceed and still equal batch."""
+    import os
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    dedup = _mk(tmp_path, name="e")
+    dedup(docs.limit(0), 0)
+    assert not os.path.isdir(os.path.join(dedup.state_path, "w=0"))
+    assert dedup.read_candidates(spark).count() == 0
+    dedup(docs, 1)
+    dedup(docs.limit(7), 2)  # fully redelivered mid-stream: also empty
+    got = _pair_set(dedup.read_pairs(spark))
+    expected = _pair_set(
+        tfidf_cosine_pairs(docs, "text", "doc_id", threshold=THRESHOLD)
+    )
+    assert got == expected

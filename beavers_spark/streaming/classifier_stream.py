@@ -238,6 +238,23 @@ class IncrementalQualityClassifier:
                 labels = labels.filter(keep)
         return doc_tf, labels
 
+    def compact(self, spark: SparkSession) -> int:
+        """Coalesce the wave-per-batch registry into the single ``w=-1``
+        directory; returns the post-compaction file count. The refit is
+        a pure function of the registry's row SET, so the model is
+        unaffected (no refit needed); the ``_model`` sidecar directory
+        and the watermark ride the rewrite. ``-1`` never collides with
+        a live batch id, so the redelivery probe's ``w != batch_id``
+        filter keeps working."""
+        from beavers_spark.streaming.maintenance import compact_parquet
+
+        return compact_parquet(
+            spark,
+            self.state_path,
+            partition_by="w",
+            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        )
+
     def refit(self, spark: SparkSession) -> None:
         """Refit from the accumulated registry and overwrite the model
         sidecar. Runs automatically on every ``refit_every``-th wave;

@@ -654,11 +654,18 @@ def compact_parquet(
     else:
         df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
 
-    # carry sidecar metadata (e.g. _centroids.json) — Spark ignores
-    # underscore-prefixed files, but our operators depend on them
+    # carry sidecar metadata — Spark ignores underscore-prefixed
+    # entries, but our operators depend on them: _*.json files
+    # (_layout.json, _centroids.json, the _last_batch.json watermark)
+    # and underscore DIRECTORIES (the classifier's _model parquet —
+    # without the copytree a compaction would destroy the fitted
+    # model)
     for name in os.listdir(path):
+        src = os.path.join(path, name)
         if name.startswith("_") and name.endswith(".json"):
-            shutil.copy2(os.path.join(path, name), os.path.join(tmp, name))
+            shutil.copy2(src, os.path.join(tmp, name))
+        elif name.startswith("_") and os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, name))
 
     os.rename(path, old)
     os.rename(tmp, path)

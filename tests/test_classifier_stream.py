@@ -242,3 +242,37 @@ def test_refit_knob_validation(tmp_path):
         IncrementalQualityClassifier(
             str(tmp_path / "s"), label_col="y", max_refit_docs=0
         )
+
+
+def test_compaction_preserves_model_and_registry(spark, tmp_path):
+    """compact() coalesces the wave-per-batch registry to w=-1 while
+    carrying the _model sidecar DIRECTORY through the swap (a plain
+    compact_parquet used to destroy it); the model is byte-identical
+    before and after, post-compaction ingest + refit still equal the
+    batch fit, and the file count drops."""
+    from beavers_spark.streaming.maintenance import partition_stats
+
+    clf = _mk(spark, tmp_path)
+    w1 = _docs(spark, POS[:3] + NEG[:2], start=0)
+    w2 = _docs(spark, POS[3:] + NEG[2:], start=100)
+    clf(w1, 0)
+    clf(w2, 1)
+    before_model = _model_map(clf.model(spark))
+    n_rows = clf.read_state(spark).count()
+    files_before, _, _ = partition_stats(spark, [clf.state_path])
+    files_after = clf.compact(spark)
+    assert files_after <= files_before
+    assert _model_map(clf.model(spark)) == before_model
+    assert clf.read_state(spark).count() == n_rows
+    # post-compaction wave + refit still equals batch on the union
+    w3 = _docs(spark, POS[:2] + NEG[:2], start=200)
+    clf(w3, 2)
+    want = _model_map(
+        logreg_fit(
+            spark,
+            w1.unionByName(w2).unionByName(w3),
+            "y",
+            n_buckets=_N_BUCKETS,
+        )
+    )
+    assert _model_map(clf.model(spark)) == want

@@ -612,3 +612,60 @@ def pack_sequences(
         ((cum - F.col("__len")) % F.lit(capacity)).cast("bigint"),
     )
     return packed.select(id_col, "stream", "pack_id", "offset")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the standard unit-of-work prep for context-bounded training and
+    retrieval indexing. Emits ``(id_col, chunk_id, n_tokens,
+    chunk_text)``: window ``i`` covers tokens ``[i*step, i*step +
+    chunk_size)`` with ``step = chunk_size - overlap``; the final
+    window may be short; zero-token documents emit no chunks.
+    ``chunk_text`` is the window re-joined on single spaces (token
+    boundaries, not original whitespace — the same normalization every
+    token-level operator here applies).
+
+    Scale shape: a pure scan — tokenize, one ``sequence``+``explode``
+    fan-out of ~n/step rows per doc, a 1-based ``slice`` per row. No
+    shuffle, no state, no driver traffic; Catalyst pushes any chunk_id
+    or doc filter into the scan. The repartition ahead of the explode
+    keeps a single-file corpus from becoming a single-task stage (the
+    dsir lesson).
+
+    Reference: no chunking surface in the reference (README.md:43-50) —
+    beyond-reference training-data tier.
+    """
+    if overlap < 0 or overlap >= chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        df.repartition(parallelism)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") > 0)
+    )
+    starts = tok.select(
+        id_col,
+        "tk",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))
+        ).alias("s"),
+    )
+    return starts.select(
+        id_col,
+        (F.col("s") / step).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(chunk_size), F.col("n") - F.col("s"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice("tk", F.col("s") + 1, chunk_size), " "
+        ).alias("chunk_text"),
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from beavers_spark.functions.curation import (
     chunk_dedup,
+    chunk_documents,
     substring_dedup,
     substring_dedup_apply,
     corpus_shuffle,
@@ -514,4 +515,40 @@ def pack_sequences_q(spark, sf_dir):
         capacity=2048,
         n_streams=8,
         seed="pack",
+    )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_OVERLAP = 8
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    base AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+    starts AS (
+        SELECT doc_id, tk, n,
+               unnest(generate_series(0, n - 1, {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS s
+        FROM base
+    )
+    SELECT doc_id,
+           (s // {_CHUNK_SIZE - _CHUNK_OVERLAP})::BIGINT AS chunk_id,
+           least({_CHUNK_SIZE}, n - s)::BIGINT AS n_tokens,
+           array_to_string(list_slice(tk, s + 1, s + {_CHUNK_SIZE}), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Fixed-size token windows with overlap over every document —
+    the unit-of-work prep for context-bounded training and retrieval
+    indexing. Pure scan: tokenize + sequence/explode + slice, no
+    shuffle, no state (functions/curation.py chunk_documents)."""
+    return chunk_documents(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
     )

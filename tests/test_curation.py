@@ -365,3 +365,34 @@ def test_temperature_mix_int_source_and_nulls(spark):
     # including the NULL-domain group (null-safe rate join)
     assert out.count() == 60
     assert out.filter(F.col("domain").isNull()).count() == 12
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from beavers_spark.functions.curation import chunk_documents
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 10 tokens
+            (2, "x y"),                    # shorter than one chunk
+            (3, "   "),                    # zero tokens: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(
+            docs, "text", "doc_id", chunk_size=4, overlap=2
+        ).collect()
+    }
+    # step 2: windows at 0,2,4,6,8 — the tail windows shrink
+    assert out[(1, 0)] == (4, "a b c d")
+    assert out[(1, 1)] == (4, "c d e f")
+    assert out[(1, 3)] == (4, "g h i j")
+    assert out[(1, 4)] == (2, "i j")
+    assert out[(2, 0)] == (2, "x y")
+    assert not any(d == 3 for d, _ in out)
+    assert len(out) == 6
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "text", "doc_id", chunk_size=4, overlap=4)

@@ -157,6 +157,18 @@ class IncrementalTfidfDedup:
             weighted, self.threshold, self.max_df, cand=cand
         )
 
+    def read_clusters(self, spark: SparkSession) -> DataFrame:
+        """Connected components over the CURRENT pair graph —
+        ``(doc_id, cluster_id)``, equal to running the batch
+        ``dedup_tfidf_clusters`` pipeline on the accumulated corpus
+        (read-time scoring keeps the edges themselves batch-exact, so
+        the closure is too)."""
+        from beavers_spark.functions.dedup import connected_components
+
+        return connected_components(
+            self.read_pairs(spark).select("doc1", "doc2")
+        )
+
     def _ensure_layout(self) -> None:
         """First-write records / later opens validate the immutable
         storage knobs: a different ``n_buckets`` changes every stored

@@ -193,3 +193,25 @@ def test_leading_empty_batch_does_not_wedge_kernel(spark, tmp_path):
         tfidf_cosine_pairs(docs, "text", "doc_id", threshold=THRESHOLD)
     )
     assert got == expected
+
+
+def test_read_clusters_equals_batch_components(spark, tmp_path):
+    from beavers_spark.functions.dedup import connected_components
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    dedup = _mk(tmp_path, name="g")
+    for i in range(2):
+        dedup(docs.filter(F.pmod("doc_id", F.lit(2)) == i), i)
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.read_clusters(spark).collect()
+    }
+    expected = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            tfidf_cosine_pairs(
+                docs, "text", "doc_id", threshold=THRESHOLD
+            ).select("doc1", "doc2")
+        ).collect()
+    }
+    assert expected and got == expected

@@ -14,6 +14,7 @@ EXAMPLES = sorted(f for f in os.listdir(EXAMPLES_DIR) if f.endswith(".py"))
 
 NEEDS_SPARK = {
     "ann_search.py",
+    "continuous_dedup.py",
     "curation_at_scale.py",
     "data_selection.py",
     "etf_pipeline.py",

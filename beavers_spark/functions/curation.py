@@ -624,19 +624,22 @@ def chunk_documents(
     """Split each document into fixed-size token windows with overlap —
     the standard unit-of-work prep for context-bounded training and
     retrieval indexing. Emits ``(id_col, chunk_id, n_tokens,
-    chunk_text)``: window ``i`` covers tokens ``[i*step, i*step +
-    chunk_size)`` with ``step = chunk_size - overlap``; the final
-    window may be short; zero-token documents emit no chunks.
-    ``chunk_text`` is the window re-joined on single spaces (token
-    boundaries, not original whitespace — the same normalization every
-    token-level operator here applies).
+    chunk_text)``: window ``i`` starts at ``i*step`` with ``step =
+    chunk_size - overlap``; the final window may be short; zero-token
+    documents emit no chunks. A window is emitted only while it adds
+    NEW tokens (start 0, or start <= n-1-overlap): a tail start whose
+    entire window is already covered by the previous chunk would be a
+    pure duplicate — exactly what chunking for training must not
+    inflate the corpus with. ``chunk_text`` is the window re-joined on
+    single spaces (token boundaries, not original whitespace — the same
+    normalization every token-level operator here applies).
 
-    Scale shape: a pure scan — tokenize, one ``sequence``+``explode``
-    fan-out of ~n/step rows per doc, a 1-based ``slice`` per row. No
-    shuffle, no state, no driver traffic; Catalyst pushes any chunk_id
-    or doc filter into the scan. The repartition ahead of the explode
-    keeps a single-file corpus from becoming a single-task stage (the
-    dsir lesson).
+    Scale shape: one round-robin exchange to spread the scan (a
+    single-file corpus would otherwise be a single-task stage — the
+    dsir lesson), then map-side only: tokenize, one
+    ``sequence``+``explode`` fan-out of ~n/step rows per doc, a 1-based
+    ``slice`` per row. No aggregation shuffle, no state, no driver
+    traffic; Catalyst pushes any chunk_id or doc filter into the scan.
 
     Reference: no chunking surface in the reference (README.md:43-50) —
     beyond-reference training-data tier.
@@ -656,7 +659,11 @@ def chunk_documents(
         "tk",
         "n",
         F.explode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n") - 1 - overlap, F.lit(0)),
+                F.lit(step),
+            )
         ).alias("s"),
     )
     return starts.select(

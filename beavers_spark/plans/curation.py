@@ -529,7 +529,9 @@ _CHUNK_OVERLAP = 8
     base AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
     starts AS (
         SELECT doc_id, tk, n,
-               unnest(generate_series(0, n - 1, {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS s
+               unnest(generate_series(
+                   0, greatest(n - 1 - {_CHUNK_OVERLAP}, 0),
+                   {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS s
         FROM base
     )
     SELECT doc_id,

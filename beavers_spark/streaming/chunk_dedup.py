@@ -143,8 +143,14 @@ class IncrementalChunkDedup:
         ``IncrementalNearDedup.compact`` for why the partition columns
         must survive compaction; the registry keeps its ``b``
         hash-prefix layout); returns the post-compaction file count."""
-        from beavers_spark.streaming.maintenance import compact_parquet
+        from beavers_spark.streaming.maintenance import (
+            compact_parquet,
+            guard_committed_waves,
+        )
 
+        guard_committed_waves(
+            self._watermark, self.state_path, self.out_path
+        )
         compact_parquet(
             spark,
             self.out_path,

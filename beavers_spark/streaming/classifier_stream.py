@@ -58,6 +58,11 @@ from beavers_spark.functions.classifier import (
     logreg_score,
 )
 from beavers_spark.functions.dedup import md5_hash64
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    seen_anti_join,
+    table_exists,
+)
 
 #: modulus of the refit-slice membership hash. Much finer than
 #: sampling.BUCKETS (10k): the slice can never shrink below 1/MOD of
@@ -67,11 +72,6 @@ from beavers_spark.functions.dedup import md5_hash64
 #: n). 2^40 pushes that breakdown past 10^14 x cap docs while staying
 #: far inside the 60-bit md5 hash family's range.
 _SLICE_MOD = 1 << 40
-from beavers_spark.streaming.maintenance import (
-    BatchWatermark,
-    seen_anti_join,
-    table_exists,
-)
 
 
 class IncrementalQualityClassifier:
@@ -245,9 +245,15 @@ class IncrementalQualityClassifier:
         unaffected (no refit needed); the ``_model`` sidecar directory
         and the watermark ride the rewrite. ``-1`` never collides with
         a live batch id, so the redelivery probe's ``w != batch_id``
-        filter keeps working."""
-        from beavers_spark.streaming.maintenance import compact_parquet
+        filter keeps working. Refuses while an uncommitted (crashed,
+        un-replayed) wave exists — see
+        ``maintenance.guard_committed_waves``."""
+        from beavers_spark.streaming.maintenance import (
+            compact_parquet,
+            guard_committed_waves,
+        )
 
+        guard_committed_waves(self._watermark, self.state_path)
         return compact_parquet(
             spark,
             self.state_path,

@@ -416,8 +416,17 @@ class IncrementalNearDedup:
         table half hive-partitioned, which Spark's partition discovery
         rejects.
         """
-        from beavers_spark.streaming.maintenance import compact_parquet
+        from beavers_spark.streaming.maintenance import (
+            compact_parquet,
+            guard_committed_waves,
+        )
 
+        guard_committed_waves(
+            self._watermark,
+            self.state_path,
+            self.pairs_path,
+            self.anchors_path,
+        )
         compact_parquet(
             spark,
             self.pairs_path,

@@ -175,6 +175,53 @@ class BatchWatermark:
         with open(self.file, "w") as fh:
             json.dump({"last_batch": batch_id}, fh)
 
+    def last_committed(self) -> int | None:
+        """Highest applied batch id, or None before the first mark."""
+        if not os.path.exists(self.file):
+            return None
+        with open(self.file) as fh:
+            return json.load(fh)["last_batch"]
+
+
+def guard_committed_waves(watermark: BatchWatermark, *paths: str) -> None:
+    """Refuse to compact state that contains waves ABOVE the batch
+    watermark — rows written by a crashed, not-yet-replayed batch.
+
+    Folding such a half-committed wave into the merged ``w=-1``
+    partition defeats the replay's own-wave exclusion (``w !=
+    batch_id``): when Structured Streaming redelivers that batch, the
+    redelivery probe would anti-join the batch against its own PARTIAL
+    output (now hiding at ``w=-1``), drop exactly those documents, and
+    truncate their state forever — the per-wave-overwrite idempotence
+    every kernel's crash contract relies on is silently gone. The
+    operator restarts the stream first (the replay rewrites the wave
+    cleanly, then marks), and compacts after.
+    """
+    last = watermark.last_committed()
+    for path in paths:
+        if not os.path.isdir(path):
+            continue
+        pending = []
+        for name in os.listdir(path):
+            if name.startswith("w="):
+                try:
+                    w = int(name[2:])
+                except ValueError:
+                    continue
+                if last is None or w > last:
+                    pending.append(w)
+        if pending:
+            raise RuntimeError(
+                f"state at {path} contains wave(s) {sorted(pending)} "
+                f"above the committed watermark "
+                f"({'none' if last is None else last}) — written by a "
+                "crashed, not-yet-replayed batch. Compacting now would "
+                "fold the partial wave past the replay's own-wave "
+                "exclusion and truncate those documents' state. Restart "
+                "the stream (the replay rewrites and commits the wave), "
+                "then compact."
+            )
+
 
 #: per-wave Bloom sidecar file name (underscore prefix: invisible to
 #: Spark's parquet reader, like the batch watermark / IVF centroids)

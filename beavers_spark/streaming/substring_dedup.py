@@ -163,8 +163,14 @@ class IncrementalSubstringDedup:
         one, no merged sidecar is written and the coalesced wave is
         lazily rebuilt on the next gated probe (``WaveBloomIndex``
         backfill)."""
-        from beavers_spark.streaming.maintenance import compact_parquet
+        from beavers_spark.streaming.maintenance import (
+            compact_parquet,
+            guard_committed_waves,
+        )
 
+        guard_committed_waves(
+            self._watermark, self.state_path, self.out_path
+        )
         compact_parquet(
             spark,
             self.out_path,

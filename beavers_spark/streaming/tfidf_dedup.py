@@ -313,8 +313,14 @@ class IncrementalTfidfDedup:
         Raw tf counts and candidate ids are both growth-stable, so
         compaction is a pure layout rewrite — no re-weighting is needed
         because the kernel never persists weights (module docstring)."""
-        from beavers_spark.streaming.maintenance import compact_parquet
+        from beavers_spark.streaming.maintenance import (
+            compact_parquet,
+            guard_committed_waves,
+        )
 
+        guard_committed_waves(
+            self._watermark, self.state_path, self.cand_path
+        )
         compact_parquet(
             spark,
             self.cand_path,

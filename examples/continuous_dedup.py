@@ -71,9 +71,10 @@ with tempfile.TemporaryDirectory() as workdir:
     n_docs, n_drop = docs.count(), drop.count()
     assert kept.count() == n_docs - n_drop and n_drop > 0
 
-    # 3. chunk the survivors into overlapping context windows — a pure
-    # scan (no shuffle); every chunk is at most chunk_size tokens and
-    # consecutive chunks share `overlap` tokens
+    # 3. chunk the survivors into overlapping context windows — one
+    # round-robin exchange then map-side only (no aggregation shuffle);
+    # every chunk is at most chunk_size tokens and consecutive chunks
+    # share `overlap` tokens
     chunks = chunk_documents(kept, "text", "doc_id", chunk_size=64, overlap=8)
     stats = chunks.agg(
         F.count("*").alias("n"),

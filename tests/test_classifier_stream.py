@@ -261,12 +261,22 @@ def test_compaction_preserves_model_and_registry(spark, tmp_path):
     n_rows = clf.read_state(spark).count()
     files_before, _, _ = partition_stats(spark, [clf.state_path])
     files_after = clf.compact(spark)
-    assert files_after <= files_before
+    assert files_after < files_before
+    # everything landed in the single merged wave (a no-op regression
+    # would leave w=0 / w=1 and still pass a <= file check)
+    import os
+
+    waves = {n for n in os.listdir(clf.state_path) if n.startswith("w=")}
+    assert waves == {"w=-1"}
     assert _model_map(clf.model(spark)) == before_model
+    assert clf.read_state(spark).count() == n_rows
+    # the redelivery probe still sees the compacted rows: a wave that
+    # redelivers an already-ingested doc id contributes nothing
+    clf(_docs(spark, POS[:1], start=0), 2)
     assert clf.read_state(spark).count() == n_rows
     # post-compaction wave + refit still equals batch on the union
     w3 = _docs(spark, POS[:2] + NEG[:2], start=200)
-    clf(w3, 2)
+    clf(w3, 3)
     want = _model_map(
         logreg_fit(
             spark,
@@ -276,3 +286,31 @@ def test_compaction_preserves_model_and_registry(spark, tmp_path):
         )
     )
     assert _model_map(clf.model(spark)) == want
+
+
+def test_compact_refuses_uncommitted_wave(spark, tmp_path):
+    """A wave directory above the watermark (crashed batch, not yet
+    replayed) must block compaction: folding its partial rows into
+    w=-1 would hide them from the replay's own-wave exclusion and
+    truncate those documents' state forever."""
+    import os
+
+    import pytest as _pytest
+
+    clf = _mk(spark, tmp_path)
+    clf(_docs(spark, POS[:3] + NEG[:3]), 0)
+    # fabricate the crash: wave 1's directory exists, watermark says 0
+    os.makedirs(os.path.join(clf.state_path, "w=1"))
+    with _pytest.raises(RuntimeError, match="watermark"):
+        clf.compact(spark)
+    # same guard on the dedup twins (shared maintenance helper)
+    from beavers_spark.streaming import IncrementalTfidfDedup
+
+    dedup = IncrementalTfidfDedup(
+        str(tmp_path / "td_state"), str(tmp_path / "td_cand"),
+        text_col="text", id_col="doc_id",
+    )
+    dedup(_docs(spark, POS[:2]).select("doc_id", "text"), 0)
+    os.makedirs(os.path.join(dedup.cand_path, "w=7"))
+    with _pytest.raises(RuntimeError, match="watermark"):
+        dedup.compact(spark)

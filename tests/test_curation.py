@@ -386,13 +386,26 @@ def test_chunk_documents_windows_and_edges(spark):
             docs, "text", "doc_id", chunk_size=4, overlap=2
         ).collect()
     }
-    # step 2: windows at 0,2,4,6,8 — the tail windows shrink
+    # step 2: windows at 0,2,4,6 — a start at 8 would re-emit 'i j',
+    # a strict subset of chunk 3 (pure training-set duplication), so
+    # starts stop once the previous window reached the document end
     assert out[(1, 0)] == (4, "a b c d")
     assert out[(1, 1)] == (4, "c d e f")
     assert out[(1, 3)] == (4, "g h i j")
-    assert out[(1, 4)] == (2, "i j")
+    assert (1, 4) not in out
     assert out[(2, 0)] == (2, "x y")
     assert not any(d == 3 for d, _ in out)
-    assert len(out) == 6
+    assert len(out) == 5
+    # an uneven tail that DOES add new tokens is still emitted (short)
+    out2 = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(
+            spark.createDataFrame(
+                [(9, "a b c d e")], "doc_id long, text string"
+            ),
+            "text", "doc_id", chunk_size=4, overlap=2,
+        ).collect()
+    }
+    assert out2 == {(9, 0): (4, "a b c d"), (9, 1): (3, "c d e")}
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, "text", "doc_id", chunk_size=4, overlap=4)

@@ -424,3 +424,63 @@ def hashed_features(
         .agg(F.sum("s").alias("w"))
         .filter(F.col("w") != 0)
     )
+
+
+def bm25_top_terms(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25-weighted terms per document — TF-IDF's saturating,
+    length-normalized successor (Robertson/Sparck Jones):
+
+    ``score = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with the Lucene-style non-negative
+    ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)``.
+
+    Same plan shape as ``tfidf_top_terms``: one doc-keyed shuffle for
+    term counts (doc length rides it as a second aggregate pass over
+    the same exchange), one vocabulary-keyed shuffle for document
+    frequency, the (N, avgdl) totals as a 1-row broadcast crossJoin,
+    then a per-doc window for the top-k. Determinism: the score is
+    rounded to 6 dp and the window orders by the ROUNDED value with
+    ``term`` as tie-break; the float chain is written with explicit
+    parentheses so DuckDB evaluates the identical IEEE operation order.
+    """
+    tf = (
+        doc_terms(docs, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # N and avgdl over docs that HAVE terms, one bounded 1-row aggregate
+    # (agg, never .limit(1) — an empty corpus still yields one row)
+    totals = dl.agg(
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.avg("dl"), F.lit(0.0)).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "bm25",
+            F.round((idf * (F.col("tf") * F.lit(k1 + 1.0))) / den, 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "bm25", "rk")
+    )

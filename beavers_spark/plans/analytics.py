@@ -554,3 +554,41 @@ def hashed_features_q(spark, sf_dir):
     return hashed_features(
         t(spark, sf_dir, "documents"), "text", "doc_id", dim=1024
     )
+
+
+@query(
+    "bm25_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2))
+                     / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)),
+                     6) AS bm25
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), tot
+    )
+    SELECT doc_id, term, bm25, rk FROM (
+        SELECT doc_id, term, bm25,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY bm25 DESC, term
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def bm25_top_terms_q(spark, sf_dir):
+    """Top-3 BM25 terms per document (k1=1.2, b=0.75, Lucene-style
+    non-negative idf) — the saturating, length-normalized ranking
+    weight retrieval stacks actually use; same two-shuffle plan as
+    tfidf_top_terms with the (N, avgdl) totals as a 1-row broadcast
+    (functions/terms.py bm25_top_terms)."""
+    from beavers_spark.functions.terms import bm25_top_terms
+
+    return bm25_top_terms(t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -411,3 +411,32 @@ def test_lm_score_empty_lm_uses_uniform_floor(spark):
     floor = math.log(1.0 / 1.0)
     assert out[1].avg_logp == pytest.approx(floor, abs=1e-6)
     assert out[1].oov_rate == 1.0 and out[2].oov_rate == 1.0
+
+
+def test_bm25_top_terms_saturation_and_length_norm(spark):
+    import math
+
+    from beavers_spark.functions.terms import bm25_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple apple banana"),
+            (2, "apple banana"),
+            (3, "cherry date elderberry fig grape lemon mango"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rk): (r.term, r.bm25)
+           for r in bm25_top_terms(df, "text", "doc_id", k=2).collect()}
+    # doc 1's top term is the rare-ish repeated 'apple'; hand-compute:
+    # N=3 docs, df(apple)=2, dl(1)=5, avgdl=(5+2+7)/3
+    n, dfa, k1, b = 3, 2, 1.2, 0.75
+    avgdl = (5 + 2 + 7) / 3
+    idf = math.log((n - dfa + 0.5) / (dfa + 0.5) + 1.0)
+    tf = 4
+    want = round((idf * (tf * 2.2)) / (tf + k1 * (0.25 + (b * 5) / avgdl)), 6)
+    assert out[(1, 1)] == ("apple", want)
+    # saturation: 4x the tf must yield far less than 4x doc 2's score
+    assert out[(1, 1)][1] < 4 * out[(2, 1)][1] * 0.75
+    # every doc got exactly k (or fewer) ranked rows, rk dense from 1
+    assert {rk for d, rk in out if d == 3} == {1, 2}

@@ -605,6 +605,7 @@ def main() -> int:
         "vocab_drift",          # 1-row broadcast (V, N_old, N_new) scalars
         "lm_perplexity_holdout",  # 1-row broadcast (T_train, V) LM totals
         "dedup_tfidf_cosine",   # 1-row broadcast corpus size N for idf
+        "bm25_top_terms",       # 1-row broadcast (N, avgdl) totals
         "dsir_logweights",      # 1-row broadcast smoothing totals (x2)
         "dsir_select",          # same totals under the Gumbel top-k
         "kmeans_assign",        # k-row broadcast centroid probe

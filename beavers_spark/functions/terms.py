@@ -458,9 +458,10 @@ def bm25_top_terms(
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # N and avgdl over docs that HAVE terms, one bounded 1-row aggregate
-    # (agg, never .limit(1) — an empty corpus still yields one row)
+    # (agg, never .limit(1) — an empty corpus still yields one row;
+    # count(*) is never null, only avg needs the coalesce)
     totals = dl.agg(
-        F.coalesce(F.count("*"), F.lit(0)).alias("n_docs"),
+        F.count("*").alias("n_docs"),
         F.coalesce(F.avg("dl"), F.lit(0.0)).alias("avgdl"),
     )
     idf = F.log(

@@ -569,7 +569,7 @@ def hashed_features_q(spark, sf_dir):
     scored AS (
         SELECT tf.doc_id, tf.term,
                round((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                      * (tf * 2.2))
+                      * (tf * 2.2::DOUBLE))
                      / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)),
                      6) AS bm25
         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), tot

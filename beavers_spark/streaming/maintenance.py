@@ -208,7 +208,12 @@ def guard_committed_waves(watermark: BatchWatermark, *paths: str) -> None:
                     w = int(name[2:])
                 except ValueError:
                     continue
-                if last is None or w > last:
+                # w=-1 is the compacted wave: by construction it only
+                # ever holds already-committed rows, and batch -1 can
+                # never be redelivered — flagging it (e.g. after a
+                # restore that lost _last_batch.json) would refuse
+                # forever with un-followable advice
+                if w >= 0 and (last is None or w > last):
                     pending.append(w)
         if pending:
             raise RuntimeError(

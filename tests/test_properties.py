@@ -379,3 +379,67 @@ def test_minhash_bucket_cap_matches_group_model(spark, sizes, cap):
         for a, b in gp:
             parent[find(a)] = find(b)
         assert len({find(m) for m in members}) == 1
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "bee", "ci", "d", "echo5"]),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk=st.integers(2, 8),
+    overlap_frac=st.integers(0, 99),
+)
+@_SETTINGS
+def test_chunk_documents_matches_window_model(spark, docs, chunk, overlap_frac):
+    """chunk_documents vs a pure-Python window model: full coverage
+    (every token index is in some chunk), size bound, exact window
+    content, step/overlap arithmetic, and NO duplicate-subset tail
+    (a start > 0 must contribute at least one new token)."""
+    from beavers_spark.functions.curation import chunk_documents
+
+    overlap = (chunk - 1) * overlap_frac // 100  # 0 <= overlap < chunk
+    step = chunk - overlap
+
+    def model(tk):
+        if not tk:
+            return {}
+        out = {}
+        s, i = 0, 0
+        while True:
+            out[i] = tk[s:s + chunk]
+            nxt = s + step
+            if nxt > len(tk) - 1 - overlap:  # next window adds nothing
+                break
+            s, i = nxt, i + 1
+        return {i: (len(w), " ".join(w)) for i, w in out.items()}
+
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got: dict = {}
+    for r in chunk_documents(
+        df, "text", "doc_id", chunk_size=chunk, overlap=overlap
+    ).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = (r.n_tokens, r.chunk_text)
+    want = {i: model(tk) for i, tk in enumerate(docs) if tk}
+    assert got == want
+    # coverage + no-duplicate-tail invariants on the model itself
+    for i, tk in enumerate(docs):
+        if not tk:
+            continue
+        seen = set()
+        prev_end = 0
+        for ci in sorted(want[i]):
+            n, _ = want[i][ci]
+            s = ci * step
+            assert 1 <= n <= chunk
+            assert ci == 0 or s + n > prev_end  # adds new tokens
+            seen.update(range(s, s + n))
+            prev_end = max(prev_end, s + n)
+        assert seen == set(range(len(tk)))

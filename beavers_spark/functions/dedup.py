@@ -868,3 +868,72 @@ def _tfidf_cos_pairs(
         )
     )
     return cos.filter(F.col("cos") >= F.lit(threshold))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT SimHash near-duplicate pairs: ``(doc1, doc2, hamming)``
+    for every pair whose signatures differ in at most ``max_hamming``
+    bits, ``doc1 < doc2``.
+
+    Candidate generation is the pigeonhole band trick: the ``bits``-bit
+    signature splits into ``max_hamming + 1`` bands, and any pair
+    within the Hamming budget must AGREE on at least one whole band —
+    so candidates come from an equi-join on ``(band_id, band_value)``,
+    never an all-pairs product, and the verify step
+    (``bit_count(sig1 XOR sig2)``) makes the result exact, not
+    approximate. Fan-out per band bucket is the usual LSH caveat: a
+    degenerate corpus of near-identical signatures concentrates in few
+    buckets (the same hazard — and mitigation space — as the MinHash
+    banded join).
+    """
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(
+            f"bits ({bits}) must divide into max_hamming+1 ({n_bands}) "
+            "equal bands for the pigeonhole guarantee"
+        )
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    sig = simhash(df, text_col, id_col, bits)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), i * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(n_bands)
+                )
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand

@@ -370,7 +370,10 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_sig_ctes(bits: int = 16) -> str:
+    """The tokenize -> per-bit sign sums -> signature CTE chain, ending
+    in ``sig(doc_id, simhash)`` — shared by the signature plan and the
+    banded pairs plan."""
     s_cols = ",\n           ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(bits)
@@ -378,13 +381,20 @@ def _simhash_oracle(bits: int = 16) -> str:
     sig_sum = " + ".join(
         f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
     )
-    return f"""
-    WITH tok AS (
+    return f"""tok AS (
         SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
     ),
     h AS (SELECT doc_id, {_sql_hash64('token', 0)} AS h FROM tok),
-    sums AS (SELECT doc_id, {s_cols} FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({sig_sum} AS BIGINT) AS simhash FROM sums
+    sums AS (SELECT doc_id, {s_cols} FROM h GROUP BY doc_id),
+    sig AS (
+        SELECT doc_id, CAST({sig_sum} AS BIGINT) AS simhash FROM sums
+    )"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    return f"""
+    WITH {_simhash_sig_ctes(bits)}
+    SELECT doc_id, simhash FROM sig
     """
 
 
@@ -1205,4 +1215,49 @@ def daily_uniques(spark, sf_dir):
             F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+#: hamming <= 1 over the 16-bit signature: two 8-bit bands (256 bucket
+#: values per band — at 100x corpus the band join fans out n^2/256 per
+#: band, vs n^2/16 for the 4-band/hamming-3 layout, and a 1-bit budget
+#: is the meaningful near-dup bar for a 16-bit sketch)
+_SH_BITS, _SH_MAXH = 16, 1
+_SH_W = _SH_BITS // (_SH_MAXH + 1)
+_SH_MASK = (1 << _SH_W) - 1
+
+
+@query(
+    "simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_sig_ctes(_SH_BITS)},
+    bands AS (
+        SELECT doc_id, simhash, b.i AS band_id,
+               (simhash >> (b.i * {_SH_W})) & {_SH_MASK} AS bv
+        FROM sig, (SELECT unnest(range({_SH_MAXH + 1})) AS i) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2,
+               CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT)
+                   AS hamming
+        FROM bands a JOIN bands b2
+          ON a.band_id = b2.band_id AND a.bv = b2.bv
+         AND a.doc_id < b2.doc_id
+    )
+    SELECT doc1, doc2, hamming FROM cand WHERE hamming <= {_SH_MAXH}
+    """,
+)
+def simhash_pairs_q(spark, sf_dir):
+    """EXACT SimHash near-dup pairs (hamming <= 3 over the 16-bit
+    signature): candidates from the pigeonhole band equi-join (4 bands
+    of 4 bits — a within-budget pair must agree on a whole band), then
+    the popcount-XOR verify makes the result exact. The banded shape is
+    what survives at corpus scale; the oracle runs the identical
+    banding, so even candidate generation is hash-checked
+    (functions/dedup.py simhash_pairs)."""
+    from beavers_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=_SH_BITS, max_hamming=_SH_MAXH,
     )

@@ -571,3 +571,34 @@ def test_tfidf_cosine_pairs_degenerate_identical_corpus(spark):
     assert tfidf_cosine_pairs(
         docs, "text", "doc_id", threshold=0.1
     ).count() == 0
+
+
+def test_simhash_pairs_exact_hamming(spark):
+    from beavers_spark.functions.dedup import simhash, simhash_pairs
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc1, r.doc2): r.hamming
+        for r in simhash_pairs(
+            docs, "text", "doc_id", bits=16, max_hamming=1
+        ).collect()
+    }
+    # identical text -> identical signature -> hamming 0
+    assert pairs.get((1, 2)) == 0
+    # every reported pair respects the budget and matches a direct
+    # popcount of the signature xor
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    for (d1, d2), h in pairs.items():
+        assert h <= 1 and h == bin(sigs[d1] ^ sigs[d2]).count("1")
+    # pigeonhole layout guard: bands must divide the signature width
+    with _pytest.raises(ValueError, match="bands"):
+        simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=2)

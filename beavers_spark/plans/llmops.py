@@ -1248,16 +1248,21 @@ _SH_MASK = (1 << _SH_W) - 1
     """,
 )
 def simhash_pairs_q(spark, sf_dir):
-    """EXACT SimHash near-dup pairs (hamming <= 3 over the 16-bit
-    signature): candidates from the pigeonhole band equi-join (4 bands
-    of 4 bits — a within-budget pair must agree on a whole band), then
-    the popcount-XOR verify makes the result exact. The banded shape is
-    what survives at corpus scale; the oracle runs the identical
-    banding, so even candidate generation is hash-checked
-    (functions/dedup.py simhash_pairs)."""
+    """EXACT SimHash near-dup pairs (hamming <= {maxh} over the
+    {bits}-bit signature): candidates from the pigeonhole band
+    equi-join ({nbands} bands of {w} bits — a within-budget pair must
+    agree on a whole band), then the popcount-XOR verify makes the
+    result exact. The banded shape is what survives at corpus scale;
+    the oracle runs the identical banding, so even candidate
+    generation is hash-checked (functions/dedup.py simhash_pairs)."""
     from beavers_spark.functions.dedup import simhash_pairs
 
     return simhash_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id",
         bits=_SH_BITS, max_hamming=_SH_MAXH,
     )
+
+
+simhash_pairs_q.__doc__ = simhash_pairs_q.__doc__.format(
+    maxh=_SH_MAXH, bits=_SH_BITS, nbands=_SH_MAXH + 1, w=_SH_W
+)

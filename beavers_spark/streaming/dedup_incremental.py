@@ -350,10 +350,12 @@ class IncrementalNearDedup:
         DRIVER-LOCAL from the just-written band wave (pyarrow over the
         8-byte ``bh`` column) — the Bloom-build + probe keys without
         the extra Spark job the old per-wave ``collect_keys`` paid.
-        Falls back to the bounded Spark collect when the state root
-        isn't driver-readable (object-store deployments). Returns None
-        past BLOOM_PROBE_CAP (callers skip pruning AND the sidecar —
-        conservative, correct)."""
+        This kernel assumes a driver-readable POSIX state root (the
+        same assumption WaveBloomIndex and the touched-bucket listing
+        in ``__call__`` already make); the Spark-collect fallback below
+        is defense against transient listing errors, not an
+        object-store path. Returns None past BLOOM_PROBE_CAP (callers
+        skip pruning AND the sidecar — conservative, correct)."""
         import glob as _glob
 
         import numpy as np
@@ -380,6 +382,40 @@ class IncrementalNearDedup:
         return np.unique(
             tbl.column("bh").to_numpy(zero_copy_only=False)
         )
+
+    def _prior_band_waves_empty(
+        self, batch_id: int, kept: list | None
+    ) -> bool:
+        """True when no prior (kept) band wave holds any ``b=`` bucket
+        directory — i.e. every earlier batch produced zero band rows
+        (zero-shingle documents leave a state wave but an empty band
+        wave). In that case ``spark.read.parquet(anchors_path)`` has no
+        schema-bearing data file when THIS wave is also band-empty
+        (UNABLE_TO_INFER_SCHEMA), and the cross probe is vacuous anyway
+        — skip it. Same free driver listing the touched-bucket prune
+        uses (ADVICE r7). On a listing error, claim non-empty: a
+        silently skipped probe misses duplicates, while proceeding
+        fails loudly on a truly unreadable root."""
+        try:
+            names = os.listdir(self.anchors_path)
+        except OSError:
+            return False
+        for name in names:
+            if not name.startswith("w="):
+                continue
+            try:
+                w = int(name[2:])
+            except ValueError:
+                continue
+            if w == batch_id or (kept is not None and w not in kept):
+                continue
+            try:
+                sub = os.listdir(os.path.join(self.anchors_path, name))
+            except OSError:
+                return False  # unreadable wave: claim non-empty
+            if any(n.startswith("b=") for n in sub):
+                return False
+        return True
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -571,7 +607,9 @@ class IncrementalNearDedup:
                 old = old.filter(F.col("w").isin(kept)) if kept else None
             if old is not None:
                 old = old.drop("w")
-        if old is not None:
+        if old is not None and not self._prior_band_waves_empty(
+            batch_id, kept
+        ):
             # join against the persisted band registry — already
             # band-exploded (history is never re-banded), bounded to
             # bucket_cap rows per band key per wave when capped (a hot

@@ -518,3 +518,37 @@ def test_pre_band_registry_anchors_point_to_rebuild(spark, tmp_path):
         fh.write(b"\x00")
     with pytest.raises(ValueError, match="rebuild_anchors"):
         dedup(docs, 0)
+
+
+def test_band_empty_prior_waves_skip_cross_probe(spark, tmp_path):
+    """Leading batches whose every document is below the n-token
+    shingle floor leave state waves (schema-bearing empty files) but
+    band waves with NO data files (empty partitionBy write). A later
+    real batch's cross probe must neither wedge on schema inference
+    over the band registry nor miss pairs (ADVICE r7)."""
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    shorts = spark.createDataFrame(
+        [(9_000_001, "one two"), (9_000_002, "x")], ["doc_id", "text"]
+    )
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_e"),
+        pairs_path=str(tmp_path / "pairs_e"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    dedup(shorts, 0)  # zero-shingle wave: empty state + band-less band wave
+    dedup(shorts.withColumn("doc_id", F.col("doc_id") + 10), 1)
+    # prior waves 0,1 hold no b= bucket dirs — the probe guard must say so
+    assert dedup._prior_band_waves_empty(batch_id=2, kept=None)
+    dedup(docs.filter(F.col("doc_id") % 2 == 0), 2)
+    assert not dedup._prior_band_waves_empty(batch_id=3, kept=None)
+    # a kept-list excluding the only non-empty wave flips it back
+    assert dedup._prior_band_waves_empty(batch_id=3, kept=[0, 1])
+    dedup(docs.filter(F.col("doc_id") % 2 == 1), 3)
+    got = _pair_set(dedup.read_pairs(spark))
+    expected = _pair_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
+    )
+    assert expected and got == expected

@@ -103,25 +103,45 @@ _CHECKED_R06 = [
 
 _R06_SET = set(_CHECKED_R06)
 
-#: exposure order after the never-checked plans: least-recently-checked
-#: blocks first, with round 6's verdict item 7 honored explicitly.
-#: Round 7 fronts the r05-addition block (one green row from r05, with
-#: curation.py / similarity.py / maintenance.py touched since), then
-#: the r03 tail (the 8 plans that missed round 5's 50-row cap — last
-#: green in r03, the oldest rows anywhere), then the r05-checked plans
-#: the verdict named by touched file (winnowing, live_view), then the
-#: rest of the r03 block (green r05), then the r01 remainder (green
-#: r04, minus the 10 re-greened in r06); everything checked in round 6
-#: queues last. Names in several lists dedupe to their FIRST position
-#: (queries() builds a dict); _CHECKED_R04 needs no term of its own —
-#: every r04 name was re-checked in round 6 and rides _CHECKED_R06.
+#: round 7's 50 rows, verbatim CORRECTNESS_r07.json keys: the 4 round-7
+#: additions + the r05 block + r03 tail + winnowing/live_view + the
+#: head of the r03 block (the cap cut at domain_cap).
+_CHECKED_R07 = [
+    "simhash_pairs", "chunk_documents", "bm25_top_terms",
+    "bpe_token_count_holdout", "ann_knn_join", "ann_knn_join_recall",
+    "ann_lsh_exact_twin", "ann_ivf_exact_twin", "ann_ivfpq_exact_twin",
+    "substring_dedup", "substring_dedup_apply", "dup_rate_by_source",
+    "count_distinct", "approx_distinct", "approx_distinct_error",
+    "lead_lag", "median_quantile", "gopher_quality", "pii_redact",
+    "tfidf_top_terms", "winnow_fingerprint", "winnow_near_dup",
+    "live_view", "tpch_q20", "dedup_exact", "doc_fingerprint",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_simhash", "lang_id", "quality_score", "token_count",
+    "ann_cosine_topk", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact", "dedup_embedding_recall",
+    "semantic_dedup", "semantic_dedup_check", "ann_lsh_topk",
+    "ann_ivf_topk", "ann_lsh_recall", "ann_ivf_recall", "binary_meta",
+    "dedup_apply", "deterministic_sample", "train_val_test_split",
+    "daily_uniques", "decontaminate_ngram", "domain_cap",
+]
+
+_R07_SET = set(_CHECKED_R07)
+
+#: exposure order after the never-checked plans (round 8's additions
+#: auto-front). VERDICT r7 item 3 fronts the round-6 block explicitly:
+#: the selection tier (dsir/kmeans/classifier/pca/bpe) and the r04
+#: analytics block were last checked r06 and their files changed in
+#: round 7 (classifier knobs, bpe fit cache) — change-driven priority
+#: beats pure age here. Then the r01 remainder (green r04 — the oldest
+#: rows anywhere), then the r03 leftover that missed r07's 50-row cap
+#: (green r05), then everything round 7 checked queues last. Names in
+#: several lists dedupe to their FIRST position (queries() builds a
+#: dict).
 _DRIVER_CHECKED = (
-    _CHECKED_R05
-    + _CHECKED_R03[42:]
-    + ["winnow_fingerprint", "winnow_near_dup", "live_view"]
-    + _CHECKED_R03[:42]
+    _CHECKED_R06
     + [n for n in _CHECKED_R01 if n not in _R06_SET]
-    + _CHECKED_R06
+    + [n for n in _CHECKED_R03 if n not in _R07_SET]
+    + _CHECKED_R07
 )
 
 

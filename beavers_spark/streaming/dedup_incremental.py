@@ -48,7 +48,9 @@ near-dedup surface itself (README.md:43-50 scope).
 
 from __future__ import annotations
 
+import contextlib
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -214,6 +216,21 @@ class IncrementalNearDedup:
         self.metrics: list[WaveMetrics] = []
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
+        #: accumulated driver-observed wall seconds per __call__ phase
+        #: (state_write / band_write / bloom_fold / probe_decide /
+        #: pairs_write) — the named-cost breakdown VERDICT r7 item 1
+        #: asked for; timing only, no behavior
+        self.phase_seconds: dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def _phase(self, name: str):
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.phase_seconds[name] = self.phase_seconds.get(
+                name, 0.0
+            ) + (time.perf_counter() - start)
 
     def _record_wave(
         self, spark: SparkSession, batch_id: int, wave_dir: str
@@ -383,6 +400,43 @@ class IncrementalNearDedup:
             tbl.column("bh").to_numpy(zero_copy_only=False)
         )
 
+    def registry_probe(
+        self,
+        spark: SparkSession,
+        batch_id: int,
+        kept: list | None,
+        band_dir: str,
+    ) -> DataFrame:
+        """The pruned band-registry scan the cross probe joins — the
+        persisted registry is already band-exploded (history is never
+        re-banded) and bounded to ``bucket_cap`` rows per band key per
+        wave when capped (a hot key meets O(cap x live_waves) rows,
+        never the corpus bucket). Scan pruning, cheapest first:
+        Bloom-rejected waves (``kept``), then untouched hash-prefix
+        bucket directories (``b = pmod(bh, N)`` partition pruning — the
+        substring/chunk registries' probe shape), then column pruning
+        to the doc_id + band key columns. Exposed as a method so the
+        plan audit pins the pruning as PartitionFilters on the scan
+        (tools/audit_plans.py) — a regression to a full-registry scan
+        fails the audit, not just the bench."""
+        ob = spark.read.parquet(self.anchors_path).filter(
+            F.col("w") != batch_id
+        )
+        if kept is not None:
+            ob = ob.filter(F.col("w").isin(kept))
+        # bucket pruning from the wave's own partition LISTING
+        # (free — no job, no collect), so it engages even while the
+        # Bloom machinery is gated by min_waves: a bucket directory
+        # this batch didn't touch cannot contain a colliding band
+        touched_b = [
+            int(name[2:])
+            for name in os.listdir(band_dir)
+            if name.startswith("b=")
+        ]
+        if len(touched_b) < self.n_hash_buckets:
+            ob = ob.filter(F.col("b").isin(touched_b))
+        return ob.select("doc_id", *_BAND_KEYS)
+
     def _prior_band_waves_empty(
         self, batch_id: int, kept: list | None
     ) -> bool:
@@ -531,9 +585,10 @@ class IncrementalNearDedup:
         # also naturally idempotent under replays.
         sets = shingle_sets(batch, self.text_col, self.id_col, self.n)
         wave_dir = f"{self.state_path}/w={batch_id}"
-        _signatures_from_sets(sets, keep=("sh", "n_sh")).write.mode(
-            "overwrite"
-        ).parquet(wave_dir)
+        with self._phase("state_write"):
+            _signatures_from_sets(sets, keep=("sh", "n_sh")).write.mode(
+                "overwrite"
+            ).parquet(wave_dir)
         self._has_state = True
         # parquet count() is footer-metadata only — a near-free emptiness
         # check (an empty or fully-redelivered batch just marks the mark)
@@ -564,7 +619,8 @@ class IncrementalNearDedup:
         # doubles as the Bloom/probe-key materialization: the band-key
         # hashes come back COLUMNAR AND DRIVER-LOCAL from the written
         # files (pyarrow over ``bh``) — no separate Spark collect job.
-        self._write_band_wave(new_bands, band_dir)
+        with self._phase("band_write"):
+            self._write_band_wave(new_bands, band_dir)
         # per-wave band-key Bloom sidecar: the collision probe below only
         # scans waves whose bitmap may contain one of THIS batch's band
         # keys — exactly the no-possible-collision pruning an append-only
@@ -576,10 +632,11 @@ class IncrementalNearDedup:
         # while gated are lazily backfilled by WaveBloomIndex once the
         # table crosses the threshold.
         band_h = None
-        if self._bloom.probe_active(exclude=batch_id):
-            band_h = self._band_keys_local(spark, band_dir)
-        if band_h is not None:
-            self._bloom.save_wave(wave_dir, band_h)
+        with self._phase("bloom_fold"):
+            if self._bloom.probe_active(exclude=batch_id):
+                band_h = self._band_keys_local(spark, band_dir)
+            if band_h is not None:
+                self._bloom.save_wave(wave_dir, band_h)
 
         # within-batch collisions, canonical doc1 < doc2
         a, b = new_bands.alias("a"), new_bands.alias("b")
@@ -597,10 +654,11 @@ class IncrementalNearDedup:
                 # inline prune_prior so the SAME kept-wave decision (and
                 # one ProbeMetrics row) covers both the state scan and,
                 # in capped mode, the anchors scan
-                waves = self._bloom.wave_ids(exclude=batch_id)
-                kept = self._bloom.live_waves(
-                    band_h, exclude=batch_id, spark=spark
-                )
+                with self._phase("probe_decide"):
+                    waves = self._bloom.wave_ids(exclude=batch_id)
+                    kept = self._bloom.live_waves(
+                        band_h, exclude=batch_id, spark=spark
+                    )
                 self.probe_metrics.append(
                     ProbeMetrics(batch_id, len(waves), len(kept))
                 )
@@ -610,32 +668,9 @@ class IncrementalNearDedup:
         if old is not None and not self._prior_band_waves_empty(
             batch_id, kept
         ):
-            # join against the persisted band registry — already
-            # band-exploded (history is never re-banded), bounded to
-            # bucket_cap rows per band key per wave when capped (a hot
-            # key meets O(cap x live_waves) rows, never the corpus
-            # bucket). Scan pruning, cheapest first: Bloom-rejected
-            # waves, then untouched hash-prefix bucket directories
-            # (b = pmod(bh, N) partition pruning — the substring/chunk
-            # registries' probe shape), then column pruning to the
-            # doc_id + band key columns.
-            ob = spark.read.parquet(self.anchors_path).filter(
-                F.col("w") != batch_id
-            )
-            if kept is not None:
-                ob = ob.filter(F.col("w").isin(kept))
-            # bucket pruning from the wave's own partition LISTING
-            # (free — no job, no collect), so it engages even while the
-            # Bloom machinery is gated by min_waves: a bucket directory
-            # this batch didn't touch cannot contain a colliding band
-            touched_b = [
-                int(name[2:])
-                for name in os.listdir(band_dir)
-                if name.startswith("b=")
-            ]
-            if len(touched_b) < self.n_hash_buckets:
-                ob = ob.filter(F.col("b").isin(touched_b))
-            old_bands = ob.select("doc_id", *_BAND_KEYS).alias("o")
+            old_bands = self.registry_probe(
+                spark, batch_id, kept, band_dir
+            ).alias("o")
             nb = new_bands.alias("n")
             # != guard in _CROSS_COND: belt-and-braces with the anti-join
             # above — a self-collision would emit a (doc, doc, 1.0) pair
@@ -676,8 +711,9 @@ class IncrementalNearDedup:
         # write and the mark — append mode duplicated the batch's pairs
         # on exactly that replay); written even when the batch found no
         # pairs so read_pairs() is valid from batch 0
-        pairs.write.mode("overwrite").parquet(
-            f"{self.pairs_path}/w={batch_id}"
-        )
+        with self._phase("pairs_write"):
+            pairs.write.mode("overwrite").parquet(
+                f"{self.pairs_path}/w={batch_id}"
+            )
         self._record_wave(spark, batch_id, wave_dir)
         self._watermark.mark(batch_id)

@@ -630,7 +630,68 @@ def main() -> int:
         f"{len(QUERIES) - blanket_failures}/{len(QUERIES)} plans free of "
         "unplanned cross joins"
     )
-    return 1 if failures or blanket_failures else 0
+    probe_failures = audit_kernel_probes(spark, sf_dir)
+    return 1 if failures or blanket_failures or probe_failures else 0
+
+
+def audit_kernel_probes(spark, sf_dir: str) -> int:
+    """Pin the MinHash band-registry probe plan (VERDICT r7 item 8):
+    build a real 3-wave IncrementalNearDedup state, then audit the
+    exact registry scan batch 2's cross probe joins
+    (``registry_probe`` — the production code path). The 100x-scale
+    claim rests on this scan staying partition-pruned: Bloom-surviving
+    waves only (``w IN``, current wave excluded), touched hash-prefix
+    buckets only (``b IN``), and column pruning to the doc_id + band
+    key columns. A regression to a full-registry scan fails here, not
+    just in the bench numbers."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalNearDedup
+
+    failures = 0
+    with tempfile.TemporaryDirectory() as wd:
+        dedup = IncrementalNearDedup(
+            os.path.join(wd, "state"),
+            os.path.join(wd, "pairs"),
+            text_col="text",
+            id_col="doc_id",
+            bloom_min_waves=2,
+        )
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        dedup(docs.filter(F.col("doc_id") % 3 == 0), 0)
+        dedup(docs.filter(F.col("doc_id") % 3 == 1), 1)
+        # wave 2 small, so it cannot touch every hash-prefix bucket and
+        # the b IN prune must appear
+        dedup(docs.filter(F.col("doc_id") % 3 == 2).limit(3), 2)
+        probe = dedup.registry_probe(
+            spark, 2, [0, 1], f"{dedup.anchors_path}/w=2"
+        )
+        fm = probe._sc._jvm.PythonSQLUtils.explainString(  # type: ignore
+            probe._jdf.queryExecution(), "formatted"
+        )
+        must = [
+            # Bloom kept-waves + current-wave exclusion, partition-pruned
+            r"PartitionFilters: \[[^\]]*NOT \(w#\d+ = 2\)",
+            r"PartitionFilters: \[[^\]]*w#\d+ IN \(0,1\)",
+            # untouched-bucket prune reaches the scan
+            r"PartitionFilters: \[[^\]]*b#\d+ IN \(",
+            # column pruning: doc_id + band keys only, no signature cols
+            r"ReadSchema: struct<doc_id:bigint,band_id:int,h0:bigint",
+        ]
+        must_not = [r"Exchange", r"Join", r"BatchEvalPython"]
+        problems = [f"missing /{p}/" for p in must if not re.search(p, fm)]
+        problems += [f"unwanted /{p}/" for p in must_not if re.search(p, fm)]
+        if problems:
+            failures += 1
+            print(f"PROBE-FAIL minhash_band_registry: {'; '.join(problems)}")
+        else:
+            print("PROBE-ok   minhash_band_registry probe plan pinned")
+    print(f"{1 - failures}/1 kernel probe plans as designed")
+    return failures
 
 
 if __name__ == "__main__":

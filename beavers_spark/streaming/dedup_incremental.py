@@ -437,6 +437,24 @@ class IncrementalNearDedup:
             ob = ob.filter(F.col("b").isin(touched_b))
         return ob.select("doc_id", *_BAND_KEYS)
 
+    def _wave_rows_local(self, wave_dir: str) -> int | None:
+        """Row count of one wave from its parquet footers, driver-local
+        (no Spark job); None when the root isn't listable — callers
+        fall back to a Spark count."""
+        import glob as _glob
+
+        try:
+            files = _glob.glob(
+                os.path.join(wave_dir, "**", "*.parquet"), recursive=True
+            )
+            if not files:
+                return 0
+            import pyarrow.parquet as pq
+
+            return sum(pq.read_metadata(f).num_rows for f in files)
+        except Exception:
+            return None
+
     def _prior_band_waves_empty(
         self, batch_id: int, kept: list | None
     ) -> bool:
@@ -545,6 +563,10 @@ class IncrementalNearDedup:
         # replay does no redundant work
         if self._watermark.is_applied(batch_id):
             return
+        with self._phase("call_total"):
+            self._apply(batch_df, batch_id)
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df
         self._ensure_band_layout()
@@ -552,7 +574,8 @@ class IncrementalNearDedup:
         if had_state:
             # the band registry is load-bearing in BOTH modes now (the
             # cross probe joins it instead of re-expanding state bands)
-            self._check_anchor_parity(spark, batch_id)
+            with self._phase("parity_check"):
+                self._check_anchor_parity(spark, batch_id)
         if had_state:
             # BatchWatermark only guards post-commit replays: a doc_id
             # redelivered in a LATER batch (producer retry, re-ingest)
@@ -590,11 +613,19 @@ class IncrementalNearDedup:
                 "overwrite"
             ).parquet(wave_dir)
         self._has_state = True
-        # parquet count() is footer-metadata only — a near-free emptiness
-        # check (an empty or fully-redelivered batch just marks the mark)
+        # emptiness check from the just-written wave's parquet footers,
+        # driver-local (same POSIX assumption as _band_keys_local) — the
+        # Spark count() job this replaces was footer-only too but still
+        # paid ~0.09s/wave of job scheduling (phase_seconds, r8); the
+        # Spark fallback covers non-listable roots
         new_state = spark.read.parquet(wave_dir)
         band_dir = f"{self.anchors_path}/w={batch_id}"
-        if new_state.count() == 0:
+        with self._phase("state_count"):
+            rows = self._wave_rows_local(wave_dir)
+            state_empty = (
+                rows == 0 if rows is not None else new_state.count() == 0
+            )
+        if state_empty:
             # empty band wave keeps the state/band wave sets 1:1 (the
             # parity guard treats a missing wave as data loss, not
             # emptiness; zero rows leave just the directory + marker)
@@ -639,6 +670,7 @@ class IncrementalNearDedup:
                 self._bloom.save_wave(wave_dir, band_h)
 
         # within-batch collisions, canonical doc1 < doc2
+        _plan_t0 = time.perf_counter()
         a, b = new_bands.alias("a"), new_bands.alias("b")
         cand = a.join(b, _exprs()["within_cond"]).select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
@@ -707,6 +739,9 @@ class IncrementalNearDedup:
             .select("doc1", "doc2", _exprs()["est_jaccard"], _exprs()["jaccard"])
             .filter(F.col("jaccard") >= self.threshold)
         )
+        self.phase_seconds["plan_build"] = self.phase_seconds.get(
+            "plan_build", 0.0
+        ) + (time.perf_counter() - _plan_t0)
         # per-wave overwrite (idempotent under a crash between this
         # write and the mark — append mode duplicated the batch's pairs
         # on exactly that replay); written even when the batch found no
@@ -715,5 +750,6 @@ class IncrementalNearDedup:
             pairs.write.mode("overwrite").parquet(
                 f"{self.pairs_path}/w={batch_id}"
             )
-        self._record_wave(spark, batch_id, wave_dir)
+        with self._phase("record_wave"):
+            self._record_wave(spark, batch_id, wave_dir)
         self._watermark.mark(batch_id)

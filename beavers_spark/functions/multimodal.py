@@ -248,3 +248,135 @@ def frame_sample_plan(
         )
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
     )
+
+
+# -- real, oracle-checkable decode: RIFF/WAVE + PPM headers ---------------
+#
+# The container has no media libraries, but two formats are parseable with
+# pure Column byte math — no UDF, whole-stage codegen end to end — which
+# turns the stubbed-decoder pillar into hash-checked components:
+# canonical 44-byte PCM WAV headers (fixed offsets, little-endian fields)
+# and binary P6 PPM headers (ASCII dimensions). The byte layout is pinned
+# against Python's stdlib ``wave`` decoder in tests (an independent
+# implementation), and the plan oracles recompute the fields by
+# independent arithmetic in DuckDB.
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian hex string of an integer Column, ``nbytes`` wide —
+    the build-side primitive for binary headers (JVM-side bit math)."""
+    parts = [
+        F.lpad(
+            F.hex(F.shiftright(col.cast("bigint"), 8 * i).bitwiseAND(255)),
+            2,
+            "0",
+        )
+        for i in range(nbytes)
+    ]
+    return F.concat(*parts)
+
+
+def _le_int(payload_col: str, offset: int, nbytes: int):
+    """Integer from ``nbytes`` little-endian bytes at 1-based ``offset``
+    of a binary column — the parse-side primitive (substring + hex-pair
+    reorder + base-16 conv, all JVM-side)."""
+    h = F.hex(F.substring(F.col(payload_col), offset, nbytes))
+    pairs = [
+        F.substring(h, i * 2 + 1, 2) for i in reversed(range(nbytes))
+    ]
+    return F.conv(F.concat(*pairs), 16, 10).cast("bigint")
+
+
+def synth_wav(
+    data_col, channels_col, sample_rate_col, bits_col
+):
+    """A canonical 44-byte-header PCM WAV blob Column: RIFF/WAVE/fmt/data
+    chunks with the given parameters and ``data_col`` (binary) as the
+    sample payload. Pure Column byte math — the builder the wav_meta
+    plan feeds, byte-identical to what ``struct.pack``-based writers
+    (Python's wave module) produce for the same parameters."""
+    ch = channels_col.cast("bigint")
+    sr = sample_rate_col.cast("bigint")
+    bits = bits_col.cast("bigint")
+    block_align = ch * (bits / F.lit(8)).cast("bigint")
+    byte_rate = sr * block_align
+    dlen = F.octet_length(data_col).cast("bigint")
+    header_hex = F.concat(
+        F.lit("52494646"),                 # 'RIFF'
+        _le_hex(F.lit(36) + dlen, 4),      # riff chunk size
+        F.lit("57415645"),                 # 'WAVE'
+        F.lit("666d7420"),                 # 'fmt '
+        _le_hex(F.lit(16), 4),             # fmt chunk size
+        _le_hex(F.lit(1), 2),              # PCM
+        _le_hex(ch, 2),
+        _le_hex(sr, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(block_align, 2),
+        _le_hex(bits, 2),
+        F.lit("64617461"),                 # 'data'
+        _le_hex(dlen, 4),
+    )
+    return F.concat(F.unhex(header_hex), data_col)
+
+
+WAV_META_COLS = [
+    "format", "channels", "sample_rate", "bits_per_sample",
+    "duration_ms", "n_bytes",
+]
+
+
+def wav_meta(df: DataFrame, payload_col: str) -> DataFrame:
+    """Decode canonical PCM WAV headers from a binary column with pure
+    Column byte math (fixed RIFF offsets, little-endian fields) — no
+    UDF, so the decode inlines into whole-stage codegen and scales like
+    any other projection. Non-WAV payloads (wrong magic or non-PCM)
+    yield NULL metadata instead of errors — the filter-then-decode
+    pattern a mixed-media corpus needs.
+
+    Emits ``format`` ('wav'), ``channels``, ``sample_rate``,
+    ``bits_per_sample``, ``duration_ms`` (floor of data bytes over byte
+    rate) and ``n_bytes`` (whole payload) alongside the input columns.
+    """
+    is_wav = (
+        (F.octet_length(F.col(payload_col)) >= 44)
+        & (F.substring(F.col(payload_col), 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(F.col(payload_col), 9, 8) == F.lit(b"WAVEfmt "))
+        & (F.substring(F.col(payload_col), 37, 4) == F.lit(b"data"))
+        & (_le_int(payload_col, 21, 2) == 1)  # PCM only
+    )
+    byte_rate = _le_int(payload_col, 29, 4)
+    data_size = _le_int(payload_col, 41, 4)
+    meta = {
+        "format": F.lit("wav"),
+        "channels": _le_int(payload_col, 23, 2).cast("int"),
+        "sample_rate": _le_int(payload_col, 25, 4),
+        "bits_per_sample": _le_int(payload_col, 35, 2).cast("int"),
+        "duration_ms": F.floor(data_size * 1000 / byte_rate),
+        "n_bytes": F.octet_length(F.col(payload_col)).cast("bigint"),
+    }
+    out = df
+    for name, expr in meta.items():
+        out = out.withColumn(name, F.when(is_wav, expr))
+    return out
+
+
+def ppm_meta(df: DataFrame, payload_col: str) -> DataFrame:
+    """Decode binary P6 PPM headers ('P6\\n<width> <height>\\n<maxval>\\n')
+    from a binary column: the ASCII header rides in the first bytes, so
+    one substring + decode + regexp projection yields the dimensions —
+    no UDF. Non-PPM payloads yield NULLs."""
+    head = F.decode(F.substring(F.col(payload_col), 1, 32), "UTF-8")
+    pat = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s"
+    w = F.regexp_extract(head, pat, 1)
+    is_ppm = w != ""
+    meta = {
+        "format": F.lit("ppm"),
+        "width": w.cast("int"),
+        "height": F.regexp_extract(head, pat, 2).cast("int"),
+        "maxval": F.regexp_extract(head, pat, 3).cast("int"),
+        "n_bytes": F.octet_length(F.col(payload_col)).cast("bigint"),
+    }
+    out = df
+    for name, expr in meta.items():
+        out = out.withColumn(name, F.when(is_ppm, expr))
+    return out

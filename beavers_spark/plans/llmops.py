@@ -1040,6 +1040,110 @@ def binary_meta(spark, sf_dir):
     )
 
 
+@query(
+    "wav_meta",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               (1 + doc_id % 2)::INT AS channels,
+               ([8000, 16000, 22050, 44100][(doc_id % 4)::INT + 1])::BIGINT
+                   AS sample_rate,
+               ([8, 16][((doc_id // 2) % 2)::INT + 1])::INT
+                   AS bits_per_sample,
+               octet_length(encode(substr(text, 1, 200)))::BIGINT AS dlen
+        FROM documents
+    )
+    SELECT doc_id, 'wav' AS format, channels, sample_rate,
+           bits_per_sample,
+           floor(dlen * 1000.0
+                 / (sample_rate * channels * (bits_per_sample // 8))
+           )::BIGINT AS duration_ms,
+           (44 + dlen)::BIGINT AS n_bytes
+    FROM params
+    """,
+)
+def wav_meta_q(spark, sf_dir):
+    """REAL multimodal decode, hash-checked end to end: build a canonical
+    44-byte-header PCM WAV blob per document (deterministic parameters
+    from doc_id, utf-8 text bytes as the sample payload), then parse the
+    binary back with pure Column byte math — fixed RIFF offsets,
+    little-endian field reconstruction, no UDF anywhere. The DuckDB
+    oracle recomputes the metadata by independent arithmetic, so a
+    build/parse disagreement on any field fails the hash; the byte
+    layout itself is pinned against Python's stdlib ``wave`` decoder in
+    tests (functions/multimodal.py synth_wav/wav_meta)."""
+    from beavers_spark.functions.multimodal import synth_wav, wav_meta
+
+    docs = t(spark, sf_dir, "documents")
+    wavs = docs.select(
+        "doc_id",
+        synth_wav(
+            F.encode(F.substring("text", 1, 200), "UTF-8"),
+            1 + F.pmod("doc_id", F.lit(2)),
+            F.element_at(
+                F.array(*[F.lit(x) for x in (8000, 16000, 22050, 44100)]),
+                (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+            ),
+            F.element_at(
+                F.array(F.lit(8), F.lit(16)),
+                (F.pmod(F.floor(F.col("doc_id") / 2), F.lit(2)) + 1).cast(
+                    "int"
+                ),
+            ),
+        ).alias("payload"),
+    )
+    return wav_meta(wavs, "payload").select(
+        "doc_id", "format", "channels",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        "bits_per_sample", "duration_ms", "n_bytes",
+    )
+
+
+@query(
+    "ppm_meta",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               (16 + doc_id % 64)::INT AS width,
+               (16 + (doc_id // 64) % 64)::INT AS height,
+               octet_length(encode(substr(text, 1, 100)))::BIGINT AS dlen
+        FROM documents
+    )
+    SELECT doc_id, 'ppm' AS format, width, height, 255 AS maxval,
+           (length('P6' || chr(10) || width || ' ' || height
+                   || chr(10) || '255' || chr(10)) + dlen)::BIGINT
+               AS n_bytes
+    FROM params
+    """,
+)
+def ppm_meta_q(spark, sf_dir):
+    """Binary P6 PPM header decode, hash-checked: build 'P6\\n<w> <h>\\n
+    255\\n' + pixel bytes per document, parse the dimensions back from
+    the binary with one substring + decode + regexp projection (no
+    UDF). Oracle recomputes by independent arithmetic
+    (functions/multimodal.py ppm_meta)."""
+    from beavers_spark.functions.multimodal import ppm_meta
+
+    docs = t(spark, sf_dir, "documents")
+    w = (16 + F.pmod("doc_id", F.lit(64))).cast("int")
+    h = (16 + F.pmod(F.floor(F.col("doc_id") / 64), F.lit(64))).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    ppms = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(header, "UTF-8"),
+            F.encode(F.substring("text", 1, 100), "UTF-8"),
+        ).alias("payload"),
+    )
+    return ppm_meta(ppms, "payload").select(
+        "doc_id", "format", "width", "height",
+        F.col("maxval").cast("int").alias("maxval"), "n_bytes",
+    )
+
+
 _WINNOW_ORACLE = f"""
     WITH base AS (
         SELECT doc_id, lower(text) AS t FROM documents

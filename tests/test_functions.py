@@ -602,3 +602,65 @@ def test_simhash_pairs_exact_hamming(spark):
     # pigeonhole layout guard: bands must divide the signature width
     with _pytest.raises(ValueError, match="bands"):
         simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=2)
+
+
+def test_wav_meta_round_trip_vs_stdlib_wave(spark):
+    """synth_wav's byte layout must be a REAL WAV: Python's stdlib
+    ``wave`` module (an independent decoder) must parse the Spark-built
+    blobs and agree with wav_meta's Column-math decode on every field."""
+    import io
+    import wave as wave_mod
+
+    from beavers_spark.functions.multimodal import synth_wav, wav_meta
+
+    rows = [
+        (1, b"x" * 800, 1, 8000, 8),
+        (2, b"pcm-bytes" * 321, 2, 44100, 16),
+        (3, b"", 1, 22050, 16),
+        (4, bytes(range(256)) * 7, 2, 16000, 8),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(d), c, s, b) for i, d, c, s, b in rows],
+        "doc_id long, data binary, ch int, sr int, bits int",
+    )
+    built = df.select(
+        "doc_id",
+        synth_wav(
+            F.col("data"), F.col("ch"), F.col("sr"), F.col("bits")
+        ).alias("payload"),
+    )
+    got = {
+        r.doc_id: r
+        for r in wav_meta(built, "payload").collect()
+    }
+    payloads = {r.doc_id: bytes(r.payload) for r in built.collect()}
+    for doc_id, data, ch, sr, bits in rows:
+        with wave_mod.open(io.BytesIO(payloads[doc_id])) as wf:
+            assert wf.getnchannels() == ch == got[doc_id].channels
+            assert wf.getframerate() == sr == got[doc_id].sample_rate
+            assert wf.getsampwidth() * 8 == bits == got[doc_id].bits_per_sample
+            assert wf.readframes(wf.getnframes()) == data[
+                : wf.getnframes() * ch * (bits // 8)
+            ]
+        assert got[doc_id].n_bytes == 44 + len(data)
+        assert got[doc_id].duration_ms == len(data) * 1000 // (
+            sr * ch * (bits // 8)
+        )
+
+
+def test_wav_meta_rejects_non_wav(spark):
+    from beavers_spark.functions.multimodal import ppm_meta, wav_meta
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"RIFFxxxxWAVEfmt " + b"\x00" * 100)),  # non-PCM
+            (2, bytearray(b"not audio at all")),
+            (3, bytearray(b"P6\n33 47\n255\n" + b"rgb" * 10)),
+        ],
+        "doc_id long, payload binary",
+    )
+    wavs = {r.doc_id: r for r in wav_meta(df, "payload").collect()}
+    assert all(wavs[i].sample_rate is None for i in (1, 2, 3))
+    ppms = {r.doc_id: r for r in ppm_meta(df, "payload").collect()}
+    assert ppms[3].width == 33 and ppms[3].height == 47
+    assert ppms[1].width is None and ppms[2].width is None

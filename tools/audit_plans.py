@@ -548,6 +548,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Join",
          r"BatchEvalPython"],
     ],
+    "wav_meta": [
+        # binary build + fixed-offset LE decode must stay one scan-side
+        # projection: no UDF (whole-stage codegen), no shuffle, no join
+        [r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
+         r"MapInPandas", r"CartesianProduct"],
+    ],
+    "ppm_meta": [
+        [r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
+         r"MapInPandas", r"CartesianProduct"],
+    ],
 }
 
 

@@ -111,6 +111,9 @@ class IncrementalTfidfDedup:
         #: directory (bytes appended + file count — the compaction-due
         #: signal)
         self.metrics: list[WaveMetrics] = []
+        #: dead candidate pairs dropped by compact() so far (pairs whose
+        #: every shared bucket is over max_df — they can never score)
+        self.candidates_pruned: int = 0
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -309,26 +312,84 @@ class IncrementalTfidfDedup:
     def compact(self, spark: SparkSession) -> int:
         """Coalesce all wave partitions into single ``w=-1`` directories
         (registry keeps its ``b`` sub-partitioning; candidates also
-        dedupe); returns the registry's post-compaction file count.
-        Raw tf counts and candidate ids are both growth-stable, so
-        compaction is a pure layout rewrite — no re-weighting is needed
-        because the kernel never persists weights (module docstring)."""
+        dedupe AND dead candidates are pruned); returns the registry's
+        post-compaction file count. Raw tf counts and candidate ids are
+        both growth-stable, so compaction is a pure layout rewrite — no
+        re-weighting is needed because the kernel never persists
+        weights (module docstring).
+
+        Candidate pruning (VERDICT r7 item 6 — the one unbounded set):
+        a pair whose every shared bucket has gone over ``max_df`` under
+        CURRENT statistics produces no dots row in ``read_pairs`` —
+        and document frequency only grows, so it never will again.
+        Dropping those pairs here leaves every ``read_*`` result
+        byte-identical while bounding the candidate table by what can
+        still score. ``candidates_pruned`` records the drop."""
+        import shutil
+
         from beavers_spark.streaming.maintenance import (
             compact_parquet,
             guard_committed_waves,
+            recover_compaction,
         )
 
         guard_committed_waves(
             self._watermark, self.state_path, self.cand_path
         )
-        compact_parquet(
-            spark,
-            self.cand_path,
-            partition_by="w",
-            transform=lambda df: df.dropDuplicates(
-                ["doc1", "doc2"]
-            ).withColumn("w", F.lit(-1)),
+        recover_compaction(self.cand_path)
+
+        reg = self.read_state(spark)
+        df_live = (
+            reg.groupBy("bucket")
+            .agg(F.count("*").alias("df_b"))
+            .filter(F.col("df_b") <= self.max_df)
+            .select("bucket")
         )
+        live_post = reg.join(F.broadcast(df_live), "bucket").select(
+            "doc_id", "bucket"
+        )
+        cand = self.read_candidates(spark)
+        alive = (
+            cand.join(
+                live_post.select(F.col("doc_id").alias("doc1"), "bucket"),
+                "doc1",
+            )
+            .join(
+                live_post.select(F.col("doc_id").alias("doc2"), "bucket"),
+                ["doc2", "bucket"],
+                "left_semi",
+            )
+            .select("doc1", "doc2")
+            .distinct()
+        )
+        before, n_alive = cand.count(), alive.count()
+        #: dead candidates dropped by compact so far (cumulative): the
+        #: bench/ops observable for whether pruning keeps up
+        self.candidates_pruned += before - n_alive
+        if n_alive == 0:
+            # an all-dead candidate table must NOT go through the
+            # partitioned rewrite — an empty partitionBy write leaves no
+            # schema-bearing data file and wedges every later read
+            # (UNABLE_TO_INFER_SCHEMA). Write one empty PLAIN-parquet
+            # w=-1 wave (the same empty-wave shape __call__ uses), then
+            # drop the other waves; a crash in between leaves extra
+            # dead candidates, which read-time scoring ignores anyway.
+            spark.createDataFrame([], cand.schema).write.mode(
+                "overwrite"
+            ).parquet(f"{self.cand_path}/w=-1")
+            for name in os.listdir(self.cand_path):
+                if name.startswith("w=") and name != "w=-1":
+                    shutil.rmtree(
+                        os.path.join(self.cand_path, name),
+                        ignore_errors=True,
+                    )
+        else:
+            compact_parquet(
+                spark,
+                self.cand_path,
+                partition_by="w",
+                transform=lambda _df: alive.withColumn("w", F.lit(-1)),
+            )
         return compact_parquet(
             spark,
             self.state_path,

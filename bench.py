@@ -420,9 +420,12 @@ def _inc_classifier_refit1(
 def _inc_tfidf_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """documents fed in waves through IncrementalTfidfDedup: per wave,
     featurize the batch only and generate candidate pairs against the
-    bucket-pruned term registry; the timed read_pairs at the end scores
-    the accumulated candidates under the final corpus statistics —
-    exactly the batch tfidf_cosine_pairs result."""
+    bucket-pruned term registry; a mid-stream compact() after wave 2
+    exercises the dead-candidate prune UNDER TIMING (candidates whose
+    every shared bucket is over max_df can never score — r8); the timed
+    read_pairs at the end scores the accumulated candidates under the
+    final corpus statistics — exactly the batch tfidf_cosine_pairs
+    result."""
     from beavers_spark.plans.common import t
     from beavers_spark.streaming import IncrementalTfidfDedup
 
@@ -436,8 +439,12 @@ def _inc_tfidf_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     for i in range(_WAVES):
         dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+        if i == 2:
+            dedup.compact(spark)
     return dedup.read_pairs(spark).count(), _kernel_metrics(
-        waves=dedup.metrics
+        waves=dedup.metrics,
+        compactions=1,
+        candidates_pruned=dedup.candidates_pruned,
     )
 
 
@@ -635,6 +642,11 @@ def main() -> None:
                 # (wave -> compact -> wave), so its time includes one
                 # state rewrite the r5 number did not
                 "inc_chunk_dedup_compacts": True,
+                # r8 on: inc_tfidf_dedup's scenario compacts mid-stream
+                # (wave -> compact+prune -> wave), so its time includes
+                # one state rewrite + the dead-candidate prune the r7
+                # number did not
+                "inc_tfidf_dedup_compacts": True,
                 "sf": sf_val,
             }
         )

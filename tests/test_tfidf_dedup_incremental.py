@@ -215,3 +215,67 @@ def test_read_clusters_equals_batch_components(spark, tmp_path):
         ).collect()
     }
     assert expected and got == expected
+
+
+def test_compaction_prunes_dead_candidates(spark, tmp_path):
+    """Candidates whose every shared bucket has gone over max_df under
+    current statistics can never score again (df only grows) — compact
+    must drop them while leaving read_pairs and read_clusters
+    byte-identical (VERDICT r7 item 6)."""
+    # wave 0: two docs sharing a distinctive phrase -> candidates while
+    # the phrase's buckets are still rare
+    w0 = spark.createDataFrame(
+        [
+            (1, "crimson basilisk theorem"),
+            (2, "crimson basilisk theorem"),
+            (3, "unrelated gardening almanac entry"),
+            (4, "another cooking recipe text"),
+        ],
+        "doc_id long, text string",
+    )
+    # later waves flood the same phrase past max_df: the (1,2) candidate
+    # goes dead (its every shared bucket is now over the cap)
+    flood = spark.createDataFrame(
+        [(100 + i, "crimson basilisk theorem") for i in range(8)],
+        "doc_id long, text string",
+    )
+    dedup = _mk(tmp_path, name="p", max_df=4)
+    dedup(w0, 0)
+    assert (1, 2) in {
+        (r.doc1, r.doc2) for r in dedup.read_candidates(spark).collect()
+    }
+    dedup(flood, 1)
+    pairs_before = _pair_set(dedup.read_pairs(spark))
+    clusters_before = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.read_clusters(spark).collect()
+    }
+    cand_before = dedup.read_candidates(spark).count()
+    dedup.compact(spark)
+    assert dedup.candidates_pruned > 0
+    assert dedup.read_candidates(spark).count() == cand_before - (
+        dedup.candidates_pruned
+    )
+    # the dead (1,2) candidate is gone; live candidates survive
+    kept = {(r.doc1, r.doc2) for r in dedup.read_candidates(spark).collect()}
+    assert (1, 2) not in kept
+    # every read result is unchanged by the prune
+    assert _pair_set(dedup.read_pairs(spark)) == pairs_before
+    assert {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.read_clusters(spark).collect()
+    } == clusters_before
+    # and the kernel still equals batch after more ingest
+    extra = spark.createDataFrame(
+        [(500, "novel closing document wholly distinct")],
+        "doc_id long, text string",
+    )
+    dedup(extra, 2)
+    got = _pair_set(dedup.read_pairs(spark))
+    expected = _pair_set(
+        tfidf_cosine_pairs(
+            w0.unionByName(flood).unionByName(extra),
+            "text", "doc_id", threshold=THRESHOLD, max_df=4,
+        )
+    )
+    assert got == expected

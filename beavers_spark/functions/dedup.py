@@ -876,6 +876,7 @@ def simhash_pairs(
     id_col: str,
     bits: int = 16,
     max_hamming: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """EXACT SimHash near-duplicate pairs: ``(doc1, doc2, hamming)``
     for every pair whose signatures differ in at most ``max_hamming``
@@ -889,8 +890,17 @@ def simhash_pairs(
     (``bit_count(sig1 XOR sig2)``) makes the result exact, not
     approximate. Fan-out per band bucket is the usual LSH caveat: a
     degenerate corpus of near-identical signatures concentrates in few
-    buckets (the same hazard — and mitigation space — as the MinHash
-    banded join).
+    buckets (the same hazard as the MinHash banded join).
+
+    ``bucket_cap`` is that hazard's mitigation — the same contract as
+    ``minhash_lsh_pairs(bucket_cap=)``: band buckets of size <= cap
+    keep exact all-pairs semantics; oversized buckets degrade to a
+    doc_id-ordered CHAIN (row i with row i+1), O(B) candidates that
+    keep every bucket member reachable for clustering. Chain pairs
+    still run the popcount verify, so emitted rows are always true
+    ``hamming <= max_hamming`` pairs; the cap costs pairwise RECALL
+    inside a mega-bucket only (identical-signature floods — the case
+    the cap exists for — chain at hamming 0 and lose nothing).
     """
     n_bands = max_hamming + 1
     if bits % n_bands:
@@ -918,22 +928,73 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.bv")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+    join_cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if bucket_cap is None:
+        cand = bands.alias("a").join(bands.alias("b"), join_cond).select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+    else:
+        if bucket_cap < 2:
+            raise ValueError(
+                f"bucket_cap must be >= 2 (a 1-cap chains every bucket), "
+                f"got {bucket_cap}"
+            )
+        # rank/chain shuffles on the same (band_id, bv) key as the join
+        # it protects, ordered by doc_id — deterministic under retries
+        win = Window.partitionBy("band_id", "bv").orderBy("doc_id")
+        ranked = bands.select(
+            "doc_id",
+            "simhash",
+            "band_id",
+            "bv",
+            F.count(F.lit(1))
+            .over(
+                win.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("cnt"),
+            F.lead("doc_id").over(win).alias("nxt"),
+            F.lead("simhash").over(win).alias("nxt_sig"),
+        )
+        within = ranked.filter(F.col("cnt") <= bucket_cap)
+        all_pairs = (
+            within.alias("a")
+            .join(within.alias("b"), join_cond)
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+                F.col("a.simhash").alias("s1"),
+                F.col("b.simhash").alias("s2"),
+            )
+        )
+        # doc_id is unique within a bucket (one band row per doc per
+        # band), so ascending order makes nxt strictly greater:
+        # doc1 < doc2 holds on chain pairs too
+        chain = ranked.filter(
+            (F.col("cnt") > bucket_cap) & F.col("nxt").isNotNull()
+        ).select(
+            F.col("doc_id").alias("doc1"),
+            F.col("nxt").alias("doc2"),
+            F.col("simhash").alias("s1"),
+            F.col("nxt_sig").alias("s2"),
+        )
+        cand = all_pairs.unionByName(chain)
+    return (
+        cand.select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand

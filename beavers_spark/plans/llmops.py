@@ -1370,3 +1370,69 @@ def simhash_pairs_q(spark, sf_dir):
 simhash_pairs_q.__doc__ = simhash_pairs_q.__doc__.format(
     maxh=_SH_MAXH, bits=_SH_BITS, nbands=_SH_MAXH + 1, w=_SH_W
 )
+
+
+#: hot-bucket cap for the capped simhash plan — small enough that this
+#: corpus's signature concentration actually chains buckets (the plan is
+#: the degenerate-fan-out mitigation, so the bench/oracle must exercise
+#: BOTH the exact-small-bucket and the chained-mega-bucket paths)
+_SH_CAP = 8
+
+
+@query(
+    "simhash_pairs_capped",
+    oracle=f"""
+    WITH {_simhash_sig_ctes(_SH_BITS)},
+    bands AS (
+        SELECT doc_id, simhash, b.i AS band_id,
+               (simhash >> (b.i * {_SH_W})) & {_SH_MASK} AS bv
+        FROM sig, (SELECT unnest(range({_SH_MAXH + 1})) AS i) b
+    ),
+    ranked AS (
+        SELECT doc_id, simhash, band_id, bv,
+               count(*) OVER (PARTITION BY band_id, bv) AS cnt,
+               lead(doc_id) OVER (
+                   PARTITION BY band_id, bv ORDER BY doc_id
+               ) AS nxt,
+               lead(simhash) OVER (
+                   PARTITION BY band_id, bv ORDER BY doc_id
+               ) AS nxt_sig
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT doc1, doc2,
+               CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        FROM (
+            SELECT a.doc_id AS doc1, b2.doc_id AS doc2,
+                   a.simhash AS s1, b2.simhash AS s2
+            FROM ranked a JOIN ranked b2
+              ON a.band_id = b2.band_id AND a.bv = b2.bv
+             AND a.doc_id < b2.doc_id
+            WHERE a.cnt <= {_SH_CAP} AND b2.cnt <= {_SH_CAP}
+            UNION ALL
+            SELECT doc_id, nxt, simhash, nxt_sig FROM ranked
+            WHERE cnt > {_SH_CAP} AND nxt IS NOT NULL
+        )
+    )
+    SELECT doc1, doc2, hamming FROM cand WHERE hamming <= {_SH_MAXH}
+    """,
+)
+def simhash_pairs_capped_q(spark, sf_dir):
+    """simhash_pairs under a hot-bucket cap: band buckets of size
+    <= {cap} keep exact all-pairs; oversized buckets chain (doc_id
+    order, row i with row i+1) — the degenerate-fan-out mitigation the
+    uncapped plan's docstring names, same contract as
+    dedup_minhash_capped. The oracle runs the identical rank/chain
+    banding, so the cap semantics are hash-checked, not just the
+    surviving pairs (functions/dedup.py simhash_pairs bucket_cap)."""
+    from beavers_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=_SH_BITS, max_hamming=_SH_MAXH, bucket_cap=_SH_CAP,
+    )
+
+
+simhash_pairs_capped_q.__doc__ = simhash_pairs_capped_q.__doc__.format(
+    cap=_SH_CAP
+)

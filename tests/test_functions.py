@@ -664,3 +664,57 @@ def test_wav_meta_rejects_non_wav(spark):
     ppms = {r.doc_id: r for r in ppm_meta(df, "payload").collect()}
     assert ppms[3].width == 33 and ppms[3].height == 47
     assert ppms[1].width is None and ppms[2].width is None
+
+
+def test_simhash_pairs_bucket_cap(spark):
+    """bucket_cap contract (the dedup_minhash_capped analog): capped
+    pairs are a SUBSET of exact pairs, an identical-signature
+    mega-bucket emits O(B) chain pairs instead of O(B^2) while keeping
+    every member connected, and small buckets keep exact all-pairs."""
+    import pytest as _pytest
+
+    mega = [(i, "boilerplate license header text block") for i in range(40)]
+    small = [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon zeta"),
+        (102, "one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(
+        mega + small, "doc_id long, text string"
+    )
+    from beavers_spark.functions.dedup import (
+        connected_components,
+        simhash_pairs,
+    )
+
+    exact = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", bits=16, max_hamming=1
+        ).collect()
+    }
+    capped_df = simhash_pairs(
+        docs, "text", "doc_id", bits=16, max_hamming=1, bucket_cap=4
+    )
+    capped = {(r.doc1, r.doc2, r.hamming) for r in capped_df.collect()}
+    assert capped <= exact
+    # the 40-doc identical mega-bucket: exact emits 40*39/2 = 780 pairs,
+    # the chain at most 39 per band — linear, not quadratic
+    mega_exact = {p for p in exact if p[0] < 100 and p[1] < 100}
+    mega_capped = {p for p in capped if p[0] < 100 and p[1] < 100}
+    assert len(mega_exact) == 780
+    assert 0 < len(mega_capped) <= 39 * 2
+    # every mega-bucket member still lands in ONE cluster (hamming-0
+    # chain pairs always survive the verify)
+    comp = connected_components(
+        capped_df.filter(F.col("doc1") < 100).select("doc1", "doc2")
+    )
+    assert comp.select("cluster_id").distinct().count() == 1
+    assert comp.count() == 40
+    # small buckets keep exact all-pairs semantics
+    assert (100, 101, 0) in capped
+    assert (100, 101, 0) in exact
+    with _pytest.raises(ValueError, match="bucket_cap"):
+        simhash_pairs(
+            docs, "text", "doc_id", bits=16, max_hamming=1, bucket_cap=1
+        )

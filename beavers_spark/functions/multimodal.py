@@ -337,21 +337,27 @@ def wav_meta(df: DataFrame, payload_col: str) -> DataFrame:
     ``bits_per_sample``, ``duration_ms`` (floor of data bytes over byte
     rate) and ``n_bytes`` (whole payload) alongside the input columns.
     """
+    byte_rate = _le_int(payload_col, 29, 4)
     is_wav = (
         (F.octet_length(F.col(payload_col)) >= 44)
         & (F.substring(F.col(payload_col), 1, 4) == F.lit(b"RIFF"))
         & (F.substring(F.col(payload_col), 9, 8) == F.lit(b"WAVEfmt "))
         & (F.substring(F.col(payload_col), 37, 4) == F.lit(b"data"))
         & (_le_int(payload_col, 21, 2) == 1)  # PCM only
+        # a zero byte rate is not a playable PCM file, and under Spark
+        # 4's default ANSI mode the duration division would abort the
+        # whole job on one crafted header (DIVIDE_BY_ZERO)
+        & (byte_rate > 0)
     )
-    byte_rate = _le_int(payload_col, 29, 4)
     data_size = _le_int(payload_col, 41, 4)
     meta = {
         "format": F.lit("wav"),
         "channels": _le_int(payload_col, 23, 2).cast("int"),
         "sample_rate": _le_int(payload_col, 25, 4),
         "bits_per_sample": _le_int(payload_col, 35, 2).cast("int"),
-        "duration_ms": F.floor(data_size * 1000 / byte_rate),
+        # try_divide: belt-and-braces with the byte_rate > 0 gate above
+        # (NULL, never an ANSI error, on a malformed header)
+        "duration_ms": F.floor(F.try_divide(data_size * 1000, byte_rate)),
         "n_bytes": F.octet_length(F.col(payload_col)).cast("bigint"),
     }
     out = df
@@ -364,8 +370,15 @@ def ppm_meta(df: DataFrame, payload_col: str) -> DataFrame:
     """Decode binary P6 PPM headers ('P6\\n<width> <height>\\n<maxval>\\n')
     from a binary column: the ASCII header rides in the first bytes, so
     one substring + decode + regexp projection yields the dimensions —
-    no UDF. Non-PPM payloads yield NULLs."""
-    head = F.decode(F.substring(F.col(payload_col), 1, 32), "UTF-8")
+    no UDF. Non-PPM payloads yield NULLs.
+
+    The 32-byte prefix is decoded as ISO-8859-1, NOT UTF-8: a real P6
+    file's raw pixel bytes start right after the ~13-byte header, and
+    under Spark 4's default ANSI mode a UTF-8 decode of arbitrary
+    binary aborts the whole job (MALFORMED_CHARACTER_CODING). Latin-1
+    maps every byte to a char, so the decode never fails and the
+    ASCII-anchored regexp is unaffected by trailing pixel noise."""
+    head = F.decode(F.substring(F.col(payload_col), 1, 32), "ISO-8859-1")
     pat = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s"
     w = F.regexp_extract(head, pat, 1)
     is_ppm = w != ""

@@ -444,6 +444,12 @@ class IncrementalNearDedup:
         import glob as _glob
 
         try:
+            if not os.path.isdir(wave_dir):
+                # glob returns [] (not an error) for a non-POSIX or
+                # object-store path — without this guard the fallback
+                # would never fire and every batch would silently be
+                # treated as empty (the _band_keys_local precedent)
+                return None
             files = _glob.glob(
                 os.path.join(wave_dir, "**", "*.parquet"), recursive=True
             )
@@ -671,6 +677,7 @@ class IncrementalNearDedup:
 
         # within-batch collisions, canonical doc1 < doc2
         _plan_t0 = time.perf_counter()
+        _plan_pd0 = self.phase_seconds.get("probe_decide", 0.0)
         a, b = new_bands.alias("a"), new_bands.alias("b")
         cand = a.join(b, _exprs()["within_cond"]).select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
@@ -739,9 +746,14 @@ class IncrementalNearDedup:
             .select("doc1", "doc2", _exprs()["est_jaccard"], _exprs()["jaccard"])
             .filter(F.col("jaccard") >= self.threshold)
         )
+        # plan construction wall time, NET of the probe_decide span that
+        # runs inside this window — without the subtraction a slow Bloom
+        # decision would be double-counted into both phases
         self.phase_seconds["plan_build"] = self.phase_seconds.get(
             "plan_build", 0.0
-        ) + (time.perf_counter() - _plan_t0)
+        ) + (time.perf_counter() - _plan_t0) - (
+            self.phase_seconds.get("probe_decide", 0.0) - _plan_pd0
+        )
         # per-wave overwrite (idempotent under a crash between this
         # write and the mark — append mode duplicated the batch's pairs
         # on exactly that replay); written even when the batch found no

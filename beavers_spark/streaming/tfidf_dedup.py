@@ -115,6 +115,19 @@ class IncrementalTfidfDedup:
         #: every shared bucket is over max_df — they can never score)
         self.candidates_pruned: int = 0
 
+    def _live_buckets(self, reg: DataFrame) -> DataFrame:
+        """Buckets still under the df cap for the given registry slice —
+        THE liveness rule, shared by candidate generation and compact's
+        dead-candidate prune; the ``<= max_df`` boundary must match
+        ``_tfidf_cos_pairs``'s postings filter or compact would prune
+        candidates read_pairs can still score."""
+        return (
+            reg.groupBy("bucket")
+            .agg(F.count("*").alias("df_b"))
+            .filter(F.col("df_b") <= self.max_df)
+            .select("bucket")
+        )
+
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
         if self._has_state:
@@ -275,12 +288,7 @@ class IncrementalTfidfDedup:
         reg_touched = spark.read.parquet(self.state_path).filter(
             F.col("b").isin(touched)
         )
-        df_live = (
-            reg_touched.groupBy("bucket")
-            .agg(F.count("*").alias("df_b"))
-            .filter(F.col("df_b") <= self.max_df)
-            .select("bucket")
-        )
+        df_live = self._live_buckets(reg_touched)
         left = new_tf.join(F.broadcast(df_live), "bucket").select(
             F.col("doc_id").alias("d1"), "bucket"
         )
@@ -339,12 +347,7 @@ class IncrementalTfidfDedup:
         recover_compaction(self.cand_path)
 
         reg = self.read_state(spark)
-        df_live = (
-            reg.groupBy("bucket")
-            .agg(F.count("*").alias("df_b"))
-            .filter(F.col("df_b") <= self.max_df)
-            .select("bucket")
-        )
+        df_live = self._live_buckets(reg)
         live_post = reg.join(F.broadcast(df_live), "bucket").select(
             "doc_id", "bucket"
         )
@@ -362,11 +365,17 @@ class IncrementalTfidfDedup:
             .select("doc1", "doc2")
             .distinct()
         )
+        # persist across the count + rewrite below — without it the
+        # registry-scan + df-aggregate + double-join plan would execute
+        # twice per compaction (and could even disagree between the two
+        # jobs if state changed in between)
+        alive = alive.persist()
         before, n_alive = cand.count(), alive.count()
         #: dead candidates dropped by compact so far (cumulative): the
         #: bench/ops observable for whether pruning keeps up
         self.candidates_pruned += before - n_alive
         if n_alive == 0:
+            alive.unpersist(blocking=True)
             # an all-dead candidate table must NOT go through the
             # partitioned rewrite — an empty partitionBy write leaves no
             # schema-bearing data file and wedges every later read
@@ -384,12 +393,17 @@ class IncrementalTfidfDedup:
                         ignore_errors=True,
                     )
         else:
-            compact_parquet(
-                spark,
-                self.cand_path,
-                partition_by="w",
-                transform=lambda _df: alive.withColumn("w", F.lit(-1)),
-            )
+            try:
+                compact_parquet(
+                    spark,
+                    self.cand_path,
+                    partition_by="w",
+                    transform=lambda _df: alive.withColumn(
+                        "w", F.lit(-1)
+                    ),
+                )
+            finally:
+                alive.unpersist(blocking=True)
         return compact_parquet(
             spark,
             self.state_path,

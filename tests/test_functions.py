@@ -718,3 +718,36 @@ def test_simhash_pairs_bucket_cap(spark):
         simhash_pairs(
             docs, "text", "doc_id", bits=16, max_hamming=1, bucket_cap=1
         )
+
+
+def test_wav_ppm_meta_hostile_payloads_yield_nulls(spark):
+    """Review r8 regressions: real P6 pixel bytes are arbitrary binary
+    (invalid UTF-8 right after the header) and a crafted WAV header can
+    carry byte_rate=0 — both must yield rows, never abort the job under
+    Spark's default ANSI mode."""
+    import struct
+
+    from beavers_spark.functions.multimodal import ppm_meta, wav_meta
+
+    zero_rate_wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 1, 8)
+        + b"data" + struct.pack("<I", 0)
+    )
+    df = spark.createDataFrame(
+        [
+            # real-shaped PPM: raw RGB bytes (invalid UTF-8) follow the
+            # 13-byte ASCII header
+            (1, bytearray(b"P6\n16 16\n255\n" + b"\xff\xfe\xfd" * 10)),
+            # arbitrary binary garbage, invalid UTF-8 from byte 0
+            (2, bytearray(b"\xc3\x28" * 20)),
+            (3, bytearray(zero_rate_wav)),
+        ],
+        "doc_id long, payload binary",
+    )
+    ppm = {r.doc_id: r for r in ppm_meta(df, "payload").collect()}
+    assert ppm[1].width == 16 and ppm[1].height == 16
+    assert ppm[2].width is None and ppm[3].width is None
+    wav = {r.doc_id: r for r in wav_meta(df, "payload").collect()}
+    assert wav[3].sample_rate is None  # zero byte rate: not a valid PCM
+    assert wav[1].sample_rate is None and wav[2].sample_rate is None

@@ -67,6 +67,7 @@ from beavers_spark.streaming.maintenance import (
     ensure_layout,
     prune_hash_buckets,
     registry_anti_probe,
+    timed_phase,
     seen_anti_join,
     table_exists,
 )
@@ -114,6 +115,10 @@ class IncrementalChunkDedup:
         )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
+        #: accumulated driver-observed wall seconds per __call__ phase
+        #: (winners_count / bloom_fold / state_write / out_write /
+        #: call_total) — the bench's named-cost table
+        self.phase_seconds: dict[str, float] = {}
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -170,6 +175,10 @@ class IncrementalChunkDedup:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self._watermark.is_applied(batch_id):
             return
+        with timed_phase(self.phase_seconds, "call_total"):
+            self._apply(batch_df, batch_id)
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df
         # segment length and bucket modulus are baked into the persisted
@@ -222,13 +231,17 @@ class IncrementalChunkDedup:
         ).select("h", "doc_id", "idx", "chunk", "n_chunks").persist()
         new_owned = winners
         try:
-            n_winners = winners.count()
+            with timed_phase(self.phase_seconds, "winners_count"):
+                n_winners = winners.count()
             probe_on = had_state and self._bloom.probe_active(
                 exclude=batch_id
             )
-            pre_h = (
-                self._bloom.collect_keys(winners, "h") if probe_on else None
-            )
+            with timed_phase(self.phase_seconds, "bloom_fold"):
+                pre_h = (
+                    self._bloom.collect_keys(winners, "h")
+                    if probe_on
+                    else None
+                )
             if had_state and n_winners:
                 # cross-batch ownership: any hash already registered
                 # wins. Scan pruning, cheapest first: 8-byte h column
@@ -276,15 +289,17 @@ class IncrementalChunkDedup:
             # replays; b = pmod(h, N) sub-partitions by hash prefix
             # (repartition on b first so each bucket gets one file)
             wave_dir = f"{self.state_path}/w={batch_id}"
-            (
-                new_owned.withColumn(
-                    "b", F.pmod(F.col("h"), F.lit(self.n_hash_buckets))
+            with timed_phase(self.phase_seconds, "state_write"):
+                (
+                    new_owned.withColumn(
+                        "b",
+                        F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
+                    )
+                    .repartition(self.n_hash_buckets, F.col("b"))
+                    .write.mode("overwrite")
+                    .partitionBy("b")
+                    .parquet(wave_dir)
                 )
-                .repartition(self.n_hash_buckets, F.col("b"))
-                .write.mode("overwrite")
-                .partitionBy("b")
-                .parquet(wave_dir)
-            )
             if pre_h is not None:
                 # PRE-anti hash set: a superset bitmap only adds false
                 # positives (an unnecessary wave scan), never wrong
@@ -308,9 +323,10 @@ class IncrementalChunkDedup:
             # write and the mark — append mode duplicated the batch's
             # rows on exactly that replay); written even when empty so
             # read_kept() is valid from batch 0
-            kept.write.mode("overwrite").parquet(
-                f"{self.out_path}/w={batch_id}"
-            )
+            with timed_phase(self.phase_seconds, "out_write"):
+                kept.write.mode("overwrite").parquet(
+                    f"{self.out_path}/w={batch_id}"
+                )
             self._watermark.mark(batch_id)
         finally:
             # deterministic block release (see module docstring)

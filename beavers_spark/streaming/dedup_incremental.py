@@ -48,7 +48,6 @@ near-dedup surface itself (README.md:43-50 scope).
 
 from __future__ import annotations
 
-import contextlib
 import os
 import time
 
@@ -72,6 +71,7 @@ from beavers_spark.streaming.maintenance import (
     partition_stats,
     seen_anti_join,
     table_exists,
+    timed_phase,
 )
 
 _SIG_COLS = ["doc_id"] + [f"mh{i}" for i in range(NUM_HASHES)]
@@ -222,15 +222,8 @@ class IncrementalNearDedup:
         #: asked for; timing only, no behavior
         self.phase_seconds: dict[str, float] = {}
 
-    @contextlib.contextmanager
     def _phase(self, name: str):
-        start = time.perf_counter()
-        try:
-            yield
-        finally:
-            self.phase_seconds[name] = self.phase_seconds.get(
-                name, 0.0
-            ) + (time.perf_counter() - start)
+        return timed_phase(self.phase_seconds, name)
 
     def _record_wave(
         self, spark: SparkSession, batch_id: int, wave_dir: str

@@ -31,10 +31,12 @@ watermark is never found and replayed batches double-apply.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
 import shutil
+import time
 from typing import Sequence
 
 from pyspark.sql import SparkSession
@@ -70,6 +72,19 @@ class WaveMetrics:
     files: int  # data files across those directories
     bytes: int  # bytes across those directories (rewritten this wave)
     max_files_per_partition: int
+
+
+@contextlib.contextmanager
+def timed_phase(acc: dict, name: str):
+    """Accumulate driver-observed wall seconds for one named kernel
+    phase into ``acc`` — the named-cost table the BENCH json records
+    (phase_seconds): a timing uptick with an unchanged phase split
+    points at the machine, one phase growing points at its plan."""
+    start = time.perf_counter()
+    try:
+        yield
+    finally:
+        acc[name] = acc.get(name, 0.0) + (time.perf_counter() - start)
 
 
 def partition_stats(

@@ -76,6 +76,7 @@ from beavers_spark.streaming.maintenance import (
     registry_anti_probe,
     seen_anti_join,
     table_exists,
+    timed_phase,
     WaveBloomIndex,
     WaveMetrics,
 )
@@ -133,6 +134,10 @@ class IncrementalSubstringDedup:
         self.metrics: list[WaveMetrics] = []
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
+        #: accumulated driver-observed wall seconds per __call__ phase
+        #: (winners_count / bloom_fold / state_write / out_write /
+        #: call_total) — the bench's named-cost table
+        self.phase_seconds: dict[str, float] = {}
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -190,6 +195,10 @@ class IncrementalSubstringDedup:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self._watermark.is_applied(batch_id):
             return
+        with timed_phase(self.phase_seconds, "call_total"):
+            self._apply(batch_df, batch_id)
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df
         # span length and bucket modulus are baked into the persisted
@@ -256,13 +265,17 @@ class IncrementalSubstringDedup:
         try:
             # one count materializes winners AND spans; n_winners also
             # decides the probe strategy below
-            n_winners = winners.count()
+            with timed_phase(self.phase_seconds, "winners_count"):
+                n_winners = winners.count()
             probe_on = had_state and self._bloom.probe_active(
                 exclude=batch_id
             )
-            pre_h = (
-                self._bloom.collect_keys(winners, "h") if probe_on else None
-            )
+            with timed_phase(self.phase_seconds, "bloom_fold"):
+                pre_h = (
+                    self._bloom.collect_keys(winners, "h")
+                    if probe_on
+                    else None
+                )
             if had_state and n_winners:
                 # cross-batch ownership: any hash already registered
                 # wins. Registry scan pruning, cheapest first: the
@@ -311,15 +324,17 @@ class IncrementalSubstringDedup:
             # prefix (repartition on b first, so each bucket directory
             # gets one file instead of one per task)
             wave_dir = f"{self.state_path}/w={batch_id}"
-            (
-                new_owned.withColumn(
-                    "b", F.pmod(F.col("h"), F.lit(self.n_hash_buckets))
+            with timed_phase(self.phase_seconds, "state_write"):
+                (
+                    new_owned.withColumn(
+                        "b",
+                        F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
+                    )
+                    .repartition(self.n_hash_buckets, F.col("b"))
+                    .write.mode("overwrite")
+                    .partitionBy("b")
+                    .parquet(wave_dir)
                 )
-                .repartition(self.n_hash_buckets, F.col("b"))
-                .write.mode("overwrite")
-                .partitionBy("b")
-                .parquet(wave_dir)
-            )
             if pre_h is not None:
                 # bitmap from the PRE-anti hash set (a superset of the
                 # registered one — extra bits only add false positives,
@@ -376,9 +391,10 @@ class IncrementalSubstringDedup:
             )
             # written even when empty so read_dup_ranges() is valid from
             # batch 0; per-wave overwrite = replay-idempotent output
-            ranges.write.mode("overwrite").parquet(
-                f"{self.out_path}/w={batch_id}"
-            )
+            with timed_phase(self.phase_seconds, "out_write"):
+                ranges.write.mode("overwrite").parquet(
+                    f"{self.out_path}/w={batch_id}"
+                )
             files, nbytes, mx = partition_stats(spark, [wave_dir])
             self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))
             self._watermark.mark(batch_id)

@@ -297,7 +297,9 @@ def _chunk_dedup_scenario(
             )
             assert after <= before
     return dedup.read_kept(spark).count(), _kernel_metrics(
-        probes=dedup.probe_metrics, compactions=int(compact)
+        probes=dedup.probe_metrics,
+        phases=dedup.phase_seconds,
+        compactions=int(compact),
     )
 
 
@@ -341,7 +343,9 @@ def _substring_dedup_scenario(spark, sf_dir, workdir, **kernel_kwargs):
     for i in range(_WAVES):
         dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
     return dedup.read_dup_ranges(spark).count(), _kernel_metrics(
-        waves=dedup.metrics, probes=dedup.probe_metrics
+        waves=dedup.metrics,
+        probes=dedup.probe_metrics,
+        phases=dedup.phase_seconds,
     )
 
 

@@ -393,3 +393,84 @@ def ppm_meta(df: DataFrame, payload_col: str) -> DataFrame:
     for name, expr in meta.items():
         out = out.withColumn(name, F.when(is_ppm, expr))
     return out
+
+
+def synth_avi(
+    data_col,
+    usec_per_frame_col,
+    total_frames_col,
+    width_col,
+    height_col,
+):
+    """A canonical RIFF AVI header Column ('RIFF'/'AVI '/'LIST hdrl'/
+    56-byte 'avih' main header) followed by ``data_col`` as a stand-in
+    movi payload — the video-side twin of ``synth_wav``, pure Column
+    byte math. Only the avih fields ``avi_meta`` decodes are set;
+    stream lists are out of scope for a header-metadata pipeline."""
+    upf = usec_per_frame_col.cast("bigint")
+    frames = total_frames_col.cast("bigint")
+    dlen = F.octet_length(data_col).cast("bigint")
+    avih_hex = F.concat(
+        _le_hex(upf, 4),                  # dwMicroSecPerFrame
+        _le_hex(F.lit(0), 4),             # dwMaxBytesPerSec
+        _le_hex(F.lit(0), 4),             # dwPaddingGranularity
+        _le_hex(F.lit(16), 4),            # dwFlags (AVIF_HASINDEX)
+        _le_hex(frames, 4),               # dwTotalFrames
+        _le_hex(F.lit(0), 4),             # dwInitialFrames
+        _le_hex(F.lit(1), 4),             # dwStreams
+        _le_hex(F.lit(0), 4),             # dwSuggestedBufferSize
+        _le_hex(width_col.cast("bigint"), 4),
+        _le_hex(height_col.cast("bigint"), 4),
+        _le_hex(F.lit(0), 4),             # dwReserved[0..3]
+        _le_hex(F.lit(0), 4),
+        _le_hex(F.lit(0), 4),
+        _le_hex(F.lit(0), 4),
+    )
+    # LIST hdrl payload = 'hdrl' + 'avih' + cb + avih struct = 4+8+56
+    header_hex = F.concat(
+        F.lit("52494646"),                # 'RIFF'
+        _le_hex(F.lit(4 + 12 + 64) + dlen, 4),  # riff size from 'AVI '
+        F.lit("41564920"),                # 'AVI '
+        F.lit("4c495354"),                # 'LIST'
+        _le_hex(F.lit(68), 4),            # list size: hdrl+avih chunk
+        F.lit("6864726c"),                # 'hdrl'
+        F.lit("61766968"),                # 'avih'
+        _le_hex(F.lit(56), 4),            # avih cb
+        avih_hex,
+    )
+    return F.concat(F.unhex(header_hex), data_col)
+
+
+def avi_meta(df: DataFrame, payload_col: str) -> DataFrame:
+    """Decode RIFF AVI main headers ('avih') from a binary column with
+    pure Column byte math — fixed offsets, little-endian fields, no
+    UDF; the video-side twin of ``wav_meta``. Emits ``format`` ('avi'),
+    ``usec_per_frame``, ``total_frames``, ``n_streams``, ``width``,
+    ``height``, ``duration_ms`` (frames x frame period) and
+    ``n_bytes``. Non-AVI payloads yield NULL metadata; a zero frame
+    period is rejected as malformed (ANSI-safe, the wav_meta
+    precedent)."""
+    upf = _le_int(payload_col, 33, 4)
+    is_avi = (
+        (F.octet_length(F.col(payload_col)) >= 88)
+        & (F.substring(F.col(payload_col), 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(F.col(payload_col), 9, 8) == F.lit(b"AVI LIST"))
+        & (F.substring(F.col(payload_col), 21, 12) == F.lit(b"hdrlavih"
+                                                            b"\x38\x00\x00\x00"))
+        & (upf > 0)
+    )
+    frames = _le_int(payload_col, 49, 4)
+    meta = {
+        "format": F.lit("avi"),
+        "usec_per_frame": upf,
+        "total_frames": frames,
+        "n_streams": _le_int(payload_col, 57, 4).cast("int"),
+        "width": _le_int(payload_col, 65, 4).cast("int"),
+        "height": _le_int(payload_col, 69, 4).cast("int"),
+        "duration_ms": F.floor(upf * frames / F.lit(1000)),
+        "n_bytes": F.octet_length(F.col(payload_col)).cast("bigint"),
+    }
+    out = df
+    for name, expr in meta.items():
+        out = out.withColumn(name, F.when(is_avi, expr))
+    return out

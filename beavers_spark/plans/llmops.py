@@ -1144,6 +1144,63 @@ def ppm_meta_q(spark, sf_dir):
     )
 
 
+@query(
+    "avi_meta",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               ([100000, 41666, 40000, 33333][(doc_id % 4)::INT + 1])::BIGINT
+                   AS usec_per_frame,
+               (1 + doc_id % 240)::BIGINT AS total_frames,
+               (16 + doc_id % 64)::INT AS width,
+               (16 + (doc_id // 64) % 64)::INT AS height,
+               octet_length(encode(substr(text, 1, 100)))::BIGINT AS dlen
+        FROM documents
+    )
+    SELECT doc_id, 'avi' AS format, usec_per_frame, total_frames,
+           1 AS n_streams, width, height,
+           floor(usec_per_frame * total_frames / 1000.0)::BIGINT
+               AS duration_ms,
+           (88 + dlen)::BIGINT AS n_bytes
+    FROM params
+    """,
+)
+def avi_meta_q(spark, sf_dir):
+    """Video-header decode, hash-checked: build a canonical RIFF AVI
+    main header ('avih', deterministic frame period / count / geometry
+    from doc_id, text bytes as the movi stand-in) per document, then
+    parse the binary back with fixed-offset little-endian Column math —
+    no UDF. The DuckDB oracle recomputes every field by independent
+    arithmetic; the byte layout is pinned against struct.pack in tests
+    (functions/multimodal.py synth_avi/avi_meta). Completes the
+    image (ppm) / audio (wav) / video (avi) decode triple."""
+    from beavers_spark.functions.multimodal import avi_meta, synth_avi
+
+    docs = t(spark, sf_dir, "documents")
+    avis = docs.select(
+        "doc_id",
+        synth_avi(
+            F.encode(F.substring("text", 1, 100), "UTF-8"),
+            F.element_at(
+                F.array(
+                    *[F.lit(x) for x in (100000, 41666, 40000, 33333)]
+                ),
+                (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+            ),
+            1 + F.pmod("doc_id", F.lit(240)),
+            (16 + F.pmod("doc_id", F.lit(64))).cast("int"),
+            (16 + F.pmod(F.floor(F.col("doc_id") / 64), F.lit(64))).cast(
+                "int"
+            ),
+        ).alias("payload"),
+    )
+    return avi_meta(avis, "payload").select(
+        "doc_id", "format", "usec_per_frame", "total_frames",
+        F.col("n_streams").cast("int").alias("n_streams"),
+        "width", "height", "duration_ms", "n_bytes",
+    )
+
+
 _WINNOW_ORACLE = f"""
     WITH base AS (
         SELECT doc_id, lower(text) AS t FROM documents

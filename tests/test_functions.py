@@ -751,3 +751,55 @@ def test_wav_ppm_meta_hostile_payloads_yield_nulls(spark):
     wav = {r.doc_id: r for r in wav_meta(df, "payload").collect()}
     assert wav[3].sample_rate is None  # zero byte rate: not a valid PCM
     assert wav[1].sample_rate is None and wav[2].sample_rate is None
+
+
+def test_avi_meta_layout_vs_struct_pack(spark):
+    """synth_avi's byte layout must agree with an independent
+    struct.pack-built RIFF AVI header: both the Spark-built and the
+    Python-built blobs must decode to the same fields, and hostile
+    payloads (zero frame period, truncated, non-AVI) yield NULLs."""
+    import struct
+
+    from beavers_spark.functions.multimodal import avi_meta, synth_avi
+
+    def pack_avi(data, upf, frames, w, h):
+        avih = struct.pack(
+            "<10I16x", upf, 0, 0, 16, frames, 0, 1, 0, w, h
+        )
+        body = b"AVI LIST" + struct.pack("<I", 68) + b"hdrl" + b"avih" \
+            + struct.pack("<I", 56) + avih + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [(1, b"movi" * 25, 33333, 240, 640, 480),
+            (2, b"", 100000, 1, 16, 16)]
+    built = spark.createDataFrame(
+        [(i, bytearray(d), u, f, w, h) for i, d, u, f, w, h in rows],
+        "doc_id long, data binary, upf long, frames long, w int, h int",
+    ).select(
+        "doc_id",
+        synth_avi(
+            F.col("data"), F.col("upf"), F.col("frames"),
+            F.col("w"), F.col("h"),
+        ).alias("payload"),
+    )
+    payloads = {r.doc_id: bytes(r.payload) for r in built.collect()}
+    for doc_id, data, upf, frames, w, h in rows:
+        assert payloads[doc_id] == pack_avi(data, upf, frames, w, h)
+    got = {r.doc_id: r for r in avi_meta(built, "payload").collect()}
+    for doc_id, data, upf, frames, w, h in rows:
+        r = got[doc_id]
+        assert (r.usec_per_frame, r.total_frames, r.width, r.height) == (
+            upf, frames, w, h,
+        )
+        assert r.n_streams == 1 and r.n_bytes == 88 + len(data)
+        assert r.duration_ms == int(upf * frames / 1000)
+    hostile = spark.createDataFrame(
+        [
+            (10, bytearray(pack_avi(b"x", 0, 5, 1, 1))),  # zero period
+            (11, bytearray(b"RIFFxxxxAVI LISTbogus")),    # truncated
+            (12, bytearray(b"\x00" * 100)),               # not RIFF
+        ],
+        "doc_id long, payload binary",
+    )
+    bad = {r.doc_id: r for r in avi_meta(hostile, "payload").collect()}
+    assert all(bad[i].width is None for i in (10, 11, 12))

@@ -560,6 +560,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Exchange", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
          r"MapInPandas", r"CartesianProduct"],
     ],
+    "avi_meta": [
+        [r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
+         r"MapInPandas", r"CartesianProduct"],
+    ],
 }
 
 

@@ -1201,6 +1201,70 @@ def avi_meta_q(spark, sf_dir):
     )
 
 
+@query(
+    "video_frame_plan",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               ([100000, 41666, 40000, 33333][(doc_id % 4)::INT + 1])::BIGINT
+                   AS usec_per_frame,
+               (1 + doc_id % 240)::BIGINT AS total_frames
+        FROM documents
+    ),
+    durs AS (
+        SELECT doc_id,
+               floor(usec_per_frame * total_frames / 1000.0)::BIGINT
+                   AS duration_ms
+        FROM params
+    )
+    SELECT doc_id,
+           unnest(range(CAST(ceil(duration_ms / 1000.0) AS BIGINT)))
+               AS frame_idx,
+           unnest(range(CAST(ceil(duration_ms / 1000.0) AS BIGINT)))
+               * 1000 AS frame_ts_ms
+    FROM durs WHERE duration_ms > 0
+    """,
+)
+def video_frame_plan_q(spark, sf_dir):
+    """End-to-end video pipeline head: decode the AVI header (avi_meta,
+    Column byte math) and expand each video into 1-per-second frame-
+    sampling rows (frame_sample_plan — JVM sequence+explode BEFORE any
+    shuffle, so the downstream decode kernel distributes evenly even
+    when a few videos are huge; the heavy payload column does NOT ride
+    the fan-out). The oracle recomputes durations arithmetically and
+    unnests the same ranges."""
+    from beavers_spark.functions.multimodal import (
+        avi_meta,
+        frame_sample_plan,
+        synth_avi,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    avis = docs.select(
+        "doc_id",
+        synth_avi(
+            F.encode(F.substring("text", 1, 100), "UTF-8"),
+            F.element_at(
+                F.array(
+                    *[F.lit(x) for x in (100000, 41666, 40000, 33333)]
+                ),
+                (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+            ),
+            1 + F.pmod("doc_id", F.lit(240)),
+            F.lit(640),
+            F.lit(480),
+        ).alias("payload"),
+    )
+    parsed = avi_meta(avis, "payload").select(
+        "doc_id", F.struct(F.col("duration_ms")).alias("media_meta")
+    )
+    return frame_sample_plan(parsed, "doc_id", every_ms=1000).select(
+        "doc_id",
+        "frame_idx",
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )
+
+
 _WINNOW_ORACLE = f"""
     WITH base AS (
         SELECT doc_id, lower(text) AS t FROM documents

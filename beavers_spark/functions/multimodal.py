@@ -467,7 +467,13 @@ def avi_meta(df: DataFrame, payload_col: str) -> DataFrame:
         "n_streams": _le_int(payload_col, 57, 4).cast("int"),
         "width": _le_int(payload_col, 65, 4).cast("int"),
         "height": _le_int(payload_col, 69, 4).cast("int"),
-        "duration_ms": F.floor(upf * frames / F.lit(1000)),
+        # try_multiply: two crafted 0xFFFFFFFF fields would overflow
+        # bigint and abort the job under default ANSI mode (reproduced);
+        # NULL duration on such headers instead — the wav_meta
+        # try_divide precedent
+        "duration_ms": F.floor(
+            F.try_multiply(upf, frames) / F.lit(1000)
+        ),
         "n_bytes": F.octet_length(F.col(payload_col)).cast("bigint"),
     }
     out = df

@@ -1144,14 +1144,30 @@ def ppm_meta_q(spark, sf_dir):
     )
 
 
-@query(
-    "avi_meta",
-    oracle="""
-    WITH params AS (
-        SELECT doc_id,
+#: the deterministic AVI synth schedule shared by avi_meta and
+#: video_frame_plan — ONE definition in each engine so the two plans
+#: cannot silently diverge
+_AVI_UPFS = (100000, 41666, 40000, 33333)
+_AVI_PARAMS_SQL = """
                ([100000, 41666, 40000, 33333][(doc_id % 4)::INT + 1])::BIGINT
                    AS usec_per_frame,
-               (1 + doc_id % 240)::BIGINT AS total_frames,
+               (1 + doc_id % 240)::BIGINT AS total_frames"""
+
+
+def _avi_upf_frames():
+    """(usec_per_frame, total_frames) Columns of the synth schedule."""
+    upf = F.element_at(
+        F.array(*[F.lit(x) for x in _AVI_UPFS]),
+        (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+    )
+    return upf, 1 + F.pmod("doc_id", F.lit(240))
+
+
+@query(
+    "avi_meta",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id,{_AVI_PARAMS_SQL},
                (16 + doc_id % 64)::INT AS width,
                (16 + (doc_id // 64) % 64)::INT AS height,
                octet_length(encode(substr(text, 1, 100)))::BIGINT AS dlen
@@ -1177,17 +1193,13 @@ def avi_meta_q(spark, sf_dir):
     from beavers_spark.functions.multimodal import avi_meta, synth_avi
 
     docs = t(spark, sf_dir, "documents")
+    upf, frames = _avi_upf_frames()
     avis = docs.select(
         "doc_id",
         synth_avi(
             F.encode(F.substring("text", 1, 100), "UTF-8"),
-            F.element_at(
-                F.array(
-                    *[F.lit(x) for x in (100000, 41666, 40000, 33333)]
-                ),
-                (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
-            ),
-            1 + F.pmod("doc_id", F.lit(240)),
+            upf,
+            frames,
             (16 + F.pmod("doc_id", F.lit(64))).cast("int"),
             (16 + F.pmod(F.floor(F.col("doc_id") / 64), F.lit(64))).cast(
                 "int"
@@ -1196,19 +1208,15 @@ def avi_meta_q(spark, sf_dir):
     )
     return avi_meta(avis, "payload").select(
         "doc_id", "format", "usec_per_frame", "total_frames",
-        F.col("n_streams").cast("int").alias("n_streams"),
-        "width", "height", "duration_ms", "n_bytes",
+        "n_streams", "width", "height", "duration_ms", "n_bytes",
     )
 
 
 @query(
     "video_frame_plan",
-    oracle="""
+    oracle=f"""
     WITH params AS (
-        SELECT doc_id,
-               ([100000, 41666, 40000, 33333][(doc_id % 4)::INT + 1])::BIGINT
-                   AS usec_per_frame,
-               (1 + doc_id % 240)::BIGINT AS total_frames
+        SELECT doc_id,{_AVI_PARAMS_SQL}
         FROM documents
     ),
     durs AS (
@@ -1240,17 +1248,13 @@ def video_frame_plan_q(spark, sf_dir):
     )
 
     docs = t(spark, sf_dir, "documents")
+    upf, frames = _avi_upf_frames()
     avis = docs.select(
         "doc_id",
         synth_avi(
             F.encode(F.substring("text", 1, 100), "UTF-8"),
-            F.element_at(
-                F.array(
-                    *[F.lit(x) for x in (100000, 41666, 40000, 33333)]
-                ),
-                (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
-            ),
-            1 + F.pmod("doc_id", F.lit(240)),
+            upf,
+            frames,
             F.lit(640),
             F.lit(480),
         ).alias("payload"),

@@ -803,3 +803,24 @@ def test_avi_meta_layout_vs_struct_pack(spark):
     )
     bad = {r.doc_id: r for r in avi_meta(hostile, "payload").collect()}
     assert all(bad[i].width is None for i in (10, 11, 12))
+
+
+def test_avi_meta_overflow_header_yields_null_duration(spark):
+    """Two crafted 0xFFFFFFFF avih fields must NOT abort the job with an
+    ANSI bigint overflow — duration_ms comes back NULL (review r8)."""
+    import struct
+
+    from beavers_spark.functions.multimodal import avi_meta
+
+    avih = struct.pack(
+        "<10I16x", 0xFFFFFFFF, 0, 0, 16, 0xFFFFFFFF, 0, 1, 0, 4, 4
+    )
+    body = b"AVI LIST" + struct.pack("<I", 68) + b"hdrlavih" \
+        + struct.pack("<I", 56) + avih + b"x"
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = avi_meta(df, "payload").collect()[0]
+    assert row.usec_per_frame == 0xFFFFFFFF and row.total_frames == 0xFFFFFFFF
+    assert row.duration_ms is None

@@ -565,6 +565,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Exchange", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
          r"MapInPandas", r"CartesianProduct"],
     ],
+    "video_frame_plan": [
+        # the frame fan-out must run map-side (explode before any
+        # shuffle) and must NOT carry the binary payload column
+        [r"Generate explode", r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
+         r"MapInPandas", r"CartesianProduct", r"Generate [^\n]*payload"],
+    ],
 }
 
 

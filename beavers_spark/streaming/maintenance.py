@@ -354,6 +354,16 @@ class WaveBloomIndex:
     ``keys_of`` (one bounded column scan per old wave, once) — so
     early-gated and post-compaction sidecar-less waves self-heal
     instead of staying unprunable forever.
+
+    Sizing ``m_bits``: the probe asks "may this wave contain ANY of
+    the batch's q keys", so per-key false-positive probabilities OR
+    together — P(spurious scan) ~= 1 - exp(-q * fp). Keeping spurious
+    scans rare needs fp <~ 1/q, i.e. with k=7 hash functions roughly
+    ``m_bits >= 36 x keys-per-wave`` (fill ratio under ~0.17). The
+    2^23 default covers waves up to ~230k distinct keys; size up for
+    bigger waves or the filter silently stops pruning (measured on the
+    disjoint-wave bench scenario: 2^23 pruned 0/2 prior waves at ~200k
+    keys/wave, 2^27 pruned 2/2).
     """
 
     def __init__(

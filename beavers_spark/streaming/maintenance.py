@@ -267,9 +267,11 @@ def bloom_build(hashes, m_bits: int = 1 << 23, k: int = 7):
     span/segment hashes — the same boundedness contract as the probe
     collect that feeds it). m_bits is FIXED per table so wave bitmaps
     stay OR-mergeable across compactions; at the default 2^23 bits
-    (1 MiB) and k=7 the false-positive rate is ~1% at ~800k items per
-    wave and degrades gracefully past it (a Bloom FP only costs an
-    unnecessary wave scan, never a wrong answer).
+    (1 MiB) and k=7 the PER-KEY false-positive rate is ~1% at ~800k
+    items per wave and degrades gracefully past it (a Bloom FP only
+    costs an unnecessary wave scan, never a wrong answer) — but wave
+    probes OR q per-key probabilities together, so effective pruning
+    needs a much lower fill; see WaveBloomIndex's sizing note.
 
     ``m_bits`` must be a positive multiple of 64: positions are taken
     mod ``m_bits`` but the bitmap is packed into ``m_bits // 64`` words,
@@ -388,6 +390,13 @@ class WaveBloomIndex:
         #: is the wave's int64 key set — enables lazy sidecar backfill
         self.keys_of = keys_of
         self._cache: dict[int, object] = {}
+        #: worst observed bitmap fill ratio across save_wave calls —
+        #: the saturation observable (past ~0.17 fill an any-of-q probe
+        #: stops pruning; see the class sizing note). Surfaced in BENCH
+        #: kernel metrics so an undersized m_bits is visible from
+        #: artifacts, not just from probes that mysteriously stop
+        #: skipping waves.
+        self.max_fill: float = 0.0
 
     def wave_ids(self, exclude: int | None = None) -> list[int]:
         if not os.path.isdir(self.state_path):
@@ -455,7 +464,15 @@ class WaveBloomIndex:
 
     def save_wave(self, wave_dir: str, hashes) -> None:
         if self.m_bits:
-            bloom_save(wave_dir, bloom_build(hashes, self.m_bits))
+            import numpy as np
+
+            bits = bloom_build(hashes, self.m_bits)
+            if len(bits):
+                fill = float(
+                    np.unpackbits(bits.view(np.uint8)).sum()
+                ) / (len(bits) * 64)
+                self.max_fill = max(self.max_fill, fill)
+            bloom_save(wave_dir, bits)
 
     def merged(self):
         """OR of every wave's bitmap, or None if any wave lacks one

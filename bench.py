@@ -103,7 +103,9 @@ ANALYTICS = [
 _WAVES = 4
 
 
-def _kernel_metrics(waves=None, probes=None, phases=None, **extra) -> dict:
+def _kernel_metrics(
+    waves=None, probes=None, phases=None, bloom=None, **extra
+) -> dict:
     """Summarize a kernel's WaveMetrics / ProbeMetrics lists into the
     per-scenario counters the BENCH json records (VERDICT r6 item 8:
     regressions should be diagnosable from artifacts alone — a timing
@@ -122,6 +124,10 @@ def _kernel_metrics(waves=None, probes=None, phases=None, **extra) -> dict:
         # driver-observed wall seconds per kernel phase, summed over the
         # scenario's waves — the named-cost table for timing upticks
         out["phase_seconds"] = {k: round(v, 3) for k, v in phases.items()}
+    if bloom is not None:
+        # saturation observable: past ~0.17 fill the any-of-q probe
+        # stops pruning (WaveBloomIndex sizing note)
+        out["bloom_fill_max"] = round(bloom.max_fill, 4)
     return out
 
 
@@ -167,6 +173,7 @@ def _near_dedup_scenario(spark, sf_dir, workdir, **kernel_kwargs):
         waves=dedup.metrics,
         probes=dedup.probe_metrics,
         phases=dedup.phase_seconds,
+        bloom=dedup._bloom,
     )
 
 
@@ -239,6 +246,7 @@ def _inc_near_dedup_disjoint(
         waves=dedup.metrics,
         probes=dedup.probe_metrics,
         phases=dedup.phase_seconds,
+        bloom=dedup._bloom,
     )
     assert metrics["probe_batches"] > 0, "Bloom gate never opened"
     assert (

@@ -330,6 +330,17 @@ def bloom_load(wave_dir: str):
     return np.load(p)
 
 
+def _build_popcount_lut():
+    import numpy as np
+
+    return np.array(
+        [bin(i).count("1") for i in range(256)], dtype=np.int64
+    )
+
+
+_POPCOUNT_LUT = _build_popcount_lut()
+
+
 #: past this many raw key rows the Bloom probe is skipped for the wave
 #: (no sidecar written, all waves scanned — conservative); bounds the
 #: driver collect even if a bulk load is fed through the streaming path
@@ -390,13 +401,27 @@ class WaveBloomIndex:
         #: is the wave's int64 key set — enables lazy sidecar backfill
         self.keys_of = keys_of
         self._cache: dict[int, object] = {}
-        #: worst observed bitmap fill ratio across save_wave calls —
+        #: worst observed bitmap fill ratio across every bitmap this
+        #: index built (per-wave saves, lazy backfills, the compaction-
+        #: merged w=-1 bitmap — the most saturation-prone of all) —
         #: the saturation observable (past ~0.17 fill an any-of-q probe
-        #: stops pruning; see the class sizing note). Surfaced in BENCH
-        #: kernel metrics so an undersized m_bits is visible from
-        #: artifacts, not just from probes that mysteriously stop
-        #: skipping waves.
-        self.max_fill: float = 0.0
+        #: stops pruning; see the class sizing note). None until a
+        #: bitmap is built, so BENCH can distinguish "never ran" from
+        #: "barely filled". Surfaced in BENCH kernel metrics so an
+        #: undersized m_bits is visible from artifacts, not just from
+        #: probes that mysteriously stop skipping waves.
+        self.max_fill: float | None = None
+
+    def _note_fill(self, bits) -> None:
+        import numpy as np
+
+        # 256-entry popcount LUT over the byte view: O(m/8) transient,
+        # vs unpackbits' 8x-the-bitmap allocation on this per-batch
+        # driver path
+        fill = float(_POPCOUNT_LUT[bits.view(np.uint8)].sum()) / (
+            len(bits) * 64
+        )
+        self.max_fill = max(self.max_fill or 0.0, fill)
 
     def wave_ids(self, exclude: int | None = None) -> list[int]:
         if not os.path.isdir(self.state_path):
@@ -445,6 +470,7 @@ class WaveBloomIndex:
                     keys = self.collect_keys(self.keys_of(spark, wave_dir))
                 if keys is not None:
                     bits = bloom_build(keys, self.m_bits)
+                    self._note_fill(bits)
                     bloom_save(wave_dir, bits)
             self._cache[wave] = bits
         return self._cache[wave]
@@ -464,14 +490,8 @@ class WaveBloomIndex:
 
     def save_wave(self, wave_dir: str, hashes) -> None:
         if self.m_bits:
-            import numpy as np
-
             bits = bloom_build(hashes, self.m_bits)
-            if len(bits):
-                fill = float(
-                    np.unpackbits(bits.view(np.uint8)).sum()
-                ) / (len(bits) * 64)
-                self.max_fill = max(self.max_fill, fill)
+            self._note_fill(bits)
             bloom_save(wave_dir, bits)
 
     def merged(self):
@@ -535,6 +555,9 @@ class WaveBloomIndex:
         out = compact_fn()
         self.invalidate()
         if merged is not None:
+            # the OR of every wave's bits: the most saturation-prone
+            # bitmap, and the one every future probe tests against w=-1
+            self._note_fill(merged)
             bloom_save(os.path.join(self.state_path, "w=-1"), merged)
         return out
 

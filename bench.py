@@ -124,9 +124,10 @@ def _kernel_metrics(
         # driver-observed wall seconds per kernel phase, summed over the
         # scenario's waves — the named-cost table for timing upticks
         out["phase_seconds"] = {k: round(v, 3) for k, v in phases.items()}
-    if bloom is not None:
+    if bloom is not None and bloom.max_fill is not None:
         # saturation observable: past ~0.17 fill the any-of-q probe
-        # stops pruning (WaveBloomIndex sizing note)
+        # stops pruning (WaveBloomIndex sizing note); absent when no
+        # bitmap was ever built (gated run) — 0.0 would read as healthy
         out["bloom_fill_max"] = round(bloom.max_fill, 4)
     return out
 
@@ -208,8 +209,8 @@ def _inc_near_dedup_disjoint(
     spark, sf_dir: str, workdir: str
 ) -> tuple[int, dict]:
     """The probed scenario on a corpus where waves share (almost) no
-    band keys — each wave's vowels are rotated differently, so its
-    shingles are wave-local. This is the duplication-locality shape a
+    band keys — every token is prefixed with its wave id, so shingles
+    are wave-local. This is the duplication-locality shape a
     partitioned 100 TB ingest actually has (new data rarely collides
     with ALL of history), and the Bloom sidecars must PRUNE here:
     probe_waves_scanned < probe_waves_total is asserted, so BENCH
@@ -359,6 +360,7 @@ def _chunk_dedup_scenario(
     return dedup.read_kept(spark).count(), _kernel_metrics(
         probes=dedup.probe_metrics,
         phases=dedup.phase_seconds,
+        bloom=dedup._bloom,
         compactions=int(compact),
     )
 
@@ -406,6 +408,7 @@ def _substring_dedup_scenario(spark, sf_dir, workdir, **kernel_kwargs):
         waves=dedup.metrics,
         probes=dedup.probe_metrics,
         phases=dedup.phase_seconds,
+        bloom=dedup._bloom,
     )
 
 

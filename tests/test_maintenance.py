@@ -395,3 +395,30 @@ def test_kernel_refuses_changed_bucket_modulus(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="n_hash_buckets"):
         d2(docs, 1)
+
+
+def test_bloom_max_fill_tracks_every_bitmap_build(tmp_path):
+    """The saturation observable must cover per-wave saves AND the
+    compaction-merged bitmap, start as None (so 'never built' is
+    distinguishable from 'barely filled'), and approach 1.0 on an
+    undersized filter (review r8)."""
+    import numpy as np
+
+    from beavers_spark.streaming.maintenance import WaveBloomIndex
+
+    state = str(tmp_path / "state")
+    idx = WaveBloomIndex(state, m_bits=1 << 10, min_waves=0)
+    assert idx.max_fill is None
+    (tmp_path / "state" / "w=0").mkdir(parents=True)
+    idx.save_wave(f"{state}/w=0", np.arange(3, dtype=np.int64))
+    low = idx.max_fill
+    assert low is not None and 0 < low < 0.25
+    # an undersized bitmap under many keys saturates — and the
+    # observable must say so
+    (tmp_path / "state" / "w=1").mkdir()
+    idx.save_wave(f"{state}/w=1", np.arange(10_000, dtype=np.int64))
+    assert idx.max_fill > 0.9
+    # the merged w=-1 bitmap (written by compact_merge) is noted too
+    idx2 = WaveBloomIndex(state, m_bits=1 << 10, min_waves=0)
+    idx2.compact_merge(lambda: None)
+    assert idx2.max_fill is not None and idx2.max_fill > 0.9

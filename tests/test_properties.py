@@ -443,3 +443,55 @@ def test_chunk_documents_matches_window_model(spark, docs, chunk, overlap_frac):
             seen.update(range(s, s + n))
             prev_end = max(prev_end, s + n)
         assert seen == set(range(len(tk)))
+
+
+wav_params = st.tuples(
+    st.binary(min_size=0, max_size=300),
+    st.integers(1, 8),            # channels
+    st.integers(1, 192_000),      # sample rate
+    st.sampled_from([8, 16, 24, 32]),
+)
+
+
+@_SETTINGS
+@given(rows=st.lists(wav_params, min_size=1, max_size=6))
+def test_wav_round_trip_matches_struct_pack_model(spark, rows):
+    """synth_wav (Column byte math) must be byte-identical to a
+    struct.pack-built canonical PCM WAV for ANY parameters, and
+    wav_meta must decode every field back exactly."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from beavers_spark.functions.multimodal import synth_wav, wav_meta
+
+    def pack_wav(data, ch, sr, bits):
+        block = ch * (bits // 8)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, ch, sr, sr * block, block, bits
+            )
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    df = spark.createDataFrame(
+        [
+            (i, bytearray(d), c, s, b)
+            for i, (d, c, s, b) in enumerate(rows)
+        ],
+        "doc_id long, data binary, ch int, sr int, bits int",
+    ).select(
+        "doc_id",
+        synth_wav(
+            F.col("data"), F.col("ch"), F.col("sr"), F.col("bits")
+        ).alias("payload"),
+    )
+    payloads = {r.doc_id: bytes(r.payload) for r in df.collect()}
+    meta = {r.doc_id: r for r in wav_meta(df, "payload").collect()}
+    for i, (d, c, s, b) in enumerate(rows):
+        assert payloads[i] == pack_wav(d, c, s, b)
+        r = meta[i]
+        assert (r.channels, r.sample_rate, r.bits_per_sample) == (c, s, b)
+        assert r.n_bytes == 44 + len(d)
+        assert r.duration_ms == len(d) * 1000 // (s * c * (b // 8))

@@ -384,9 +384,11 @@ def ppm_meta(df: DataFrame, payload_col: str) -> DataFrame:
     is_ppm = w != ""
     meta = {
         "format": F.lit("ppm"),
-        "width": w.cast("int"),
-        "height": F.regexp_extract(head, pat, 2).cast("int"),
-        "maxval": F.regexp_extract(head, pat, 3).cast("int"),
+        # try_cast: a 10+-digit dimension string would abort the job
+        # under default ANSI mode (CAST_INVALID_INPUT)
+        "width": w.try_cast("int"),
+        "height": F.regexp_extract(head, pat, 2).try_cast("int"),
+        "maxval": F.regexp_extract(head, pat, 3).try_cast("int"),
         "n_bytes": F.octet_length(F.col(payload_col)).cast("bigint"),
     }
     out = df
@@ -464,9 +466,11 @@ def avi_meta(df: DataFrame, payload_col: str) -> DataFrame:
         "format": F.lit("avi"),
         "usec_per_frame": upf,
         "total_frames": frames,
-        "n_streams": _le_int(payload_col, 57, 4).cast("int"),
-        "width": _le_int(payload_col, 65, 4).cast("int"),
-        "height": _le_int(payload_col, 69, 4).cast("int"),
+        # try_cast: a crafted 0xFFFFFFFF field exceeds INT_MAX and a
+        # plain cast would abort the job under default ANSI mode
+        "n_streams": _le_int(payload_col, 57, 4).try_cast("int"),
+        "width": _le_int(payload_col, 65, 4).try_cast("int"),
+        "height": _le_int(payload_col, 69, 4).try_cast("int"),
         # try_multiply: two crafted 0xFFFFFFFF fields would overflow
         # bigint and abort the job under default ANSI mode (reproduced);
         # NULL duration on such headers instead — the wav_meta

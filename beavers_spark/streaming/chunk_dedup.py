@@ -66,6 +66,7 @@ from beavers_spark.streaming.maintenance import (
     WaveBloomIndex,
     ensure_layout,
     prune_hash_buckets,
+    recover_compaction,
     registry_anti_probe,
     timed_phase,
     seen_anti_join,
@@ -173,6 +174,12 @@ class IncrementalChunkDedup:
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between its two renames BEFORE
+        # the watermark check or any wave write — a wave written into
+        # the recreated empty path would orphan the pre-compaction
+        # table in .__compact_old (review r8)
+        for p in (self.state_path, self.out_path):
+            recover_compaction(p)
         if self._watermark.is_applied(batch_id):
             return
         with timed_phase(self.phase_seconds, "call_total"):

@@ -60,6 +60,7 @@ from beavers_spark.functions.classifier import (
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    recover_compaction,
     seen_anti_join,
     table_exists,
 )
@@ -159,6 +160,9 @@ class IncrementalQualityClassifier:
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between its two renames BEFORE
+        # the watermark check or any wave write (review r8)
+        recover_compaction(self.state_path)
         if self._watermark.is_applied(batch_id):
             return
         spark = batch_df.sparkSession

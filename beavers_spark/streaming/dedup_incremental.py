@@ -69,6 +69,7 @@ from beavers_spark.streaming.maintenance import (
     WaveMetrics,
     ensure_layout,
     partition_stats,
+    recover_compaction,
     seen_anti_join,
     table_exists,
     timed_phase,
@@ -557,6 +558,14 @@ class IncrementalNearDedup:
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # a compaction crash between compact_parquet's two renames
+        # leaves the table in .__compact_old with the live path MISSING
+        # — including the watermark sidecar. Recover BEFORE the
+        # watermark check and before any wave write: a wave written
+        # into the recreated empty path would permanently orphan the
+        # pre-compaction table (review r8).
+        for p in (self.state_path, self.pairs_path):
+            recover_compaction(p)
         # both writes are overwrite-per-wave (idempotent under crash
         # replays); the watermark still skips committed batches so a
         # replay does no redundant work

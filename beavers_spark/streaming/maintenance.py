@@ -330,15 +330,9 @@ def bloom_load(wave_dir: str):
     return np.load(p)
 
 
-def _build_popcount_lut():
-    import numpy as np
-
-    return np.array(
-        [bin(i).count("1") for i in range(256)], dtype=np.int64
-    )
-
-
-_POPCOUNT_LUT = _build_popcount_lut()
+#: built lazily on first _note_fill — a module-level numpy import
+#: would defeat this module's function-local-numpy convention
+_POPCOUNT_LUT = None
 
 
 #: past this many raw key rows the Bloom probe is skipped for the wave
@@ -415,6 +409,11 @@ class WaveBloomIndex:
     def _note_fill(self, bits) -> None:
         import numpy as np
 
+        global _POPCOUNT_LUT
+        if _POPCOUNT_LUT is None:
+            _POPCOUNT_LUT = np.array(
+                [bin(i).count("1") for i in range(256)], dtype=np.int64
+            )
         # 256-entry popcount LUT over the byte view: O(m/8) transient,
         # vs unpackbits' 8x-the-bitmap allocation on this per-batch
         # driver path

@@ -74,6 +74,7 @@ from beavers_spark.streaming.maintenance import (
     ProbeMetrics,
     prune_hash_buckets,
     registry_anti_probe,
+    recover_compaction,
     seen_anti_join,
     table_exists,
     timed_phase,
@@ -193,6 +194,10 @@ class IncrementalSubstringDedup:
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between its two renames BEFORE
+        # the watermark check or any wave write (review r8)
+        for p in (self.state_path, self.out_path):
+            recover_compaction(p)
         if self._watermark.is_applied(batch_id):
             return
         with timed_phase(self.phase_seconds, "call_total"):

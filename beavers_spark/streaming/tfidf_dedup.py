@@ -62,6 +62,7 @@ from beavers_spark.streaming.maintenance import (
     WaveMetrics,
     ensure_layout,
     partition_stats,
+    recover_compaction,
     seen_anti_join,
     table_exists,
 )
@@ -205,6 +206,10 @@ class IncrementalTfidfDedup:
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between its two renames BEFORE
+        # the watermark check or any wave write (review r8)
+        for p in (self.state_path, self.cand_path):
+            recover_compaction(p)
         if self._watermark.is_applied(batch_id):
             return
         spark = batch_df.sparkSession
@@ -344,7 +349,7 @@ class IncrementalTfidfDedup:
         guard_committed_waves(
             self._watermark, self.state_path, self.cand_path
         )
-        recover_compaction(self.cand_path)
+        recover_compaction(self.cand_path)  # before reading candidates
 
         reg = self.read_state(spark)
         df_live = self._live_buckets(reg)

@@ -552,3 +552,42 @@ def test_band_empty_prior_waves_skip_cross_probe(spark, tmp_path):
         minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
     )
     assert expected and got == expected
+
+
+def test_compaction_crash_between_renames_recovers_at_next_batch(
+    spark, tmp_path
+):
+    """A compaction crash between compact_parquet's two renames leaves
+    the table (waves + watermark + sidecars) in .__compact_old with the
+    live path MISSING. The next batch must restore it BEFORE writing —
+    a wave written into the recreated empty path would permanently
+    orphan the pre-compaction corpus (review r8)."""
+    import shutil
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    dedup = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_r"),
+        pairs_path=str(tmp_path / "pairs_r"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    dedup(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    # simulate the crash window: live path renamed away, tmp lost
+    shutil.move(dedup.state_path, dedup.state_path + ".__compact_old")
+    fresh = IncrementalNearDedup(
+        state_path=str(tmp_path / "state_r"),
+        pairs_path=str(tmp_path / "pairs_r"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=THRESHOLD,
+    )
+    fresh(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    got = _pair_set(fresh.read_pairs(spark))
+    expected = _pair_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=THRESHOLD)
+    )
+    assert expected and got == expected
+    assert not os.path.exists(dedup.state_path + ".__compact_old")

@@ -824,3 +824,31 @@ def test_avi_meta_overflow_header_yields_null_duration(spark):
     row = avi_meta(df, "payload").collect()[0]
     assert row.usec_per_frame == 0xFFFFFFFF and row.total_frames == 0xFFFFFFFF
     assert row.duration_ms is None
+
+
+def test_media_meta_ansi_cast_overflows_yield_nulls(spark):
+    """Review r8 pass 4: a crafted AVI header with width=0xFFFFFFFF and
+    a PPM with a 10-digit dimension must yield NULL fields, not abort
+    the job with CAST_OVERFLOW / CAST_INVALID_INPUT under ANSI mode."""
+    import struct
+
+    from beavers_spark.functions.multimodal import avi_meta, ppm_meta
+
+    avih = struct.pack(
+        "<10I16x", 1, 0, 0, 16, 1, 0, 1, 0, 0xFFFFFFFF, 4
+    )
+    body = b"AVI LIST" + struct.pack("<I", 68) + b"hdrlavih" \
+        + struct.pack("<I", 56) + avih + b"x"
+    wide_avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wide_avi)),
+            (2, bytearray(b"P6\n9999999999 4\n255\n" + b"rgb")),
+        ],
+        "doc_id long, payload binary",
+    )
+    avi = {r.doc_id: r for r in avi_meta(df, "payload").collect()}
+    assert avi[1].width is None and avi[1].height == 4
+    assert avi[1].total_frames == 1  # the header still parses
+    ppm = {r.doc_id: r for r in ppm_meta(df, "payload").collect()}
+    assert ppm[2].width is None and ppm[2].height == 4

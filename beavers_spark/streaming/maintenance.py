@@ -15,9 +15,12 @@ the original untouched. The swap itself is two renames — Python/POSIX
 has no atomic directory exchange — so there is a brief window where the
 live path does not exist: a concurrent reader can hit path-not-found
 (retry it), and a crash between the renames leaves the data in
-``.__compact_old``. ``recover_compaction`` (called automatically on the
-next compaction) restores from that directory; run it at startup if
-readers start before maintenance. Schedule compaction between triggers
+``.__compact_old``. ``recover_compaction`` restores from that
+directory; every state kernel calls it at batch entry (BEFORE the
+watermark check or any wave write — a wave written into the recreated
+empty path would otherwise orphan the pre-compaction table) and
+``compact_parquet`` calls it again defensively. Run it at startup for
+standalone readers that precede any kernel or maintenance. Schedule compaction between triggers
 or whenever ``input_files()`` grows past taste — correctness never
 depends on it.
 

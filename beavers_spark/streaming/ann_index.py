@@ -41,7 +41,10 @@ from pyspark.sql import Window
 
 from beavers_spark.functions.similarity import _cos, _dot, _norm
 from beavers_spark.functions.vectorized import nearest_cells_l2
-from beavers_spark.streaming.maintenance import BatchWatermark
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    recover_compaction,
+)
 
 
 def _nearest_cell(vec_col, centroids: list[list[float]]):
@@ -109,6 +112,11 @@ class IncrementalIVFIndex:
     # -- ingest -----------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # append-mode state is not idempotent: skip replayed batches
+        # restore a compaction crashed between compact_parquet's two
+        # renames BEFORE the watermark check or any write (this
+        # kernel's documented maintenance is compact_parquet over the
+        # cell layout — review r8)
+        recover_compaction(self.path)
         if self._watermark.is_applied(batch_id):
             return
         if self.centroids() is None:
@@ -304,6 +312,11 @@ class IncrementalIVFPQIndex:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from beavers_spark.functions.vectorized import pq_encode
 
+        # restore a compaction crashed between compact_parquet's two
+        # renames BEFORE the watermark check or any write (this
+        # kernel's documented maintenance is compact_parquet over the
+        # cell layout — review r8)
+        recover_compaction(self.path)
         if self._watermark.is_applied(batch_id):
             return
         if not self._load():

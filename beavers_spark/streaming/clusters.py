@@ -45,7 +45,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beavers_spark.functions.dedup import MAX_LOCAL_CC_EDGES, connected_components
-from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    recover_compaction,
+    table_exists,
+)
 
 _BUCKET = "__bucket"
 
@@ -113,6 +117,9 @@ class IncrementalClusters:
         )
 
     def __call__(self, pairs_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between compact_parquet's two
+        # renames BEFORE the watermark check or any write (review r8)
+        recover_compaction(self.path)
         if self._watermark.is_applied(batch_id):
             return
         spark = pairs_df.sparkSession

@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    recover_compaction,
+    table_exists,
+)
 
 
 class ContinuousDistinct:
@@ -83,6 +87,9 @@ class ContinuousDistinct:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between compact_parquet's two
+        # renames BEFORE the watermark check or any write (review r8)
+        recover_compaction(self.path)
         # sketch merging is idempotent ONLY for identical re-delivered
         # batches; guard anyway so replays cost nothing
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():

@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    recover_compaction,
+    table_exists,
+)
 
 
 def quantiles_from_histogram(
@@ -158,6 +162,9 @@ class ContinuousQuantile:
         return table_exists(spark, self.path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between compact_parquet's two
+        # renames BEFORE the watermark check or any write (review r8)
+        recover_compaction(self.path)
         # count-merging is not idempotent: replays must skip
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    recover_compaction,
+    table_exists,
+)
 
 
 class ContinuousRollup:
@@ -67,6 +71,9 @@ class ContinuousRollup:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between compact_parquet's two
+        # renames BEFORE the watermark check or any write (review r8)
+        recover_compaction(self.path)
         # merge-in aggregation is NOT idempotent (a replayed batch would
         # double-count into the touched buckets): skip applied batches
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():

@@ -38,6 +38,7 @@ from beavers_spark.streaming.maintenance import (
     BatchWatermark,
     WaveMetrics,
     partition_stats,
+    recover_compaction,
     table_exists,
 )
 
@@ -92,6 +93,9 @@ class KeyedStateTable:
         return spark.read.parquet(self.path).drop(_BUCKET)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between compact_parquet's two
+        # renames BEFORE the watermark check or any write (review r8)
+        recover_compaction(self.path)
         if self._watermark.is_applied(batch_id):
             return
         spark = batch_df.sparkSession

@@ -38,7 +38,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from beavers_spark.streaming.maintenance import BatchWatermark, table_exists
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    recover_compaction,
+    table_exists,
+)
 
 
 class ContinuousTopK:
@@ -87,6 +91,9 @@ class ContinuousTopK:
         return table_exists(spark, self.path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between compact_parquet's two
+        # renames BEFORE the watermark check or any write (review r8)
+        recover_compaction(self.path)
         # truncation makes the merge non-idempotent: replays must skip
         if self._watermark.is_applied(batch_id) or batch_df.isEmpty():
             return

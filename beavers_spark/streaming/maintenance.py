@@ -247,50 +247,85 @@ def guard_committed_waves(watermark: BatchWatermark, *paths: str) -> None:
 
 
 #: per-wave Bloom sidecar file name (underscore prefix: invisible to
-#: Spark's parquet reader, like the batch watermark / IVF centroids)
-BLOOM_SIDECAR = "_bloom.npy"
+#: Spark's parquet reader, like the batch watermark / IVF centroids).
+#: The ``2`` is a position-scheme version stamp: v1 bitmaps (built with
+#: the mod-2^64 multiply remix) probed with v2 positions would produce
+#: FALSE NEGATIVES (silently missed duplicates), so a v1 sidecar is
+#: simply never found — the wave stays conservatively unprunable until
+#: the lazy backfill rebuilds it under v2.
+BLOOM_SIDECAR = "_bloom2.npy"
+
+#: Bloom hash-function count shared by every build/probe path (the
+#: driver numpy pair and the executor-side Column twins below)
+BLOOM_K = 7
+
+#: both double-hash operands are masked to 40 bits so every
+#: intermediate of ``h1 + i*h2`` (i < BLOOM_K) stays under 2^43 —
+#: computable in SIGNED 64-bit arithmetic, i.e. the same expression
+#: runs JVM-side under ANSI mode (no overflow abort) and in numpy
+#: int64 with bit-identical results
+_H_MASK = (1 << 40) - 1
 
 
 def _bloom_positions(hashes, m_bits: int, k: int):
-    """(n, k) bit positions by double hashing the 64-bit keys: idx_i =
-    (h1 + i*h2) mod m with h2 an odd re-mix of the key — the standard
-    Kirsch-Mitzenmacher scheme, vectorized."""
+    """(n, k) bit positions by masked double hashing: ``idx_i =
+    (h1 + i*h2) & (m-1)`` with h1/h2 odd-stride 40-bit shift-xor folds
+    of the key (Kirsch-Mitzenmacher with both operands masked so
+    signed-64 arithmetic suffices — the property that lets
+    ``bloom_position_cols`` compute the SAME positions JVM-side under
+    ANSI mode with no overflow abort and no mod-2^64 wraparound; parity
+    pinned by tests/test_bloom_distributed.py). ``m_bits`` must be a
+    power of two: the final mask replaces the modulus. Quality
+    contract: keys are already 64-bit HASH outputs (xxhash64 band
+    keys, md5-derived span hashes), so a bit-fold spreads them —
+    this is not a mixer for structured raw integers."""
     import numpy as np
 
-    h1 = hashes.astype(np.uint64)
-    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-    i = np.arange(k, dtype=np.uint64)[None, :]
-    return (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+    u = np.asarray(hashes).astype(np.uint64)
+    h1 = ((u ^ (u >> np.uint64(41))) & np.uint64(_H_MASK)).astype(
+        np.int64
+    )
+    h2 = (
+        ((u ^ (u >> np.uint64(24)) ^ (u >> np.uint64(43)))
+         & np.uint64(_H_MASK))
+        | np.uint64(1)
+    ).astype(np.int64)
+    i = np.arange(k, dtype=np.int64)[None, :]
+    return (
+        (h1[:, None] + i * h2[:, None]) & np.int64(m_bits - 1)
+    ).astype(np.uint64)
 
 
-def bloom_build(hashes, m_bits: int = 1 << 23, k: int = 7):
+def bloom_build(hashes, m_bits: int = 1 << 23, k: int = BLOOM_K):
     """Packed-uint64 Bloom bitmap of the given int64 hash array.
 
     Driver-side numpy over an ALREADY-BOUNDED hash set (a micro-batch's
-    span/segment hashes — the same boundedness contract as the probe
-    collect that feeds it). m_bits is FIXED per table so wave bitmaps
-    stay OR-mergeable across compactions; at the default 2^23 bits
-    (1 MiB) and k=7 the PER-KEY false-positive rate is ~1% at ~800k
-    items per wave and degrades gracefully past it (a Bloom FP only
-    costs an unnecessary wave scan, never a wrong answer) — but wave
-    probes OR q per-key probabilities together, so effective pruning
-    needs a much lower fill; see WaveBloomIndex's sizing note.
+    span/segment hashes up to ``WaveBloomIndex.probe_cap`` — past the
+    cap callers switch to ``bloom_build_distributed``, which computes
+    the identical bitmap executor-side). m_bits is FIXED per table so
+    wave bitmaps stay OR-mergeable across compactions; at the default
+    2^23 bits (1 MiB) and k=7 the PER-KEY false-positive rate is ~1% at
+    ~800k items per wave and degrades gracefully past it (a Bloom FP
+    only costs an unnecessary wave scan, never a wrong answer) — but
+    wave probes OR q per-key probabilities together, so effective
+    pruning needs a much lower fill; see WaveBloomIndex's sizing note.
 
-    ``m_bits`` must be a positive multiple of 64: positions are taken
-    mod ``m_bits`` but the bitmap is packed into ``m_bits // 64`` words,
+    ``m_bits`` must be a power of two >= 64: positions are masked with
+    ``m_bits - 1`` but the bitmap is packed into ``m_bits // 64`` words,
     and the probe reconstructs the modulus as ``len(bits) * 64`` — a
-    non-multiple would either crash the build or, worse, probe with a
+    mismatch would either crash the build or, worse, probe with a
     DIFFERENT modulus than the build and produce Bloom false negatives
     (silently missed duplicates). ``WaveBloomIndex`` rounds caller knobs
     up for you; this low-level builder raises instead.
     """
     import numpy as np
 
-    if m_bits <= 0 or m_bits % 64:
+    if m_bits < 64 or m_bits & (m_bits - 1):
         raise ValueError(
-            f"m_bits must be a positive multiple of 64, got {m_bits} "
-            "(build packs m_bits//64 words but probes with len(bits)*64 "
-            "— a mismatch would cause Bloom false negatives)"
+            f"m_bits must be a power of two >= 64, got {m_bits} "
+            "(positions mask with m_bits-1 and the probe reconstructs "
+            "the modulus as len(bits)*64 — a mismatch would cause "
+            "Bloom false negatives)"
         )
     bits = np.zeros(m_bits // 64, dtype=np.uint64)
     if len(hashes):
@@ -300,7 +335,7 @@ def bloom_build(hashes, m_bits: int = 1 << 23, k: int = 7):
     return bits
 
 
-def bloom_may_contain_any(bits, hashes, k: int = 7) -> bool:
+def bloom_may_contain_any(bits, hashes, k: int = BLOOM_K) -> bool:
     """True iff ANY of the hashes may be in the filter (one all-bits-set
     test per key, early-exit via numpy reduction)."""
     import numpy as np
@@ -312,6 +347,69 @@ def bloom_may_contain_any(bits, hashes, k: int = 7) -> bool:
     got = (bits[(pos // np.uint64(64)).astype(np.int64)]
            >> (pos % np.uint64(64))) & np.uint64(1)
     return bool(got.all(axis=1).any())
+
+
+def bloom_position_cols(key, m_bits: int, k: int = BLOOM_K) -> list:
+    """The k Bloom bit positions of a bigint key Column — the JVM twin
+    of ``_bloom_positions``, bit-identical by construction (parity
+    pinned by tests/test_bloom_distributed.py): every operand is masked
+    to 40 bits, so ANSI-mode bigint arithmetic can neither overflow nor
+    need mod-2^64 wraparound, and the power-of-two ``m_bits`` turns the
+    modulus into a mask."""
+    h1 = key.bitwiseXOR(F.shiftrightunsigned(key, 41)).bitwiseAND(
+        F.lit(_H_MASK)
+    )
+    h2 = (
+        key.bitwiseXOR(F.shiftrightunsigned(key, 24))
+        .bitwiseXOR(F.shiftrightunsigned(key, 43))
+        .bitwiseAND(F.lit(_H_MASK))
+        .bitwiseOR(F.lit(1))
+    )
+    return [
+        (h1 + F.lit(i) * h2).bitwiseAND(F.lit(m_bits - 1)).alias(f"p{i}")
+        for i in range(k)
+    ]
+
+
+def bloom_build_distributed(df, col: str, m_bits: int, k: int = BLOOM_K):
+    """Packed-uint64 Bloom bitmap of ``df[col]`` built EXECUTOR-SIDE:
+    each key fans out to its k (word, bit-mask) pairs JVM-side
+    (``bloom_position_cols`` — whole-stage codegen, no UDF), one
+    ``bit_or`` aggregation per 64-bit word, and the driver collects at
+    most ``m_bits / 64`` (word, bits) rows — bounded by the BITMAP size
+    (16 MiB at 2^27) regardless of key count. This is what removes the
+    probe-cap scale cliff: ``bloom_build`` scales the driver's input
+    with keys/wave, this path never does. Map-side partial ``bit_or``
+    keeps the shuffle volume <= partitions x m/64 words. Bit-identical
+    to ``bloom_build`` over the same key set (pinned by
+    tests/test_bloom_distributed.py)."""
+    import numpy as np
+
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(
+            f"m_bits must be a power of two >= 64, got {m_bits}"
+        )
+    words = (
+        df.select(
+            F.explode(
+                F.array(*bloom_position_cols(F.col(col), m_bits, k))
+            ).alias("p")
+        )
+        # p >= 0 (masked), so % == pmod and >> 6 is the word index
+        .select(
+            F.shiftrightunsigned(F.col("p"), 6).alias("word"),
+            F.expr("shiftleft(1L, cast((p % 64) as int))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+        .toPandas()
+    )
+    out = np.zeros(m_bits // 64, dtype=np.int64)
+    if len(words):
+        out[words["word"].to_numpy(dtype=np.int64)] = words[
+            "bits"
+        ].to_numpy(dtype=np.int64)
+    return out.view(np.uint64)
 
 
 def bloom_save(wave_dir: str, bits) -> None:
@@ -338,9 +436,13 @@ def bloom_load(wave_dir: str):
 _POPCOUNT_LUT = None
 
 
-#: past this many raw key rows the Bloom probe is skipped for the wave
-#: (no sidecar written, all waves scanned — conservative); bounds the
-#: driver collect even if a bulk load is fed through the streaming path
+#: past this many raw key rows the driver-local fast paths (pyarrow
+#: fold / Arrow collect) hand off to the EXECUTOR-SIDE build + probe
+#: (``bloom_build_distributed`` / ``live_waves_df``) — the cap bounds
+#: driver memory, it no longer disables pruning: an over-cap wave still
+#: gets its sidecar and still prunes, just via one bounded Spark
+#: aggregation instead of a key collect (``overcap_fallbacks`` counts
+#: the hand-offs so the slow-path engagement is visible in BENCH)
 BLOOM_PROBE_CAP = 1_000_000
 
 
@@ -382,15 +484,27 @@ class WaveBloomIndex:
         m_bits: int | None,
         min_waves: int = 0,
         keys_of=None,
+        probe_cap: int = BLOOM_PROBE_CAP,
     ) -> None:
         self.state_path = state_path
-        # round up to a multiple of 64: build packs m_bits//64 words but
-        # probes with len(bits)*64 — a mismatched modulus would produce
-        # Bloom FALSE NEGATIVES (missed duplicates), so an off knob is
+        # round up to a power of two >= 64: positions mask with
+        # m_bits-1 and the probe reconstructs the modulus as
+        # len(bits)*64 — a mismatched modulus would produce Bloom
+        # FALSE NEGATIVES (missed duplicates), so an off knob is
         # corrected here rather than trusted
         if m_bits is not None and m_bits > 0:
-            m_bits = (m_bits + 63) // 64 * 64
+            m_bits = 1 << max(m_bits - 1, 63).bit_length()
         self.m_bits = m_bits
+        #: raw-key-row threshold where driver-local key collects hand
+        #: off to the executor-side build/probe (instance knob so tests
+        #: exercise the over-cap path on small corpora)
+        self.probe_cap = probe_cap
+        #: how many times an over-cap wave handed off to the
+        #: executor-side build/probe (the counter VERDICT r8 item 8
+        #: asked for: at 100x scale the slow path engaging should be
+        #: visible in artifacts — note it is a HAND-OFF now, pruning
+        #: stays on; the old silent prune-disable path is gone)
+        self.overcap_fallbacks = 0
         #: below this many live waves the sidecar build + probe collect
         #: are skipped entirely (0 = always on)
         self.min_waves = min_waves
@@ -451,8 +565,10 @@ class WaveBloomIndex:
         """The wave's bitmap; on a sidecar miss, lazily BUILDS it from
         the wave's key column when ``spark`` + ``keys_of`` are available
         (backfilling waves written while gated by ``min_waves`` or
-        coalesced without a mergeable sidecar). An over-cap wave caches
-        ``None`` — permanently unprunable this process, conservative."""
+        coalesced without a mergeable sidecar). An over-cap wave is
+        backfilled through the executor-side build (bounded by the
+        bitmap size, not the key count) — no wave is ever permanently
+        unprunable."""
         if wave not in self._cache:
             wave_dir = os.path.join(self.state_path, f"w={wave}")
             bits = bloom_load(wave_dir)
@@ -467,13 +583,21 @@ class WaveBloomIndex:
                     # empty wave) contains nothing: zero bitmap, exact
                     import numpy as np
 
-                    keys = np.array([], dtype=np.int64)
+                    bits = bloom_build(
+                        np.array([], dtype=np.int64), self.m_bits
+                    )
                 else:
-                    keys = self.collect_keys(self.keys_of(spark, wave_dir))
-                if keys is not None:
-                    bits = bloom_build(keys, self.m_bits)
-                    self._note_fill(bits)
-                    bloom_save(wave_dir, bits)
+                    keys_df = self.keys_of(spark, wave_dir)
+                    keys = self.collect_keys(keys_df)
+                    if keys is not None:
+                        bits = bloom_build(keys, self.m_bits)
+                    else:
+                        self.overcap_fallbacks += 1
+                        bits = bloom_build_distributed(
+                            keys_df, keys_df.columns[0], self.m_bits
+                        )
+                self._note_fill(bits)
+                bloom_save(wave_dir, bits)
             self._cache[wave] = bits
         return self._cache[wave]
 
@@ -496,6 +620,68 @@ class WaveBloomIndex:
             self._note_fill(bits)
             bloom_save(wave_dir, bits)
 
+    def save_wave_distributed(self, wave_dir: str, df, col: str) -> None:
+        """Build + persist one wave's bitmap executor-side — the
+        over-cap twin of ``save_wave`` (one Spark aggregation bounded
+        by the bitmap size; see ``bloom_build_distributed``)."""
+        if self.m_bits:
+            bits = bloom_build_distributed(df, col, self.m_bits)
+            self._note_fill(bits)
+            bloom_save(wave_dir, bits)
+
+    def live_waves_df(
+        self, spark, keys_df, col: str, exclude: int | None = None
+    ) -> list[int]:
+        """Wave ids that MAY contain any key in ``keys_df[col]`` — the
+        probe DECISION computed executor-side, for batches whose key
+        set exceeds ``probe_cap``: the (cached, lazily backfilled) wave
+        bitmaps are broadcast once, every partition tests its keys
+        against all still-unhit waves vectorized (numpy over Arrow
+        batches), and only the tiny per-partition hit-wave id sets come
+        back through a ``distinct``. Driver traffic is O(#waves), never
+        O(keys). Waves without a buildable bitmap are kept
+        (conservative), matching ``live_waves``."""
+        waves = self.wave_ids(exclude=exclude)
+        bitmaps = {w: self.bloom_for(w, spark) for w in waves}
+        always = [w for w, b in bitmaps.items() if b is None]
+        testable = {w: b for w, b in bitmaps.items() if b is not None}
+        if not testable:
+            return sorted(always)
+        bc = spark.sparkContext.broadcast(testable)
+        k = BLOOM_K
+
+        def probe(batches):
+            import numpy as np
+            import pandas as pd
+
+            remaining = dict(bc.value)
+            hit: list[int] = []
+            for pdf in batches:
+                if not remaining:
+                    break
+                keys = np.unique(
+                    pdf[col].to_numpy(dtype=np.int64, copy=False)
+                )
+                if not len(keys):
+                    continue
+                for w in list(remaining):
+                    if bloom_may_contain_any(remaining[w], keys, k):
+                        hit.append(w)
+                        del remaining[w]
+            yield pd.DataFrame({"w": np.asarray(hit, dtype=np.int64)})
+
+        try:
+            rows = (
+                keys_df.select(F.col(col))
+                .mapInPandas(probe, "w long")
+                .distinct()
+                .collect()
+            )
+        finally:
+            bc.unpersist()
+        hits = {int(r["w"]) for r in rows}
+        return sorted(set(always) | hits)
+
     def merged(self):
         """OR of every wave's bitmap, or None if any wave lacks one
         (call BEFORE compaction; write the result into the coalesced
@@ -517,33 +703,49 @@ class WaveBloomIndex:
         """Bounded driver-side collect of ``df[col]`` as unique int64s —
         via Arrow (``toPandas``), not pyspark Rows: at the 1M cap that
         is ~8 MB of contiguous int64 instead of hundreds of MB of Row
-        objects. Returns None when the filter is disabled or the cap is
-        exceeded (callers then skip pruning AND the sidecar —
-        conservative, correct)."""
+        objects. Returns None when the filter is disabled or
+        ``probe_cap`` is exceeded (callers then hand off to the
+        executor-side ``save_wave_distributed`` / ``live_waves_df``
+        pair — pruning stays ON past the cap)."""
         import numpy as np
 
         if not self.m_bits:
             return None
         if col is None:
             col = df.columns[0]
-        pdf = df.select(col).limit(BLOOM_PROBE_CAP + 1).toPandas()
-        if len(pdf) > BLOOM_PROBE_CAP:
+        pdf = df.select(col).limit(self.probe_cap + 1).toPandas()
+        if len(pdf) > self.probe_cap:
             return None
         return np.unique(pdf[col].to_numpy(dtype=np.int64, copy=False))
 
     def prune_prior(
-        self, prior_df, keys, batch_id: int, probe_log, spark=None
+        self,
+        prior_df,
+        keys,
+        batch_id: int,
+        probe_log,
+        spark=None,
+        keys_df=None,
+        key_col: str | None = None,
     ):
         """Filter a ``w``-partitioned prior frame to the waves that may
         contain one of ``keys`` (None when every wave is pruned — the
         caller skips the probe join entirely). Appends one ProbeMetrics
         row. ``keys`` may be None (probe gated off by ``min_waves``, or
-        cap exceeded): no pruning, no log. With ``spark``, sidecar-less
+        ``probe_cap`` exceeded): with ``keys_df``/``key_col`` given
+        (the over-cap case) the decision is made EXECUTOR-SIDE via
+        ``live_waves_df`` — pruning stays on at any key count;
+        otherwise no pruning, no log. With ``spark``, sidecar-less
         waves are lazily backfilled before the prune decision."""
-        if keys is None:
+        if keys is None and keys_df is None:
             return prior_df
         waves = self.wave_ids(exclude=batch_id)
-        kept = self.live_waves(keys, exclude=batch_id, spark=spark)
+        if keys is not None:
+            kept = self.live_waves(keys, exclude=batch_id, spark=spark)
+        else:
+            kept = self.live_waves_df(
+                spark, keys_df, key_col, exclude=batch_id
+            )
         probe_log.append(ProbeMetrics(batch_id, len(waves), len(kept)))
         return prior_df.filter(F.col("w").isin(kept)) if kept else None
 

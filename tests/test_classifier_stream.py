@@ -314,3 +314,63 @@ def test_compact_refuses_uncommitted_wave(spark, tmp_path):
     os.makedirs(os.path.join(dedup.cand_path, "w=7"))
     with _pytest.raises(RuntimeError, match="watermark"):
         dedup.compact(spark)
+
+
+def test_refit_slice_partition_prune_and_layout_guard(spark, tmp_path):
+    """The capped refit's training scan must partition-prune the
+    registry to the slice's ``sb`` buckets (VERDICT r8 item 2 — the
+    O(corpus)->O(slice) fix), without changing which rows train; and
+    the persisted bucket modulus is layout-guarded like the dedup
+    registries (a different ``n_slice_buckets`` would prune away slice
+    rows: silently wrong refits)."""
+    import pytest as _pytest
+
+    clf = IncrementalQualityClassifier(
+        str(tmp_path / "clf_state"), label_col="y",
+        n_buckets=_N_BUCKETS, max_refit_docs=2,
+    )
+    rows = [(f"quality prose citation facts v{i}", i % 2)
+            for i in range(30)]
+    clf(_docs(spark, rows), 0)
+
+    doc_tf, labels = clf.refit_inputs(spark)
+    fm = doc_tf._sc._jvm.PythonSQLUtils.explainString(
+        doc_tf._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # 30 docs vs cap 2 -> thresh >> 36 leaves most of the 16 sb
+    # directories out of the scan
+    assert re.search(r"PartitionFilters: \[[^\]]*sb#\d+ <= \d", fm), fm
+    # prune is a superset of the slice: the pruned frames hold exactly
+    # the rows the row-level hash predicate keeps over the full state
+    got_ids = {r.doc_id for r in labels.collect()}
+    from beavers_spark.streaming.classifier_stream import _SLICE_MOD
+
+    state = clf.read_state(spark)
+    n = 30
+    thresh = max(1, (_SLICE_MOD * 2) // n)
+    want_ids = {
+        r.doc_id
+        for r in state.select("doc_id")
+        .distinct()
+        .filter(clf._slice_hash() < F.lit(thresh))
+        .collect()
+    }
+    assert got_ids == want_ids
+    assert doc_tf.count() == state.filter(
+        clf._slice_hash() < F.lit(thresh)
+    ).count()
+
+    # restart with a different persisted bucket modulus -> refuse
+    other = IncrementalQualityClassifier(
+        str(tmp_path / "clf_state"), label_col="y",
+        n_buckets=_N_BUCKETS, n_slice_buckets=4,
+    )
+    with _pytest.raises(ValueError, match="n_slice_buckets"):
+        other(_docs(spark, rows[:2], start=500), 1)
+    # and a non-power-of-two modulus is rejected up front
+    with _pytest.raises(ValueError, match="power of two"):
+        IncrementalQualityClassifier(
+            str(tmp_path / "s2"), label_col="y", n_slice_buckets=12
+        )

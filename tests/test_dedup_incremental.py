@@ -357,16 +357,19 @@ def test_bucket_cap_parity_guard_refuses_uncapped_state(spark, tmp_path):
     capped(docs.limit(5), 1)  # now runs
 
 
-def test_missing_band_registry_refuses_and_rebuilds(spark, tmp_path):
-    """A state table whose band registry is lost (or predates the band
-    table) must refuse — scanning state without its band waves would
-    silently skip those waves' collisions — and rebuild_anchors cures
-    it from the stored signatures."""
+def test_missing_band_registry_auto_rebuilds(spark, tmp_path):
+    """A state table whose band registry is lost (pre-band-table state,
+    anchors deleted, or a crash mid-``rebuild_anchors`` — its
+    rmtree-then-rewrite has no swap protection) SELF-HEALS: the anchors
+    are a pure function of the stored signatures, so the next batch
+    rebuilds them at entry instead of wedging the stream on an error
+    until a manual call (ADVICE r8). The rebuilt registry must be
+    load-bearing, not just present: a wave-1 near-dup of a wave-0
+    document is only found through wave 0's rebuilt band rows."""
+    import os
     import shutil
 
-    import pytest
-
-    docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    text = " ".join(f"tok{j}" for j in range(12))
     dedup = IncrementalNearDedup(
         state_path=str(tmp_path / "state_m"),
         pairs_path=str(tmp_path / "pairs_m"),
@@ -375,7 +378,9 @@ def test_missing_band_registry_refuses_and_rebuilds(spark, tmp_path):
         n=3,
         threshold=THRESHOLD,
     )
-    dedup(docs, 0)
+    dedup(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"), 0
+    )
     shutil.rmtree(dedup.anchors_path)
     fresh = IncrementalNearDedup(
         state_path=str(tmp_path / "state_m"),
@@ -385,10 +390,13 @@ def test_missing_band_registry_refuses_and_rebuilds(spark, tmp_path):
         n=3,
         threshold=THRESHOLD,
     )
-    with pytest.raises(RuntimeError, match="band-registry"):
-        fresh(docs.limit(5), 1)
-    fresh.rebuild_anchors(spark)
-    fresh(docs.limit(5), 1)  # now runs (all redelivered: no-op wave)
+    fresh(
+        spark.createDataFrame([(2, text)], "doc_id long, text string"), 1
+    )
+    assert os.path.isdir(os.path.join(fresh.anchors_path, "w=0"))
+    assert os.path.isdir(os.path.join(fresh.anchors_path, "w=1"))
+    got = _pair_set(fresh.read_pairs(spark))
+    assert (1, 2, 1.0, 1.0) in got
 
 
 def test_band_registry_is_hash_bucket_partitioned(spark, tmp_path):

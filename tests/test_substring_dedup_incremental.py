@@ -269,9 +269,11 @@ def test_default_gating_matches_batch(spark, tmp_path):
         text_col="text", id_col="doc_id", k=5,
     )
     _feed(spark, dedup, docs, waves=3)
+    from beavers_spark.streaming.maintenance import BLOOM_SIDECAR
+
     assert dedup.probe_metrics == []
     assert not any(
-        f == "_bloom.npy"
+        f == BLOOM_SIDECAR
         for _, _, fs in os.walk(tmp_path / "state") for f in fs
     )
     # hash-prefix bucket directories exist under each wave

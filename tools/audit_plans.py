@@ -714,7 +714,48 @@ def audit_kernel_probes(spark, sf_dir: str) -> int:
             print(f"PROBE-FAIL minhash_band_registry: {'; '.join(problems)}")
         else:
             print("PROBE-ok   minhash_band_registry probe plan pinned")
-    print(f"{1 - failures}/1 kernel probe plans as designed")
+
+    # classifier capped-refit scan (VERDICT r8 item 2): the registry is
+    # sub-partitioned by refit-slice bucket (sb = slice hash top bits),
+    # so a capped refit must show the sb prune as PartitionFilters and
+    # column-prune to the training columns — a regression back to the
+    # O(corpus) full-registry training scan fails here
+    from beavers_spark.streaming.classifier_stream import (
+        IncrementalQualityClassifier,
+    )
+
+    with tempfile.TemporaryDirectory() as wd:
+        clf = IncrementalQualityClassifier(
+            os.path.join(wd, "state"),
+            label_col="y",
+            max_refit_docs=2,
+        )
+        docs = (
+            t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .limit(30)
+            .withColumn("y", (F.col("doc_id") % 2).cast("int"))
+        )
+        clf(docs, 0)
+        doc_tf, _labels = clf.refit_inputs(spark)
+        fm = doc_tf._sc._jvm.PythonSQLUtils.explainString(  # type: ignore
+            doc_tf._jdf.queryExecution(), "formatted"
+        )
+        must = [
+            # slice-bucket directories above the threshold are pruned
+            r"PartitionFilters: \[[^\]]*sb#\d+ <= \d",
+            # training columns only — y and the storage columns pruned
+            r"ReadSchema: struct<doc_id:bigint,bucket:",
+        ]
+        must_not = [r"Exchange", r"Join", r"BatchEvalPython"]
+        problems = [f"missing /{p}/" for p in must if not re.search(p, fm)]
+        problems += [f"unwanted /{p}/" for p in must_not if re.search(p, fm)]
+        if problems:
+            failures += 1
+            print(f"PROBE-FAIL classifier_refit_slice: {'; '.join(problems)}")
+        else:
+            print("PROBE-ok   classifier_refit_slice scan pinned")
+    print(f"{2 - failures}/2 kernel probe plans as designed")
     return failures
 
 

@@ -1100,6 +1100,64 @@ def wav_meta_q(spark, sf_dir):
 
 
 @query(
+    "wav_stats",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id, (50 + doc_id % 50)::BIGINT AS n FROM documents
+    ),
+    samples AS (
+        SELECT doc_id,
+               ((doc_id * 31 + unnest(generate_series(0, n - 1)) * 7)
+                % 2001 - 1000)::DOUBLE AS v
+        FROM params
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_samples,
+           max(abs(v))::BIGINT AS peak,
+           round(sqrt(avg(v * v)), 6) AS rms
+    FROM samples GROUP BY doc_id
+    """,
+)
+def wav_stats_q(spark, sf_dir):
+    """The first PAYLOAD-level multimodal decode, hash-checked end to
+    end (VERDICT r8 item 6): build a 16-bit mono PCM WAV per document
+    whose samples are a deterministic function of doc_id (pure Column
+    byte math — sequence -> int16 two's-complement LE hex -> unhex),
+    then decode the samples BACK from the binary with the Arrow-batched
+    ``wav_stats`` kernel (numpy frombuffer per blob) and aggregate
+    count/peak/RMS. The DuckDB oracle recomputes the statistics by
+    independent arithmetic on the same sample VALUES — it never sees
+    the bytes — so a build- or decode-side error on any sample fails
+    the hash (functions/multimodal.py synth_wav/wav_stats)."""
+    from beavers_spark.functions.multimodal import (
+        _le_hex,
+        synth_wav,
+        wav_stats,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    n = F.lit(50) + F.pmod("doc_id", F.lit(50))
+    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
+    samp = F.transform(
+        idx,
+        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
+        - 1000,
+    )
+    hexes = F.transform(
+        samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
+    )
+    wavs = docs.select(
+        "doc_id",
+        synth_wav(
+            F.unhex(F.array_join(hexes, "")),
+            F.lit(1), F.lit(16000), F.lit(16),
+        ).alias("payload"),
+    )
+    return wav_stats(wavs, "payload").select(
+        "doc_id", "n_samples", "peak", "rms"
+    )
+
+
+@query(
     "ppm_meta",
     oracle="""
     WITH params AS (

@@ -375,9 +375,14 @@ class IncrementalTfidfDedup:
         # twice per compaction (and could even disagree between the two
         # jobs if state changed in between)
         alive = alive.persist()
-        before, n_alive = cand.count(), alive.count()
-        #: dead candidates dropped by compact so far (cumulative): the
-        #: bench/ops observable for whether pruning keeps up
+        # the 'before' baseline is DISTINCT pairs, not raw rows — raw
+        # rows also shrink from cross-wave duplicate-row collapse
+        # (dropDuplicates), which would overstate the dead-pair prune
+        # (ADVICE r8)
+        before, n_alive = cand.distinct().count(), alive.count()
+        #: genuinely dead candidate PAIRS dropped by compact so far
+        #: (cumulative): the bench/ops observable for whether pruning
+        #: keeps up
         self.candidates_pruned += before - n_alive
         if n_alive == 0:
             alive.unpersist(blocking=True)

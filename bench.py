@@ -103,6 +103,14 @@ ANALYTICS = [
 _WAVES = 4
 
 
+def _require(cond: bool, msg: str) -> None:
+    """Scenario invariant guard. RuntimeError, not assert: a bare
+    assert aborts the whole bench on a probabilistic Bloom false
+    positive and vanishes under ``python -O`` (ADVICE r8)."""
+    if not cond:
+        raise RuntimeError(f"bench scenario invariant violated: {msg}")
+
+
 def _kernel_metrics(
     waves=None, probes=None, phases=None, bloom=None, **extra
 ) -> dict:
@@ -129,6 +137,12 @@ def _kernel_metrics(
         # stops pruning (WaveBloomIndex sizing note); absent when no
         # bitmap was ever built (gated run) — 0.0 would read as healthy
         out["bloom_fill_max"] = round(bloom.max_fill, 4)
+    if bloom is not None:
+        # over-probe_cap hand-offs to the executor-side build/probe
+        # (VERDICT r8 item 8): nonzero = the slow-but-bounded path
+        # engaged; pruning stays ON either way (the old silent
+        # prune-disable is gone)
+        out["probe_overcap_fallbacks"] = bloom.overcap_fallbacks
     return out
 
 
@@ -200,22 +214,17 @@ def _inc_near_dedup_probed(
     n, metrics = _near_dedup_scenario(
         spark, sf_dir, workdir, bloom_min_waves=2
     )
-    assert metrics["probe_batches"] > 0, "Bloom gate never opened"
-    assert metrics["probe_waves_total"] > 0
+    _require(metrics["probe_batches"] > 0, "Bloom gate never opened")
+    _require(metrics["probe_waves_total"] > 0, "no prior waves probed")
     return n, metrics
 
 
-def _inc_near_dedup_disjoint(
-    spark, sf_dir: str, workdir: str
-) -> tuple[int, dict]:
-    """The probed scenario on a corpus where waves share (almost) no
-    band keys — every token is prefixed with its wave id, so shingles
-    are wave-local. This is the duplication-locality shape a
-    partitioned 100 TB ingest actually has (new data rarely collides
-    with ALL of history), and the Bloom sidecars must PRUNE here:
-    probe_waves_scanned < probe_waves_total is asserted, so BENCH
-    records the prune both costing (the _probed twin) and earning
-    (this one)."""
+def _disjoint_scenario(spark, sf_dir, workdir, probe_cap=None):
+    """Disjoint-wave near-dedup (every token prefixed with its wave id,
+    so shingles are wave-local — the duplication-locality shape a
+    partitioned 100 TB ingest actually has). With ``probe_cap`` set
+    below the wave key count, every probed wave hands off to the
+    executor-side Bloom build + probe."""
     from beavers_spark.plans.common import t
     from beavers_spark.streaming import IncrementalNearDedup
 
@@ -233,6 +242,8 @@ def _inc_near_dedup_disjoint(
         # here, 2^27 prunes 2/2)
         bloom_bits=1 << 27,
     )
+    if probe_cap is not None:
+        dedup._bloom.probe_cap = probe_cap
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     for i in range(_WAVES):
         # prefix every token with the wave id: every shingle becomes
@@ -249,10 +260,41 @@ def _inc_near_dedup_disjoint(
         phases=dedup.phase_seconds,
         bloom=dedup._bloom,
     )
-    assert metrics["probe_batches"] > 0, "Bloom gate never opened"
-    assert (
-        metrics["probe_waves_scanned"] < metrics["probe_waves_total"]
-    ), "disjoint waves must be Bloom-pruned"
+    _require(metrics["probe_batches"] > 0, "Bloom gate never opened")
+    _require(
+        metrics["probe_waves_scanned"] < metrics["probe_waves_total"],
+        "disjoint waves must be Bloom-pruned",
+    )
+    return n, metrics
+
+
+def _inc_near_dedup_disjoint(
+    spark, sf_dir: str, workdir: str
+) -> tuple[int, dict]:
+    """The probed scenario on a corpus where waves share (almost) no
+    band keys. The Bloom sidecars must PRUNE here:
+    probe_waves_scanned < probe_waves_total is required, so BENCH
+    records the prune both costing (the _probed twin) and earning
+    (this one)."""
+    return _disjoint_scenario(spark, sf_dir, workdir)
+
+
+def _inc_near_dedup_overcap(
+    spark, sf_dir: str, workdir: str
+) -> tuple[int, dict]:
+    """The EXECUTOR-SIDE Bloom path ON the clock (VERDICT r8 items
+    1+8): the disjoint corpus with ``probe_cap`` forced below the wave
+    key count, so every probed wave builds its bitmap via the bit_or
+    aggregation and decides the prune via the broadcast-bitmap
+    mapInPandas probe — the path that replaces the old silent
+    prune-disable past 1M keys/wave. Requires the hand-off to have
+    fired AND the prune to still happen; compare against
+    inc_near_dedup_disjoint for the slow path's overhead."""
+    n, metrics = _disjoint_scenario(spark, sf_dir, workdir, probe_cap=64)
+    _require(
+        metrics["probe_overcap_fallbacks"] > 0,
+        "probe_cap=64 must force the executor-side hand-off",
+    )
     return n, metrics
 
 
@@ -356,7 +398,7 @@ def _chunk_dedup_scenario(
                 f"#   inc_chunk_dedup compact: {before} -> {after} files",
                 file=sys.stderr,
             )
-            assert after <= before
+            _require(after <= before, "compaction must not grow files")
     return dedup.read_kept(spark).count(), _kernel_metrics(
         probes=dedup.probe_metrics,
         phases=dedup.phase_seconds,
@@ -384,8 +426,8 @@ def _inc_chunk_dedup_probed(
     n, metrics = _chunk_dedup_scenario(
         spark, sf_dir, workdir, compact=False, bloom_min_waves=2
     )
-    assert metrics["probe_batches"] > 0, "Bloom gate never opened"
-    assert metrics["probe_waves_total"] > 0
+    _require(metrics["probe_batches"] > 0, "Bloom gate never opened")
+    _require(metrics["probe_waves_total"] > 0, "no prior waves probed")
     return n, metrics
 
 
@@ -428,8 +470,8 @@ def _inc_substring_dedup_probed(
     n, metrics = _substring_dedup_scenario(
         spark, sf_dir, workdir, bloom_min_waves=2
     )
-    assert metrics["probe_batches"] > 0, "Bloom gate never opened"
-    assert metrics["probe_waves_total"] > 0
+    _require(metrics["probe_batches"] > 0, "Bloom gate never opened")
+    _require(metrics["probe_waves_total"] > 0, "no prior waves probed")
     return n, metrics
 
 
@@ -484,15 +526,7 @@ def _inc_classifier_refit1(
     return _classifier_scenario(spark, sf_dir, workdir, refit_every=1)
 
 
-def _inc_tfidf_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
-    """documents fed in waves through IncrementalTfidfDedup: per wave,
-    featurize the batch only and generate candidate pairs against the
-    bucket-pruned term registry; a mid-stream compact() after wave 2
-    exercises the dead-candidate prune UNDER TIMING (candidates whose
-    every shared bucket is over max_df can never score — r8); the timed
-    read_pairs at the end scores the accumulated candidates under the
-    final corpus statistics — exactly the batch tfidf_cosine_pairs
-    result."""
+def _tfidf_scenario(spark, sf_dir, workdir, **kernel_kwargs):
     from beavers_spark.plans.common import t
     from beavers_spark.streaming import IncrementalTfidfDedup
 
@@ -502,12 +536,84 @@ def _inc_tfidf_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
         text_col="text",
         id_col="doc_id",
         threshold=0.8,
+        **kernel_kwargs,
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     for i in range(_WAVES):
         dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
         if i == 2:
             dedup.compact(spark)
+    return dedup.read_pairs(spark).count(), _kernel_metrics(
+        waves=dedup.metrics,
+        compactions=1,
+        candidates_pruned=dedup.candidates_pruned,
+    )
+
+
+def _inc_tfidf_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
+    """documents fed in waves through IncrementalTfidfDedup: per wave,
+    featurize the batch only and generate candidate pairs against the
+    bucket-pruned term registry; a mid-stream compact() after wave 2
+    exercises the dead-candidate prune UNDER TIMING (candidates whose
+    every shared bucket is over max_df can never score — r8); the timed
+    read_pairs at the end scores the accumulated candidates under the
+    final corpus statistics — exactly the batch tfidf_cosine_pairs
+    result."""
+    return _tfidf_scenario(spark, sf_dir, workdir)
+
+
+def _inc_tfidf_dedup_pruned(
+    spark, sf_dir: str, workdir: str
+) -> tuple[int, dict]:
+    """The dead-candidate prune EARNING in a committed artifact
+    (VERDICT r8 item 4). The corpus tweak: a synthetic doc family whose
+    members pairwise share ONLY the token ``shareme`` rides along with
+    the natural waves — the early members' candidate pairs are created
+    while ``shareme``'s bucket is under ``max_df=8``, later waves push
+    the bucket over the ceiling, and document frequency only grows, so
+    those pairs can never score again. The wave-2 compact must
+    therefore drop candidates (``candidates_pruned > 0``) while
+    ``read_pairs`` is required IDENTICAL across the prune (the
+    kernel's exactness contract, verified ON the clock)."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalTfidfDedup
+
+    dedup = IncrementalTfidfDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "cand"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.8,
+        max_df=8,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(_WAVES):
+        wave = docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i)
+        if i <= 2:
+            # negative ids can't collide with the corpus; fillers are
+            # unique per doc so family pairs share only `shareme`
+            syn = [
+                (
+                    -(10 * i + j + 1),
+                    f"zqa{i}x{j} zqb{i}y{j} zqc{i}z{j} shareme",
+                )
+                for j in range((2, 5, 5)[i])
+            ]
+            wave = wave.unionByName(
+                spark.createDataFrame(syn, "doc_id long, text string")
+            )
+        dedup(wave, i)
+        if i == 2:
+            before_pairs = dedup.read_pairs(spark).count()
+            dedup.compact(spark)
+            _require(
+                dedup.candidates_pruned > 0,
+                "the shareme family must die by the wave-2 compact",
+            )
+            _require(
+                dedup.read_pairs(spark).count() == before_pairs,
+                "pruning dead candidates must not change read_pairs",
+            )
     return dedup.read_pairs(spark).count(), _kernel_metrics(
         waves=dedup.metrics,
         compactions=1,
@@ -523,6 +629,7 @@ INCREMENTAL = [
     ("inc_near_dedup", _inc_near_dedup),
     ("inc_near_dedup_probed", _inc_near_dedup_probed),
     ("inc_near_dedup_disjoint", _inc_near_dedup_disjoint),
+    ("inc_near_dedup_overcap", _inc_near_dedup_overcap),
     ("inc_ivf_index", _inc_ivf_index),
     ("inc_ivfpq_index", _inc_ivfpq_index),
     ("inc_clusters", _inc_clusters),
@@ -533,6 +640,7 @@ INCREMENTAL = [
     ("inc_classifier", _inc_classifier),
     ("inc_classifier_refit1", _inc_classifier_refit1),
     ("inc_tfidf_dedup", _inc_tfidf_dedup),
+    ("inc_tfidf_dedup_pruned", _inc_tfidf_dedup_pruned),
 ]
 
 
@@ -715,6 +823,12 @@ def main() -> None:
                 # one state rewrite + the dead-candidate prune the r7
                 # number did not
                 "inc_tfidf_dedup_compacts": True,
+                # host load (1/5/15-min) at bench END: baseline-ratio
+                # drift is adjudicable from the committed artifact
+                # alone — an elevated loadavg with uniform per-query
+                # inflation reads as machine, not regression
+                # (VERDICT r8 item 7)
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf_val,
             }
         )

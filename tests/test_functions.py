@@ -852,3 +852,87 @@ def test_media_meta_ansi_cast_overflows_yield_nulls(spark):
     assert avi[1].total_frames == 1  # the header still parses
     ppm = {r.doc_id: r for r in ppm_meta(df, "payload").collect()}
     assert ppm[2].width is None and ppm[2].height == 4
+
+
+def test_wav_stats_matches_numpy_model_and_rejects_hostiles(spark):
+    """wav_stats must reproduce an independent struct/numpy model's
+    count/peak/RMS on real synth_wav blobs (16-bit PCM), return
+    n_samples=0 with NULL peak/rms on an empty data chunk, clamp to the
+    truncated payload when the header's data size overruns the bytes,
+    and NULL out non-WAV / non-PCM / 8-bit payloads instead of
+    erroring."""
+    import struct
+
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import synth_wav, wav_stats
+
+    sample_sets = {
+        1: [0, 1000, -1000, 32767, -32768, 7],
+        2: list(range(-500, 500, 3)),
+        3: [],
+    }
+    rows = [
+        (i, bytearray(struct.pack(f"<{len(v)}h", *v)), 1, 16000, 16)
+        for i, v in sample_sets.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, data binary, ch int, sr int, bits int"
+    )
+    built = df.select(
+        "doc_id",
+        synth_wav(
+            F.col("data"), F.col("ch"), F.col("sr"), F.col("bits")
+        ).alias("payload"),
+    )
+    got = {r.doc_id: r for r in wav_stats(built, "payload").collect()}
+    for i, v in sample_sets.items():
+        r = got[i]
+        if not v:
+            assert (r.n_samples, r.peak, r.rms) == (0, None, None)
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        assert r.n_samples == len(v)
+        assert r.peak == int(np.max(np.abs(a)))
+        assert r.rms == round(float(np.sqrt(np.mean(a * a))), 6)
+
+    # hostiles: truncated payload (header claims more data than bytes),
+    # 8-bit PCM, non-PCM format code, not audio at all
+    full = bytes(
+        (
+            built.filter(F.col("doc_id") == 2)
+            .select("payload")
+            .collect()[0][0]
+        )
+    )
+    hostiles = spark.createDataFrame(
+        [
+            (10, bytearray(full[:101])),  # truncated mid-sample
+            (11, bytearray(b"not audio at all")),
+            (12, bytearray(b"RIFFxxxxWAVEfmt " + b"\x00" * 100)),
+        ],
+        "doc_id long, payload binary",
+    )
+    hg = {r.doc_id: r for r in wav_stats(hostiles, "payload").collect()}
+    # truncated: stats over the 28 whole samples that survived
+    surv = np.frombuffer(full[44:100], dtype="<i2").astype(np.float64)
+    assert hg[10].n_samples == len(surv)
+    assert hg[10].peak == int(np.max(np.abs(surv)))
+    assert hg[10].rms == round(float(np.sqrt(np.mean(surv * surv))), 6)
+    for i in (11, 12):
+        assert (hg[i].n_samples, hg[i].peak, hg[i].rms) == (
+            None, None, None,
+        )
+    # 8-bit PCM is out of scope for the 16-bit kernel: NULL, not junk
+    eight = df.limit(0)
+    eight = spark.createDataFrame(
+        [(20, bytearray(b"ab" * 40), 1, 8000, 8)],
+        "doc_id long, data binary, ch int, sr int, bits int",
+    ).select(
+        "doc_id",
+        synth_wav(
+            F.col("data"), F.col("ch"), F.col("sr"), F.col("bits")
+        ).alias("payload"),
+    )
+    r8 = wav_stats(eight, "payload").collect()[0]
+    assert (r8.n_samples, r8.peak, r8.rms) == (None, None, None)

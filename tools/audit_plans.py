@@ -572,6 +572,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Exchange", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
          r"MapInPandas", r"CartesianProduct", r"Generate [^\n]*payload"],
     ],
+    "wav_stats": [
+        # the payload decode must be the Arrow-batched vectorized path
+        # (one ArrowEvalPython projection over the scan) — never a
+        # row-at-a-time Python UDF, never a shuffle or join
+        [r"ArrowEvalPython", r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
+    ],
 }
 
 

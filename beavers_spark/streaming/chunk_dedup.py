@@ -324,13 +324,17 @@ class IncrementalChunkDedup:
                 # answers
                 self._bloom.save_wave(wave_dir, pre_h)
             elif overcap:
-                # executor-side bitmap over the written wave's h column
-                # (the wave's EXACT registered set) — bounded by the
-                # bitmap size, never the key count
+                # executor-side bitmap over the PERSISTED new_owned
+                # frame (the wave's EXACT registered set) — bounded by
+                # the bitmap size, never the key count. NOT a read-back
+                # of wave_dir: a fully-redelivered over-cap batch
+                # writes an EMPTY wave, whose partitionBy directory has
+                # no schema-bearing data file — the read would raise
+                # UNABLE_TO_INFER_SCHEMA after the state write and
+                # before the mark, wedging every replay (review r9);
+                # the empty frame just builds a zero bitmap.
                 self._bloom.save_wave_distributed(
-                    wave_dir,
-                    spark.read.parquet(wave_dir).select("h"),
-                    "h",
+                    wave_dir, new_owned.select("h"), "h"
                 )
             self._has_state = True
             kept = new_owned.groupBy("doc_id").agg(

@@ -55,6 +55,8 @@ surface itself (README.md:43-50 scope).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -171,12 +173,74 @@ class IncrementalQualityClassifier:
         away slice rows: silently wrong refits)."""
         if self._layout_checked:
             return
-        ensure_layout(
-            self.state_path,
-            n_buckets=self.n_buckets,
-            n_slice_buckets=self.n_slice_buckets,
-        )
+        try:
+            ensure_layout(
+                self.state_path,
+                n_buckets=self.n_buckets,
+                n_slice_buckets=self.n_slice_buckets,
+            )
+        except ValueError as e:
+            if "_layout.json" in str(e):
+                # a sidecar-less registry predates the sb= layout
+                # entirely: its waves are flat w=<id>/part-*.parquet,
+                # so ensure_layout's generic "write the sidecar by
+                # hand" advice is unactionable — NO n_slice_buckets
+                # value matches waves with no sb= directories, and a
+                # hand-stamped sidecar would just move the failure to
+                # partition discovery (conflicting directory
+                # structures). The cure is a structural rewrite
+                # (review r9).
+                raise ValueError(
+                    f"classifier registry at {self.state_path} predates "
+                    "the refit-slice bucket layout (no _layout.json; "
+                    "waves lack sb= sub-partitions) — call "
+                    "migrate_slice_buckets(spark) once to rewrite it "
+                    "under this kernel's layout"
+                ) from e
+            raise
         self._layout_checked = True
+
+    def migrate_slice_buckets(self, spark: SparkSession) -> None:
+        """One-time rewrite of a registry written before the ``sb=``
+        layout existed: re-partition every wave by the refit-slice
+        bucket (derived from the stored ids — deterministic, so the
+        rewrite is idempotent) and stamp the layout sidecar. Uses the
+        swap-based compact rewrite, so a crash mid-rewrite leaves the
+        original intact (and ``recover_compaction`` at kernel entry
+        heals the rename window); wave ids, the ``_model`` sidecar
+        directory and the batch watermark all ride the rewrite.
+        Refuses while an uncommitted (crashed, un-replayed) wave
+        exists."""
+        import json as _json
+
+        from beavers_spark.streaming.maintenance import (
+            compact_parquet,
+            guard_committed_waves,
+        )
+
+        guard_committed_waves(self._watermark, self.state_path)
+        compact_parquet(
+            spark,
+            self.state_path,
+            partition_by=["w", "sb"],
+            transform=lambda df: df.withColumn(
+                "sb",
+                F.shiftrightunsigned(self._slice_hash(), self._sb_shift),
+            ),
+        )
+        # stamp directly: ensure_layout refuses data-without-sidecar by
+        # design, and this method IS the sanctioned migration
+        with open(
+            os.path.join(self.state_path, "_layout.json"), "w"
+        ) as fh:
+            _json.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "n_slice_buckets": self.n_slice_buckets,
+                },
+                fh,
+            )
+        self._layout_checked = False
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:

@@ -388,6 +388,18 @@ class IncrementalNearDedup:
             )
             if not files:  # empty wave: nothing to probe, zero bitmap
                 return np.array([], dtype=np.int64)
+            import pyarrow.parquet as pq
+
+            # over-cap DETECTION from the parquet footers alone — the
+            # old num_rows check ran AFTER to_table had already pulled
+            # the whole key column into the driver, i.e. the cap's
+            # memory bound arrived too late on exactly the waves it
+            # exists for (review r9)
+            if (
+                sum(pq.read_metadata(f).num_rows for f in files)
+                > self._bloom.probe_cap
+            ):
+                return None
             import pyarrow.dataset as ds
 
             tbl = ds.dataset(files, format="parquet").to_table(
@@ -397,8 +409,6 @@ class IncrementalNearDedup:
             return self._bloom.collect_keys(
                 spark.read.parquet(band_dir).select("bh"), "bh"
             )
-        if tbl.num_rows > self._bloom.probe_cap:
-            return None
         return np.unique(
             tbl.column("bh").to_numpy(zero_copy_only=False)
         )
@@ -680,25 +690,47 @@ class IncrementalNearDedup:
         # while gated are lazily backfilled by WaveBloomIndex once the
         # table crosses the threshold.
         band_h = None
-        overcap = False
+        overcap_keys = None
         with self._phase("bloom_fold"):
             if self._bloom.probe_active(exclude=batch_id):
                 band_h = self._band_keys_local(spark, band_dir)
-                overcap = band_h is None
+                if band_h is None:
+                    # past probe_cap: build the wave's bitmap
+                    # EXECUTOR-SIDE (one bit_or aggregation bounded by
+                    # the bitmap size, never the key count) — the
+                    # prune no longer disables itself at scale (VERDICT
+                    # r8 item 1). Persisted: the probe decision below
+                    # reuses this ONE scan of the band wave instead of
+                    # re-reading it (review r9).
+                    self._bloom.overcap_fallbacks += 1
+                    overcap_keys = (
+                        spark.read.parquet(band_dir)
+                        .select("bh")
+                        .persist()
+                    )
             if band_h is not None:
                 self._bloom.save_wave(wave_dir, band_h)
-            elif overcap:
-                # past probe_cap: build the wave's bitmap EXECUTOR-SIDE
-                # (one bit_or aggregation bounded by the bitmap size,
-                # never the key count) — the prune no longer disables
-                # itself at scale (VERDICT r8 item 1)
-                self._bloom.overcap_fallbacks += 1
+            elif overcap_keys is not None:
                 self._bloom.save_wave_distributed(
-                    wave_dir,
-                    spark.read.parquet(band_dir).select("bh"),
-                    "bh",
+                    wave_dir, overcap_keys, "bh"
                 )
 
+        try:
+            self._finish_wave(
+                spark, batch_id, band_h, overcap_keys, had_state,
+                new_state, new_bands, wave_dir, band_dir,
+            )
+        finally:
+            if overcap_keys is not None:
+                overcap_keys.unpersist(blocking=True)
+
+    def _finish_wave(
+        self, spark, batch_id, band_h, overcap_keys, had_state,
+        new_state, new_bands, wave_dir, band_dir,
+    ) -> None:
+        """Candidate generation, verification, and the pairs write —
+        the back half of ``_apply``, split out so the over-cap key
+        cache's unpersist is exception-safe."""
         # within-batch collisions, canonical doc1 < doc2
         _plan_t0 = time.perf_counter()
         _plan_pd0 = self.phase_seconds.get("probe_decide", 0.0)
@@ -713,7 +745,7 @@ class IncrementalNearDedup:
             old = spark.read.parquet(self.state_path).filter(
                 F.col("w") != batch_id
             )
-            if band_h is not None or overcap:
+            if band_h is not None or overcap_keys is not None:
                 # inline prune_prior so the SAME kept-wave decision (and
                 # one ProbeMetrics row) covers both the state scan and,
                 # in capped mode, the anchors scan
@@ -725,13 +757,10 @@ class IncrementalNearDedup:
                         )
                     else:
                         # over-cap: probe decision executor-side over
-                        # the written band wave's bh column — driver
-                        # traffic O(#waves), never O(keys)
+                        # the persisted band-wave keys — driver traffic
+                        # O(#waves), never O(keys)
                         kept = self._bloom.live_waves_df(
-                            spark,
-                            spark.read.parquet(band_dir).select("bh"),
-                            "bh",
-                            exclude=batch_id,
+                            spark, overcap_keys, "bh", exclude=batch_id
                         )
                 self.probe_metrics.append(
                     ProbeMetrics(batch_id, len(waves), len(kept))

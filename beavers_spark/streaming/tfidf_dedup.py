@@ -375,11 +375,12 @@ class IncrementalTfidfDedup:
         # twice per compaction (and could even disagree between the two
         # jobs if state changed in between)
         alive = alive.persist()
-        # the 'before' baseline is DISTINCT pairs, not raw rows — raw
-        # rows also shrink from cross-wave duplicate-row collapse
-        # (dropDuplicates), which would overstate the dead-pair prune
-        # (ADVICE r8)
-        before, n_alive = cand.distinct().count(), alive.count()
+        # both counts are DISTINCT pairs: ``cand`` is read_candidates(),
+        # which already deduplicates, so the difference is a pure
+        # dead-pair count — duplicate-row collapse can't inflate it
+        # (ADVICE r8 asked for exactly this baseline; it was already in
+        # place via read_candidates' distinct)
+        before, n_alive = cand.count(), alive.count()
         #: genuinely dead candidate PAIRS dropped by compact so far
         #: (cumulative): the bench/ops observable for whether pruning
         #: keeps up

@@ -374,3 +374,54 @@ def test_refit_slice_partition_prune_and_layout_guard(spark, tmp_path):
         IncrementalQualityClassifier(
             str(tmp_path / "s2"), label_col="y", n_slice_buckets=12
         )
+
+
+def test_pre_slice_bucket_registry_migrates(spark, tmp_path):
+    """A registry written before the sb= layout (flat w=<id>/ waves, no
+    sidecar) must fail with MIGRATION advice — the generic 'write the
+    sidecar by hand' is unactionable when the directory structure
+    itself is wrong — and migrate_slice_buckets must rewrite it so the
+    kernel resumes with the identical model (review r9)."""
+    import os
+
+    import pytest as _pytest
+
+    from beavers_spark.functions.classifier import _doc_tf
+
+    # simulate the old layout: featurized wave written flat, watermark
+    # marked, no _layout.json
+    state = str(tmp_path / "clf_state")
+    rows = [(f"quality prose citation facts v{i}", i % 2)
+            for i in range(12)]
+    d0 = _docs(spark, rows)
+    labels = d0.select("doc_id", F.col("y").cast("int").alias("y"))
+    wave = _doc_tf(d0, "text", "doc_id", _N_BUCKETS).join(
+        labels, "doc_id"
+    )
+    wave.write.mode("overwrite").parquet(f"{state}/w=0")
+    from beavers_spark.streaming.maintenance import BatchWatermark
+
+    BatchWatermark(state).mark(0)
+
+    clf = IncrementalQualityClassifier(
+        state, label_col="y", n_buckets=_N_BUCKETS
+    )
+    with _pytest.raises(ValueError, match="migrate_slice_buckets"):
+        clf(_docs(spark, rows[:2], start=100), 1)
+    clf.migrate_slice_buckets(spark)
+    assert os.path.exists(os.path.join(state, "_layout.json"))
+    assert any(
+        n.startswith("sb=") for n in os.listdir(os.path.join(state, "w=0"))
+    )
+    # the kernel now runs, and the refit model equals a fresh build
+    # over the same document stream
+    clf(_docs(spark, rows[12:], start=100), 1)
+    fresh = IncrementalQualityClassifier(
+        str(tmp_path / "fresh"), label_col="y", n_buckets=_N_BUCKETS
+    )
+    fresh(_docs(spark, rows), 0)
+    fresh(_docs(spark, rows[12:], start=100), 1)
+    assert _model_map(clf.model(spark)) == _model_map(fresh.model(spark))
+    # idempotent: migrating an already-migrated table is a no-op rewrite
+    clf.migrate_slice_buckets(spark)
+    assert _model_map(clf.model(spark)) == _model_map(fresh.model(spark))

@@ -924,7 +924,6 @@ def test_wav_stats_matches_numpy_model_and_rejects_hostiles(spark):
             None, None, None,
         )
     # 8-bit PCM is out of scope for the 16-bit kernel: NULL, not junk
-    eight = df.limit(0)
     eight = spark.createDataFrame(
         [(20, bytearray(b"ab" * 40), 1, 8000, 8)],
         "doc_id long, data binary, ch int, sr int, bits int",

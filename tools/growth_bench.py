@@ -16,8 +16,8 @@ Usage::
     python tools/growth_bench.py [sf_dir] [n_waves]
 
 Prints one JSON line per kernel with the per-wave seconds and
-cumulative corpus rows, then a markdown table (docs/growth.md is the
-committed copy).
+cumulative corpus rows, then a markdown table (docs/concepts/growth.md
+is the committed copy).
 """
 
 from __future__ import annotations

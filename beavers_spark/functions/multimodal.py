@@ -439,6 +439,162 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
     return out.drop("__ws")
 
 
+def _parse_p6(b) -> tuple[int, int, int] | None:
+    """(width, height, data_offset) of a canonical 1-byte-per-sample P6
+    payload, or None when the header doesn't parse (non-P6, maxval >
+    255 i.e. 2-byte samples — out of scope, short buffer)."""
+    import re as _re
+
+    if b is None or len(b) < 9 or bytes(b[:2]) != b"P6":
+        return None
+    m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", bytes(b[:64]))
+    if not m:
+        return None
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if not (0 < maxval <= 255) or w <= 0 or h <= 0:
+        return None
+    return w, h, m.end()
+
+
+PPM_STATS_COLS = ["n_pixels", "pix_sum", "chan_mean", "chan_min", "chan_max"]
+
+
+def ppm_stats(df: DataFrame, payload_col: str) -> DataFrame:
+    """Pixel-level statistics over P6 PPM payloads — the image twin of
+    ``wav_stats``: ``n_pixels`` (complete RGB triples), ``pix_sum``
+    (exact integer sum of every channel byte — the cheap cross-engine
+    checksum), and per-channel ``chan_mean`` (rounded 6) / ``chan_min``
+    / ``chan_max`` arrays (index 0=R, 1=G, 2=B).
+
+    Arrow-batched pandas UDF (functions/vectorized.py convention): per
+    blob, one O(1) header parse then numpy over the pixel bytes
+    (reshape + axis reductions — never a per-pixel Python loop). A
+    payload shorter than the header's w*h promise clamps to complete
+    triples; non-P6 / 2-byte-sample payloads yield NULL stats. No
+    shuffle — a pure projection that scales with the scan."""
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import _cached_udf
+
+    def _build():
+        @F.pandas_udf(
+            "struct<n_pixels:bigint,pix_sum:bigint,"
+            "chan_mean:array<double>,chan_min:array<int>,"
+            "chan_max:array<int>>"
+        )
+        def _stats(p: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            out = {k: [] for k in PPM_STATS_COLS}
+            for b in p:
+                hd = _parse_p6(b)
+                if hd is None:
+                    for k in PPM_STATS_COLS:
+                        out[k].append(None)
+                    continue
+                w, h, off = hd
+                raw = np.frombuffer(
+                    bytes(b[off : off + w * h * 3]), dtype=np.uint8
+                )
+                n = len(raw) // 3
+                if n == 0:
+                    out["n_pixels"].append(0)
+                    out["pix_sum"].append(0)
+                    for k in ("chan_mean", "chan_min", "chan_max"):
+                        out[k].append(None)
+                    continue
+                px = raw[: n * 3].reshape(n, 3).astype(np.int64)
+                out["n_pixels"].append(n)
+                out["pix_sum"].append(int(px.sum()))
+                out["chan_mean"].append(
+                    [round(float(x), 6) for x in px.mean(axis=0)]
+                )
+                out["chan_min"].append(
+                    [int(x) for x in px.min(axis=0)]
+                )
+                out["chan_max"].append(
+                    [int(x) for x in px.max(axis=0)]
+                )
+            return pd.DataFrame(out)
+
+        return _stats
+
+    s = _cached_udf(("ppm_stats",), _build)(F.col(payload_col))
+    out = df.withColumn("__ps", s)
+    for name in PPM_STATS_COLS:
+        out = out.withColumn(name, F.col(f"__ps.{name}"))
+    return out.drop("__ps")
+
+
+def ppm_resize(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
+    """Nearest-neighbor downsample of P6 PPM payloads by an integer
+    factor — a REAL resize, not a stub: output pixel (y, x) is input
+    pixel (y*f, x*f), output dims are ceil(in/f) (numpy strided-slice
+    semantics), and the result is itself a canonical P6 payload, so
+    kernels CHAIN (decode -> resize -> ``ppm_stats`` is the plans'
+    hash-checked pipeline). Adds ``resized`` (binary, NULL on non-P6 or
+    a payload with no complete output pixels), ``out_w``, ``out_h``.
+
+    Arrow-batched pandas UDF; per blob the sample selection is one
+    numpy strided slice (``arr[::f, ::f]``), never a per-pixel loop.
+    Pure projection — no shuffle; at 100 TB the binary column rides
+    the scan and nothing else."""
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import _cached_udf
+
+    def _build():
+        @F.pandas_udf(
+            "struct<resized:binary,out_w:int,out_h:int>"
+        )
+        def _rs(p: pd.Series, fs: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            rz: list = []
+            ow: list = []
+            oh: list = []
+            for b, f in zip(p, fs):
+                hd = _parse_p6(b)
+                f = int(f) if f is not None else 0
+                if hd is None or f < 1:
+                    rz.append(None)
+                    ow.append(None)
+                    oh.append(None)
+                    continue
+                w, h, off = hd
+                raw = np.frombuffer(
+                    bytes(b[off : off + w * h * 3]), dtype=np.uint8
+                )
+                full_rows = len(raw) // (w * 3)
+                if full_rows == 0:
+                    rz.append(None)
+                    ow.append(None)
+                    oh.append(None)
+                    continue
+                arr = raw[: full_rows * w * 3].reshape(full_rows, w, 3)
+                out = arr[::f, ::f, :]
+                head = f"P6\n{out.shape[1]} {out.shape[0]}\n255\n"
+                rz.append(head.encode() + out.tobytes())
+                ow.append(out.shape[1])
+                oh.append(out.shape[0])
+            return pd.DataFrame(
+                {"resized": rz, "out_w": ow, "out_h": oh}
+            )
+
+        return _rs
+
+    s = _cached_udf(("ppm_resize",), _build)(
+        F.col(payload_col), factor_col.cast("int")
+    )
+    return (
+        df.withColumn("__pr", s)
+        .withColumn("resized", F.col("__pr.resized"))
+        .withColumn("out_w", F.col("__pr.out_w"))
+        .withColumn("out_h", F.col("__pr.out_h"))
+        .drop("__pr")
+    )
+
+
 def ppm_meta(df: DataFrame, payload_col: str) -> DataFrame:
     """Decode binary P6 PPM headers ('P6\\n<width> <height>\\n<maxval>\\n')
     from a binary column: the ASCII header rides in the first bytes, so

@@ -1202,6 +1202,132 @@ def ppm_meta_q(spark, sf_dir):
     )
 
 
+def _ppm_pixels(w, h):
+    """Deterministic P6 payload Column: header + pixel byte j =
+    (doc_id*7 + j) % 256 over w*h RGB triples — the generator the
+    ppm_stats/ppm_resize oracles recompute by independent arithmetic
+    (they never see the bytes)."""
+    npx = (w * h * F.lit(3)).cast("bigint")
+    seq = F.sequence(F.lit(0).cast("bigint"), npx - 1)
+    hexes = F.transform(
+        seq,
+        lambda j: F.lpad(
+            F.hex(F.pmod(F.col("doc_id") * 7 + j, F.lit(256))), 2, "0"
+        ),
+    )
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    return F.concat(F.encode(header, "UTF-8"), F.unhex(F.array_join(hexes, "")))
+
+
+_PPM_DIMS_SQL = """
+        SELECT doc_id, (8 + doc_id % 24)::BIGINT AS w,
+               (8 + (doc_id // 24) % 24)::BIGINT AS h
+        FROM documents"""
+
+
+def _ppm_dims():
+    w = (8 + F.pmod("doc_id", F.lit(24))).cast("bigint")
+    h = (
+        8 + F.pmod(F.floor(F.col("doc_id") / 24), F.lit(24))
+    ).cast("bigint")
+    return w, h
+
+
+@query(
+    "ppm_stats",
+    oracle=f"""
+    WITH params AS ({_PPM_DIMS_SQL}
+    ),
+    px AS (
+        SELECT doc_id,
+               unnest(generate_series(0, w * h * 3 - 1)) AS j
+        FROM params
+    )
+    SELECT doc_id, (j % 3)::INT AS channel,
+           (count(*))::BIGINT AS n,
+           round(avg((doc_id * 7 + j) % 256), 6) AS mean_v,
+           (min((doc_id * 7 + j) % 256))::INT AS min_v,
+           (max((doc_id * 7 + j) % 256))::INT AS max_v
+    FROM px GROUP BY doc_id, channel
+    """,
+)
+def ppm_stats_q(spark, sf_dir):
+    """Payload-level IMAGE decode, hash-checked: build a P6 PPM per
+    document whose pixel bytes are a deterministic function of doc_id
+    (pure Column byte math), decode the pixels BACK with the
+    Arrow-batched ``ppm_stats`` kernel (numpy reshape + axis
+    reductions per blob) and emit per-channel count/mean/min/max. The
+    DuckDB oracle recomputes the statistics from the same pixel VALUES
+    without ever seeing the bytes (functions/multimodal.py
+    ppm_stats)."""
+    from beavers_spark.functions.multimodal import ppm_stats
+
+    docs = t(spark, sf_dir, "documents")
+    w, h = _ppm_dims()
+    ppms = docs.select(
+        "doc_id", _ppm_pixels(w, h).alias("payload")
+    )
+    stats = ppm_stats(ppms, "payload")
+    z = F.arrays_zip("chan_mean", "chan_min", "chan_max")
+    return stats.select(
+        "doc_id", "n_pixels", F.posexplode(z).alias("channel", "z")
+    ).select(
+        "doc_id",
+        F.col("channel").cast("int").alias("channel"),
+        F.col("n_pixels").alias("n"),
+        F.col("z.chan_mean").alias("mean_v"),
+        F.col("z.chan_min").alias("min_v"),
+        F.col("z.chan_max").alias("max_v"),
+    )
+
+
+@query(
+    "ppm_resize",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id, w, h, (2 + doc_id % 3)::BIGINT AS f
+        FROM ({_PPM_DIMS_SQL})
+    ),
+    ys AS (SELECT *, unnest(generate_series(0, (h + f - 1) // f - 1))
+               AS y FROM params),
+    xs AS (SELECT *, unnest(generate_series(0, (w + f - 1) // f - 1))
+               AS x FROM ys),
+    cs AS (SELECT *, unnest([0, 1, 2]) AS c FROM xs)
+    SELECT doc_id,
+           ((w + f - 1) // f)::INT AS out_w,
+           ((h + f - 1) // f)::INT AS out_h,
+           (count(*) // 3)::BIGINT AS n_pixels,
+           (sum((doc_id * 7 + ((y * f * w + x * f) * 3 + c)) % 256)
+           )::BIGINT AS pix_sum
+    FROM cs GROUP BY doc_id, out_w, out_h
+    """,
+)
+def ppm_resize_q(spark, sf_dir):
+    """A REAL resize, hash-checked through a CHAIN of payload kernels
+    (the decode -> transform -> feature-extract pipeline shape): build
+    the deterministic P6 payloads, nearest-neighbor-downsample each by
+    a per-doc factor (``ppm_resize`` — numpy strided slice, output is
+    itself canonical P6), then run ``ppm_stats`` on the RESIZED binary
+    and emit dims + pixel checksum. The oracle recomputes which input
+    pixels survive the stride and sums their generator values by
+    independent arithmetic — a wrong sample grid, a corrupted output
+    header, or a dropped channel all fail the hash."""
+    from beavers_spark.functions.multimodal import ppm_resize, ppm_stats
+
+    docs = t(spark, sf_dir, "documents")
+    w, h = _ppm_dims()
+    ppms = docs.select(
+        "doc_id", _ppm_pixels(w, h).alias("payload")
+    )
+    rs = ppm_resize(ppms, "payload", 2 + F.pmod("doc_id", F.lit(3)))
+    return ppm_stats(rs, "resized").select(
+        "doc_id", "out_w", "out_h", "n_pixels", "pix_sum"
+    )
+
+
 #: the deterministic AVI synth schedule shared by avi_meta and
 #: video_frame_plan — ONE definition in each engine so the two plans
 #: cannot silently diverge

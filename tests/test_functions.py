@@ -935,3 +935,74 @@ def test_wav_stats_matches_numpy_model_and_rejects_hostiles(spark):
     )
     r8 = wav_stats(eight, "payload").collect()[0]
     assert (r8.n_samples, r8.peak, r8.rms) == (None, None, None)
+
+
+def test_ppm_stats_and_resize_match_numpy_model(spark):
+    """ppm_stats must reproduce an independent numpy model's
+    per-channel stats; ppm_resize must produce the exact strided-slice
+    payload (bytes compared), itself a canonical P6 that re-enters
+    ppm_stats (kernel chaining); truncated payloads clamp to whole
+    pixels/rows; non-P6 and 2-byte-sample (maxval>255) payloads yield
+    NULLs."""
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import ppm_resize, ppm_stats
+
+    rng = np.random.RandomState(7)
+
+    def p6(w, h, body=None, maxval=255):
+        px = (
+            body
+            if body is not None
+            else rng.randint(0, 256, size=h * w * 3).astype(np.uint8)
+        )
+        return (
+            f"P6\n{w} {h}\n{maxval}\n".encode() + px.tobytes(),
+            px.reshape(h, w, 3) if body is None else None,
+        )
+
+    b1, a1 = p6(7, 5)
+    b2, a2 = p6(4, 4)
+    rows = [(1, bytearray(b1)), (2, bytearray(b2)),
+            (3, bytearray(b"not an image")),
+            (4, bytearray(p6(3, 3, maxval=4095)[0])),
+            (5, bytearray(b1[: len(b1) - 5]))]  # truncated mid-row
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in ppm_stats(df, "payload").collect()}
+    for i, arr in ((1, a1), (2, a2)):
+        flat = arr.reshape(-1, 3).astype(np.int64)
+        assert got[i].n_pixels == flat.shape[0]
+        assert got[i].pix_sum == int(flat.sum())
+        assert got[i].chan_mean == [
+            round(float(x), 6) for x in flat.mean(axis=0)
+        ]
+        assert got[i].chan_min == [int(x) for x in flat.min(axis=0)]
+        assert got[i].chan_max == [int(x) for x in flat.max(axis=0)]
+    for i in (3, 4):
+        assert got[i].n_pixels is None and got[i].pix_sum is None
+    # truncation clamps to complete triples
+    surv = np.frombuffer(b1[11:], dtype=np.uint8)[: (7 * 5 * 3 - 5) // 3 * 3]
+    assert got[5].n_pixels == len(surv) // 3
+    assert got[5].pix_sum == int(surv.astype(np.int64).sum())
+
+    # resize: exact strided-slice bytes, chainable into ppm_stats
+    rs = ppm_resize(
+        df.filter(F.col("doc_id").isin(1, 2, 3)),
+        "payload",
+        F.lit(2),
+    )
+    rg = {r.doc_id: r for r in rs.collect()}
+    want = a1[::2, ::2, :]
+    assert (rg[1].out_w, rg[1].out_h) == (want.shape[1], want.shape[0])
+    assert bytes(rg[1].resized) == (
+        f"P6\n{want.shape[1]} {want.shape[0]}\n255\n".encode()
+        + want.tobytes()
+    )
+    assert rg[3].resized is None
+    chained = {
+        r.doc_id: r
+        for r in ppm_stats(rs, "resized").collect()
+    }
+    flat = want.reshape(-1, 3).astype(np.int64)
+    assert chained[1].pix_sum == int(flat.sum())
+    assert chained[1].n_pixels == flat.shape[0]

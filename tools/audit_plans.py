@@ -579,6 +579,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"Scan parquet"],
         [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
     ],
+    "ppm_stats": [
+        # Arrow-batched decode + map-side channel fan-out: the explode
+        # must not trigger any shuffle
+        [r"ArrowEvalPython", r"Generate posexplode", r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
+    ],
+    "ppm_resize": [
+        # the decode -> resize -> stats CHAIN stays a straight-line
+        # projection pipeline: Arrow-batched UDFs, no shuffle, no join
+        [r"ArrowEvalPython", r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
+    ],
 }
 
 

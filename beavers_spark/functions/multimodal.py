@@ -366,15 +366,16 @@ def wav_meta(df: DataFrame, payload_col: str) -> DataFrame:
     return out
 
 
-WAV_STATS_COLS = ["n_samples", "peak", "rms"]
+WAV_STATS_COLS = ["n_samples", "peak", "rms", "zcr"]
 
 
 def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
     """Sample-level PCM statistics over 16-bit PCM WAV payloads — the
     first PAYLOAD-level audio kernel beside the header-only
-    ``wav_meta``: ``n_samples``, ``peak`` (max absolute amplitude) and
-    ``rms`` (root mean square, rounded to 6 decimals) from the data
-    chunk's little-endian int16 samples.
+    ``wav_meta``: ``n_samples``, ``peak`` (max absolute amplitude),
+    ``rms`` (root mean square, rounded to 6 decimals) and ``zcr``
+    (strict zero crossings — consecutive-sample sign products < 0)
+    from the data chunk's little-endian int16 samples.
 
     Decode path: one Arrow-batched pandas UDF (the
     functions/vectorized.py convention) — per blob, a zero-copy
@@ -392,13 +393,16 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
     from beavers_spark.functions.vectorized import _cached_udf
 
     def _build():
-        @F.pandas_udf("struct<n_samples:bigint,peak:bigint,rms:double>")
+        @F.pandas_udf(
+            "struct<n_samples:bigint,peak:bigint,rms:double,zcr:bigint>"
+        )
         def _stats(p: pd.Series) -> pd.DataFrame:
             import numpy as np
 
             ns: list = []
             pk: list = []
             rm: list = []
+            zc: list = []
             for b in p:
                 if (
                     b is None
@@ -412,6 +416,7 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
                     ns.append(None)
                     pk.append(None)
                     rm.append(None)
+                    zc.append(None)
                     continue
                 dlen = int.from_bytes(b[40:44], "little")
                 raw = bytes(b[44 : 44 + min(dlen, len(b) - 44)])
@@ -422,12 +427,14 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
                     ns.append(0)
                     pk.append(None)
                     rm.append(None)
+                    zc.append(None)
                     continue
                 ns.append(len(v))
                 pk.append(int(np.max(np.abs(v))))
                 rm.append(round(float(np.sqrt(np.mean(v * v))), 6))
+                zc.append(int(np.sum(v[1:] * v[:-1] < 0)))
             return pd.DataFrame(
-                {"n_samples": ns, "peak": pk, "rms": rm}
+                {"n_samples": ns, "peak": pk, "rms": rm, "zcr": zc}
             )
 
         return _stats

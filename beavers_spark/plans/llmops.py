@@ -1106,15 +1106,24 @@ def wav_meta_q(spark, sf_dir):
         SELECT doc_id, (50 + doc_id % 50)::BIGINT AS n FROM documents
     ),
     samples AS (
-        SELECT doc_id,
-               ((doc_id * 31 + unnest(generate_series(0, n - 1)) * 7)
-                % 2001 - 1000)::DOUBLE AS v
-        FROM params
+        SELECT doc_id, i,
+               ((doc_id * 31 + i * 7) % 2001 - 1000)::DOUBLE AS v
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, n - 1)) AS i
+              FROM params)
+    ),
+    lagged AS (
+        SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM samples
     )
     SELECT doc_id, count(*)::BIGINT AS n_samples,
            max(abs(v))::BIGINT AS peak,
-           round(sqrt(avg(v * v)), 6) AS rms
-    FROM samples GROUP BY doc_id
+           round(sqrt(avg(v * v)), 6) AS rms,
+           coalesce(
+               sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END), 0
+           )::BIGINT AS zcr
+    FROM lagged GROUP BY doc_id
     """,
 )
 def wav_stats_q(spark, sf_dir):
@@ -1124,7 +1133,8 @@ def wav_stats_q(spark, sf_dir):
     byte math — sequence -> int16 two's-complement LE hex -> unhex),
     then decode the samples BACK from the binary with the Arrow-batched
     ``wav_stats`` kernel (numpy frombuffer per blob) and aggregate
-    count/peak/RMS. The DuckDB oracle recomputes the statistics by
+    count/peak/RMS/zero-crossings. The DuckDB oracle recomputes the
+    statistics by
     independent arithmetic on the same sample VALUES — it never sees
     the bytes — so a build- or decode-side error on any sample fails
     the hash (functions/multimodal.py synth_wav/wav_stats)."""
@@ -1153,7 +1163,7 @@ def wav_stats_q(spark, sf_dir):
         ).alias("payload"),
     )
     return wav_stats(wavs, "payload").select(
-        "doc_id", "n_samples", "peak", "rms"
+        "doc_id", "n_samples", "peak", "rms", "zcr"
     )
 
 

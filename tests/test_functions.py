@@ -889,12 +889,15 @@ def test_wav_stats_matches_numpy_model_and_rejects_hostiles(spark):
     for i, v in sample_sets.items():
         r = got[i]
         if not v:
-            assert (r.n_samples, r.peak, r.rms) == (0, None, None)
+            assert (r.n_samples, r.peak, r.rms, r.zcr) == (
+                0, None, None, None,
+            )
             continue
         a = np.asarray(v, dtype=np.float64)
         assert r.n_samples == len(v)
         assert r.peak == int(np.max(np.abs(a)))
         assert r.rms == round(float(np.sqrt(np.mean(a * a))), 6)
+        assert r.zcr == int(np.sum(a[1:] * a[:-1] < 0))
 
     # hostiles: truncated payload (header claims more data than bytes),
     # 8-bit PCM, non-PCM format code, not audio at all
@@ -919,9 +922,10 @@ def test_wav_stats_matches_numpy_model_and_rejects_hostiles(spark):
     assert hg[10].n_samples == len(surv)
     assert hg[10].peak == int(np.max(np.abs(surv)))
     assert hg[10].rms == round(float(np.sqrt(np.mean(surv * surv))), 6)
+    assert hg[10].zcr == int(np.sum(surv[1:] * surv[:-1] < 0))
     for i in (11, 12):
-        assert (hg[i].n_samples, hg[i].peak, hg[i].rms) == (
-            None, None, None,
+        assert (hg[i].n_samples, hg[i].peak, hg[i].rms, hg[i].zcr) == (
+            None, None, None, None,
         )
     # 8-bit PCM is out of scope for the 16-bit kernel: NULL, not junk
     eight = spark.createDataFrame(

@@ -679,6 +679,117 @@ def synth_avi(
     return F.concat(F.unhex(header_hex), data_col)
 
 
+def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
+    """Per-frame byte extraction from AVI payloads — the video twin of
+    ``wav_stats``/``ppm_stats``: walks the RIFF chunk tree to the
+    ``LIST movi`` chunk and emits one row per video-frame subchunk
+    (``..dc``/``..db``) with ``frame_idx``, ``n_bytes`` and
+    ``byte_sum`` (exact integer sum of the frame's bytes — the
+    cross-engine checksum; a real pipeline would hand the same slice
+    to a codec). Arrow-batched pandas UDF returning an array of frame
+    structs, exploded MAP-SIDE (the video_frame_plan shape: the
+    fan-out happens before any shuffle and the payload column does not
+    ride it). Non-AVI payloads and truncated chunks yield no rows;
+    a frame chunk cut off by a truncated payload clamps to the bytes
+    present."""
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import _cached_udf
+
+    def _build():
+        @F.pandas_udf(
+            "array<struct<frame_idx:int,n_bytes:bigint,byte_sum:bigint>>"
+        )
+        def _frames(p: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out: list = []
+            for b in p:
+                if (
+                    b is None
+                    or len(b) < 12
+                    or bytes(b[:4]) != b"RIFF"
+                    or bytes(b[8:12]) != b"AVI "
+                ):
+                    out.append(None)
+                    continue
+                bb = bytes(b)
+                pos = 12
+                frames: list = []
+                while pos + 8 <= len(bb):
+                    four = bb[pos : pos + 4]
+                    size = int.from_bytes(
+                        bb[pos + 4 : pos + 8], "little"
+                    )
+                    if (
+                        four == b"LIST"
+                        and bb[pos + 8 : pos + 12] == b"movi"
+                    ):
+                        q = pos + 12
+                        end = min(pos + 8 + size, len(bb))
+                        idx = 0
+                        while q + 8 <= end:
+                            cf = bb[q : q + 4]
+                            cs = int.from_bytes(
+                                bb[q + 4 : q + 8], "little"
+                            )
+                            body = bb[q + 8 : min(q + 8 + cs, end)]
+                            if cf[2:4] in (b"dc", b"db"):
+                                a = np.frombuffer(
+                                    body, dtype=np.uint8
+                                ).astype(np.int64)
+                                frames.append(
+                                    (idx, len(body), int(a.sum()))
+                                )
+                                idx += 1
+                            # RIFF chunks pad to even sizes
+                            q += 8 + cs + (cs & 1)
+                        break
+                    pos += 8 + size + (size & 1)
+                out.append(frames or None)
+            return pd.Series(out)
+
+        return _frames
+
+    arr = _cached_udf(("avi_frames",), _build)(F.col(payload_col))
+    return (
+        df.withColumn("__fr", F.explode(arr))
+        .withColumn("frame_idx", F.col("__fr.frame_idx"))
+        .withColumn("n_bytes", F.col("__fr.n_bytes"))
+        .withColumn("byte_sum", F.col("__fr.byte_sum"))
+        .drop("__fr")
+    )
+
+
+def synth_movi(n_frames_col, frame_bytes):
+    """A canonical ``LIST movi`` byte Column with one ``00dc`` chunk
+    per frame — feed it to ``synth_avi`` as ``data_col`` and the
+    result is a walkable AVI whose frames ``avi_frames`` extracts.
+    ``frame_bytes(f)`` must return a Column of the frame's bytes as a
+    HEX string (even-length; frame sizes must be even so no RIFF pad
+    byte is needed)."""
+    nf = n_frames_col.cast("bigint")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), nf - 1),
+        lambda f: F.concat(
+            F.lit("30306463"),  # '00dc'
+            _le_hex((F.length(frame_bytes(f)) / 2).cast("bigint"), 4),
+            frame_bytes(f),
+        ),
+    )
+    chunks_hex = F.array_join(chunks, "")
+    return F.unhex(
+        F.concat(
+            F.lit("4c495354"),  # 'LIST'
+            _le_hex(
+                F.lit(4) + (F.length(chunks_hex) / 2).cast("bigint"), 4
+            ),
+            F.lit("6d6f7669"),  # 'movi'
+            chunks_hex,
+        )
+    )
+
+
 def avi_meta(df: DataFrame, payload_col: str) -> DataFrame:
     """Decode RIFF AVI main headers ('avih') from a binary column with
     pure Column byte math — fixed offsets, little-endian fields, no

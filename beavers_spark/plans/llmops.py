@@ -1295,6 +1295,78 @@ def ppm_stats_q(spark, sf_dir):
 
 
 @query(
+    "avi_frames",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id, (3 + doc_id % 6)::BIGINT AS nf FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f
+        FROM params
+    ),
+    sz AS (
+        SELECT doc_id, f, (20 + (f % 5) * 4)::BIGINT AS n FROM fr
+    ),
+    byt AS (
+        SELECT doc_id, f, n, unnest(generate_series(0, n - 1)) AS j
+        FROM sz
+    )
+    SELECT doc_id, f::INT AS frame_idx, n AS n_bytes,
+           (sum((doc_id * 11 + f * 13 + j) % 256))::BIGINT AS byte_sum
+    FROM byt GROUP BY doc_id, f, n
+    """,
+)
+def avi_frames_q(spark, sf_dir):
+    """Payload-level VIDEO frame extraction, hash-checked: build an AVI
+    per document whose ``LIST movi`` holds one ``00dc`` chunk per frame
+    with deterministic bytes (frame f byte j = (doc_id*11 + f*13 + j)
+    % 256, sizes varying per frame), then walk the RIFF tree BACK with
+    the Arrow-batched ``avi_frames`` kernel and emit per-frame
+    size + byte checksum. The oracle recomputes both from the
+    generator without seeing the container — a mis-walked chunk
+    boundary, a swallowed pad byte, or an off-by-one frame slice all
+    fail the hash (functions/multimodal.py synth_movi/avi_frames)."""
+    from beavers_spark.functions.multimodal import (
+        avi_frames,
+        synth_avi,
+        synth_movi,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    nf = 3 + F.pmod("doc_id", F.lit(6))
+
+    def frame_bytes(f):
+        size = F.lit(20) + F.pmod(f, F.lit(5)) * 4
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), (size - 1).cast("bigint")),
+                lambda j: F.lpad(
+                    F.hex(
+                        F.pmod(
+                            F.col("doc_id") * 11 + f * 13 + j,
+                            F.lit(256),
+                        )
+                    ),
+                    2,
+                    "0",
+                ),
+            ),
+            "",
+        )
+
+    avis = docs.select(
+        "doc_id",
+        synth_avi(
+            synth_movi(nf, frame_bytes),
+            F.lit(33333), nf, F.lit(64), F.lit(48),
+        ).alias("payload"),
+    )
+    return avi_frames(avis, "payload").select(
+        "doc_id", "frame_idx", "n_bytes", "byte_sum"
+    )
+
+
+@query(
     "ppm_resize",
     oracle=f"""
     WITH params AS (

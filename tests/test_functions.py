@@ -1010,3 +1010,59 @@ def test_ppm_stats_and_resize_match_numpy_model(spark):
     flat = want.reshape(-1, 3).astype(np.int64)
     assert chained[1].pix_sum == int(flat.sum())
     assert chained[1].n_pixels == flat.shape[0]
+
+
+def test_avi_frames_walks_riff_tree_and_hostiles(spark):
+    """avi_frames must walk a hand-built RIFF container exactly like an
+    independent byte model: odd-size chunks consume their pad byte,
+    non-frame chunks (idx1, audio '01wb') are skipped without
+    disturbing frame indexing, a frame cut off by truncation clamps to
+    the bytes present, and non-AVI payloads emit no rows."""
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import avi_frames
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    f0 = bytes(range(7))          # odd size: pad byte follows
+    f1 = bytes(range(50, 60))
+    f2 = bytes(range(200, 230))
+    movi_body = (
+        b"movi"
+        + chunk(b"00dc", f0)
+        + chunk(b"01wb", b"audio-bytes!")   # audio chunk: skipped
+        + chunk(b"00db", f1)
+        + chunk(b"idx1", b"\x00" * 16)      # index chunk: skipped
+        + chunk(b"00dc", f2)
+    )
+    payload = (
+        b"RIFF"
+        + (4 + len(movi_body) + 8).to_bytes(4, "little")
+        + b"AVI "
+        + chunk(b"LIST", movi_body)
+    )
+    rows = [
+        (1, bytearray(payload)),
+        (2, bytearray(b"RIFFxxxxWAVE")),          # not an AVI
+        (3, bytearray(payload[: len(payload) - 20])),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {}
+    for r in avi_frames(df, "payload").collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.frame_idx, r.n_bytes, r.byte_sum)
+        )
+    model = [
+        (i, len(b), int(np.frombuffer(b, np.uint8).astype(np.int64).sum()))
+        for i, b in enumerate((f0, f1, f2))
+    ]
+    assert sorted(got[1]) == model
+    assert 2 not in got
+    # truncation: last frame clamps to the 30-20=10 surviving bytes
+    t2 = f2[: len(f2) - 20]
+    assert sorted(got[3]) == model[:2] + [
+        (2, len(t2),
+         int(np.frombuffer(t2, np.uint8).astype(np.int64).sum()))
+    ]

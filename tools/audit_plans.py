@@ -581,14 +581,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ],
     "ppm_stats": [
         # Arrow-batched decode + map-side channel fan-out: the explode
-        # must not trigger any shuffle
-        [r"ArrowEvalPython", r"Generate posexplode", r"Scan parquet"],
+        # must not trigger any shuffle (the Generate node prints
+        # without its generator name inside whole-stage codegen)
+        [r"ArrowEvalPython", r"Generate", r"Scan parquet"],
         [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
     ],
     "ppm_resize": [
         # the decode -> resize -> stats CHAIN stays a straight-line
         # projection pipeline: Arrow-batched UDFs, no shuffle, no join
         [r"ArrowEvalPython", r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
+    ],
+    "avi_frames": [
+        # frame fan-out map-side (explode of the Arrow-decoded frame
+        # structs), never a shuffle
+        [r"ArrowEvalPython", r"Generate", r"Scan parquet"],
         [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
     ],
 }

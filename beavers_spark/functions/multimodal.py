@@ -446,10 +446,11 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
     return out.drop("__ws")
 
 
-def _parse_p6(b) -> tuple[int, int, int] | None:
-    """(width, height, data_offset) of a canonical 1-byte-per-sample P6
-    payload, or None when the header doesn't parse (non-P6, maxval >
-    255 i.e. 2-byte samples — out of scope, short buffer)."""
+def _parse_p6(b) -> tuple[int, int, int, int] | None:
+    """(width, height, maxval, data_offset) of a canonical
+    1-byte-per-sample P6 payload, or None when the header doesn't
+    parse (non-P6, maxval > 255 i.e. 2-byte samples — out of scope,
+    short buffer)."""
     import re as _re
 
     if b is None or len(b) < 9 or bytes(b[:2]) != b"P6":
@@ -460,7 +461,7 @@ def _parse_p6(b) -> tuple[int, int, int] | None:
     w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
     if not (0 < maxval <= 255) or w <= 0 or h <= 0:
         return None
-    return w, h, m.end()
+    return w, h, maxval, m.end()
 
 
 PPM_STATS_COLS = ["n_pixels", "pix_sum", "chan_mean", "chan_min", "chan_max"]
@@ -499,7 +500,7 @@ def ppm_stats(df: DataFrame, payload_col: str) -> DataFrame:
                     for k in PPM_STATS_COLS:
                         out[k].append(None)
                     continue
-                w, h, off = hd
+                w, h, _maxval, off = hd
                 raw = np.frombuffer(
                     bytes(b[off : off + w * h * 3]), dtype=np.uint8
                 )
@@ -568,7 +569,7 @@ def ppm_resize(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
                     ow.append(None)
                     oh.append(None)
                     continue
-                w, h, off = hd
+                w, h, maxval, off = hd
                 raw = np.frombuffer(
                     bytes(b[off : off + w * h * 3]), dtype=np.uint8
                 )
@@ -580,7 +581,12 @@ def ppm_resize(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
                     continue
                 arr = raw[: full_rows * w * 3].reshape(full_rows, w, 3)
                 out = arr[::f, ::f, :]
-                head = f"P6\n{out.shape[1]} {out.shape[0]}\n255\n"
+                # preserve the input's intensity scale: stamping 255
+                # over a maxval<255 image silently darkens it for any
+                # downstream consumer (review r9)
+                head = (
+                    f"P6\n{out.shape[1]} {out.shape[0]}\n{maxval}\n"
+                )
                 rz.append(head.encode() + out.tobytes())
                 ow.append(out.shape[1])
                 oh.append(out.shape[0])
@@ -777,7 +783,12 @@ def synth_movi(n_frames_col, frame_bytes):
             frame_bytes(f),
         ),
     )
-    chunks_hex = F.array_join(chunks, "")
+    # nf = 0 must mean an EMPTY movi: sequence(0, -1) would otherwise
+    # count DOWN (implicit step -1) and emit two phantom chunks
+    # (review r9)
+    chunks_hex = F.when(
+        nf > 0, F.array_join(chunks, "")
+    ).otherwise(F.lit(""))
     return F.unhex(
         F.concat(
             F.lit("4c495354"),  # 'LIST'

@@ -180,27 +180,50 @@ class IncrementalQualityClassifier:
                 n_slice_buckets=self.n_slice_buckets,
             )
         except ValueError as e:
-            if "_layout.json" in str(e):
-                # a sidecar-less registry predates the sb= layout
-                # entirely: its waves are flat w=<id>/part-*.parquet,
-                # so ensure_layout's generic "write the sidecar by
-                # hand" advice is unactionable — NO n_slice_buckets
-                # value matches waves with no sb= directories, and a
-                # hand-stamped sidecar would just move the failure to
-                # partition discovery (conflicting directory
-                # structures). The cure is a structural rewrite
-                # (review r9).
+            # only a registry whose waves STRUCTURALLY lack sb=
+            # directories gets the migration advice: a migrated table
+            # that merely lost its sidecar keeps ensure_layout's cheap,
+            # correct remedy (hand-write the verified original knobs) —
+            # prescribing a full rewrite there would be wrong twice
+            # over (review r9)
+            if "_layout.json" in str(e) and not self._waves_have_sb():
+                # a sidecar-less registry predating the sb= layout:
+                # waves are flat w=<id>/part-*.parquet, so the generic
+                # "write the sidecar by hand" advice is unactionable —
+                # NO n_slice_buckets value matches waves with no sb=
+                # directories. The cure is a structural rewrite.
                 raise ValueError(
                     f"classifier registry at {self.state_path} predates "
                     "the refit-slice bucket layout (no _layout.json; "
                     "waves lack sb= sub-partitions) — call "
-                    "migrate_slice_buckets(spark) once to rewrite it "
+                    "migrate_slice_buckets(spark, n_buckets=<the "
+                    "ORIGINAL feature modulus>) once to rewrite it "
                     "under this kernel's layout"
                 ) from e
             raise
         self._layout_checked = True
 
-    def migrate_slice_buckets(self, spark: SparkSession) -> None:
+    def _waves_have_sb(self) -> bool:
+        """Whether the registry's wave directories carry ``sb=``
+        sub-partitions (checked on the first wave found — waves are
+        written uniformly by one kernel version)."""
+        try:
+            names = os.listdir(self.state_path)
+        except OSError:
+            return False
+        for name in names:
+            if not name.startswith("w="):
+                continue
+            try:
+                sub = os.listdir(os.path.join(self.state_path, name))
+            except OSError:
+                continue
+            return any(s.startswith("sb=") for s in sub)
+        return False
+
+    def migrate_slice_buckets(
+        self, spark: SparkSession, *, n_buckets: int | None = None
+    ) -> None:
         """One-time rewrite of a registry written before the ``sb=``
         layout existed: re-partition every wave by the refit-slice
         bucket (derived from the stored ids — deterministic, so the
@@ -210,7 +233,18 @@ class IncrementalQualityClassifier:
         heals the rename window); wave ids, the ``_model`` sidecar
         directory and the batch watermark all ride the rewrite.
         Refuses while an uncommitted (crashed, un-replayed) wave
-        exists."""
+        exists.
+
+        ``n_buckets`` must be passed explicitly and equal the ORIGINAL
+        feature-hash modulus the waves were written under — the
+        migration stamps it into the layout sidecar, and silently
+        adopting a drifted kernel config here would lock in mixed
+        feature spaces, the exact failure the sidecar guards against
+        (review r9). A stored ``bucket`` value at or above the claimed
+        modulus is proof of a wrong claim and refuses loudly (the
+        inverse — an original modulus SMALLER than claimed — is not
+        detectable from data; the explicit argument is the operator's
+        attestation)."""
         import json as _json
 
         from beavers_spark.streaming.maintenance import (
@@ -218,6 +252,26 @@ class IncrementalQualityClassifier:
             guard_committed_waves,
         )
 
+        if n_buckets != self.n_buckets:
+            raise ValueError(
+                "migrate_slice_buckets requires an explicit "
+                f"n_buckets matching this kernel's ({self.n_buckets}); "
+                f"got {n_buckets!r}. Pass the ORIGINAL feature-hash "
+                "modulus the registry was written under — stamping a "
+                "drifted value would silently mix feature spaces."
+            )
+        max_b = (
+            spark.read.parquet(self.state_path)
+            .agg(F.max("bucket"))
+            .collect()[0][0]
+        )
+        if max_b is not None and max_b >= n_buckets:
+            raise ValueError(
+                f"registry holds bucket id {max_b} >= claimed "
+                f"n_buckets {n_buckets} — the original modulus was "
+                "larger than claimed; migrating would corrupt the "
+                "feature space"
+            )
         guard_committed_waves(self._watermark, self.state_path)
         compact_parquet(
             spark,

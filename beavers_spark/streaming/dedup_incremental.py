@@ -691,31 +691,35 @@ class IncrementalNearDedup:
         # table crosses the threshold.
         band_h = None
         overcap_keys = None
-        with self._phase("bloom_fold"):
-            if self._bloom.probe_active(exclude=batch_id):
-                band_h = self._band_keys_local(spark, band_dir)
-                if band_h is None:
-                    # past probe_cap: build the wave's bitmap
-                    # EXECUTOR-SIDE (one bit_or aggregation bounded by
-                    # the bitmap size, never the key count) — the
-                    # prune no longer disables itself at scale (VERDICT
-                    # r8 item 1). Persisted: the probe decision below
-                    # reuses this ONE scan of the band wave instead of
-                    # re-reading it (review r9).
-                    self._bloom.overcap_fallbacks += 1
-                    overcap_keys = (
-                        spark.read.parquet(band_dir)
-                        .select("bh")
-                        .persist()
-                    )
-            if band_h is not None:
-                self._bloom.save_wave(wave_dir, band_h)
-            elif overcap_keys is not None:
-                self._bloom.save_wave_distributed(
-                    wave_dir, overcap_keys, "bh"
-                )
-
+        # the try starts BEFORE the first consumer of the persisted
+        # over-cap keys (save_wave_distributed is a Spark job that can
+        # fail): an exception anywhere past the persist must still
+        # release the blocks, or crash replays stack cached copies
+        # until the GC-driven ContextCleaner catches up (review r9)
         try:
+            with self._phase("bloom_fold"):
+                if self._bloom.probe_active(exclude=batch_id):
+                    band_h = self._band_keys_local(spark, band_dir)
+                    if band_h is None:
+                        # past probe_cap: build the wave's bitmap
+                        # EXECUTOR-SIDE (one bit_or aggregation bounded
+                        # by the bitmap size, never the key count) —
+                        # the prune no longer disables itself at scale
+                        # (VERDICT r8 item 1). Persisted: the probe
+                        # decision below reuses this ONE scan of the
+                        # band wave instead of re-reading it.
+                        self._bloom.overcap_fallbacks += 1
+                        overcap_keys = (
+                            spark.read.parquet(band_dir)
+                            .select("bh")
+                            .persist()
+                        )
+                if band_h is not None:
+                    self._bloom.save_wave(wave_dir, band_h)
+                elif overcap_keys is not None:
+                    self._bloom.save_wave_distributed(
+                        wave_dir, overcap_keys, "bh"
+                    )
             self._finish_wave(
                 spark, batch_id, band_h, overcap_keys, had_state,
                 new_state, new_bands, wave_dir, band_dir,

@@ -408,7 +408,18 @@ def test_pre_slice_bucket_registry_migrates(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="migrate_slice_buckets"):
         clf(_docs(spark, rows[:2], start=100), 1)
-    clf.migrate_slice_buckets(spark)
+    # the migration demands an explicit attestation of the ORIGINAL
+    # feature modulus — a drifted value is refused, not stamped
+    with _pytest.raises(ValueError, match="explicit"):
+        clf.migrate_slice_buckets(spark)
+    with _pytest.raises(ValueError, match="matching this kernel"):
+        clf.migrate_slice_buckets(spark, n_buckets=_N_BUCKETS * 2)
+    drifted = IncrementalQualityClassifier(
+        state, label_col="y", n_buckets=16
+    )
+    with _pytest.raises(ValueError, match="bucket id"):
+        drifted.migrate_slice_buckets(spark, n_buckets=16)
+    clf.migrate_slice_buckets(spark, n_buckets=_N_BUCKETS)
     assert os.path.exists(os.path.join(state, "_layout.json"))
     assert any(
         n.startswith("sb=") for n in os.listdir(os.path.join(state, "w=0"))
@@ -423,5 +434,5 @@ def test_pre_slice_bucket_registry_migrates(spark, tmp_path):
     fresh(_docs(spark, rows[12:], start=100), 1)
     assert _model_map(clf.model(spark)) == _model_map(fresh.model(spark))
     # idempotent: migrating an already-migrated table is a no-op rewrite
-    clf.migrate_slice_buckets(spark)
+    clf.migrate_slice_buckets(spark, n_buckets=_N_BUCKETS)
     assert _model_map(clf.model(spark)) == _model_map(fresh.model(spark))

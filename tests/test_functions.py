@@ -1010,6 +1010,14 @@ def test_ppm_stats_and_resize_match_numpy_model(spark):
     flat = want.reshape(-1, 3).astype(np.int64)
     assert chained[1].pix_sum == int(flat.sum())
     assert chained[1].n_pixels == flat.shape[0]
+    # maxval < 255 must survive the resize — stamping 255 would
+    # silently darken the image for downstream consumers (review r9)
+    dim100 = spark.createDataFrame(
+        [(9, bytearray(b"P6\n4 4\n100\n" + bytes(range(48))))],
+        "doc_id long, payload binary",
+    )
+    r9 = ppm_resize(dim100, "payload", F.lit(2)).collect()[0]
+    assert bytes(r9.resized).startswith(b"P6\n2 2\n100\n")
 
 
 def test_avi_frames_walks_riff_tree_and_hostiles(spark):
@@ -1066,3 +1074,16 @@ def test_avi_frames_walks_riff_tree_and_hostiles(spark):
         (2, len(t2),
          int(np.frombuffer(t2, np.uint8).astype(np.int64).sum()))
     ]
+
+    # synth_movi(0 frames) must be an EMPTY movi, not phantom chunks
+    # (Spark's sequence(0, -1) counts DOWN — review r9)
+    from beavers_spark.functions.multimodal import synth_avi, synth_movi
+
+    empty = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        synth_avi(
+            synth_movi(F.lit(0), lambda f: F.lit("00")),
+            F.lit(33333), F.lit(0), F.lit(64), F.lit(48),
+        ).alias("payload"),
+    )
+    assert avi_frames(empty, "payload").count() == 0

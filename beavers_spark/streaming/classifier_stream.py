@@ -150,6 +150,58 @@ class IncrementalQualityClassifier:
         self.refit_count = 0
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
+        #: per-wave labeled-doc counts sidecar (``_doc_counts.json``:
+        #: {wave_id: n}). The capped refit needs the CURRENT total to
+        #: size its slice threshold; waves are disjoint in doc ids (the
+        #: redelivery anti-join guarantees it), so the sum of per-wave
+        #: counts IS the registry's distinct-doc count — an O(1) read
+        #: replacing the per-refit O(corpus) distinct scan (the cost
+        #: that ate the sb-prune's win at bench scale, r9). Underscore
+        #: prefix: invisible to Spark's reader, preserved by
+        #: compact_parquet; per-wave keys overwrite idempotently under
+        #: crash replays; a missing/stale sidecar falls back to the
+        #: exact distinct count (and self-heals on the next wave).
+        self._counts_file = os.path.join(state_path, "_doc_counts.json")
+
+    def _read_counts(self) -> dict:
+        import json as _json
+
+        if not os.path.exists(self._counts_file):
+            return {}
+        with open(self._counts_file) as fh:
+            return {k: int(v) for k, v in _json.load(fh).items()}
+
+    def _write_counts(self, counts: dict) -> None:
+        import json as _json
+
+        os.makedirs(self.state_path, exist_ok=True)
+        with open(self._counts_file, "w") as fh:
+            _json.dump(counts, fh)
+
+    def _wave_ids_on_disk(self) -> list[str]:
+        try:
+            names = os.listdir(self.state_path)
+        except OSError:
+            return []
+        return sorted(
+            n[2:] for n in names if n.startswith("w=") and n[2:]
+        )
+
+    def _registry_doc_count(self, spark: SparkSession) -> int:
+        """Current labeled-doc total: the per-wave counts sidecar when
+        it covers exactly the waves on disk (O(1)), else one exact
+        id-distinct scan (sidecar lost / pre-sidecar state — heals on
+        the next wave)."""
+        counts = self._read_counts()
+        waves = self._wave_ids_on_disk()
+        if waves and set(counts) == set(waves):
+            return sum(counts.values())
+        return (
+            spark.read.parquet(self.state_path)
+            .select(self.id_col)
+            .distinct()
+            .count()
+        )
 
     def _slice_hash(self):
         """The deterministic refit-slice hash of ``id_col`` — one
@@ -384,6 +436,24 @@ class IncrementalQualityClassifier:
             .parquet(f"{self.state_path}/w={batch_id}")
         )
         self._has_state = True
+        # per-wave doc count from the WRITTEN wave (replay-safe: an
+        # overwrite recounts), keyed by wave — the O(1) registry total
+        # the capped refit's threshold sizing reads. An all-redelivered
+        # or zero-token batch writes an EMPTY wave whose partitionBy
+        # directory has no schema-bearing file — reading it back would
+        # raise UNABLE_TO_INFER_SCHEMA (the empty-wave trap, review
+        # r9); table_exists distinguishes it, and its count is 0.
+        wave_dir = f"{self.state_path}/w={batch_id}"
+        counts = self._read_counts()
+        counts[str(batch_id)] = (
+            spark.read.parquet(wave_dir)
+            .select(self.id_col)
+            .distinct()
+            .count()
+            if table_exists(spark, wave_dir)
+            else 0
+        )
+        self._write_counts(counts)
 
         # refit cadence is keyed on the WAVE id (not a call counter) so
         # a crash replay of wave k takes the same refit/skip decision
@@ -402,10 +472,11 @@ class IncrementalQualityClassifier:
         state = spark.read.parquet(self.state_path)
         if self.max_refit_docs is not None:
             # the slice threshold needs the CURRENT labeled-doc count —
-            # an id-column-only distinct over the registry (column
-            # pruning keeps this the cheap part; the expensive part,
-            # the GD training scan, is what the sb prune below bounds)
-            n = state.select(self.id_col).distinct().count()
+            # O(1) from the per-wave counts sidecar (falls back to an
+            # exact id-distinct scan when the sidecar is lost); the
+            # expensive part, the GD training scan, is what the sb
+            # prune below bounds
+            n = self._registry_doc_count(spark)
             if n > self.max_refit_docs:
                 # floor keeps the expected slice size <= cap (the fine
                 # _SLICE_MOD granularity holds that bound up to 2^40 x
@@ -450,12 +521,17 @@ class IncrementalQualityClassifier:
         )
 
         guard_committed_waves(self._watermark, self.state_path)
-        return compact_parquet(
+        n_docs = self._registry_doc_count(spark)
+        out = compact_parquet(
             spark,
             self.state_path,
             partition_by=["w", "sb"],
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
+        # waves collapsed into w=-1: the counts sidecar collapses with
+        # them (ids are disjoint across waves, so the sum is exact)
+        self._write_counts({"-1": n_docs})
+        return out
 
     def refit(self, spark: SparkSession) -> None:
         """Refit from the accumulated registry and overwrite the model

@@ -436,3 +436,36 @@ def test_pre_slice_bucket_registry_migrates(spark, tmp_path):
     # idempotent: migrating an already-migrated table is a no-op rewrite
     clf.migrate_slice_buckets(spark, n_buckets=_N_BUCKETS)
     assert _model_map(clf.model(spark)) == _model_map(fresh.model(spark))
+
+
+def test_doc_counts_sidecar_tracks_registry(spark, tmp_path):
+    """The per-wave doc-counts sidecar must equal the registry's exact
+    distinct-doc count after normal waves, EMPTY waves (recorded as 0 —
+    the empty partitionBy directory cannot be read back), crash
+    replays, and compaction (collapsed to the merged wave); a lost
+    sidecar falls back to the exact scan and heals on the next wave."""
+    import os
+
+    clf = _mk(spark, tmp_path)
+    clf(_docs(spark, POS + NEG), 0)
+    clf(_docs(spark, POS[:2], start=50), 1)
+    clf(_docs(spark, POS[:2], start=50), 2)  # all redelivered: empty wave
+    counts = clf._read_counts()
+    assert counts == {"0": 10, "1": 2, "2": 0}
+    exact = (
+        clf.read_state(spark).select("doc_id").distinct().count()
+    )
+    assert clf._registry_doc_count(spark) == exact == 12
+
+    # lost sidecar: exact fallback, then self-heal on the next wave
+    os.remove(clf._counts_file)
+    assert clf._registry_doc_count(spark) == 12
+    clf(_docs(spark, NEG[:1], start=90), 3)
+    assert clf._read_counts() == {"3": 1}  # partial map ...
+    # ... which does NOT cover all waves -> still exact via fallback
+    assert clf._registry_doc_count(spark) == 13
+
+    # compaction collapses the map to the merged wave
+    clf.compact(spark)
+    assert clf._read_counts() == {"-1": 13}
+    assert clf._registry_doc_count(spark) == 13

@@ -689,24 +689,28 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
     """Per-frame byte extraction from AVI payloads — the video twin of
     ``wav_stats``/``ppm_stats``: walks the RIFF chunk tree to the
     ``LIST movi`` chunk and emits one row per video-frame subchunk
-    (``..dc``/``..db``) with ``frame_idx``, ``n_bytes`` and
-    ``byte_sum`` (exact integer sum of the frame's bytes — the
-    cross-engine checksum; a real pipeline would hand the same slice
-    to a codec). Arrow-batched pandas UDF returning an array of frame
-    structs, exploded MAP-SIDE (the video_frame_plan shape: the
-    fan-out happens before any shuffle and the payload column does not
-    ride it). Non-AVI payloads and truncated chunks yield no rows;
-    a frame chunk cut off by a truncated payload clamps to the bytes
-    present."""
+    (``..dc``/``..db``) with ``frame_idx``, ``n_bytes``, ``byte_sum``
+    (exact integer sum of the frame's bytes — the cross-engine
+    checksum) and ``frame_md5`` (content hash of the frame's bytes —
+    the identity key frame-level dedup groups on; a real pipeline
+    would hand the same slice to a codec). Arrow-batched pandas UDF
+    returning an array of frame structs, exploded MAP-SIDE (the
+    video_frame_plan shape: the fan-out happens before any shuffle and
+    the payload column does not ride it). Non-AVI payloads and
+    truncated chunks yield no rows; a frame chunk cut off by a
+    truncated payload clamps to the bytes present."""
     import pandas as pd
 
     from beavers_spark.functions.vectorized import _cached_udf
 
     def _build():
         @F.pandas_udf(
-            "array<struct<frame_idx:int,n_bytes:bigint,byte_sum:bigint>>"
+            "array<struct<frame_idx:int,n_bytes:bigint,"
+            "byte_sum:bigint,frame_md5:string>>"
         )
         def _frames(p: pd.Series) -> pd.Series:
+            import hashlib
+
             import numpy as np
 
             out: list = []
@@ -745,7 +749,12 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
                                     body, dtype=np.uint8
                                 ).astype(np.int64)
                                 frames.append(
-                                    (idx, len(body), int(a.sum()))
+                                    (
+                                        idx,
+                                        len(body),
+                                        int(a.sum()),
+                                        hashlib.md5(body).hexdigest(),
+                                    )
                                 )
                                 idx += 1
                             # RIFF chunks pad to even sizes
@@ -763,6 +772,7 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
         .withColumn("frame_idx", F.col("__fr.frame_idx"))
         .withColumn("n_bytes", F.col("__fr.n_bytes"))
         .withColumn("byte_sum", F.col("__fr.byte_sum"))
+        .withColumn("frame_md5", F.col("__fr.frame_md5"))
         .drop("__fr")
     )
 

@@ -1326,11 +1326,21 @@ def avi_frames_q(spark, sf_dir):
     generator without seeing the container — a mis-walked chunk
     boundary, a swallowed pad byte, or an off-by-one frame slice all
     fail the hash (functions/multimodal.py synth_movi/avi_frames)."""
-    from beavers_spark.functions.multimodal import (
-        avi_frames,
-        synth_avi,
-        synth_movi,
+    from beavers_spark.functions.multimodal import avi_frames
+
+    return avi_frames(_synth_frame_avis(spark, sf_dir), "payload").select(
+        "doc_id", "frame_idx", "n_bytes", "byte_sum"
     )
+
+
+def _synth_frame_avis(spark, sf_dir):
+    """The deterministic frame-AVI corpus shared by avi_frames and
+    video_frame_dedup — ONE generator so the two plans (and their
+    oracles' arithmetic) cannot silently diverge. Frame f of doc d has
+    20 + (f%5)*4 bytes, byte j = (d*11 + f*13 + j) % 256 — so frame
+    CONTENT is fully determined by ((d*11 + f*13) % 256, length),
+    which is what the dedup oracle groups on."""
+    from beavers_spark.functions.multimodal import synth_avi, synth_movi
 
     docs = t(spark, sf_dir, "documents")
     nf = 3 + F.pmod("doc_id", F.lit(6))
@@ -1354,15 +1364,70 @@ def avi_frames_q(spark, sf_dir):
             "",
         )
 
-    avis = docs.select(
+    return docs.select(
         "doc_id",
         synth_avi(
             synth_movi(nf, frame_bytes),
             F.lit(33333), nf, F.lit(64), F.lit(48),
         ).alias("payload"),
     )
-    return avi_frames(avis, "payload").select(
-        "doc_id", "frame_idx", "n_bytes", "byte_sum"
+
+
+@query(
+    "video_frame_dedup",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id, (3 + doc_id % 6)::BIGINT AS nf FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f
+        FROM params
+    ),
+    frames AS (
+        SELECT doc_id, f, (20 + (f % 5) * 4)::BIGINT AS n,
+               ((doc_id * 11 + f * 13) % 256)::BIGINT AS strt
+        FROM fr
+    )
+    SELECT doc_id, f::INT AS frame_idx,
+           first_value(doc_id) OVER w AS owner_doc,
+           (first_value(f) OVER w)::INT AS owner_frame,
+           (count(*) OVER w)::BIGINT AS n_copies
+    FROM frames
+    WINDOW w AS (PARTITION BY strt, n ORDER BY doc_id, f
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+    """,
+)
+def video_frame_dedup_q(spark, sf_dir):
+    """FRAME-LEVEL video dedup, hash-checked — the repeated
+    intro/outro/slate problem of a video training corpus: extract every
+    frame's bytes (``avi_frames``), group by the frame's CONTENT hash,
+    and assign each content group its first (doc, frame) owner — the
+    chunk-dedup ownership discipline applied to video payloads. The
+    oracle never sees bytes OR hashes: the generator makes frame
+    content a pure function of ((doc_id*11 + f*13) % 256, length), so
+    it groups on that pair by independent arithmetic — a kernel that
+    hashed the wrong byte slice, or grouped on a non-content key,
+    diverges immediately. Plan shape: one Arrow-batched decode, a
+    map-side explode, ONE hash-partitioned window over frame_md5 — at
+    100 TB the shuffle carries (doc_id, frame_idx, md5) rows, never
+    frame bytes."""
+    from pyspark.sql import Window
+
+    from beavers_spark.functions.multimodal import avi_frames
+
+    frames = avi_frames(_synth_frame_avis(spark, sf_dir), "payload")
+    wv = (
+        Window.partitionBy("frame_md5")
+        .orderBy("doc_id", "frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.first("doc_id").over(wv).alias("owner_doc"),
+        F.first("frame_idx").over(wv).alias("owner_frame"),
+        F.count("*").over(wv).alias("n_copies"),
     )
 
 

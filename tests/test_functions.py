@@ -1056,17 +1056,25 @@ def test_avi_frames_walks_riff_tree_and_hostiles(spark):
         (2, bytearray(b"RIFFxxxxWAVE")),          # not an AVI
         (3, bytearray(payload[: len(payload) - 20])),  # truncated
     ]
+    import hashlib
+
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {}
+    md5s = {}
     for r in avi_frames(df, "payload").collect():
         got.setdefault(r.doc_id, []).append(
             (r.frame_idx, r.n_bytes, r.byte_sum)
         )
+        md5s[(r.doc_id, r.frame_idx)] = r.frame_md5
     model = [
         (i, len(b), int(np.frombuffer(b, np.uint8).astype(np.int64).sum()))
         for i, b in enumerate((f0, f1, f2))
     ]
     assert sorted(got[1]) == model
+    # the content hash is md5 of EXACTLY the frame's bytes (the
+    # identity key video_frame_dedup groups on)
+    for i, b in enumerate((f0, f1, f2)):
+        assert md5s[(1, i)] == hashlib.md5(b).hexdigest()
     assert 2 not in got
     # truncation: last frame clamps to the 30-20=10 surviving bytes
     t2 = f2[: len(f2) - 20]

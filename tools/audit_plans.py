@@ -598,6 +598,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"Generate", r"Scan parquet"],
         [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
     ],
+    "video_frame_dedup": [
+        # decode + map-side fan-out, then ONE hash exchange on the
+        # frame content key feeding the ownership window — and the
+        # binary payload column must be pruned BEFORE that shuffle
+        # (frames ride as (doc, idx, md5) rows, never bytes)
+        [r"ArrowEvalPython", r"Generate",
+         r"hashpartitioning\(frame_md5", r"Window"],
+        [r"Join", r"CartesianProduct", r"BatchEvalPython",
+         # the Exchange detail block's Input line must not list the
+         # binary payload column (formatted explain separates the node
+         # header from its Input/Arguments lines)
+         r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
+    ],
 }
 
 

@@ -1,0 +1,179 @@
+"""The multimodal payload pipeline end to end: synthesize real
+WAV/PPM/AVI binaries with pure Column byte math, then run every
+payload kernel over them — decode, feature-extract, resize, frame
+extraction, frame-level dedup — exactly the per-modality preprocessing
+a multimodal training-data ingest runs before tokenization.
+
+The point this example makes: media payloads are opaque ``binary``
+columns with typed metadata, and EVERY step below is a per-row
+projection (header decodes in whole-stage codegen, sample/pixel math
+in Arrow-batched pandas UDFs) until the one place cross-document
+structure genuinely requires a shuffle — frame-level dedup, which
+exchanges (doc, idx, md5) rows, never bytes.
+
+Run: ``python examples/media_pipeline.py``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from beavers_spark.functions.multimodal import (  # noqa: E402
+    avi_frames,
+    ppm_meta,
+    ppm_resize,
+    ppm_stats,
+    synth_avi,
+    synth_movi,
+    synth_wav,
+    wav_meta,
+    wav_stats,
+)
+from beavers_spark.plans.common import t  # noqa: E402
+from beavers_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+spark = get_spark("media_pipeline_example")
+# 200 docs: the frame generator's duplicate classes need doc pairs
+# with specific id deltas (Δd ≡ 99 mod 256), so a tiny corpus has
+# none — 200 ids yield ~140 cross-video duplicate frames
+docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+
+# --- audio: synthesize 16-bit PCM WAVs, decode headers, then samples --
+n = F.lit(50) + F.pmod("doc_id", F.lit(50))
+samp_hex = F.array_join(
+    F.transform(
+        F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint")),
+        lambda i: F.concat(  # int16 LE two's complement
+            F.lpad(
+                F.hex(
+                    (
+                        F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
+                        - 1000
+                    ).bitwiseAND(F.lit(0xFF))
+                ),
+                2, "0",
+            ),
+            F.lpad(
+                F.hex(
+                    F.shiftrightunsigned(
+                        (
+                            F.pmod(
+                                F.col("doc_id") * 31 + i * 7, F.lit(2001)
+                            )
+                            - 1000
+                        ).bitwiseAND(F.lit(0xFFFF)),
+                        8,
+                    )
+                ),
+                2, "0",
+            ),
+        ),
+    ),
+    "",
+)
+wavs = docs.select(
+    "doc_id",
+    synth_wav(
+        F.unhex(samp_hex), F.lit(1), F.lit(16000), F.lit(16)
+    ).alias("payload"),
+)
+meta = wav_meta(wavs, "payload")
+N = docs.count()
+assert meta.filter(F.col("format") == "wav").count() == N
+audio = wav_stats(wavs, "payload").select(
+    "doc_id", "n_samples", "peak", "rms", "zcr"
+)
+a0 = audio.filter(F.col("n_samples").isNotNull()).count()
+assert a0 == N, a0
+assert audio.filter(F.col("peak") > 1000).count() == 0  # samples in ±1000
+
+# --- images: P6 PPMs -> header decode -> pixel stats -> REAL resize --
+w = (8 + F.pmod("doc_id", F.lit(8))).cast("bigint")
+h = F.lit(8).cast("bigint")
+px_hex = F.array_join(
+    F.transform(
+        F.sequence(F.lit(0).cast("bigint"), (w * h * 3 - 1).cast("bigint")),
+        lambda j: F.lpad(
+            F.hex(F.pmod(F.col("doc_id") * 7 + j, F.lit(256))), 2, "0"
+        ),
+    ),
+    "",
+)
+header = F.concat(
+    F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+    F.lit("\n255\n"),
+)
+ppms = docs.select(
+    "doc_id",
+    F.concat(F.encode(header, "UTF-8"), F.unhex(px_hex)).alias("payload"),
+)
+assert ppm_meta(ppms, "payload").filter(
+    F.col("format") == "ppm"
+).count() == N
+resized = ppm_resize(ppms, "payload", F.lit(2))
+# the resized payload is itself canonical P6, so kernels CHAIN
+rs_stats = ppm_stats(resized, "resized")
+row = rs_stats.select(
+    F.min("out_w").alias("mw"), F.max("n_pixels").alias("mp")
+).collect()[0]
+assert row["mw"] >= 4 and row["mp"] <= 8 * 8  # ceil(8/2) * ceil(16/2)
+
+# --- video: AVIs with real movi frame chunks -> extract -> dedup -----
+nf = 3 + F.pmod("doc_id", F.lit(6))
+
+
+def frame_bytes(f):
+    size = F.lit(20) + F.pmod(f, F.lit(5)) * 4
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), (size - 1).cast("bigint")),
+            lambda j: F.lpad(
+                F.hex(
+                    F.pmod(F.col("doc_id") * 11 + f * 13 + j, F.lit(256))
+                ),
+                2, "0",
+            ),
+        ),
+        "",
+    )
+
+
+avis = docs.select(
+    "doc_id",
+    synth_avi(
+        synth_movi(nf, frame_bytes), F.lit(33333), nf, F.lit(64), F.lit(48)
+    ).alias("payload"),
+)
+frames = avi_frames(avis, "payload")
+n_frames = frames.count()
+assert n_frames >= N * 3  # at least 3 frames per doc
+
+# frame-level dedup: content-identical frames across videos share one
+# owner — the repeated intro/slate problem; the shuffle carries
+# (doc, idx, md5), never frame bytes
+from pyspark.sql import Window  # noqa: E402
+
+wv = (
+    Window.partitionBy("frame_md5")
+    .orderBy("doc_id", "frame_idx")
+    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+)
+owned = frames.select(
+    "doc_id", "frame_idx",
+    F.first("doc_id").over(wv).alias("owner_doc"),
+    F.count("*").over(wv).alias("n_copies"),
+)
+dups = owned.filter(F.col("owner_doc") != F.col("doc_id")).count()
+uniq = owned.filter(F.col("n_copies") == 1).count()
+assert dups > 0, "the generator guarantees cross-video duplicate frames"
+print(
+    f"media pipeline: {a0} wavs decoded, {N} ppms resized+re-decoded, "
+    f"{n_frames} frames extracted, {dups} duplicate frames, {uniq} unique"
+)

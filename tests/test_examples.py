@@ -19,6 +19,7 @@ NEEDS_SPARK = {
     "data_selection.py",
     "etf_pipeline.py",
     "kafka_concepts.py",
+    "media_pipeline.py",
     "serving_dashboard.py",
     "streaming_watchdog.py",
     "tabular_concepts.py",

@@ -1,0 +1,305 @@
+"""Incremental FRAME-level video dedup: every video frame's content is
+kept exactly once ACROSS BATCHES — the streaming twin of the
+``video_frame_dedup`` plan, and the multimodal instantiation of the
+chunk-dedup ownership discipline: a continuous video ingest pays
+O(batch frames + registry probe) per micro-batch, and history is never
+re-decoded.
+
+Per batch:
+
+1. extract ONLY the new videos' frames (``avi_frames`` — one
+   Arrow-batched RIFF walk, map-side explode) and derive each frame's
+   60-bit content key from its md5 (``conv(hex[:15])`` — the repo's
+   md5-derived hash convention, cross-engine checkable);
+2. within-batch ownership: min (doc, frame) occurrence per content
+   key — one groupBy on the 8-byte key, never the frame bytes;
+3. cross-batch ownership: the batch winners' key set is broadcast into
+   a LEFT SEMI probe of the persistent key registry and the matched
+   set broadcast back into an anti-join — the registry is scanned
+   (column-pruned to ``h``, wave-Bloom- and hash-bucket-pruned) but
+   NEVER shuffled (``maintenance.registry_anti_probe``);
+4. surviving frames land in the state registry as their own wave
+   partition (``w=<batch>/b=<pmod(h, N)>/``) and the kept-frame view
+   ``(doc_id, frame_idx, n_bytes, frame_md5)`` lands in the output as
+   its own wave — per-wave overwrites, so crash replays are
+   idempotent (the dedup twins' shared contract).
+
+A frame's content is owned exactly once, in the batch it first
+arrives; under ascending arrival the result is IDENTICAL to the batch
+``video_frame_dedup`` owners (pinned by tests). At 100 TB of video:
+the shuffle carries (doc, idx, key) rows — frame BYTES never leave
+the decode stage — and the probe cost shape is the chunk registry's
+(broadcast semi/anti, O(batch) exchange volume).
+
+Reference parity: composes the reference's state-node semantics
+(beavers dag.py:501-518) with its live-driver loop (kafka.py:534-544);
+the reference has no media surface itself (README.md:43-50 scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.multimodal import avi_frames
+from beavers_spark.streaming.maintenance import (
+    PROBE_BROADCAST_CAP,
+    BatchWatermark,
+    ProbeMetrics,
+    WaveBloomIndex,
+    ensure_layout,
+    prune_hash_buckets,
+    recover_compaction,
+    registry_anti_probe,
+    seen_anti_join,
+    table_exists,
+    timed_phase,
+)
+from beavers_spark.streaming.substring_dedup import _wave_keys
+
+
+class IncrementalFrameDedup:
+    """``foreachBatch`` callable maintaining corpus-wide frame
+    ownership over AVI payload columns.
+
+    ::
+
+        dedup = IncrementalFrameDedup(state_path, out_path,
+                                      payload_col="payload",
+                                      id_col="doc_id")
+        stream.writeStream.foreachBatch(dedup).start()
+
+    ``read_kept(spark)`` returns every first-arrival (owned) frame so
+    far; ``read_state(spark)`` the content-key ownership registry.
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        out_path: str,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        bloom_bits: int | None = 1 << 23,
+        bloom_min_waves: int = 8,
+        n_hash_buckets: int = 16,
+    ) -> None:
+        self.state_path = state_path
+        self.out_path = out_path
+        self.payload_col = payload_col
+        self.id_col = id_col
+        #: bits per wave Bloom sidecar (None disables the probe filter)
+        self.bloom_bits = bloom_bits
+        #: hash-prefix sub-partitions per wave (``b = pmod(h, N)``)
+        self.n_hash_buckets = n_hash_buckets
+        self._has_state = False
+        self._watermark = BatchWatermark(state_path)
+        self._bloom = WaveBloomIndex(
+            state_path, bloom_bits, min_waves=bloom_min_waves,
+            keys_of=_wave_keys,
+        )
+        #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
+        self.probe_metrics: list[ProbeMetrics] = []
+        #: accumulated driver-observed wall seconds per __call__ phase
+        #: (winners_count / bloom_fold / state_write / out_write /
+        #: call_total)
+        self.phase_seconds: dict[str, float] = {}
+
+    # -- state access -----------------------------------------------------
+    def _state_exists(self, spark: SparkSession) -> bool:
+        if self._has_state:
+            return True
+        if table_exists(spark, self.state_path):
+            self._has_state = True
+            return True
+        return False
+
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """Frame-content ownership registry ``(h, doc_id, frame_idx)``
+        (``w``/``b`` are storage details)."""
+        return spark.read.parquet(self.state_path).select(
+            "h", "doc_id", "frame_idx"
+        )
+
+    def read_kept(self, spark: SparkSession) -> DataFrame:
+        """First-arrival (owned) frames emitted so far (the wave
+        column ``w`` is a storage detail)."""
+        return spark.read.parquet(self.out_path).select(
+            "doc_id", "frame_idx", "n_bytes", "frame_md5"
+        )
+
+    def compact(self, spark: SparkSession) -> int:
+        """Coarsen all wave partitions into ``w=-1`` (the registry
+        keeps its ``b`` hash-prefix layout); returns the
+        post-compaction file count."""
+        from beavers_spark.streaming.maintenance import (
+            compact_parquet,
+            guard_committed_waves,
+        )
+
+        guard_committed_waves(
+            self._watermark, self.state_path, self.out_path
+        )
+        compact_parquet(
+            spark,
+            self.out_path,
+            partition_by="w",
+            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        )
+        return self._bloom.compact_merge(
+            lambda: compact_parquet(
+                spark,
+                self.state_path,
+                partition_by=["w", "b"],
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
+        )
+
+    # -- the kernel -------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # restore a compaction crashed between its two renames BEFORE
+        # the watermark check or any wave write (the shared
+        # crash-window contract)
+        for p in (self.state_path, self.out_path):
+            recover_compaction(p)
+        if self._watermark.is_applied(batch_id):
+            return
+        with timed_phase(self.phase_seconds, "call_total"):
+            self._apply(batch_df, batch_id)
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df
+        ensure_layout(self.state_path, n_hash_buckets=self.n_hash_buckets)
+        had_state = self._state_exists(spark)
+        if had_state:
+            # redelivered videos (producer retry, re-ingest) would
+            # reprocess their payloads for nothing; the probe reads the
+            # registry's doc_id column only, excluding this wave's own
+            # half-committed directory (crash-replay safety)
+            seen = (
+                spark.read.parquet(self.state_path)
+                .filter(F.col("w") != batch_id)
+                .select("doc_id")
+            )
+            batch = seen_anti_join(batch, seen, self.id_col)
+
+        # one Arrow-batched RIFF walk per video, map-side frame
+        # fan-out; the content key is the md5's top 60 bits (the
+        # md5-derived hash convention — conv on 15 hex chars stays
+        # ANSI-safe within bigint)
+        frames = avi_frames(
+            batch.select(
+                F.col(self.id_col).alias("doc_id"), self.payload_col
+            ),
+            self.payload_col,
+        )
+        segs = frames.select(
+            "doc_id",
+            "frame_idx",
+            "n_bytes",
+            "frame_md5",
+            F.conv(F.substring("frame_md5", 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        ).persist()
+        occ = F.struct(F.col("doc_id"), F.col("frame_idx"))
+        owners = (
+            segs.groupBy("h")
+            .agg(F.min(occ).alias("owner"))
+            .withColumnRenamed("h", "oh")
+        )
+        winners = segs.join(
+            owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
+        ).select(
+            "h", "doc_id", "frame_idx", "n_bytes", "frame_md5"
+        ).persist()
+        new_owned = winners
+        try:
+            with timed_phase(self.phase_seconds, "winners_count"):
+                n_winners = winners.count()
+            probe_on = had_state and self._bloom.probe_active(
+                exclude=batch_id
+            )
+            with timed_phase(self.phase_seconds, "bloom_fold"):
+                pre_h = (
+                    self._bloom.collect_keys(winners, "h")
+                    if probe_on
+                    else None
+                )
+            overcap = probe_on and pre_h is None
+            if overcap:
+                self._bloom.overcap_fallbacks += 1
+            if had_state and n_winners:
+                prior = spark.read.parquet(self.state_path).filter(
+                    F.col("w") != batch_id
+                )
+                prior = self._bloom.prune_prior(
+                    prior, pre_h, batch_id, self.probe_metrics, spark,
+                    keys_df=winners.select("h") if overcap else None,
+                    key_col="h",
+                )
+                if prior is not None and pre_h is not None:
+                    prior = prune_hash_buckets(
+                        prior, pre_h, self.n_hash_buckets
+                    )
+                if prior is not None:
+                    new_owned = registry_anti_probe(
+                        winners, prior, "h", n_winners,
+                        PROBE_BROADCAST_CAP,
+                    ).persist()
+
+            if n_winners == 0:
+                # no decodable frames (or fully redelivered): keep the
+                # output valid from batch 0, mark, stop — no registry
+                # wave. doc_id type comes from the BATCH (id_col
+                # accepts any type)
+                empty = batch.select(
+                    F.col(self.id_col).alias("doc_id"),
+                    F.lit(None).cast("int").alias("frame_idx"),
+                    F.lit(None).cast("bigint").alias("n_bytes"),
+                    F.lit(None).cast("string").alias("frame_md5"),
+                ).limit(0)
+                empty.write.mode("overwrite").parquet(
+                    f"{self.out_path}/w={batch_id}"
+                )
+                self._watermark.mark(batch_id)
+                return
+
+            wave_dir = f"{self.state_path}/w={batch_id}"
+            with timed_phase(self.phase_seconds, "state_write"):
+                (
+                    new_owned.select("h", "doc_id", "frame_idx")
+                    .withColumn(
+                        "b",
+                        F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
+                    )
+                    .repartition(self.n_hash_buckets, F.col("b"))
+                    .write.mode("overwrite")
+                    .partitionBy("b")
+                    .parquet(wave_dir)
+                )
+            if pre_h is not None:
+                # PRE-anti key set: a superset bitmap only adds false
+                # positives, never wrong answers
+                self._bloom.save_wave(wave_dir, pre_h)
+            elif overcap:
+                # executor-side bitmap over the PERSISTED new_owned
+                # frame (never a read-back of wave_dir: an empty
+                # partitionBy directory has no schema-bearing file)
+                self._bloom.save_wave_distributed(
+                    wave_dir, new_owned.select("h"), "h"
+                )
+            self._has_state = True
+
+            with timed_phase(self.phase_seconds, "out_write"):
+                new_owned.select(
+                    "doc_id", "frame_idx", "n_bytes", "frame_md5"
+                ).write.mode("overwrite").parquet(
+                    f"{self.out_path}/w={batch_id}"
+                )
+            self._watermark.mark(batch_id)
+        finally:
+            if new_owned is not winners:
+                new_owned.unpersist(blocking=True)
+            winners.unpersist(blocking=True)
+            segs.unpersist(blocking=True)

@@ -556,6 +556,33 @@ def _tfidf_scenario(spark, sf_dir, workdir, **kernel_kwargs):
     )
 
 
+def _inc_frame_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
+    """Synthesized frame-AVIs fed in waves through
+    IncrementalFrameDedup — the STREAMING multimodal scenario: per
+    wave, one Arrow-batched RIFF walk over the new videos, a
+    content-key ownership groupBy, and the broadcast registry probe;
+    frame BYTES never ride a shuffle. Owned frames accumulate across
+    waves exactly like the batch video_frame_dedup owners. The input
+    AVIs are synthesized lazily, so the Column-math container build
+    rides the decode stage's timing — a real ingest pays codec decode
+    there instead."""
+    from beavers_spark.plans.llmops import _synth_frame_avis
+    from beavers_spark.streaming import IncrementalFrameDedup
+
+    dedup = IncrementalFrameDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "out"),
+    )
+    avis = _synth_frame_avis(spark, sf_dir)
+    for i in range(_WAVES):
+        dedup(avis.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+    return dedup.read_kept(spark).count(), _kernel_metrics(
+        probes=dedup.probe_metrics,
+        phases=dedup.phase_seconds,
+        bloom=dedup._bloom,
+    )
+
+
 def _inc_classifier_capped(
     spark, sf_dir: str, workdir: str
 ) -> tuple[int, dict]:
@@ -663,6 +690,7 @@ INCREMENTAL = [
     ("inc_classifier_capped", _inc_classifier_capped),
     ("inc_tfidf_dedup", _inc_tfidf_dedup),
     ("inc_tfidf_dedup_pruned", _inc_tfidf_dedup_pruned),
+    ("inc_frame_dedup", _inc_frame_dedup),
 ]
 
 

@@ -168,8 +168,14 @@ class IncrementalQualityClassifier:
 
         if not os.path.exists(self._counts_file):
             return {}
-        with open(self._counts_file) as fh:
-            return {k: int(v) for k, v in _json.load(fh).items()}
+        try:
+            with open(self._counts_file) as fh:
+                return {k: int(v) for k, v in _json.load(fh).items()}
+        except (ValueError, OSError):
+            # a torn write (crash/disk-full mid-dump) must read as
+            # MISSING, not crash every later batch: the sidecar is a
+            # loss-tolerant optimization cache by contract (review r9)
+            return {}
 
     def _write_counts(self, counts: dict) -> None:
         import json as _json
@@ -350,11 +356,26 @@ class IncrementalQualityClassifier:
 
     # -- state access -----------------------------------------------------
     def _state_exists(self, spark: SparkSession) -> bool:
+        """True iff the registry holds at least one DATA-BEARING wave.
+        ``table_exists`` alone is not enough here: an all-empty first
+        wave (zero-token batch) leaves a ``w=0`` directory with only a
+        ``_SUCCESS`` marker, and reading such a registry raises
+        UNABLE_TO_INFER_SCHEMA — the seen probe and the refit must both
+        treat it as "no state yet" (review r9)."""
         if self._has_state:
             return True
-        if table_exists(spark, self.state_path):
-            self._has_state = True
-            return True
+        if not table_exists(spark, self.state_path):
+            return False
+        for name in self._wave_ids_on_disk():
+            try:
+                sub = os.listdir(
+                    os.path.join(self.state_path, f"w={name}")
+                )
+            except OSError:
+                continue
+            if any(not s.startswith(("_", ".")) for s in sub):
+                self._has_state = True
+                return True
         return False
 
     def read_state(self, spark: SparkSession) -> DataFrame:
@@ -435,7 +456,12 @@ class IncrementalQualityClassifier:
             .partitionBy("sb")
             .parquet(f"{self.state_path}/w={batch_id}")
         )
-        self._has_state = True
+        # NOT unconditionally True: an empty wave write leaves no data
+        # file, and claiming state would crash the next batch's seen
+        # probe on a file-less registry (review r9)
+        self._has_state = self._has_state or table_exists(
+            spark, f"{self.state_path}/w={batch_id}"
+        )
         # per-wave doc count from the WRITTEN wave (replay-safe: an
         # overwrite recounts), keyed by wave — the O(1) registry total
         # the capped refit's threshold sizing reads. An all-redelivered
@@ -443,21 +469,37 @@ class IncrementalQualityClassifier:
         # directory has no schema-bearing file — reading it back would
         # raise UNABLE_TO_INFER_SCHEMA (the empty-wave trap, review
         # r9); table_exists distinguishes it, and its count is 0.
-        wave_dir = f"{self.state_path}/w={batch_id}"
         counts = self._read_counts()
-        counts[str(batch_id)] = (
-            spark.read.parquet(wave_dir)
-            .select(self.id_col)
-            .distinct()
-            .count()
-            if table_exists(spark, wave_dir)
-            else 0
-        )
+
+        def _count_wave(wv: str) -> int:
+            d = f"{self.state_path}/w={wv}"
+            if not table_exists(spark, d):
+                return 0
+            return (
+                spark.read.parquet(d)
+                .select(self.id_col)
+                .distinct()
+                .count()
+            )
+
+        counts[str(batch_id)] = _count_wave(str(batch_id))
+        # SELF-HEAL a lost/stale sidecar here, not at the next
+        # compaction: backfill every on-disk wave missing from the map
+        # (one pruned scan per missing wave, once) and drop entries for
+        # waves no longer on disk — otherwise a single lost sidecar
+        # silently reverts every capped refit to the O(corpus) scan
+        # forever (review r9)
+        on_disk = set(self._wave_ids_on_disk())
+        for wv in on_disk - set(counts):
+            counts[wv] = _count_wave(wv)
+        counts = {k: v for k, v in counts.items() if k in on_disk}
         self._write_counts(counts)
 
         # refit cadence is keyed on the WAVE id (not a call counter) so
-        # a crash replay of wave k takes the same refit/skip decision
-        if batch_id % self.refit_every == 0:
+        # a crash replay of wave k takes the same refit/skip decision;
+        # a registry with no data-bearing wave yet has nothing to fit
+        # (and no schema to read)
+        if batch_id % self.refit_every == 0 and self._state_exists(spark):
             self.refit(spark)
         self._watermark.mark(batch_id)
 

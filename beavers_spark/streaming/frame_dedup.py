@@ -183,6 +183,11 @@ class IncrementalFrameDedup:
             )
             batch = seen_anti_join(batch, seen, self.id_col)
 
+        # repartition BEFORE the decode fan-out: a single-file (or
+        # single-partition) micro-batch — the common trickle-ingest
+        # shape — would otherwise run every container walk and frame
+        # md5 on one core (the substring twin's lesson, review r9)
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
         # one Arrow-batched RIFF walk per video, map-side frame
         # fan-out; the content key is the md5's top 60 bits (the
         # md5-derived hash convention — conv on 15 hex chars stays

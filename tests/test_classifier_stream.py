@@ -442,8 +442,9 @@ def test_doc_counts_sidecar_tracks_registry(spark, tmp_path):
     """The per-wave doc-counts sidecar must equal the registry's exact
     distinct-doc count after normal waves, EMPTY waves (recorded as 0 —
     the empty partitionBy directory cannot be read back), crash
-    replays, and compaction (collapsed to the merged wave); a lost
-    sidecar falls back to the exact scan and heals on the next wave."""
+    replays, and compaction (collapsed to the merged wave); a lost or
+    CORRUPT sidecar falls back to the exact scan and SELF-HEALS on the
+    next wave (all on-disk waves backfilled — review r9)."""
     import os
 
     clf = _mk(spark, tmp_path)
@@ -457,15 +458,45 @@ def test_doc_counts_sidecar_tracks_registry(spark, tmp_path):
     )
     assert clf._registry_doc_count(spark) == exact == 12
 
-    # lost sidecar: exact fallback, then self-heal on the next wave
+    # corrupt sidecar (torn write) reads as MISSING, never crashes
+    with open(clf._counts_file, "w") as fh:
+        fh.write('{"0": 10, "1"')
+    assert clf._read_counts() == {}
+    # lost sidecar: exact fallback now ...
     os.remove(clf._counts_file)
     assert clf._registry_doc_count(spark) == 12
+    # ... and the next wave SELF-HEALS the whole map (every on-disk
+    # wave backfilled), restoring the O(1) path
     clf(_docs(spark, NEG[:1], start=90), 3)
-    assert clf._read_counts() == {"3": 1}  # partial map ...
-    # ... which does NOT cover all waves -> still exact via fallback
+    assert clf._read_counts() == {"0": 10, "1": 2, "2": 0, "3": 1}
     assert clf._registry_doc_count(spark) == 13
 
     # compaction collapses the map to the merged wave
     clf.compact(spark)
     assert clf._read_counts() == {"-1": 13}
     assert clf._registry_doc_count(spark) == 13
+
+
+def test_all_empty_first_wave_does_not_wedge(spark, tmp_path):
+    """A first batch whose docs tokenize to nothing writes an empty
+    wave (w=0 with only _SUCCESS): the kernel must NOT claim state —
+    the wave-0 refit and the next batch's seen probe would both raise
+    UNABLE_TO_INFER_SCHEMA on a file-less registry (review r9). The
+    following real wave then proceeds normally."""
+    clf = _mk(spark, tmp_path)
+    empty_docs = spark.createDataFrame(
+        [(1, "", 1), (2, "   ", 0)], "doc_id long, text string, y int"
+    )
+    clf(empty_docs, 0)  # no crash: refit skipped, no state claimed
+    assert clf.model(spark).count() == 0
+    clf(_docs(spark, POS[:2] + NEG[:2], start=10), 1)  # seen probe safe
+    assert clf.model(spark).count() > 0
+    from beavers_spark.functions.classifier import logreg_fit
+
+    want = _model_map(
+        logreg_fit(
+            spark, _docs(spark, POS[:2] + NEG[:2], start=10), "y",
+            n_buckets=_N_BUCKETS,
+        )
+    )
+    assert _model_map(clf.model(spark)) == want

@@ -152,20 +152,37 @@ _CHECKED_R08 = [
 
 _R08_SET = set(_CHECKED_R08)
 
-#: exposure order after the never-checked plans (round 9's additions
-#: auto-front). VERDICT r8 item 3 fronts the r01 REMAINDER: the TPC-H
-#: suite, word_count, the pivots, windows and running_sum were last
-#: greened in round 4 — the stalest rows anywhere in the lattice. Then
-#: the five r01-head names whose latest green is r06, then the r03
-#: leftover (green r07 at newest), then round 7's block, and everything
-#: round 8 just re-greened queues last. Names in several lists dedupe
-#: to their FIRST position (queries() builds a dict).
+#: round 9's 50 rows, verbatim CORRECTNESS_r09.json keys: the 5
+#: round-9 payload-kernel additions + the r01 remainder (TPC-H suite,
+#: word_count, pivots, windows) that round 8's rotation fronted.
+_CHECKED_R09 = [
+    "wav_stats", "ppm_stats", "avi_frames", "video_frame_dedup",
+    "ppm_resize", "anti_join", "delta_fanout", "isin_filter",
+    "groupby_sum", "groupby_max", "word_count", "weighted_average",
+    "join_counts_pivot", "pivot_linestatus", "rollup_agg", "time_delay",
+    "topk_customers", "window_rank", "running_sum", "tumbling_window",
+    "scalar_transform", "json_extract", "hourly_rollup",
+    "stats_by_segment", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "tpch_q4", "tpch_q10", "tpch_q14", "tpch_q22", "tpch_q2", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q11", "tpch_q16",
+    "concat_streams", "distinct_values", "set_dedup_batch",
+    "merge_sorted_union", "semi_join",
+]
+
+#: exposure order after the never-checked plans (round 10's additions
+#: auto-front). VERDICT r9 item 5 fronts the 12 stalest rows in the
+#: lattice — the r03-block tail whose latest driver green is r05
+#: (asof/sessionize/interval/funnel/cohort/setops/corpus_shuffle/pack/
+#: repetition/stratified) — then round 7's block, then round 8's, and
+#: everything round 9 just re-greened queues last. Names in several
+#: lists dedupe to their FIRST position (queries() builds a dict); the
+#: union of these four blocks covers all registry plans.
 _DRIVER_CHECKED = (
-    [n for n in _CHECKED_R01 if n not in _R08_SET and n not in _R06_SET]
-    + [n for n in _CHECKED_R06 if n not in _R08_SET]
-    + [n for n in _CHECKED_R03 if n not in _R07_SET]
+    [n for n in _CHECKED_R03 if n not in _R07_SET]
     + _CHECKED_R07
     + _CHECKED_R08
+    + _CHECKED_R09
 )
 
 

@@ -633,7 +633,9 @@ class IncrementalNearDedup:
         # per wave with no persist()/count() job and no separate
         # state-append job at the end. Overwrite of one wave directory is
         # also naturally idempotent under replays.
-        sets = shingle_sets(batch, self.text_col, self.id_col, self.n)
+        sets = shingle_sets(
+            batch, self.text_col, self.id_col, self.n, probe=batch_df
+        )
         wave_dir = f"{self.state_path}/w={batch_id}"
         with self._phase("state_write"):
             _signatures_from_sets(sets, keep=("sh", "n_sh")).write.mode(

@@ -238,7 +238,10 @@ class IncrementalTfidfDedup:
         # reads the columnar result back.
         wave_dir = f"{self.state_path}/w={batch_id}"
         (
-            _tfidf_tf(batch, self.text_col, self.id_col, self.n_buckets)
+            _tfidf_tf(
+                batch, self.text_col, self.id_col, self.n_buckets,
+                probe=batch_df,
+            )
             .withColumn(
                 "b", F.pmod(F.col("bucket"), F.lit(self.n_hash_buckets))
             )

@@ -83,6 +83,7 @@ class IncrementalFrameDedup:
         bloom_bits: int | None = 1 << 23,
         bloom_min_waves: int = 8,
         n_hash_buckets: int = 16,
+        probe_cap: int | None = None,
     ) -> None:
         self.state_path = state_path
         self.out_path = out_path
@@ -94,9 +95,10 @@ class IncrementalFrameDedup:
         self.n_hash_buckets = n_hash_buckets
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
+        bloom_kwargs = {} if probe_cap is None else {"probe_cap": probe_cap}
         self._bloom = WaveBloomIndex(
             state_path, bloom_bits, min_waves=bloom_min_waves,
-            keys_of=_wave_keys,
+            keys_of=_wave_keys, **bloom_kwargs,
         )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []

@@ -583,6 +583,109 @@ def _inc_frame_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     )
 
 
+def _tagged_frame_avis(spark, sf_dir):
+    """Wave-DISJOINT frame-AVI corpus for the probed frame scenario:
+    frame byte j of doc d lives in the byte range owned by the doc's
+    wave class (``tag = pmod(d, _WAVES)``) — ``(d*11 + f*13 + j) % 64 +
+    tag*64`` — so frames from different waves can never share content
+    and the wave Bloom probe has something to PRUNE (the natural
+    ``_synth_frame_avis`` corpus has only 256*5 content classes, every
+    wave covers all of them, nothing prunable). Doc ``d + 768``
+    regenerates d's frames byte-identically (768 is divisible by the
+    wave modulus 4, the frame-count modulus 6, and 11*768 = 0 mod 64) —
+    the echo-wave construction."""
+    from beavers_spark.functions.multimodal import synth_avi, synth_movi
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    nf = 3 + F.pmod("doc_id", F.lit(6))
+    tag = F.pmod("doc_id", F.lit(_WAVES))
+
+    def frame_bytes(f):
+        size = F.lit(20) + F.pmod(f, F.lit(5)) * 4
+        return F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("bigint"), (size - 1).cast("bigint")
+                ),
+                lambda j: F.lpad(
+                    F.hex(
+                        F.pmod(
+                            F.col("doc_id") * 11 + f * 13 + j, F.lit(64)
+                        )
+                        + tag * 64
+                    ),
+                    2,
+                    "0",
+                ),
+            ),
+            "",
+        )
+
+    return docs.select(
+        "doc_id",
+        synth_avi(
+            synth_movi(nf, frame_bytes),
+            F.lit(33333), nf, F.lit(64), F.lit(48),
+        ).alias("payload"),
+    )
+
+
+def _inc_frame_dedup_probed(
+    spark, sf_dir: str, workdir: str
+) -> tuple[int, dict]:
+    """The frame kernel's registry-prune machinery ON the clock
+    (VERDICT r9 item 1: the committed r9 bench ran 4 waves against
+    bloom_min_waves=8, so probe_waves_total was 0 and the kernel's
+    100x-scale path was benched OFF). Wave-disjoint tagged AVIs +
+    bloom_min_waves=2 turn the probe on from wave 2; a fifth ECHO wave
+    re-feeds wave 0's frame contents under shifted doc ids (+768, see
+    _tagged_frame_avis) — a guaranteed-redundant wave, so the probe
+    must scan wave 0 (real duplicates found, zero new owned frames)
+    while pruning the disjoint waves 1-3."""
+    from beavers_spark.streaming import IncrementalFrameDedup
+
+    dedup = IncrementalFrameDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "out"),
+        bloom_min_waves=2,
+    )
+    avis = _tagged_frame_avis(spark, sf_dir)
+    for i in range(_WAVES):
+        dedup(avis.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+    echo = _tagged_frame_avis(
+        spark, sf_dir
+    ).filter(F.pmod("doc_id", F.lit(_WAVES)) == 0).select(
+        (F.col("doc_id") + 768).alias("doc_id"), "payload"
+    )
+    dedup(echo, _WAVES)
+    n = dedup.read_kept(spark).count()
+    metrics = _kernel_metrics(
+        probes=dedup.probe_metrics,
+        phases=dedup.phase_seconds,
+        bloom=dedup._bloom,
+    )
+    _require(metrics["probe_batches"] > 0, "Bloom gate never opened")
+    _require(metrics["probe_waves_total"] > 0, "no prior waves probed")
+    _require(
+        metrics["probe_waves_scanned"] < metrics["probe_waves_total"],
+        "disjoint waves must be pruned",
+    )
+    _require(
+        metrics["probe_waves_scanned"] > 0,
+        "the echo wave must scan its duplicate wave",
+    )
+    echoes_owned = (
+        dedup.read_kept(spark).filter(F.col("doc_id") >= 768).count()
+    )
+    _require(
+        echoes_owned == 0,
+        f"echo wave owned {echoes_owned} frames (must be fully deduped)",
+    )
+    return n, metrics
+
+
 def _inc_classifier_capped(
     spark, sf_dir: str, workdir: str
 ) -> tuple[int, dict]:
@@ -691,6 +794,7 @@ INCREMENTAL = [
     ("inc_tfidf_dedup", _inc_tfidf_dedup),
     ("inc_tfidf_dedup_pruned", _inc_tfidf_dedup_pruned),
     ("inc_frame_dedup", _inc_frame_dedup),
+    ("inc_frame_dedup_probed", _inc_frame_dedup_probed),
 ]
 
 

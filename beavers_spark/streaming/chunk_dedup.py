@@ -66,6 +66,7 @@ from beavers_spark.streaming.maintenance import (
     WaveBloomIndex,
     ensure_layout,
     fanout_repartition,
+    maybe_auto_compact,
     prune_hash_buckets,
     recover_compaction,
     registry_anti_probe,
@@ -99,12 +100,18 @@ class IncrementalChunkDedup:
         bloom_bits: int | None = 1 << 23,
         bloom_min_waves: int = 8,
         n_hash_buckets: int = 16,
+        compact_every_waves: int | None = None,
     ) -> None:
         self.state_path = state_path
         self.out_path = out_path
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
+        #: live-wave-count threshold that triggers an automatic
+        #: ``compact()`` right after a wave commits (None = manual
+        #: compaction only; see maintenance.maybe_auto_compact)
+        self.compact_every_waves = compact_every_waves
+        self.auto_compactions = 0
         #: bits per wave Bloom sidecar (None disables the probe filter)
         self.bloom_bits = bloom_bits
         #: hash-prefix sub-partitions per wave (``b = pmod(h, N)``)
@@ -185,6 +192,9 @@ class IncrementalChunkDedup:
             return
         with timed_phase(self.phase_seconds, "call_total"):
             self._apply(batch_df, batch_id)
+        # cadence check AFTER the wave committed (rides the existing
+        # crash-window contract -- see maintenance.maybe_auto_compact)
+        maybe_auto_compact(self, batch_df.sparkSession)
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -69,6 +69,7 @@ from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
     ensure_layout,
+    maybe_auto_compact,
     recover_compaction,
     seen_anti_join,
     table_exists,
@@ -111,6 +112,7 @@ class IncrementalQualityClassifier:
         refit_every: int = 1,
         max_refit_docs: int | None = None,
         n_slice_buckets: int = 16,
+        compact_every_waves: int | None = None,
     ) -> None:
         if refit_every < 1:
             raise ValueError("refit_every must be >= 1")
@@ -123,6 +125,11 @@ class IncrementalQualityClassifier:
             )
         self.state_path = state_path
         self.model_path = state_path.rstrip("/") + "/_model"
+        #: live-wave-count threshold that triggers an automatic
+        #: ``compact()`` right after a wave commits (None = manual
+        #: compaction only; see maintenance.maybe_auto_compact)
+        self.compact_every_waves = compact_every_waves
+        self.auto_compactions = 0
         self.label_col = label_col
         self.text_col = text_col
         self.id_col = id_col
@@ -502,6 +509,9 @@ class IncrementalQualityClassifier:
         if batch_id % self.refit_every == 0 and self._state_exists(spark):
             self.refit(spark)
         self._watermark.mark(batch_id)
+        # cadence check AFTER the wave committed (rides the existing
+        # crash-window contract -- see maintenance.maybe_auto_compact)
+        maybe_auto_compact(self, spark)
 
     def refit_inputs(
         self, spark: SparkSession

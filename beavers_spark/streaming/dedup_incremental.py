@@ -70,6 +70,7 @@ from beavers_spark.streaming.maintenance import (
     WaveBloomIndex,
     WaveMetrics,
     ensure_layout,
+    maybe_auto_compact,
     partition_stats,
     recover_compaction,
     seen_anti_join,
@@ -168,6 +169,7 @@ class IncrementalNearDedup:
         bloom_min_waves: int = 8,
         bucket_cap: int | None = None,
         n_hash_buckets: int = 16,
+        compact_every_waves: int | None = None,
     ) -> None:
         self.state_path = state_path
         self.pairs_path = pairs_path
@@ -175,6 +177,11 @@ class IncrementalNearDedup:
         self.id_col = id_col
         self.n = n
         self.threshold = threshold
+        #: live-wave-count threshold that triggers an automatic
+        #: ``compact()`` right after a wave commits (None = manual
+        #: compaction only; see maintenance.maybe_auto_compact)
+        self.compact_every_waves = compact_every_waves
+        self.auto_compactions = 0
         #: bits per wave band-key Bloom sidecar (None disables)
         self.bloom_bits = bloom_bits
         #: hot-bucket bound for the cross-batch band join (None = exact
@@ -592,6 +599,9 @@ class IncrementalNearDedup:
             return
         with self._phase("call_total"):
             self._apply(batch_df, batch_id)
+        # cadence check AFTER the wave committed (rides the existing
+        # crash-window contract -- see maintenance.maybe_auto_compact)
+        maybe_auto_compact(self, batch_df.sparkSession)
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -870,6 +870,59 @@ def fanout_repartition(batch, probe=None, min_fraction: float = 0.5):
     return batch
 
 
+def live_wave_count(state_dir: str) -> int:
+    """Number of live ``w=<id>`` wave partitions in a state table
+    (the compaction-cadence trigger input — one driver-local listdir,
+    no Spark job)."""
+    if not os.path.isdir(state_dir):
+        return 0
+    n = 0
+    for name in os.listdir(state_dir):
+        if name.startswith("w="):
+            try:
+                int(name[2:])
+            except ValueError:
+                continue
+            n += 1
+    return n
+
+
+def maybe_auto_compact(kernel, spark) -> bool:
+    """Kernel-triggered compaction cadence (VERDICT r9 item 3): when
+    the state table's live wave count reaches
+    ``kernel.compact_every_waves``, run ``kernel.compact(spark)``
+    right after the wave commits — continuous ingest no longer grows
+    wave-linear costs (per-wave Bloom sidecar loads, ``w=*/b=*``
+    directory listing, per-wave probe decisions) unbounded until an
+    operator intervenes.
+
+    Runs AFTER the watermark mark, so the cadence rides the kernels'
+    existing crash-window contract unchanged: a crash mid-compaction
+    is restored by the ``recover_compaction`` every kernel already
+    runs at entry, and the interrupted compaction simply re-triggers
+    at the next wave (the count is re-derived from the directory, not
+    from in-memory state — restart-safe by construction). Compaction
+    coalesces every wave into ``w=-1``, so the count naturally resets
+    to 1 and the next trigger fires ``every - 1`` waves later.
+
+    ``None``/``0`` disables (the default — cadence is a deployment
+    choice; the bench pins the enabled path). Increments
+    ``kernel.auto_compactions`` for artifacts.
+    """
+    every = getattr(kernel, "compact_every_waves", None)
+    if not every:
+        return False
+    if live_wave_count(kernel.state_path) < every:
+        return False
+    if getattr(kernel, "phase_seconds", None) is not None:
+        with timed_phase(kernel.phase_seconds, "auto_compact"):
+            kernel.compact(spark)
+    else:
+        kernel.compact(spark)
+    kernel.auto_compactions += 1
+    return True
+
+
 def ensure_layout(state_dir: str, **layout) -> None:
     """Persist-or-validate a state table's IMMUTABLE layout knobs
     (hash-bucket modulus, span/segment length, signature shape).
@@ -965,6 +1018,33 @@ def recover_compaction(path: str) -> bool:
     return False
 
 
+def _has_data_file(spark: SparkSession, path: str) -> bool:
+    """Whether a table directory holds at least one NON-hidden data
+    FILE anywhere under it (partition dirs recursed) — stricter than
+    ``table_exists``, which accepts a bare partition directory. A wave
+    directory that only ever received zero-partition (empty) writes
+    holds nothing but ``_SUCCESS``."""
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(fs_path):
+        return False
+
+    def walk(p) -> bool:
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if status.isDirectory():
+                if walk(status.getPath()):
+                    return True
+            else:
+                return True
+        return False
+
+    return walk(fs_path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -988,6 +1068,14 @@ def compact_parquet(
     two renames must tolerate a transient path-not-found.
     """
     recover_compaction(path)
+    if not _has_data_file(spark, path):
+        # a table whose every wave is empty has no schema-bearing
+        # parquet file to rewrite — e.g. a pairs table before the first
+        # duplicate arrives: empty waves are zero-partition writes, so
+        # their directories hold only _SUCCESS. Nothing to compact
+        # (the empty wave dirs are weightless); reading would throw
+        # UNABLE_TO_INFER_SCHEMA.
+        return 0
     df = spark.read.parquet(path)
     if transform is not None:
         df = transform(df)
@@ -1023,6 +1111,17 @@ def compact_parquet(
             shutil.copy2(src, os.path.join(tmp, name))
         elif name.startswith("_") and os.path.isdir(src):
             shutil.copytree(src, os.path.join(tmp, name))
+
+    if not _has_data_file(spark, tmp):
+        # the rewrite came out 0-row (a pairs/candidate table whose
+        # every row was pruned, or whose waves held only empty part
+        # files): a partitionBy write of an empty frame produces NO
+        # files at all, so swapping it in would strip the table of its
+        # schema-bearing empty parts and break every later read
+        # (UNABLE_TO_INFER_SCHEMA — the empty-partitionBy-write trap).
+        # Nothing worth compacting; keep the table as it stands.
+        shutil.rmtree(tmp)
+        return len(spark.read.parquet(path).inputFiles())
 
     os.rename(path, old)
     os.rename(tmp, path)

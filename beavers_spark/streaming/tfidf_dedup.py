@@ -61,6 +61,7 @@ from beavers_spark.streaming.maintenance import (
     BatchWatermark,
     WaveMetrics,
     ensure_layout,
+    maybe_auto_compact,
     partition_stats,
     recover_compaction,
     seen_anti_join,
@@ -96,9 +97,15 @@ class IncrementalTfidfDedup:
         n_buckets: int = 4096,
         max_df: int = 64,
         n_hash_buckets: int = 16,
+        compact_every_waves: int | None = None,
     ) -> None:
         self.state_path = state_path
         self.cand_path = cand_path
+        #: live-wave-count threshold that triggers an automatic
+        #: ``compact()`` right after a wave commits (None = manual
+        #: compaction only; see maintenance.maybe_auto_compact)
+        self.compact_every_waves = compact_every_waves
+        self.auto_compactions = 0
         self.text_col = text_col
         self.id_col = id_col
         self.threshold = threshold
@@ -318,6 +325,9 @@ class IncrementalTfidfDedup:
         cand.write.mode("overwrite").parquet(cand_dir)
         self._record_wave(spark, batch_id, wave_dir)
         self._watermark.mark(batch_id)
+        # cadence check AFTER the wave committed (rides the existing
+        # crash-window contract -- see maintenance.maybe_auto_compact)
+        maybe_auto_compact(self, spark)
 
     def _record_wave(
         self, spark: SparkSession, batch_id: int, wave_dir: str

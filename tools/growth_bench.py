@@ -1,23 +1,34 @@
 """Per-wave cost vs accumulated corpus size for the incremental dedup
 kernels — the scale-growth evidence for the O(batch + candidates)
-per-wave claim (VERDICT r8 item 5).
+per-wave claim (VERDICT r8 item 5), with per-PHASE attribution and a
+compaction cadence so any rising term is NAMED and its maintenance
+answer is measured in the same run (VERDICT r9 item 2).
 
-Method: a 4x corpus is synthesized from sf0.1 documents (each copy's
-tokens prefixed with the copy index so copies don't near-dup each
-other; doc_id remapped collision-free), then fed to each kernel in
-FIXED-SIZE waves. Wave size is held constant while the accumulated
-corpus grows ~20x across the run, so any per-wave cost that scales
-with CORPUS size (rather than batch size) shows up as a rising trend
-in the per-wave ``call_total`` series. Wave 0 pays codegen/worker
-warmup; judge the tail.
+Method: an N-copy corpus is synthesized from sf0.1 documents (each
+copy's tokens prefixed with the copy index so copies don't near-dup
+each other; doc_id remapped collision-free; copy count scales with the
+requested wave count so wave size stays ~1,000 docs), then fed to each
+kernel in FIXED-SIZE waves. Wave size is held constant while the
+accumulated corpus grows across the run, so any per-wave cost that
+scales with CORPUS size (rather than batch size) shows up as a rising
+trend in the per-wave ``call_total`` series — and the per-wave
+``phase_seconds`` deltas say WHICH phase is rising. Wave 0 pays
+codegen/worker warmup; judge the tail.
+
+With ``--compact-every N`` the kernels run their own
+``compact_every_waves`` cadence (the round-10 auto-compaction knob):
+the table shows whether post-compaction per-wave cost returns to the
+early-wave plateau — i.e. whether the slope is the un-compacted wave
+count and nothing else.
 
 Usage::
 
-    python tools/growth_bench.py [sf_dir] [n_waves]
+    python tools/growth_bench.py [sf_dir] [n_waves] [--compact-every N]
+        [--kernels near,chunk,substring]
 
-Prints one JSON line per kernel with the per-wave seconds and
-cumulative corpus rows, then a markdown table (docs/concepts/growth.md
-is the committed copy).
+Prints one JSON line per kernel with the per-wave seconds, per-wave
+phase deltas and cumulative corpus rows, then a markdown summary
+(docs/concepts/growth.md is the committed copy).
 """
 
 from __future__ import annotations
@@ -36,20 +47,24 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from beavers_spark.session import get_spark  # noqa: E402
 
-COPIES = 4
+#: target docs per wave — the fixed batch size the claim is about
+WAVE_DOCS = 1000
 
 
 def synth_corpus(spark, sf_dir: str, out_dir: str, n_waves: int) -> int:
-    """COPIES token-prefixed copies of the documents table, each doc
-    assigned a wave by id hash — fixed wave sizes, copies mixed."""
+    """Token-prefixed copies of the documents table, enough to keep
+    ~WAVE_DOCS docs per wave; each doc assigned a wave by id hash —
+    fixed wave sizes, copies mixed."""
     from beavers_spark.plans.common import t
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.count()
+    copies = max(4, -(-n_waves * WAVE_DOCS // base))  # ceil division
     parts = []
-    for k in range(COPIES):
+    for k in range(copies):
         parts.append(
             docs.select(
-                (F.col("doc_id") * COPIES + k).alias("doc_id"),
+                (F.col("doc_id") * copies + k).alias("doc_id"),
                 F.regexp_replace("text", r"(\S+)", f"c{k}$1").alias(
                     "text"
                 ),
@@ -67,34 +82,40 @@ def synth_corpus(spark, sf_dir: str, out_dir: str, n_waves: int) -> int:
     return spark.read.parquet(out_dir).count()
 
 
-def run_kernel(spark, name: str, corpus_dir: str, n_waves: int) -> dict:
+def run_kernel(
+    spark, name: str, corpus_dir: str, n_waves: int, compact_every=None
+) -> dict:
     from beavers_spark.streaming import (
         IncrementalChunkDedup,
         IncrementalNearDedup,
         IncrementalSubstringDedup,
     )
+    from beavers_spark.streaming.maintenance import live_wave_count
 
+    kw = {"compact_every_waves": compact_every} if compact_every else {}
     with tempfile.TemporaryDirectory() as wd:
         if name == "near":
             kern = IncrementalNearDedup(
                 os.path.join(wd, "state"), os.path.join(wd, "pairs"),
-                text_col="text", id_col="doc_id", threshold=0.5,
+                text_col="text", id_col="doc_id", threshold=0.5, **kw,
             )
         elif name == "chunk":
             kern = IncrementalChunkDedup(
                 os.path.join(wd, "state"), os.path.join(wd, "out"),
-                text_col="text", id_col="doc_id", k=10,
+                text_col="text", id_col="doc_id", k=10, **kw,
             )
         else:
             kern = IncrementalSubstringDedup(
                 os.path.join(wd, "state"), os.path.join(wd, "out"),
-                text_col="text", id_col="doc_id", k=8,
+                text_col="text", id_col="doc_id", k=8, **kw,
             )
         corpus = spark.read.parquet(corpus_dir)
         per_wave: list[float] = []
         cum_rows: list[int] = []
+        phases: list[dict] = []
+        live_waves: list[int] = []
         total_rows = 0
-        prev = 0.0
+        prev_phases: dict[str, float] = {}
         for i in range(n_waves):
             batch = corpus.filter(F.col("wave") == i).select(
                 "doc_id", "text"
@@ -103,24 +124,66 @@ def run_kernel(spark, name: str, corpus_dir: str, n_waves: int) -> dict:
             t0 = time.perf_counter()
             kern(batch, i)
             wall = time.perf_counter() - t0
-            ct = kern.phase_seconds.get("call_total", 0.0)
+            snap = dict(kern.phase_seconds)
+            delta = {
+                k: round(v - prev_phases.get(k, 0.0), 3)
+                for k, v in snap.items()
+                if v - prev_phases.get(k, 0.0) > 0.0005
+            }
+            prev_phases = snap
+            ct = delta.get("call_total", 0.0)
             # call_total excludes the watermark fast path; wall covers
             # everything — report the kernel-attributed number, fall
             # back to wall if a kernel ever stops recording it
-            per_wave.append(round(ct - prev if ct else wall, 3))
-            prev = ct
+            per_wave.append(round(ct if ct else wall, 3))
+            phases.append(delta)
             cum_rows.append(total_rows)
+            live_waves.append(live_wave_count(kern.state_path))
         return {
             "kernel": name,
             "n_waves": n_waves,
+            "compact_every": compact_every,
+            "auto_compactions": getattr(kern, "auto_compactions", 0),
             "per_wave_seconds": per_wave,
             "cum_rows": cum_rows,
+            "live_waves": live_waves,
+            "per_wave_phases": phases,
         }
 
 
+def _mean(xs) -> float:
+    return round(sum(xs) / max(len(xs), 1), 3)
+
+
+def summarize(r: dict) -> None:
+    """Early plateau vs late tail, per phase — names the rising term."""
+    n = r["n_waves"]
+    early = range(2, min(8, n))
+    late = range(max(n - 6, min(8, n // 2)), n)
+    keys = sorted({k for d in r["per_wave_phases"] for k in d})
+    print(
+        f"\n## {r['kernel']} (compact_every={r['compact_every']}, "
+        f"auto_compactions={r['auto_compactions']})"
+    )
+    print("| phase | early mean (w2-7) | late mean (last 6) | delta |")
+    print("|---|---|---|---|")
+    for k in keys:
+        e = _mean([r["per_wave_phases"][i].get(k, 0.0) for i in early])
+        l = _mean([r["per_wave_phases"][i].get(k, 0.0) for i in late])
+        print(f"| {k} | {e:.3f} | {l:.3f} | {l - e:+.3f} |")
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    n_waves = int(args[1]) if len(args) > 1 else 20
+    compact_every = None
+    kernels = ("near", "chunk", "substring")
+    for a in sys.argv[1:]:
+        if a.startswith("--compact-every"):
+            compact_every = int(a.split("=", 1)[1])
+        elif a.startswith("--kernels"):
+            kernels = tuple(a.split("=", 1)[1].split(","))
     spark = get_spark("beavers_spark_growth")
     spark.range(1).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
@@ -129,16 +192,27 @@ def main() -> None:
         corpus_dir = os.path.join(cd, "corpus")
         n = synth_corpus(spark, sf_dir, corpus_dir, n_waves)
         print(f"# corpus: {n} docs in {n_waves} waves", file=sys.stderr)
-        for name in ("near", "chunk", "substring"):
-            r = run_kernel(spark, name, corpus_dir, n_waves)
+        for name in kernels:
+            r = run_kernel(
+                spark, name, corpus_dir, n_waves,
+                compact_every=compact_every,
+            )
             results.append(r)
             print(json.dumps(r))
     # markdown table: wave index vs per-kernel seconds
-    print("\n| wave | cum docs | " + " | ".join(r["kernel"] for r in results) + " |")
+    print(
+        "\n| wave | cum docs | "
+        + " | ".join(r["kernel"] for r in results)
+        + " |"
+    )
     print("|---|---|" + "---|" * len(results))
     for i in range(n_waves):
-        cells = " | ".join(f"{r['per_wave_seconds'][i]:.2f}" for r in results)
+        cells = " | ".join(
+            f"{r['per_wave_seconds'][i]:.2f}" for r in results
+        )
         print(f"| {i} | {results[0]['cum_rows'][i]} | {cells} |")
+    for r in results:
+        summarize(r)
 
 
 if __name__ == "__main__":

@@ -633,56 +633,83 @@ class WaveBloomIndex:
             bloom_save(wave_dir, bits)
 
     def live_waves_df(
-        self, spark, keys_df, col: str, exclude: int | None = None
+        self,
+        spark,
+        keys_df,
+        col: str,
+        exclude: int | None = None,
+        max_broadcast_bytes: int = 1 << 28,
     ) -> list[int]:
         """Wave ids that MAY contain any key in ``keys_df[col]`` — the
         probe DECISION computed executor-side, for batches whose key
         set exceeds ``probe_cap``: the (cached, lazily backfilled) wave
-        bitmaps are broadcast once, every partition tests its keys
-        against all still-unhit waves vectorized (numpy over Arrow
-        batches), and only the tiny per-partition hit-wave id sets come
-        back through a ``distinct``. Driver traffic is O(#waves), never
+        bitmaps are broadcast, every partition tests its keys against
+        all still-unhit waves vectorized (numpy over Arrow batches),
+        and only the tiny per-partition hit-wave id sets come back
+        through a ``distinct``. Driver traffic is O(#waves), never
         O(keys). Waves without a buildable bitmap are kept
-        (conservative), matching ``live_waves``."""
+        (conservative), matching ``live_waves``.
+
+        The broadcast is BOUNDED (ADVICE r9): with many uncompacted
+        waves of large bitmaps (the exact long-running-ingest regime
+        this path serves — e.g. 2^27 bits = 16 MiB/wave), shipping
+        every bitmap per micro-batch would grow O(#waves x bitmap).
+        Waves are therefore probed in chunks of at most
+        ``max_broadcast_bytes`` (default 256 MiB ≈ 16 such waves) —
+        one broadcast + one bounded probe job per chunk, peak executor
+        memory capped regardless of wave count. The structural bound
+        on #waves itself is the ``compact_every_waves`` cadence
+        (``maybe_auto_compact``), which keeps long-running ingests to
+        one chunk."""
         waves = self.wave_ids(exclude=exclude)
         bitmaps = {w: self.bloom_for(w, spark) for w in waves}
         always = [w for w, b in bitmaps.items() if b is None]
-        testable = {w: b for w, b in bitmaps.items() if b is not None}
+        testable = sorted(
+            (w, b) for w, b in bitmaps.items() if b is not None
+        )
         if not testable:
             return sorted(always)
-        bc = spark.sparkContext.broadcast(testable)
         k = BLOOM_K
-
-        def probe(batches):
-            import numpy as np
-            import pandas as pd
-
-            remaining = dict(bc.value)
-            hit: list[int] = []
-            for pdf in batches:
-                if not remaining:
-                    break
-                keys = np.unique(
-                    pdf[col].to_numpy(dtype=np.int64, copy=False)
-                )
-                if not len(keys):
-                    continue
-                for w in list(remaining):
-                    if bloom_may_contain_any(remaining[w], keys, k):
-                        hit.append(w)
-                        del remaining[w]
-            yield pd.DataFrame({"w": np.asarray(hit, dtype=np.int64)})
-
-        try:
-            rows = (
-                keys_df.select(F.col(col))
-                .mapInPandas(probe, "w long")
-                .distinct()
-                .collect()
+        per_wave = max(self.m_bits // 8, 1)
+        chunk = max(1, max_broadcast_bytes // per_wave)
+        keys_proj = keys_df.select(F.col(col))
+        hits: set[int] = set()
+        for i in range(0, len(testable), chunk):
+            bc = spark.sparkContext.broadcast(
+                dict(testable[i : i + chunk])
             )
-        finally:
-            bc.unpersist()
-        hits = {int(r["w"]) for r in rows}
+
+            def probe(batches, _bc=bc):
+                import numpy as np
+                import pandas as pd
+
+                remaining = dict(_bc.value)
+                hit: list[int] = []
+                for pdf in batches:
+                    if not remaining:
+                        break
+                    keys = np.unique(
+                        pdf[col].to_numpy(dtype=np.int64, copy=False)
+                    )
+                    if not len(keys):
+                        continue
+                    for w in list(remaining):
+                        if bloom_may_contain_any(remaining[w], keys, k):
+                            hit.append(w)
+                            del remaining[w]
+                yield pd.DataFrame(
+                    {"w": np.asarray(hit, dtype=np.int64)}
+                )
+
+            try:
+                rows = (
+                    keys_proj.mapInPandas(probe, "w long")
+                    .distinct()
+                    .collect()
+                )
+            finally:
+                bc.unpersist()
+            hits |= {int(r["w"]) for r in rows}
         return sorted(set(always) | hits)
 
     def merged(self):

@@ -107,6 +107,13 @@ def test_live_waves_df_matches_driver_probe(spark, tmp_path):
     got = idx.live_waves_df(spark, keys_df, "k")
     assert got == want
     assert 0 in got and 2 in got and 1 not in got
+    # chunked probing (the bounded-broadcast path, ADVICE r9): forcing
+    # one wave per chunk must give the identical decision — the chunk
+    # size only bounds peak broadcast memory, never the answer
+    chunked = idx.live_waves_df(
+        spark, keys_df, "k", max_broadcast_bytes=1
+    )
+    assert chunked == got
 
 
 def test_backfill_over_cap_builds_distributed(spark, tmp_path):

@@ -913,6 +913,36 @@ def simhash_pairs(
     inside a mega-bucket only (identical-signature floods — the case
     the cap exists for — chain at hamming 0 and lose nothing).
     """
+    sig = simhash(df, text_col, id_col, bits)
+    return hamming_pairs(
+        sig, "doc_id", "simhash", bits, max_hamming, bucket_cap
+    ).withColumnsRenamed({"doc_id1": "doc1", "doc_id2": "doc2"})
+
+
+def hamming_pairs(
+    sig_df: DataFrame,
+    key_col: str,
+    sig_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """EXACT banded-Hamming near-dup pairs over PRECOMPUTED signatures —
+    the candidate/verify engine behind ``simhash_pairs``, factored out
+    so any bit-signature column (SimHash, frame aHash, …) gets the same
+    pigeonhole banding + popcount verify + hot-bucket cap. Emits
+    ``(<key>1, <key>2, hamming)`` with ``<key>1 < <key>2`` for every
+    pair within ``max_hamming`` bits.
+
+    ``group_cols`` join into the band key: rows only pair within the
+    same group (e.g. frames of the same byte length, whose hash widths
+    match) — and a near-constant band inside a group (short hashes'
+    zero upper bits) can only flood that group's buckets, which is
+    exactly what ``bucket_cap`` bounds (band buckets over the cap
+    degrade to a key-ordered chain — see ``simhash_pairs`` for the
+    recall contract).
+    """
     n_bands = max_hamming + 1
     if bits % n_bands:
         raise ValueError(
@@ -921,16 +951,17 @@ def simhash_pairs(
         )
     w = bits // n_bands
     mask = (1 << w) - 1
-    sig = simhash(df, text_col, id_col, bits)
-    bands = sig.select(
-        "doc_id",
-        "simhash",
+    gcols = list(group_cols)
+    bands = sig_df.select(
+        key_col,
+        sig_col,
+        *gcols,
         F.explode(
             F.array(
                 *(
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftright(F.col("simhash"), i * w)
+                        F.shiftright(F.col(sig_col), i * w)
                         .bitwiseAND(F.lit(mask))
                         .alias("bv"),
                     )
@@ -938,18 +969,21 @@ def simhash_pairs(
                 )
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.bv")
+    ).select(key_col, sig_col, *gcols, "band.band_id", "band.bv")
     join_cond = (
         (F.col("a.band_id") == F.col("b.band_id"))
         & (F.col("a.bv") == F.col("b.bv"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
     )
+    for g in gcols:
+        join_cond = join_cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    k1, k2 = f"{key_col}1", f"{key_col}2"
     if bucket_cap is None:
         cand = bands.alias("a").join(bands.alias("b"), join_cond).select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
+            F.col(f"a.{key_col}").alias(k1),
+            F.col(f"b.{key_col}").alias(k2),
+            F.col(f"a.{sig_col}").alias("s1"),
+            F.col(f"b.{sig_col}").alias("s2"),
         )
     else:
         if bucket_cap < 2:
@@ -957,12 +991,13 @@ def simhash_pairs(
                 f"bucket_cap must be >= 2 (a 1-cap chains every bucket), "
                 f"got {bucket_cap}"
             )
-        # rank/chain shuffles on the same (band_id, bv) key as the join
-        # it protects, ordered by doc_id — deterministic under retries
-        win = Window.partitionBy("band_id", "bv").orderBy("doc_id")
+        # rank/chain shuffles on the same band key as the join it
+        # protects, ordered by the key — deterministic under retries
+        win = Window.partitionBy("band_id", "bv", *gcols).orderBy(key_col)
         ranked = bands.select(
-            "doc_id",
-            "simhash",
+            key_col,
+            sig_col,
+            *gcols,
             "band_id",
             "bv",
             F.count(F.lit(1))
@@ -972,36 +1007,36 @@ def simhash_pairs(
                 )
             )
             .alias("cnt"),
-            F.lead("doc_id").over(win).alias("nxt"),
-            F.lead("simhash").over(win).alias("nxt_sig"),
+            F.lead(key_col).over(win).alias("nxt"),
+            F.lead(sig_col).over(win).alias("nxt_sig"),
         )
         within = ranked.filter(F.col("cnt") <= bucket_cap)
         all_pairs = (
             within.alias("a")
             .join(within.alias("b"), join_cond)
             .select(
-                F.col("a.doc_id").alias("doc1"),
-                F.col("b.doc_id").alias("doc2"),
-                F.col("a.simhash").alias("s1"),
-                F.col("b.simhash").alias("s2"),
+                F.col(f"a.{key_col}").alias(k1),
+                F.col(f"b.{key_col}").alias(k2),
+                F.col(f"a.{sig_col}").alias("s1"),
+                F.col(f"b.{sig_col}").alias("s2"),
             )
         )
-        # doc_id is unique within a bucket (one band row per doc per
+        # the key is unique within a bucket (one band row per key per
         # band), so ascending order makes nxt strictly greater:
-        # doc1 < doc2 holds on chain pairs too
+        # key1 < key2 holds on chain pairs too
         chain = ranked.filter(
             (F.col("cnt") > bucket_cap) & F.col("nxt").isNotNull()
         ).select(
-            F.col("doc_id").alias("doc1"),
-            F.col("nxt").alias("doc2"),
-            F.col("simhash").alias("s1"),
+            F.col(key_col).alias(k1),
+            F.col("nxt").alias(k2),
+            F.col(sig_col).alias("s1"),
             F.col("nxt_sig").alias("s2"),
         )
         cand = all_pairs.unionByName(chain)
     return (
         cand.select(
-            "doc1",
-            "doc2",
+            k1,
+            k2,
             F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias(
                 "hamming"
             ),

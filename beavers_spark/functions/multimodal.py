@@ -336,6 +336,14 @@ def wav_meta(df: DataFrame, payload_col: str) -> DataFrame:
     Emits ``format`` ('wav'), ``channels``, ``sample_rate``,
     ``bits_per_sample``, ``duration_ms`` (floor of data bytes over byte
     rate) and ``n_bytes`` (whole payload) alongside the input columns.
+
+    NULL conditions — CANONICAL 44-byte headers only: ``fmt `` must
+    immediately follow the RIFF header and ``data`` must sit at offset
+    36. Spec-valid WAVs with extra chunks (LIST INFO, fact) or a padded
+    fmt yield NULL here; that strictness is the price of the zero-UDF
+    codegen decode. The payload kernel ``wav_stats`` walks the RIFF
+    chunk list instead and decodes those files fine — use it when the
+    corpus isn't canonical.
     """
     byte_rate = _le_int(payload_col, 29, 4)
     is_wav = (
@@ -369,6 +377,47 @@ def wav_meta(df: DataFrame, payload_col: str) -> DataFrame:
 WAV_STATS_COLS = ["n_samples", "peak", "rms", "zcr"]
 
 
+def _wav_pcm_data(b) -> tuple[int, int, int] | None:
+    """(data_offset, data_len, sample_rate) of a 16-bit PCM WAV
+    payload, located by WALKING the RIFF chunk list — not by assuming
+    the canonical 44-byte header. Spec-valid PCM WAVs routinely carry
+    extra chunks (``LIST`` INFO tags, ``fact``, padded ``fmt ``)
+    between the RIFF header and ``data``; a fixed-offset parse
+    silently NULLs them (ADVICE r9). Odd-sized chunks are followed by
+    a pad byte per the RIFF spec; a truncated final chunk is clamped
+    to the payload. None when the container isn't RIFF/WAVE, ``fmt ``
+    is missing or precedes no ``data``, or the format isn't
+    uncompressed 16-bit PCM.
+    """
+    if (
+        b is None
+        or len(b) < 12
+        or bytes(b[:4]) != b"RIFF"
+        or bytes(b[8:12]) != b"WAVE"
+    ):
+        return None
+    n = len(b)
+    pos = 12
+    fmt = None
+    while pos + 8 <= n:
+        cid = bytes(b[pos : pos + 4])
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= n:
+            fmt = bytes(b[body : body + 16])
+        elif cid == b"data":
+            if (
+                fmt is None
+                or int.from_bytes(fmt[0:2], "little") != 1  # PCM
+                or int.from_bytes(fmt[14:16], "little") != 16
+            ):
+                return None
+            rate = int.from_bytes(fmt[4:8], "little")
+            return (body, min(size, n - body), rate)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
 def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
     """Sample-level PCM statistics over 16-bit PCM WAV payloads — the
     first PAYLOAD-level audio kernel beside the header-only
@@ -377,11 +426,18 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
     (strict zero crossings — consecutive-sample sign products < 0)
     from the data chunk's little-endian int16 samples.
 
+    The data chunk is located by walking the RIFF chunk list
+    (``_wav_pcm_data``), so WAVs with LIST/fact/padded-fmt chunks
+    decode too — unlike ``wav_meta``, whose pure-Column fixed-offset
+    parse stays canonical-44-byte-header-only by design (that is the
+    price of decoding in whole-stage codegen; its NULL conditions say
+    so).
+
     Decode path: one Arrow-batched pandas UDF (the
     functions/vectorized.py convention) — per blob, a zero-copy
     ``np.frombuffer`` view over the data chunk and vectorized
-    abs/square/mean; the Python per-blob work is the O(1) header parse
-    only, never a per-sample loop. Non-WAV / non-PCM / non-16-bit
+    abs/square/mean; the Python per-blob work is the O(#chunks) header
+    walk only, never a per-sample loop. Non-WAV / non-PCM / non-16-bit
     payloads yield NULL stats (the mixed-media filter-then-decode
     pattern); an empty data chunk yields ``n_samples=0`` with NULL
     peak/rms. At 100 TB this is a pure per-row projection — no
@@ -404,22 +460,15 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
             rm: list = []
             zc: list = []
             for b in p:
-                if (
-                    b is None
-                    or len(b) < 44
-                    or bytes(b[:4]) != b"RIFF"
-                    or bytes(b[8:16]) != b"WAVEfmt "
-                    or bytes(b[36:40]) != b"data"
-                    or int.from_bytes(b[20:22], "little") != 1  # PCM
-                    or int.from_bytes(b[34:36], "little") != 16
-                ):
+                loc = _wav_pcm_data(b)
+                if loc is None:
                     ns.append(None)
                     pk.append(None)
                     rm.append(None)
                     zc.append(None)
                     continue
-                dlen = int.from_bytes(b[40:44], "little")
-                raw = bytes(b[44 : 44 + min(dlen, len(b) - 44)])
+                off, dlen, _rate = loc
+                raw = bytes(b[off : off + dlen])
                 v = np.frombuffer(
                     raw[: len(raw) // 2 * 2], dtype="<i2"
                 ).astype(np.float64)
@@ -444,6 +493,95 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
     for name in WAV_STATS_COLS:
         out = out.withColumn(name, F.col(f"__ws.{name}"))
     return out.drop("__ws")
+
+
+WAV_SEGMENT_COLS = ["seg_idx", "n_samples", "peak", "rms", "zcr"]
+
+
+def wav_segment_stats(
+    df: DataFrame, payload_col: str, seg_samples: int | None = None
+) -> DataFrame:
+    """WINDOWED PCM features: one row per fixed-length segment of each
+    16-bit PCM WAV payload — ``seg_idx``, ``n_samples`` (the last
+    segment may be short), ``peak``, ``rms`` (rounded to 6 decimals)
+    and ``zcr``. Segment length is ``seg_samples`` samples, defaulting
+    to the file's sample rate (one-second windows). The audio twin of
+    ``avi_frames``: segments-as-rows is the scale story — one
+    Arrow-batched UDF pass reads each blob ONCE and computes every
+    segment's stats vectorized (``np.add.reduceat`` over segment
+    boundaries, never a per-segment Python loop), returns an
+    array-of-structs, and the fan-out is a JVM-side explode BEFORE any
+    shuffle, so payload bytes never ride an exchange or get duplicated
+    per segment.
+
+    ZCR convention: the crossing between samples ``j-1`` and ``j``
+    belongs to the segment of its LATER sample, ``floor(j / S)`` —
+    exactly a SQL lag window grouped by segment, so the oracle can
+    recompute it without seeing bytes. The RIFF chunk list is walked
+    (``_wav_pcm_data``), so non-canonical layouts decode; non-WAV /
+    non-PCM / non-16-bit / empty-data payloads yield NO rows (the
+    filter-then-decode convention).
+    """
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import _cached_udf
+
+    def _build():
+        @F.pandas_udf(
+            "array<struct<seg_idx:int,n_samples:bigint,peak:bigint,"
+            "rms:double,zcr:bigint>>"
+        )
+        def _segs(p: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out: list = []
+            for b in p:
+                loc = _wav_pcm_data(b)
+                if loc is None:
+                    out.append(None)
+                    continue
+                off, dlen, rate = loc
+                raw = bytes(b[off : off + dlen])
+                v = np.frombuffer(
+                    raw[: len(raw) // 2 * 2], dtype="<i2"
+                ).astype(np.float64)
+                s = int(seg_samples or rate)
+                if not len(v) or s <= 0:
+                    out.append(None)
+                    continue
+                bounds = np.arange(0, len(v), s)
+                counts = np.diff(np.append(bounds, len(v)))
+                sq = np.add.reduceat(v * v, bounds)
+                peak = np.maximum.reduceat(np.abs(v), bounds)
+                rms = np.sqrt(sq / counts)
+                nseg = len(bounds)
+                cross = v[1:] * v[:-1] < 0
+                zcr = np.bincount(
+                    (np.arange(1, len(v)) // s)[cross], minlength=nseg
+                )
+                out.append(
+                    [
+                        (
+                            int(i),
+                            int(counts[i]),
+                            int(peak[i]),
+                            round(float(rms[i]), 6),
+                            int(zcr[i]),
+                        )
+                        for i in range(nseg)
+                    ]
+                )
+            return pd.Series(out)
+
+        return _segs
+
+    arr = _cached_udf(
+        ("wav_segment_stats", seg_samples), _build
+    )(F.col(payload_col))
+    out = df.withColumn("__sg", F.explode(arr))
+    for name in WAV_SEGMENT_COLS:
+        out = out.withColumn(name, F.col(f"__sg.{name}"))
+    return out.drop("__sg")
 
 
 def _parse_p6(b) -> tuple[int, int, int, int] | None:
@@ -691,9 +829,11 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
     ``LIST movi`` chunk and emits one row per video-frame subchunk
     (``..dc``/``..db``) with ``frame_idx``, ``n_bytes``, ``byte_sum``
     (exact integer sum of the frame's bytes — the cross-engine
-    checksum) and ``frame_md5`` (content hash of the frame's bytes —
+    checksum), ``frame_md5`` (content hash of the frame's bytes —
     the identity key frame-level dedup groups on; a real pipeline
-    would hand the same slice to a codec). Arrow-batched pandas UDF
+    would hand the same slice to a codec) and ``ahash`` (mean-threshold
+    perceptual bitmap over <=64 strided bytes — the NEAR-dup key
+    ``video_frame_neardup`` bands on). Arrow-batched pandas UDF
     returning an array of frame structs, exploded MAP-SIDE (the
     video_frame_plan shape: the fan-out happens before any shuffle and
     the payload column does not ride it). Non-AVI payloads and
@@ -706,12 +846,29 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
     def _build():
         @F.pandas_udf(
             "array<struct<frame_idx:int,n_bytes:bigint,"
-            "byte_sum:bigint,frame_md5:string>>"
+            "byte_sum:bigint,frame_md5:string,ahash:bigint>>"
         )
         def _frames(p: pd.Series) -> pd.Series:
             import hashlib
 
             import numpy as np
+
+            def _ahash(a) -> int:
+                # mean-threshold bitmap over <=64 evenly-strided bytes
+                # (the perceptual aHash, integer-exact: byte*K > total
+                # avoids the float mean, so SQL oracles reproduce it
+                # bit for bit). Frames longer than 64 bytes sample
+                # position floor(k*n/K); short frames use every byte.
+                n_b = len(a)
+                if not n_b:
+                    return 0
+                kk = min(n_b, 64)
+                samp = a[(np.arange(kk) * n_b) // kk]
+                tot = int(samp.sum())
+                ah = 0
+                for k in np.nonzero(samp * kk > tot)[0]:
+                    ah |= 1 << int(k)
+                return ah - (1 << 64) if ah >= 1 << 63 else ah
 
             out: list = []
             for b in p:
@@ -754,6 +911,7 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
                                         len(body),
                                         int(a.sum()),
                                         hashlib.md5(body).hexdigest(),
+                                        _ahash(a),
                                     )
                                 )
                                 idx += 1
@@ -773,6 +931,7 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
         .withColumn("n_bytes", F.col("__fr.n_bytes"))
         .withColumn("byte_sum", F.col("__fr.byte_sum"))
         .withColumn("frame_md5", F.col("__fr.frame_md5"))
+        .withColumn("ahash", F.col("__fr.ahash"))
         .drop("__fr")
     )
 

@@ -1168,6 +1168,74 @@ def wav_stats_q(spark, sf_dir):
 
 
 @query(
+    "wav_segment_stats",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id, (50 + doc_id % 50)::BIGINT AS n FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, i,
+               ((doc_id * 31 + i * 7) % 2001 - 1000)::DOUBLE AS v
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, n - 1)) AS i
+              FROM params)
+    ),
+    lagged AS (
+        SELECT doc_id, i, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM samples
+    )
+    SELECT doc_id, (i // 16)::INT AS seg_idx,
+           count(*)::BIGINT AS n_samples,
+           max(abs(v))::BIGINT AS peak,
+           round(sqrt(avg(v * v)), 6) AS rms,
+           coalesce(
+               sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END), 0
+           )::BIGINT AS zcr
+    FROM lagged GROUP BY doc_id, i // 16
+    """,
+)
+def wav_segment_stats_q(spark, sf_dir):
+    """WINDOWED audio features, hash-checked end to end (VERDICT r9
+    item 7): the wav_stats synth corpus decoded into fixed 16-sample
+    segments — per (doc, segment) count/peak/RMS/zero-crossings, one
+    row per segment (segments-as-rows, the avi_frames scale shape; the
+    blob is read once and the fan-out is a map-side explode). The
+    DuckDB oracle recomputes every segment by independent arithmetic on
+    the sample VALUES — a lag window grouped by ``i // 16``, which is
+    exactly the kernel's crossing-belongs-to-its-later-sample ZCR
+    convention — and never sees bytes
+    (functions/multimodal.py wav_segment_stats)."""
+    from beavers_spark.functions.multimodal import (
+        _le_hex,
+        synth_wav,
+        wav_segment_stats,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    n = F.lit(50) + F.pmod("doc_id", F.lit(50))
+    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
+    samp = F.transform(
+        idx,
+        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
+        - 1000,
+    )
+    hexes = F.transform(
+        samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
+    )
+    wavs = docs.select(
+        "doc_id",
+        synth_wav(
+            F.unhex(F.array_join(hexes, "")),
+            F.lit(1), F.lit(16000), F.lit(16),
+        ).alias("payload"),
+    )
+    return wav_segment_stats(wavs, "payload", seg_samples=16).select(
+        "doc_id", "seg_idx", "n_samples", "peak", "rms", "zcr"
+    )
+
+
+@query(
     "ppm_meta",
     oracle="""
     WITH params AS (
@@ -1428,6 +1496,113 @@ def video_frame_dedup_q(spark, sf_dir):
         F.first("doc_id").over(wv).alias("owner_doc"),
         F.first("frame_idx").over(wv).alias("owner_frame"),
         F.count("*").over(wv).alias("n_copies"),
+    )
+
+
+@query(
+    "video_frame_neardup",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id, (3 + doc_id % 6)::BIGINT AS nf FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f
+        FROM params
+    ),
+    fmeta AS (
+        SELECT doc_id, f, (20 + (f % 5) * 4)::BIGINT AS n FROM fr
+    ),
+    bytes AS (
+        SELECT doc_id, f, n, j,
+               ((doc_id * 11 + f * 13 + j) % 256)::BIGINT AS b
+        FROM (SELECT doc_id, f, n,
+                     unnest(generate_series(0, n - 1)) AS j
+              FROM fmeta)
+    ),
+    sig AS (
+        SELECT (doc_id * 256 + f)::BIGINT AS fid, n,
+               sum(CASE WHEN b * n > tot
+                        THEN (1::BIGINT << j::INT) ELSE 0 END
+               )::BIGINT AS ahash
+        FROM (SELECT *, sum(b) OVER (PARTITION BY doc_id, f) AS tot
+              FROM bytes)
+        GROUP BY doc_id, f, n
+    ),
+    bands AS (
+        SELECT fid, ahash, n, k.i AS band_id,
+               (ahash >> (k.i * 16)) & 65535 AS bv
+        FROM sig, (SELECT unnest(range(4)) AS i) k
+    ),
+    ranked AS (
+        SELECT fid, ahash, n, band_id, bv,
+               count(*) OVER (PARTITION BY band_id, bv, n) AS cnt,
+               lead(fid) OVER (
+                   PARTITION BY band_id, bv, n ORDER BY fid
+               ) AS nxt,
+               lead(ahash) OVER (
+                   PARTITION BY band_id, bv, n ORDER BY fid
+               ) AS nxt_sig
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT fid1, fid2, bit_count(xor(s1, s2)) AS hamming
+        FROM (
+            SELECT a.fid AS fid1, b2.fid AS fid2,
+                   a.ahash AS s1, b2.ahash AS s2
+            FROM ranked a JOIN ranked b2
+              ON a.band_id = b2.band_id AND a.bv = b2.bv
+             AND a.n = b2.n AND a.fid < b2.fid
+            WHERE a.cnt <= 8 AND b2.cnt <= 8
+            UNION ALL
+            SELECT fid, nxt, ahash, nxt_sig FROM ranked
+            WHERE cnt > 8 AND nxt IS NOT NULL
+        )
+    )
+    SELECT (fid1 >> 8)::BIGINT AS doc1, (fid1 & 255)::INT AS frame1,
+           (fid2 >> 8)::BIGINT AS doc2, (fid2 & 255)::INT AS frame2,
+           hamming::INT AS hamming
+    FROM cand WHERE hamming <= 3
+    """,
+)
+def video_frame_neardup_q(spark, sf_dir):
+    """PERCEPTUAL frame-level near-dup (VERDICT r9 item 6) — the tier
+    above exact ``video_frame_dedup``: re-encoded or slightly-corrupted
+    repeats share no md5, but their mean-threshold aHash bitmaps
+    (``avi_frames``' ``ahash`` column: bit k = sampled byte k above the
+    frame's own mean, integer-exact) sit within a few Hamming bits.
+    Candidates come from the SimHash machinery reused wholesale
+    (``hamming_pairs``): 4 pigeonhole bands of 16 bits over the 64-bit
+    hash, frames only pair within their byte-length class
+    (group_cols=n_bytes — equal-width hashes), and the hot-bucket cap
+    is on from day one (cap=8: band buckets over it chain in fid
+    order — mandatory here because short hashes make the upper bands
+    near-constant inside a length class). The popcount-XOR verify
+    keeps every emitted pair exact (hamming <= 3). The oracle
+    recomputes the aHash bits from the frame generator's byte
+    arithmetic — it never sees bytes or hashes — and runs the
+    IDENTICAL band/rank/chain candidate generation, so the cap
+    semantics are hash-checked end to end. At 100 TB the shuffle
+    carries (fid, 8-byte hash) band rows, never frame bytes."""
+    from beavers_spark.functions.dedup import hamming_pairs
+    from beavers_spark.functions.multimodal import avi_frames
+
+    frames = avi_frames(
+        _synth_frame_avis(spark, sf_dir), "payload"
+    ).select(
+        (F.col("doc_id") * 256 + F.col("frame_idx")).alias("fid"),
+        "ahash",
+        "n_bytes",
+    )
+    pairs = hamming_pairs(
+        frames, "fid", "ahash", bits=64, max_hamming=3,
+        bucket_cap=8, group_cols=("n_bytes",),
+    )
+    return pairs.select(
+        F.shiftright("fid1", 8).alias("doc1"),
+        F.col("fid1").bitwiseAND(F.lit(255)).cast("int").alias("frame1"),
+        F.shiftright("fid2", 8).alias("doc2"),
+        F.col("fid2").bitwiseAND(F.lit(255)).cast("int").alias("frame2"),
+        "hamming",
     )
 
 

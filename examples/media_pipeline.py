@@ -123,7 +123,7 @@ rs_stats = ppm_stats(resized, "resized")
 row = rs_stats.select(
     F.min("out_w").alias("mw"), F.max("n_pixels").alias("mp")
 ).collect()[0]
-assert row["mw"] >= 4 and row["mp"] <= 8 * 8  # ceil(8/2) * ceil(16/2)
+assert row["mw"] >= 4 and row["mp"] <= 8 * 4  # ceil(15/2) * ceil(8/2)
 
 # --- video: AVIs with real movi frame chunks -> extract -> dedup -----
 nf = 3 + F.pmod("doc_id", F.lit(6))

@@ -1095,3 +1095,57 @@ def test_avi_frames_walks_riff_tree_and_hostiles(spark):
         ).alias("payload"),
     )
     assert avi_frames(empty, "payload").count() == 0
+
+
+def test_wav_stats_walks_riff_chunk_list(spark):
+    """Spec-valid PCM WAVs whose data chunk is NOT at the canonical
+    offset 36 — LIST INFO tags, a fact chunk, an odd-sized chunk with
+    its pad byte, an extended (18-byte) fmt — must decode to the same
+    stats as the canonical layout (ADVICE r9: the fixed-offset parse
+    silently NULLed them). wav_meta stays canonical-only by documented
+    contract and NULLs the non-canonical layouts."""
+    import struct
+
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import wav_meta, wav_stats
+
+    samples = [0, 1000, -1000, 250, -7, 32767, -32768, 12]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+
+    def mk(pre_chunks=(), fmt_extra=b""):
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16) + fmt_extra
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if len(fmt) % 2:
+            body += b"\x00"
+        for cid, cbody in pre_chunks:
+            body += cid + struct.pack("<I", len(cbody)) + cbody
+            if len(cbody) % 2:
+                body += b"\x00"  # RIFF word alignment
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    blobs = [
+        (0, bytearray(mk())),  # canonical
+        (1, bytearray(mk(pre_chunks=[(b"LIST", b"INFOIART\x06\x00\x00\x00spark\x00")]))),
+        (2, bytearray(mk(pre_chunks=[(b"fact", struct.pack("<I", len(samples)))]))),
+        (3, bytearray(mk(pre_chunks=[(b"junk", b"\x01\x02\x03\x04\x05")]))),  # odd + pad
+        (4, bytearray(mk(fmt_extra=b"\x00\x00"))),  # 18-byte fmt (cbSize=0)
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in wav_stats(df, "payload").collect()}
+    a = np.asarray(samples, dtype=np.float64)
+    want = (
+        len(samples),
+        int(np.max(np.abs(a))),
+        round(float(np.sqrt(np.mean(a * a))), 6),
+        int(np.sum(a[1:] * a[:-1] < 0)),
+    )
+    for i in range(5):
+        r = got[i]
+        assert (r.n_samples, r.peak, r.rms, r.zcr) == want, i
+    # wav_meta: canonical-only contract — blob 0 decodes, the rest NULL
+    mg = {r.doc_id: r for r in wav_meta(df, "payload").collect()}
+    assert mg[0].format == "wav" and mg[0].sample_rate == 16000
+    for i in range(1, 5):
+        assert mg[i].format is None, i

@@ -598,6 +598,23 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"Generate", r"Scan parquet"],
         [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
     ],
+    "wav_segment_stats": [
+        # segments-as-rows: one Arrow-batched decode per blob, the
+        # segment fan-out is a map-side explode — never a shuffle, and
+        # the blob is read once (a per-segment re-decode would show a
+        # second ArrowEvalPython or a join)
+        [r"ArrowEvalPython", r"Generate", r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
+    ],
+    "video_frame_neardup": [
+        # decode + map-side frame/band fan-out, the rank/chain window
+        # partitioned on the band key, banded self-join — and the
+        # binary payload column must be pruned before any exchange
+        [r"ArrowEvalPython", r"Generate",
+         r"hashpartitioning\(band_id", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython",
+         r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
+    ],
     "video_frame_dedup": [
         # decode + map-side fan-out, then ONE hash exchange on the
         # frame content key feeding the ownership window — and the

@@ -629,6 +629,11 @@ def _inc_frame_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     )
 
 
+#: echo-wave doc-id shift: multiple of 768 (preserves every generator
+#: congruence) and >> any corpus doc_id at any bench scale factor
+_ECHO_SHIFT = 768 * 131072
+
+
 def _tagged_frame_avis(spark, sf_dir):
     """Wave-DISJOINT frame-AVI corpus for the probed frame scenario:
     frame byte j of doc d lives in the byte range owned by the doc's
@@ -636,10 +641,14 @@ def _tagged_frame_avis(spark, sf_dir):
     tag*64`` — so frames from different waves can never share content
     and the wave Bloom probe has something to PRUNE (the natural
     ``_synth_frame_avis`` corpus has only 256*5 content classes, every
-    wave covers all of them, nothing prunable). Doc ``d + 768``
-    regenerates d's frames byte-identically (768 is divisible by the
-    wave modulus 4, the frame-count modulus 6, and 11*768 = 0 mod 64) —
-    the echo-wave construction."""
+    wave covers all of them, nothing prunable). Doc ``d + _ECHO_SHIFT``
+    regenerates d's frames byte-identically (the shift is a multiple
+    of 768 = lcm(wave modulus 4, frame-count modulus 6, 256/gcd — so
+    11*shift = 0 mod 64 and the byte values repeat exactly), and it is
+    far above any real corpus id so echo ids can never collide with a
+    document already in the registry — a collision would be silently
+    anti-joined away as a redelivery (and the echoes-owned assert
+    would count REAL docs at bigger scale factors)."""
     from beavers_spark.functions.multimodal import synth_avi, synth_movi
 
     docs = spark.read.parquet(
@@ -686,8 +695,8 @@ def _inc_frame_dedup_probed(
     bloom_min_waves=8, so probe_waves_total was 0 and the kernel's
     100x-scale path was benched OFF). Wave-disjoint tagged AVIs +
     bloom_min_waves=2 turn the probe on from wave 2; a fifth ECHO wave
-    re-feeds wave 0's frame contents under shifted doc ids (+768, see
-    _tagged_frame_avis) — a guaranteed-redundant wave, so the probe
+    re-feeds wave 0's frame contents under shifted doc ids
+    (+_ECHO_SHIFT, see _tagged_frame_avis) — a guaranteed-redundant wave, so the probe
     must scan wave 0 (real duplicates found, zero new owned frames)
     while pruning the disjoint waves 1-3."""
     from beavers_spark.streaming import IncrementalFrameDedup
@@ -703,7 +712,7 @@ def _inc_frame_dedup_probed(
     echo = _tagged_frame_avis(
         spark, sf_dir
     ).filter(F.pmod("doc_id", F.lit(_WAVES)) == 0).select(
-        (F.col("doc_id") + 768).alias("doc_id"), "payload"
+        (F.col("doc_id") + _ECHO_SHIFT).alias("doc_id"), "payload"
     )
     dedup(echo, _WAVES)
     n = dedup.read_kept(spark).count()
@@ -723,7 +732,9 @@ def _inc_frame_dedup_probed(
         "the echo wave must scan its duplicate wave",
     )
     echoes_owned = (
-        dedup.read_kept(spark).filter(F.col("doc_id") >= 768).count()
+        dedup.read_kept(spark)
+        .filter(F.col("doc_id") >= _ECHO_SHIFT)
+        .count()
     )
     _require(
         echoes_owned == 0,

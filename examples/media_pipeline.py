@@ -32,6 +32,7 @@ from beavers_spark.functions.multimodal import (  # noqa: E402
     synth_movi,
     synth_wav,
     wav_meta,
+    wav_segment_stats,
     wav_stats,
 )
 from beavers_spark.plans.common import t  # noqa: E402
@@ -93,6 +94,18 @@ audio = wav_stats(wavs, "payload").select(
 a0 = audio.filter(F.col("n_samples").isNotNull()).count()
 assert a0 == N, a0
 assert audio.filter(F.col("peak") > 1000).count() == 0  # samples in ±1000
+
+# windowed twin: 25-sample segment rows (segments-as-rows, map-side
+# explode — the blob is decoded once); every segment peak is bounded
+# by its file's whole-payload peak
+segs = wav_segment_stats(wavs, "payload", seg_samples=25)
+n_segs = segs.count()
+assert n_segs >= 2 * N  # 50-99 samples -> 2-4 segments per doc
+whole = audio.select("doc_id", F.col("peak").alias("file_peak"))
+bad = segs.join(whole, "doc_id").filter(
+    F.col("peak") > F.col("file_peak")
+).count()
+assert bad == 0
 
 # --- images: P6 PPMs -> header decode -> pixel stats -> REAL resize --
 w = (8 + F.pmod("doc_id", F.lit(8))).cast("bigint")
@@ -173,7 +186,28 @@ owned = frames.select(
 dups = owned.filter(F.col("owner_doc") != F.col("doc_id")).count()
 uniq = owned.filter(F.col("n_copies") == 1).count()
 assert dups > 0, "the generator guarantees cross-video duplicate frames"
+
+# perceptual tier: banded-Hamming near-dup over the frames' aHash
+# bitmaps (hamming_pairs — the SimHash engine; frames pair within
+# their byte-length class, hot buckets chain at cap=8). Exact
+# duplicates are hamming-0 near-dups, so the tier must find pairs.
+from beavers_spark.functions.dedup import hamming_pairs  # noqa: E402
+
+sig = frames.select(
+    (F.col("doc_id") * 256 + F.col("frame_idx")).alias("fid"),
+    "ahash", "n_bytes",
+)
+near = hamming_pairs(
+    sig, "fid", "ahash", bits=64, max_hamming=3,
+    bucket_cap=8, group_cols=("n_bytes",),
+)
+n_near = near.count()
+assert n_near > 0
+assert near.filter(F.col("hamming") > 3).count() == 0
+
 print(
-    f"media pipeline: {a0} wavs decoded, {N} ppms resized+re-decoded, "
-    f"{n_frames} frames extracted, {dups} duplicate frames, {uniq} unique"
+    f"media pipeline: {a0} wavs decoded ({n_segs} audio segments), "
+    f"{N} ppms resized+re-decoded, {n_frames} frames extracted, "
+    f"{dups} duplicate frames, {uniq} unique, "
+    f"{n_near} perceptual near-dup pairs"
 )

@@ -823,6 +823,59 @@ def synth_avi(
     return F.concat(F.unhex(header_hex), data_col)
 
 
+def ppm_ahash(df: DataFrame, payload_col: str) -> DataFrame:
+    """Perceptual aHash over P6 PPM payloads — the IMAGE near-dup key
+    (``image_neardup`` bands on it, same machinery as the frame tier):
+    up to 64 evenly-strided PIXELS are sampled (position
+    ``floor(k * n_pixels / K)``), each reduced to its integer channel
+    sum (r+g+b — a luma stand-in that needs no division), and bit k is
+    set when that pixel's sum exceeds the sampled mean — integer-exact
+    as ``v * K > total``, so SQL oracles reproduce the hash bit for
+    bit. Non-P6 / short payloads yield NULL (filter-then-decode).
+    Arrow-batched; the per-blob Python work is the O(1) header parse,
+    the pixel math is vectorized numpy."""
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import _cached_udf
+
+    def _build():
+        @F.pandas_udf("bigint")
+        def _ah(p: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out: list = []
+            for b in p:
+                parsed = _parse_p6(b)
+                if parsed is None:
+                    out.append(None)
+                    continue
+                w, h, _maxval, off = parsed
+                npx = w * h
+                px = np.frombuffer(
+                    bytes(b[off : off + npx * 3]), dtype=np.uint8
+                )
+                if len(px) < npx * 3:
+                    out.append(None)
+                    continue
+                kk = min(npx, 64)
+                pos = (np.arange(kk) * npx) // kk
+                v = (
+                    px.reshape(npx, 3).astype(np.int64).sum(axis=1)
+                )[pos]
+                tot = int(v.sum())
+                ah = 0
+                for k in np.nonzero(v * kk > tot)[0]:
+                    ah |= 1 << int(k)
+                out.append(ah - (1 << 64) if ah >= 1 << 63 else ah)
+            return pd.Series(out, dtype="object")
+
+        return _ah
+
+    return df.withColumn(
+        "ahash", _cached_udf(("ppm_ahash",), _build)(F.col(payload_col))
+    )
+
+
 def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
     """Per-frame byte extraction from AVI payloads — the video twin of
     ``wav_stats``/``ppm_stats``: walks the RIFF chunk tree to the

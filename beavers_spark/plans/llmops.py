@@ -1306,6 +1306,100 @@ _PPM_DIMS_SQL = """
         FROM documents"""
 
 
+@query(
+    "image_neardup",
+    oracle=f"""
+    WITH params AS ({_PPM_DIMS_SQL}
+    ),
+    samp AS (
+        SELECT doc_id, k.i AS k,
+               ((k.i * (w * h)) // 64)::BIGINT AS p
+        FROM params, (SELECT unnest(range(64)) AS i) k
+    ),
+    vals AS (
+        SELECT doc_id, k,
+               ((doc_id * 7 + 3 * p) % 256)
+               + ((doc_id * 7 + 3 * p + 1) % 256)
+               + ((doc_id * 7 + 3 * p + 2) % 256) AS v
+        FROM samp
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN v * 64 > tot THEN
+                        (CASE WHEN k = 63 THEN -9223372036854775808
+                              ELSE (1::BIGINT << k::INT) END)
+                   ELSE 0 END)::BIGINT AS ahash
+        FROM (SELECT *, sum(v) OVER (PARTITION BY doc_id) AS tot
+              FROM vals)
+        GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, ahash, b.i AS band_id,
+               (ahash >> (b.i * 16)) & 65535 AS bv
+        FROM sig, (SELECT unnest(range(4)) AS i) b
+    ),
+    ranked AS (
+        SELECT doc_id, ahash, band_id, bv,
+               count(*) OVER (PARTITION BY band_id, bv) AS cnt,
+               lead(doc_id) OVER (
+                   PARTITION BY band_id, bv ORDER BY doc_id
+               ) AS nxt,
+               lead(ahash) OVER (
+                   PARTITION BY band_id, bv ORDER BY doc_id
+               ) AS nxt_sig
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
+        FROM (
+            SELECT a.doc_id AS doc1, b2.doc_id AS doc2,
+                   a.ahash AS s1, b2.ahash AS s2
+            FROM ranked a JOIN ranked b2
+              ON a.band_id = b2.band_id AND a.bv = b2.bv
+             AND a.doc_id < b2.doc_id
+            WHERE a.cnt <= 8 AND b2.cnt <= 8
+            UNION ALL
+            SELECT doc_id, nxt, ahash, nxt_sig FROM ranked
+            WHERE cnt > 8 AND nxt IS NOT NULL
+        )
+    )
+    SELECT doc1, doc2, hamming::INT AS hamming
+    FROM cand WHERE hamming <= 3
+    """,
+)
+def image_neardup_q(spark, sf_dir):
+    """Perceptual IMAGE near-dup over the P6 corpus — the image
+    instantiation of the banded-aHash tier (`video_frame_neardup`'s
+    sibling): each image's ``ppm_ahash`` samples 64 evenly-strided
+    pixels, thresholds their channel sums against the sampled mean
+    (integer-exact), and the SimHash band/verify engine
+    (``hamming_pairs``: 4x16-bit pigeonhole bands, hot-bucket chain
+    cap=8, popcount verify at hamming <= 3) emits exact pairs. All 64
+    hash bits are live (every image has >= 64 pixels), so no length
+    grouping is needed and cross-size comparisons work — the classic
+    aHash property the strided sampling buys. The oracle recomputes
+    the sampled pixel sums from the generator arithmetic (only the 64
+    sampled positions — never the full pixel grid, never bytes) and
+    runs the identical band/rank/chain candidate generation; bit 63
+    is the two's-complement special case (DuckDB's shift overflows
+    where numpy wraps). The generator guarantees exact-duplicate image
+    pairs at id delta 2304 = lcm(pixel period 256, dims period 576),
+    so the plan returns rows from sf0.01 up."""
+    from beavers_spark.functions.dedup import hamming_pairs
+    from beavers_spark.functions.multimodal import ppm_ahash
+
+    docs = t(spark, sf_dir, "documents")
+    w, h = _ppm_dims()
+    ppms = docs.select("doc_id", _ppm_pixels(w, h).alias("payload"))
+    sig = ppm_ahash(ppms, "payload").select("doc_id", "ahash")
+    pairs = hamming_pairs(
+        sig, "doc_id", "ahash", bits=64, max_hamming=3, bucket_cap=8
+    )
+    return pairs.withColumnsRenamed(
+        {"doc_id1": "doc1", "doc_id2": "doc2"}
+    )
+
+
 def _ppm_dims():
     w = (8 + F.pmod("doc_id", F.lit(24))).cast("bigint")
     h = (

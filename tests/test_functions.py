@@ -1149,3 +1149,35 @@ def test_wav_stats_walks_riff_chunk_list(spark):
     assert mg[0].format == "wav" and mg[0].sample_rate == 16000
     for i in range(1, 5):
         assert mg[i].format is None, i
+
+
+def test_ppm_ahash_duplicate_invariance_and_hostiles(spark):
+    """ppm_ahash: byte-identical images hash identically, a one-pixel
+    brightness flip lands within a few Hamming bits (the near-dup
+    property the banded tier relies on), and non-P6 payloads NULL."""
+    import struct
+
+    from beavers_spark.functions.multimodal import ppm_ahash
+
+    def p6(w, h, fn):
+        px = bytes(fn(j) % 256 for j in range(w * h * 3))
+        return b"P6\n%d %d\n255\n" % (w, h) + px
+
+    base = p6(10, 8, lambda j: 7 * j + 3)
+    # flip one pixel far brighter
+    mutated = bytearray(base)
+    off = len(b"P6\n10 8\n255\n")
+    mutated[off + 30 : off + 33] = b"\xff\xff\xff"
+    rows = [
+        (0, bytearray(base)),
+        (1, bytearray(base)),          # exact duplicate
+        (2, mutated),                  # near duplicate
+        (3, bytearray(b"not an image")),
+        (4, bytearray(struct.pack("<I", 7))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.ahash for r in ppm_ahash(df, "payload").collect()}
+    assert got[0] == got[1] and got[0] is not None
+    assert got[3] is None and got[4] is None
+    diff = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert 0 < diff <= 3, diff

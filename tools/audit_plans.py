@@ -615,6 +615,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BatchEvalPython",
          r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
     ],
+    "image_neardup": [
+        # same contract as video_frame_neardup: Arrow-batched hash,
+        # map-side band fan-out, rank/chain window on the band key,
+        # payload pruned before any exchange
+        [r"ArrowEvalPython", r"Generate",
+         r"hashpartitioning\(band_id", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython",
+         r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
+    ],
     "video_frame_dedup": [
         # decode + map-side fan-out, then ONE hash exchange on the
         # frame content key feeding the ownership window — and the

@@ -1306,10 +1306,10 @@ _PPM_DIMS_SQL = """
         FROM documents"""
 
 
-@query(
-    "image_neardup",
-    oracle=f"""
-    WITH params AS ({_PPM_DIMS_SQL}
+#: the sampled-aHash -> bands -> rank/chain candidate CTE chain ending
+#: in ``cand(doc1, doc2, hamming)`` — shared by the image near-dup
+#: pairs plan and its connected-components clusters plan
+_IMG_NEARDUP_CTES = f"""params AS ({_PPM_DIMS_SQL}
     ),
     samp AS (
         SELECT doc_id, k.i AS k,
@@ -1363,6 +1363,13 @@ _PPM_DIMS_SQL = """
             WHERE cnt > 8 AND nxt IS NOT NULL
         )
     )
+"""
+
+
+@query(
+    "image_neardup",
+    oracle=f"""
+    WITH {_IMG_NEARDUP_CTES}
     SELECT doc1, doc2, hamming::INT AS hamming
     FROM cand WHERE hamming <= 3
     """,
@@ -1398,6 +1405,50 @@ def image_neardup_q(spark, sf_dir):
     return pairs.withColumnsRenamed(
         {"doc_id1": "doc1", "doc_id2": "doc2"}
     )
+
+
+@query(
+    "image_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_IMG_NEARDUP_CTES},
+    pairs AS (SELECT doc1, doc2 FROM cand WHERE hamming <= 3),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def image_neardup_clusters_q(spark, sf_dir):
+    """Connected components over the perceptual image pair graph
+    (cluster_id = min doc id in component) — so each near-dup group
+    keeps exactly one canonical image, the same keep-one-per-cluster
+    discipline as ``dedup_clusters``. Spark side: the shared
+    Pregel-style min-label loop (``functions.dedup
+    .connected_components``); oracle: the identical banded candidate
+    generation + a recursive-CTE reachability closure — the iterative
+    algorithm is hash-checked end to end."""
+    from beavers_spark.functions.dedup import (
+        connected_components,
+        hamming_pairs,
+    )
+    from beavers_spark.functions.multimodal import ppm_ahash
+
+    docs = t(spark, sf_dir, "documents")
+    w, h = _ppm_dims()
+    ppms = docs.select("doc_id", _ppm_pixels(w, h).alias("payload"))
+    sig = ppm_ahash(ppms, "payload").select("doc_id", "ahash")
+    pairs = hamming_pairs(
+        sig, "doc_id", "ahash", bits=64, max_hamming=3, bucket_cap=8
+    ).select(
+        F.col("doc_id1").alias("doc1"), F.col("doc_id2").alias("doc2")
+    )
+    return connected_components(pairs)
 
 
 def _ppm_dims():

@@ -39,6 +39,9 @@ from beavers_spark.streaming.dedup_incremental import (  # noqa: F401
 from beavers_spark.streaming.frame_dedup import (  # noqa: F401
     IncrementalFrameDedup,
 )
+from beavers_spark.streaming.frame_neardup import (  # noqa: F401
+    IncrementalFrameNearDedup,
+)
 from beavers_spark.streaming.substring_dedup import (  # noqa: F401
     IncrementalSubstringDedup,
 )

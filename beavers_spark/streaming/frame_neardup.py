@@ -1,0 +1,443 @@
+"""Incremental PERCEPTUAL frame near-dup: every new video's frames are
+checked against the aHash band registry of ALL frames seen so far —
+the streaming twin of the ``video_frame_neardup`` plan, and the
+perceptual tier above ``IncrementalFrameDedup``'s exact content keys:
+re-encoded or slightly-corrupted repeats share no md5, but their
+mean-threshold aHash bitmaps sit within a few Hamming bits.
+
+Per batch:
+
+1. decode ONLY the new videos' frames (``avi_frames`` — one
+   Arrow-batched RIFF walk, map-side explode) and take each frame's
+   ``ahash`` (mean-threshold bitmap, integer-exact — shift-invariant,
+   so global brightness offsets don't defeat it);
+2. band each frame's hash into ``max_hamming + 1`` pigeonhole bands
+   (the SimHash trick: a within-budget pair must agree on a whole
+   band) and land the band rows in the state registry as their own
+   wave partition ``w=<batch>/b=<pmod(xxhash64(band key), N)>/`` —
+   the write is the batch's materialization barrier, and the
+   signature RIDES IN the band row (one bigint), so candidate
+   verification never needs a second state lookup;
+3. within-batch pairs come from the shared banded engine
+   (``functions.dedup.hamming_pairs`` — same code path as the batch
+   plan, hot-bucket chain cap included); cross-batch candidates from
+   the batch's band rows equi-joined against the registry's
+   (wave-Bloom- and hash-bucket-pruned, column-pruned, NEVER
+   shuffled corpus-wide — the band join's registry side arrives
+   partition-pruned to the batch's touched ``b`` buckets);
+4. the XOR-popcount verify makes every emitted pair exact
+   (``hamming <= max_hamming``); pairs land in the output as their
+   own wave — per-wave overwrite, so crash replays are idempotent
+   (the dedup twins' shared contract).
+
+A pair is emitted exactly once, in the batch its later member
+arrives; under ascending arrival the union across waves is IDENTICAL
+to the batch ``hamming_pairs`` over the accumulated corpus (pinned by
+tests). At 100 TB: frame BYTES never leave the decode stage — the
+registry stores (ids, n_bytes, ahash, band key) rows, the per-batch
+shuffle is O(batch bands + candidates), and the registry scan is
+partition-pruned by bucket and wave-Bloom (executor-side past
+``probe_cap``, like every dedup twin).
+
+Reference parity: composes the reference's state-node semantics
+(beavers dag.py:501-518) with its live-driver loop (kafka.py:534-544);
+the reference has no media surface itself (README.md:43-50 scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beavers_spark.functions.multimodal import avi_frames
+from beavers_spark.streaming.maintenance import (
+    BatchWatermark,
+    ProbeMetrics,
+    WaveBloomIndex,
+    ensure_layout,
+    fanout_repartition,
+    maybe_auto_compact,
+    prune_hash_buckets,
+    recover_compaction,
+    seen_anti_join,
+    table_exists,
+    timed_phase,
+)
+
+
+def _wave_band_keys(spark: SparkSession, wave_dir: str) -> DataFrame:
+    """Band-key hash column of one registry wave, for lazy Bloom
+    backfill (WaveBloomIndex.keys_of contract)."""
+    return spark.read.parquet(wave_dir).select("bh")
+
+
+class IncrementalFrameNearDedup:
+    """``foreachBatch`` callable maintaining corpus-wide perceptual
+    frame near-dup pairs over AVI payload columns.
+
+    ::
+
+        nd = IncrementalFrameNearDedup(state_path, pairs_path,
+                                       payload_col="payload",
+                                       id_col="doc_id")
+        stream.writeStream.foreachBatch(nd).start()
+
+    ``read_pairs(spark)`` returns every pair emitted so far
+    (``doc1, frame1, doc2, frame2, hamming``); ``read_state(spark)``
+    the per-frame signature view of the band registry.
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        pairs_path: str,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        bits: int = 64,
+        max_hamming: int = 3,
+        bucket_cap: int | None = None,
+        bloom_bits: int | None = 1 << 23,
+        bloom_min_waves: int = 8,
+        n_hash_buckets: int = 16,
+        probe_cap: int | None = None,
+        compact_every_waves: int | None = None,
+    ) -> None:
+        n_bands = max_hamming + 1
+        if bits % n_bands:
+            raise ValueError(
+                f"bits ({bits}) must divide into max_hamming+1 "
+                f"({n_bands}) equal bands for the pigeonhole guarantee"
+            )
+        self.state_path = state_path
+        self.pairs_path = pairs_path
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.bits = bits
+        self.max_hamming = max_hamming
+        #: within-batch hot-bucket cap (``hamming_pairs`` chain
+        #: semantics) AND registry-side anchor bound: each wave keeps
+        #: at most ``bucket_cap`` band rows per (band_id, bv, n_bytes)
+        #: — oversized buckets cost pairwise recall inside the bucket
+        #: only (identical-hash floods chain at hamming 0 and lose
+        #: nothing); None = exact all-collisions
+        self.bucket_cap = bucket_cap
+        #: bits per wave Bloom sidecar (None disables the probe filter)
+        self.bloom_bits = bloom_bits
+        #: hash-prefix sub-partitions per wave (``b = pmod(bh, N)``)
+        self.n_hash_buckets = n_hash_buckets
+        #: live-wave-count threshold that triggers an automatic
+        #: ``compact()`` right after a wave commits (None = manual
+        #: compaction only; see maintenance.maybe_auto_compact)
+        self.compact_every_waves = compact_every_waves
+        self.auto_compactions = 0
+        self._has_state = False
+        self._watermark = BatchWatermark(state_path)
+        bloom_kwargs = {} if probe_cap is None else {"probe_cap": probe_cap}
+        self._bloom = WaveBloomIndex(
+            state_path, bloom_bits, min_waves=bloom_min_waves,
+            keys_of=_wave_band_keys, **bloom_kwargs,
+        )
+        #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
+        self.probe_metrics: list[ProbeMetrics] = []
+        #: accumulated driver-observed wall seconds per __call__ phase
+        self.phase_seconds: dict[str, float] = {}
+
+    # -- state access -----------------------------------------------------
+    def _state_exists(self, spark: SparkSession) -> bool:
+        if self._has_state:
+            return True
+        if table_exists(spark, self.state_path):
+            self._has_state = True
+            return True
+        return False
+
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """Per-frame signature view of the band registry
+        ``(doc_id, frame_idx, n_bytes, ahash)`` — one row per frame
+        (band rows collapse; ``w``/``b``/band columns are storage
+        details)."""
+        return (
+            spark.read.parquet(self.state_path)
+            .select("doc_id", "frame_idx", "n_bytes", "ahash")
+            .distinct()
+        )
+
+    def read_pairs(self, spark: SparkSession) -> DataFrame:
+        """Near-dup frame pairs emitted so far (the wave column ``w``
+        is a storage detail)."""
+        return spark.read.parquet(self.pairs_path).select(
+            "doc1", "frame1", "doc2", "frame2", "hamming"
+        )
+
+    def compact(self, spark: SparkSession) -> int:
+        """Coarsen all wave partitions into ``w=-1`` (the registry
+        keeps its ``b`` hash-prefix layout); returns the
+        post-compaction file count."""
+        from beavers_spark.streaming.maintenance import (
+            compact_parquet,
+            guard_committed_waves,
+        )
+
+        guard_committed_waves(
+            self._watermark, self.state_path, self.pairs_path
+        )
+        compact_parquet(
+            spark,
+            self.pairs_path,
+            partition_by="w",
+            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        )
+        return self._bloom.compact_merge(
+            lambda: compact_parquet(
+                spark,
+                self.state_path,
+                partition_by=["w", "b"],
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
+        )
+
+    # -- banding ----------------------------------------------------------
+    def _band_rows(self, sig: DataFrame) -> DataFrame:
+        """4-rows-per-frame band expansion of a signature frame
+        ``(doc_id, frame_idx, n_bytes, ahash)`` — band key hash ``bh``
+        = xxhash64(band_id, bv, n_bytes) (hash output: the Bloom
+        scheme's key-quality contract), bucket ``b = pmod(bh, N)``."""
+        n_bands = self.max_hamming + 1
+        w = self.bits // n_bands
+        mask = (1 << w) - 1
+        bands = sig.select(
+            "doc_id",
+            "frame_idx",
+            "n_bytes",
+            "ahash",
+            F.explode(
+                F.array(
+                    *(
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            F.shiftright(F.col("ahash"), i * w)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bv"),
+                        )
+                        for i in range(n_bands)
+                    )
+                )
+            ).alias("band"),
+        ).select(
+            "doc_id", "frame_idx", "n_bytes", "ahash",
+            "band.band_id", "band.bv",
+        )
+        return bands.withColumn(
+            "bh", F.xxhash64("band_id", "bv", "n_bytes")
+        ).withColumn("b", F.pmod(F.col("bh"), F.lit(self.n_hash_buckets)))
+
+    # -- the kernel -------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        for p in (self.state_path, self.pairs_path):
+            recover_compaction(p)
+        if self._watermark.is_applied(batch_id):
+            return
+        with timed_phase(self.phase_seconds, "call_total"):
+            self._apply(batch_df, batch_id)
+        # cadence check AFTER the wave committed (rides the existing
+        # crash-window contract -- see maintenance.maybe_auto_compact)
+        maybe_auto_compact(self, batch_df.sparkSession)
+
+    def _empty_pairs_wave(self, batch, batch_id: int) -> None:
+        """Keep read_pairs valid from batch 0; doc types come from the
+        BATCH (the chunk_dedup lesson: a hardcoded long would break
+        string-keyed corpora)."""
+        batch.select(
+            F.col(self.id_col).alias("doc1"),
+            F.lit(None).cast("int").alias("frame1"),
+            F.col(self.id_col).alias("doc2"),
+            F.lit(None).cast("int").alias("frame2"),
+            F.lit(None).cast("int").alias("hamming"),
+        ).limit(0).write.mode("overwrite").parquet(
+            f"{self.pairs_path}/w={batch_id}"
+        )
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df
+        ensure_layout(
+            self.state_path,
+            bits=self.bits,
+            max_hamming=self.max_hamming,
+            n_hash_buckets=self.n_hash_buckets,
+            bucket_cap=self.bucket_cap,
+        )
+        had_state = self._state_exists(spark)
+        if had_state:
+            # redelivered videos would re-pair against their own
+            # earlier frames; the probe reads doc_id only, excluding
+            # this wave's own half-committed directory
+            seen = (
+                spark.read.parquet(self.state_path)
+                .filter(F.col("w") != batch_id)
+                .select("doc_id")
+            )
+            batch = seen_anti_join(batch, seen, self.id_col)
+
+        # spread a NARROW batch before the decode fan-out; conditional
+        # so a well-partitioned batch skips the payload exchange
+        batch = fanout_repartition(batch, probe=batch_df)
+        sig = avi_frames(
+            batch.select(
+                F.col(self.id_col).alias("doc_id"), self.payload_col
+            ),
+            self.payload_col,
+        ).select("doc_id", "frame_idx", "n_bytes", "ahash")
+
+        bands = self._band_rows(sig)
+        if self.bucket_cap is not None:
+            # registry-side anchor bound: this wave keeps at most cap
+            # band rows per band key (first by (doc, frame) — a
+            # deterministic rank on the same key the join uses), so a
+            # mega-bucket's cross fan-in is O(cap x waves). Pairwise
+            # recall inside the bucket is the documented trade.
+            from pyspark.sql import Window
+
+            win = Window.partitionBy(
+                "band_id", "bv", "n_bytes"
+            ).orderBy("doc_id", "frame_idx")
+            bands = (
+                bands.withColumn("__rn", F.row_number().over(win))
+                .filter(F.col("__rn") <= self.bucket_cap)
+                .drop("__rn")
+            )
+        wave_dir = f"{self.state_path}/w={batch_id}"
+        # persist the banded batch BEFORE the wave write: an empty
+        # frame's partitionBy write produces a directory with no
+        # schema-bearing file, so the emptiness decision must come
+        # from the in-memory frame, never a read-back of wave_dir
+        # (the empty-partitionBy trap, hit by every dedup twin once)
+        bands = bands.persist()
+        try:
+            if bands.limit(1).count() == 0:
+                # fully-redelivered or undecodable batch: keep the
+                # output valid from batch 0 with an empty pairs wave,
+                # no registry wave (mirrors IncrementalFrameDedup)
+                self._empty_pairs_wave(batch, batch_id)
+                self._watermark.mark(batch_id)
+                return
+            with timed_phase(self.phase_seconds, "state_write"):
+                (
+                    bands.repartition(self.n_hash_buckets, F.col("b"))
+                    .write.mode("overwrite")
+                    .partitionBy("b")
+                    .parquet(wave_dir)
+                )
+            self._has_state = True
+            # later stages read the columnar result back with
+            # partition pruning (the write is the decode's
+            # materialization barrier)
+            new_bands = spark.read.parquet(wave_dir)
+            self._finish_wave(
+                spark, batch_id, had_state, new_bands, wave_dir
+            )
+        finally:
+            bands.unpersist(blocking=True)
+
+    def _finish_wave(
+        self, spark, batch_id: int, had_state: bool, new_bands, wave_dir
+    ) -> None:
+        from beavers_spark.functions.dedup import hamming_pairs
+
+        pre_h = None
+        overcap = False
+        probe_on = self._bloom.probe_active(exclude=batch_id)
+        with timed_phase(self.phase_seconds, "bloom_fold"):
+            if probe_on:
+                pre_h = self._bloom.collect_keys(
+                    new_bands.select("bh"), "bh"
+                )
+            overcap = probe_on and pre_h is None
+            if overcap:
+                self._bloom.overcap_fallbacks += 1
+            if pre_h is not None:
+                self._bloom.save_wave(wave_dir, pre_h)
+            elif self.bloom_bits:
+                # executor-side bitmap over the written wave (never a
+                # driver collect past probe_cap)
+                self._bloom.save_wave_distributed(
+                    wave_dir, new_bands.select("bh"), "bh"
+                )
+
+        # within-batch pairs: the SAME banded engine as the batch plan
+        # (chain cap included); composite frame key as a struct —
+        # Spark orders structs lexicographically, which is exactly the
+        # (doc, frame) canonical order the output wants
+        new_sig = new_bands.select(
+            "doc_id", "frame_idx", "n_bytes", "ahash"
+        ).distinct().select(
+            F.struct("doc_id", "frame_idx").alias("fk"),
+            "ahash",
+            "n_bytes",
+        )
+        within = hamming_pairs(
+            new_sig, "fk", "ahash", self.bits, self.max_hamming,
+            bucket_cap=self.bucket_cap, group_cols=("n_bytes",),
+        ).select(
+            F.col("fk1.doc_id").alias("doc1"),
+            F.col("fk1.frame_idx").alias("frame1"),
+            F.col("fk2.doc_id").alias("doc2"),
+            F.col("fk2.frame_idx").alias("frame2"),
+            "hamming",
+        )
+        pairs = within
+
+        if had_state:
+            prior = spark.read.parquet(self.state_path).filter(
+                F.col("w") != batch_id
+            )
+            prior = self._bloom.prune_prior(
+                prior, pre_h, batch_id, self.probe_metrics, spark,
+                keys_df=new_bands.select("bh") if overcap else None,
+                key_col="bh",
+            )
+            if prior is not None and pre_h is not None:
+                prior = prune_hash_buckets(
+                    prior, pre_h, self.n_hash_buckets
+                )
+            if prior is not None:
+                o, n = prior.alias("o"), new_bands.alias("n")
+                ok = F.struct(
+                    F.col("o.doc_id").alias("doc_id"),
+                    F.col("o.frame_idx").alias("frame_idx"),
+                )
+                nk = F.struct(
+                    F.col("n.doc_id").alias("doc_id"),
+                    F.col("n.frame_idx").alias("frame_idx"),
+                )
+                cross = (
+                    o.join(
+                        n,
+                        (F.col("o.band_id") == F.col("n.band_id"))
+                        & (F.col("o.bv") == F.col("n.bv"))
+                        & (F.col("o.n_bytes") == F.col("n.n_bytes"))
+                        & (ok != nk),
+                    )
+                    .select(
+                        F.least(ok, nk).alias("k1"),
+                        F.greatest(ok, nk).alias("k2"),
+                        F.bit_count(
+                            F.col("o.ahash").bitwiseXOR(F.col("n.ahash"))
+                        ).alias("hamming"),
+                    )
+                    .filter(F.col("hamming") <= self.max_hamming)
+                    .select(
+                        F.col("k1.doc_id").alias("doc1"),
+                        F.col("k1.frame_idx").alias("frame1"),
+                        F.col("k2.doc_id").alias("doc2"),
+                        F.col("k2.frame_idx").alias("frame2"),
+                        "hamming",
+                    )
+                )
+                pairs = pairs.unionByName(cross)
+
+        with timed_phase(self.phase_seconds, "pairs_write"):
+            pairs.distinct().write.mode("overwrite").parquet(
+                f"{self.pairs_path}/w={batch_id}"
+            )
+        self._watermark.mark(batch_id)

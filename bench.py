@@ -743,6 +743,42 @@ def _inc_frame_dedup_probed(
     return n, metrics
 
 
+def _inc_frame_neardup(
+    spark, sf_dir: str, workdir: str
+) -> tuple[int, dict]:
+    """PERCEPTUAL frame near-dup as a stream: per wave, decode only
+    the new videos, band their aHashes, and join against the
+    accumulated band registry (bucket- and wave-Bloom-pruned;
+    bloom_min_waves=2 keeps the probe ON the clock from wave 2). The
+    natural synth corpus has only 256*5 frame content classes, so
+    band buckets flood — exactly the regime the day-one hot-bucket
+    cap (bucket_cap=8: registry anchors per wave + within-batch
+    chains) exists for; an uncapped run would be quadratic in the
+    class populations."""
+    from beavers_spark.plans.llmops import _synth_frame_avis
+    from beavers_spark.streaming import IncrementalFrameNearDedup
+
+    nd = IncrementalFrameNearDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "pairs"),
+        bloom_min_waves=2,
+        bucket_cap=8,
+    )
+    avis = _synth_frame_avis(spark, sf_dir)
+    for i in range(_WAVES):
+        nd(avis.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+    n = nd.read_pairs(spark).count()
+    metrics = _kernel_metrics(
+        probes=nd.probe_metrics,
+        phases=nd.phase_seconds,
+        bloom=nd._bloom,
+    )
+    _require(metrics["probe_batches"] > 0, "Bloom gate never opened")
+    _require(metrics["probe_waves_total"] > 0, "no prior waves probed")
+    _require(n > 0, "the corpus must contain near-dup frames")
+    return n, metrics
+
+
 def _inc_classifier_capped(
     spark, sf_dir: str, workdir: str
 ) -> tuple[int, dict]:
@@ -853,6 +889,7 @@ INCREMENTAL = [
     ("inc_tfidf_dedup_pruned", _inc_tfidf_dedup_pruned),
     ("inc_frame_dedup", _inc_frame_dedup),
     ("inc_frame_dedup_probed", _inc_frame_dedup_probed),
+    ("inc_frame_neardup", _inc_frame_neardup),
 ]
 
 

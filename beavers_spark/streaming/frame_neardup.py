@@ -5,39 +5,46 @@ perceptual tier above ``IncrementalFrameDedup``'s exact content keys:
 re-encoded or slightly-corrupted repeats share no md5, but their
 mean-threshold aHash bitmaps sit within a few Hamming bits.
 
+State is TWO tables, the ``IncrementalNearDedup`` architecture:
+
+* the SIG table (``state_path``, waves ``w=<batch>/``): one row per
+  frame ``(doc_id, frame_idx, n_bytes, ahash)``, always FULL — the
+  redelivery guard and ``read_state`` read it, so a hot-bucket cap
+  can never evict a document's existence (a capped-away doc would
+  otherwise be re-admitted on redelivery and emit duplicate pairs);
+* the BAND registry (``<state>_bands``, waves
+  ``w=<batch>/b=<pmod(xxhash64(band key), N)>/``): the pigeonhole
+  band rows future batches join against — the signature RIDES IN the
+  band row (one bigint), so candidate verification never needs a
+  second state lookup. In capped mode each wave keeps at most
+  ``bucket_cap`` anchor rows per band key (every key present keeps
+  >= 1 row, so Bloom bitmaps and bucket prunes stay exact).
+
 Per batch:
 
 1. decode ONLY the new videos' frames (``avi_frames`` — one
-   Arrow-batched RIFF walk, map-side explode) and take each frame's
-   ``ahash`` (mean-threshold bitmap, integer-exact — shift-invariant,
-   so global brightness offsets don't defeat it);
-2. band each frame's hash into ``max_hamming + 1`` pigeonhole bands
-   (the SimHash trick: a within-budget pair must agree on a whole
-   band) and land the band rows in the state registry as their own
-   wave partition ``w=<batch>/b=<pmod(xxhash64(band key), N)>/`` —
-   the write is the batch's materialization barrier, and the
-   signature RIDES IN the band row (one bigint), so candidate
-   verification never needs a second state lookup;
-3. within-batch pairs come from the shared banded engine
-   (``functions.dedup.hamming_pairs`` — same code path as the batch
-   plan, hot-bucket chain cap included); cross-batch candidates from
-   the batch's band rows equi-joined against the registry's
-   (wave-Bloom- and hash-bucket-pruned, column-pruned, NEVER
-   shuffled corpus-wide — the band join's registry side arrives
-   partition-pruned to the batch's touched ``b`` buckets);
+   Arrow-batched RIFF walk, map-side explode); the sig-wave write is
+   the decode's one materialization barrier (band rows derive from
+   the columnar read-back, never a second decode);
+2. within-batch pairs come from the shared banded engine
+   (``functions.dedup.hamming_pairs`` — the batch plan's code path,
+   hot-bucket chain cap included) over the FULL batch sig;
+3. cross-batch candidates: the batch's band rows equi-joined against
+   the registry's — wave-Bloom-pruned (executor-side past
+   ``probe_cap``), partition-pruned to the batch's touched ``b``
+   buckets, column-pruned, NEVER shuffled corpus-wide;
 4. the XOR-popcount verify makes every emitted pair exact
-   (``hamming <= max_hamming``); pairs land in the output as their
-   own wave — per-wave overwrite, so crash replays are idempotent
-   (the dedup twins' shared contract).
+   (``hamming <= max_hamming``); pairs land as their own output wave
+   — per-wave overwrite, so crash replays are idempotent (the dedup
+   twins' shared contract).
 
 A pair is emitted exactly once, in the batch its later member
 arrives; under ascending arrival the union across waves is IDENTICAL
 to the batch ``hamming_pairs`` over the accumulated corpus (pinned by
-tests). At 100 TB: frame BYTES never leave the decode stage — the
-registry stores (ids, n_bytes, ahash, band key) rows, the per-batch
-shuffle is O(batch bands + candidates), and the registry scan is
-partition-pruned by bucket and wave-Bloom (executor-side past
-``probe_cap``, like every dedup twin).
+tests). At 100 TB: frame BYTES never leave the decode stage, the
+per-batch shuffle is O(batch bands + candidates), and the registry
+scan is bounded by bucket + wave-Bloom pruning with the anchor cap
+bounding any mega-bucket's fan-in at O(cap x waves).
 
 Reference parity: composes the reference's state-node semantics
 (beavers dag.py:501-518) with its live-driver loop (kafka.py:534-544);
@@ -45,6 +52,9 @@ the reference has no media surface itself (README.md:43-50 scope).
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,9 +76,32 @@ from beavers_spark.streaming.maintenance import (
 
 
 def _wave_band_keys(spark: SparkSession, wave_dir: str) -> DataFrame:
-    """Band-key hash column of one registry wave, for lazy Bloom
+    """Band-key hash column of one band-registry wave, for lazy Bloom
     backfill (WaveBloomIndex.keys_of contract)."""
     return spark.read.parquet(wave_dir).select("bh")
+
+
+def _wave_rows_local(wave_dir: str) -> int | None:
+    """Row count of one wave from its parquet footers, driver-local
+    (no Spark job); None when the root isn't listable (non-POSIX /
+    object store) — callers fall back to a schema-pinned Spark count
+    (never schema INFERENCE: an empty wave has no footer to infer
+    from)."""
+    import glob as _glob
+
+    try:
+        if not os.path.isdir(wave_dir):
+            return None
+        files = _glob.glob(
+            os.path.join(wave_dir, "**", "*.parquet"), recursive=True
+        )
+        if not files:
+            return 0
+        import pyarrow.parquet as pq
+
+        return sum(pq.read_metadata(f).num_rows for f in files)
+    except OSError:
+        return None
 
 
 class IncrementalFrameNearDedup:
@@ -84,7 +117,7 @@ class IncrementalFrameNearDedup:
 
     ``read_pairs(spark)`` returns every pair emitted so far
     (``doc1, frame1, doc2, frame2, hamming``); ``read_state(spark)``
-    the per-frame signature view of the band registry.
+    the per-frame signature table.
     """
 
     def __init__(
@@ -108,22 +141,28 @@ class IncrementalFrameNearDedup:
                 f"bits ({bits}) must divide into max_hamming+1 "
                 f"({n_bands}) equal bands for the pigeonhole guarantee"
             )
+        if bucket_cap is not None and bucket_cap < 2:
+            raise ValueError(
+                f"bucket_cap must be >= 2 (a 1-cap chains every "
+                f"bucket), got {bucket_cap}"
+            )
         self.state_path = state_path
+        self.bands_path = state_path.rstrip("/") + "_bands"
         self.pairs_path = pairs_path
         self.payload_col = payload_col
         self.id_col = id_col
         self.bits = bits
         self.max_hamming = max_hamming
-        #: within-batch hot-bucket cap (``hamming_pairs`` chain
-        #: semantics) AND registry-side anchor bound: each wave keeps
-        #: at most ``bucket_cap`` band rows per (band_id, bv, n_bytes)
-        #: — oversized buckets cost pairwise recall inside the bucket
-        #: only (identical-hash floods chain at hamming 0 and lose
-        #: nothing); None = exact all-collisions
+        #: hot-bucket bound: within-batch buckets chain
+        #: (``hamming_pairs`` semantics) and each registry wave keeps
+        #: at most ``bucket_cap`` anchor band rows per (band_id, bv,
+        #: n_bytes) — oversized buckets cost pairwise recall inside
+        #: the bucket only (identical-hash floods chain at hamming 0
+        #: and lose nothing); None = exact all-collisions
         self.bucket_cap = bucket_cap
         #: bits per wave Bloom sidecar (None disables the probe filter)
         self.bloom_bits = bloom_bits
-        #: hash-prefix sub-partitions per wave (``b = pmod(bh, N)``)
+        #: hash-prefix sub-partitions per band wave (``b = pmod(bh, N)``)
         self.n_hash_buckets = n_hash_buckets
         #: live-wave-count threshold that triggers an automatic
         #: ``compact()`` right after a wave commits (None = manual
@@ -133,8 +172,10 @@ class IncrementalFrameNearDedup:
         self._has_state = False
         self._watermark = BatchWatermark(state_path)
         bloom_kwargs = {} if probe_cap is None else {"probe_cap": probe_cap}
+        #: rooted at the BAND registry: wave listing, sidecars and the
+        #: prune decision all concern the table the cross join scans
         self._bloom = WaveBloomIndex(
-            state_path, bloom_bits, min_waves=bloom_min_waves,
+            self.bands_path, bloom_bits, min_waves=bloom_min_waves,
             keys_of=_wave_band_keys, **bloom_kwargs,
         )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
@@ -152,14 +193,11 @@ class IncrementalFrameNearDedup:
         return False
 
     def read_state(self, spark: SparkSession) -> DataFrame:
-        """Per-frame signature view of the band registry
-        ``(doc_id, frame_idx, n_bytes, ahash)`` — one row per frame
-        (band rows collapse; ``w``/``b``/band columns are storage
-        details)."""
-        return (
-            spark.read.parquet(self.state_path)
-            .select("doc_id", "frame_idx", "n_bytes", "ahash")
-            .distinct()
+        """Per-frame signature table
+        ``(doc_id, frame_idx, n_bytes, ahash)`` — always full,
+        regardless of ``bucket_cap`` (``w`` is a storage detail)."""
+        return spark.read.parquet(self.state_path).select(
+            "doc_id", "frame_idx", "n_bytes", "ahash"
         )
 
     def read_pairs(self, spark: SparkSession) -> DataFrame:
@@ -170,27 +208,29 @@ class IncrementalFrameNearDedup:
         )
 
     def compact(self, spark: SparkSession) -> int:
-        """Coarsen all wave partitions into ``w=-1`` (the registry
-        keeps its ``b`` hash-prefix layout); returns the
-        post-compaction file count."""
+        """Coarsen all wave partitions into ``w=-1`` (the band
+        registry keeps its ``b`` hash-prefix layout); returns the band
+        registry's post-compaction file count."""
         from beavers_spark.streaming.maintenance import (
             compact_parquet,
             guard_committed_waves,
         )
 
         guard_committed_waves(
-            self._watermark, self.state_path, self.pairs_path
-        )
-        compact_parquet(
-            spark,
+            self._watermark, self.state_path, self.bands_path,
             self.pairs_path,
-            partition_by="w",
-            transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
+        for p in (self.pairs_path, self.state_path):
+            compact_parquet(
+                spark,
+                p,
+                partition_by="w",
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
         return self._bloom.compact_merge(
             lambda: compact_parquet(
                 spark,
-                self.state_path,
+                self.bands_path,
                 partition_by=["w", "b"],
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
             )
@@ -198,10 +238,13 @@ class IncrementalFrameNearDedup:
 
     # -- banding ----------------------------------------------------------
     def _band_rows(self, sig: DataFrame) -> DataFrame:
-        """4-rows-per-frame band expansion of a signature frame
-        ``(doc_id, frame_idx, n_bytes, ahash)`` — band key hash ``bh``
-        = xxhash64(band_id, bv, n_bytes) (hash output: the Bloom
-        scheme's key-quality contract), bucket ``b = pmod(bh, N)``."""
+        """Band expansion of a signature frame — band key hash ``bh``
+        = xxhash64(band_id, bv, n_bytes) (a hash output: the Bloom
+        scheme's key-quality contract), bucket ``b = pmod(bh, N)``.
+        In capped mode keeps the first-``bucket_cap`` anchors per band
+        key, ranked by (doc, frame) — deterministic under retries;
+        every key present keeps >= 1 row, so the wave's distinct key
+        set (what the bitmap and bucket prune need) is intact."""
         n_bands = self.max_hamming + 1
         w = self.bits // n_bands
         mask = (1 << w) - 1
@@ -227,13 +270,24 @@ class IncrementalFrameNearDedup:
             "doc_id", "frame_idx", "n_bytes", "ahash",
             "band.band_id", "band.bv",
         )
+        if self.bucket_cap is not None:
+            from pyspark.sql import Window
+
+            win = Window.partitionBy(
+                "band_id", "bv", "n_bytes"
+            ).orderBy("doc_id", "frame_idx")
+            bands = (
+                bands.withColumn("__rn", F.row_number().over(win))
+                .filter(F.col("__rn") <= self.bucket_cap)
+                .drop("__rn")
+            )
         return bands.withColumn(
             "bh", F.xxhash64("band_id", "bv", "n_bytes")
         ).withColumn("b", F.pmod(F.col("bh"), F.lit(self.n_hash_buckets)))
 
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        for p in (self.state_path, self.pairs_path):
+        for p in (self.state_path, self.bands_path, self.pairs_path):
             recover_compaction(p)
         if self._watermark.is_applied(batch_id):
             return
@@ -270,7 +324,9 @@ class IncrementalFrameNearDedup:
         had_state = self._state_exists(spark)
         if had_state:
             # redelivered videos would re-pair against their own
-            # earlier frames; the probe reads doc_id only, excluding
+            # earlier frames; the probe reads the FULL sig table's
+            # doc_id column (a band-registry read here would re-admit
+            # any doc whose band rows were all cap-evicted), excluding
             # this wave's own half-committed directory
             seen = (
                 spark.read.parquet(self.state_path)
@@ -289,61 +345,52 @@ class IncrementalFrameNearDedup:
             self.payload_col,
         ).select("doc_id", "frame_idx", "n_bytes", "ahash")
 
-        bands = self._band_rows(sig)
-        if self.bucket_cap is not None:
-            # registry-side anchor bound: this wave keeps at most cap
-            # band rows per band key (first by (doc, frame) — a
-            # deterministic rank on the same key the join uses), so a
-            # mega-bucket's cross fan-in is O(cap x waves). Pairwise
-            # recall inside the bucket is the documented trade.
-            from pyspark.sql import Window
+        # the sig-wave write is the decode's ONE materialization
+        # barrier: band rows, the within-batch join and the bitmap all
+        # derive from the columnar read-back, never a second decode
+        sig_dir = f"{self.state_path}/w={batch_id}"
+        with timed_phase(self.phase_seconds, "state_write"):
+            sig.write.mode("overwrite").parquet(sig_dir)
+        rows = _wave_rows_local(sig_dir)
+        if rows is None:
+            # non-listable root: schema-pinned count (never inference
+            # — an all-empty wave has no footer to infer from)
+            rows = (
+                spark.read.schema(sig.schema).parquet(sig_dir).count()
+            )
+        if rows == 0:
+            # fully-redelivered or undecodable batch: an empty sig
+            # wave holds no schema-bearing file and would wedge every
+            # later read of the table — remove it, keep the output
+            # valid with an empty pairs wave, no registry wave
+            # (mirrors IncrementalFrameDedup's empty path)
+            shutil.rmtree(sig_dir, ignore_errors=True)
+            self._empty_pairs_wave(batch, batch_id)
+            self._watermark.mark(batch_id)
+            return
+        self._has_state = True
+        new_sig = spark.read.parquet(sig_dir)
 
-            win = Window.partitionBy(
-                "band_id", "bv", "n_bytes"
-            ).orderBy("doc_id", "frame_idx")
-            bands = (
-                bands.withColumn("__rn", F.row_number().over(win))
-                .filter(F.col("__rn") <= self.bucket_cap)
-                .drop("__rn")
+        band_dir = f"{self.bands_path}/w={batch_id}"
+        with timed_phase(self.phase_seconds, "band_write"):
+            (
+                self._band_rows(new_sig)
+                .repartition(self.n_hash_buckets, F.col("b"))
+                .write.mode("overwrite")
+                .partitionBy("b")
+                .parquet(band_dir)
             )
-        wave_dir = f"{self.state_path}/w={batch_id}"
-        # persist the banded batch BEFORE the wave write: an empty
-        # frame's partitionBy write produces a directory with no
-        # schema-bearing file, so the emptiness decision must come
-        # from the in-memory frame, never a read-back of wave_dir
-        # (the empty-partitionBy trap, hit by every dedup twin once)
-        bands = bands.persist()
-        try:
-            if bands.limit(1).count() == 0:
-                # fully-redelivered or undecodable batch: keep the
-                # output valid from batch 0 with an empty pairs wave,
-                # no registry wave (mirrors IncrementalFrameDedup)
-                self._empty_pairs_wave(batch, batch_id)
-                self._watermark.mark(batch_id)
-                return
-            with timed_phase(self.phase_seconds, "state_write"):
-                (
-                    bands.repartition(self.n_hash_buckets, F.col("b"))
-                    .write.mode("overwrite")
-                    .partitionBy("b")
-                    .parquet(wave_dir)
-                )
-            self._has_state = True
-            # later stages read the columnar result back with
-            # partition pruning (the write is the decode's
-            # materialization barrier)
-            new_bands = spark.read.parquet(wave_dir)
-            self._finish_wave(
-                spark, batch_id, had_state, new_bands, wave_dir
-            )
-        finally:
-            bands.unpersist(blocking=True)
+        # nonempty by construction (every frame keeps >= 1 band row,
+        # capped or not), so the read-back always has a schema
+        new_bands = spark.read.parquet(band_dir)
+        self._finish_wave(spark, batch_id, had_state, new_sig, new_bands)
 
     def _finish_wave(
-        self, spark, batch_id: int, had_state: bool, new_bands, wave_dir
+        self, spark, batch_id: int, had_state: bool, new_sig, new_bands
     ) -> None:
         from beavers_spark.functions.dedup import hamming_pairs
 
+        band_dir = f"{self.bands_path}/w={batch_id}"
         pre_h = None
         overcap = False
         probe_on = self._bloom.probe_active(exclude=batch_id)
@@ -356,27 +403,26 @@ class IncrementalFrameNearDedup:
             if overcap:
                 self._bloom.overcap_fallbacks += 1
             if pre_h is not None:
-                self._bloom.save_wave(wave_dir, pre_h)
+                self._bloom.save_wave(band_dir, pre_h)
             elif self.bloom_bits:
                 # executor-side bitmap over the written wave (never a
                 # driver collect past probe_cap)
                 self._bloom.save_wave_distributed(
-                    wave_dir, new_bands.select("bh"), "bh"
+                    band_dir, new_bands.select("bh"), "bh"
                 )
 
         # within-batch pairs: the SAME banded engine as the batch plan
-        # (chain cap included); composite frame key as a struct —
-        # Spark orders structs lexicographically, which is exactly the
-        # (doc, frame) canonical order the output wants
-        new_sig = new_bands.select(
-            "doc_id", "frame_idx", "n_bytes", "ahash"
-        ).distinct().select(
+        # (chain cap included) over the FULL batch sig; composite
+        # frame key as a struct — Spark orders structs
+        # lexicographically, which is exactly the (doc, frame)
+        # canonical order the output wants
+        fk_sig = new_sig.select(
             F.struct("doc_id", "frame_idx").alias("fk"),
             "ahash",
             "n_bytes",
         )
         within = hamming_pairs(
-            new_sig, "fk", "ahash", self.bits, self.max_hamming,
+            fk_sig, "fk", "ahash", self.bits, self.max_hamming,
             bucket_cap=self.bucket_cap, group_cols=("n_bytes",),
         ).select(
             F.col("fk1.doc_id").alias("doc1"),
@@ -387,8 +433,8 @@ class IncrementalFrameNearDedup:
         )
         pairs = within
 
-        if had_state:
-            prior = spark.read.parquet(self.state_path).filter(
+        if had_state and table_exists(spark, self.bands_path):
+            prior = spark.read.parquet(self.bands_path).filter(
                 F.col("w") != batch_id
             )
             prior = self._bloom.prune_prior(

@@ -150,3 +150,29 @@ def test_junk_and_empty_batches(spark, tmp_path):
     assert nd.read_pairs(spark).count() == 0
     nd(_avis(spark, 0, 70), 1)
     assert _pairs(nd, spark) == _batch_pairs(spark, 70)
+
+
+def test_capped_redelivery_of_fully_evicted_doc_is_noop(spark, tmp_path):
+    """The redelivery guard reads the FULL sig table, not the capped
+    band registry: with a tiny cap most docs lose every band row to
+    anchor eviction (the natural corpus has only 256*5 frame content
+    classes), and a registry-based guard would re-admit them on
+    redelivery and emit duplicate pairs."""
+    nd = IncrementalFrameNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"), bucket_cap=2
+    )
+    nd(_avis(spark, 0, 70), 0)
+    before = _pairs(nd, spark)
+    # sanity: the cap really evicted docs from the band registry
+    reg_docs = {
+        r.doc_id
+        for r in spark.read.parquet(nd.bands_path)
+        .select("doc_id").distinct().collect()
+    }
+    sig_docs = {
+        r.doc_id for r in nd.read_state(spark)
+        .select("doc_id").distinct().collect()
+    }
+    assert reg_docs < sig_docs, "cap=2 must evict some docs' band rows"
+    nd(_avis(spark, 0, 70), 1)  # full redelivery under a NEW batch id
+    assert _pairs(nd, spark) == before

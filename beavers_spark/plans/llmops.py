@@ -1644,10 +1644,10 @@ def video_frame_dedup_q(spark, sf_dir):
     )
 
 
-@query(
-    "video_frame_neardup",
-    oracle="""
-    WITH params AS (
+#: the frame-aHash -> bands -> rank/chain candidate CTE chain ending in
+#: ``cand(fid1, fid2, hamming)`` (fid = doc_id*256 + frame_idx) —
+#: shared by the frame near-dup pairs plan and its clusters plan
+_VFN_CTES = """params AS (
         SELECT doc_id, (3 + doc_id % 6)::BIGINT AS nf FROM documents
     ),
     fr AS (
@@ -1703,6 +1703,13 @@ def video_frame_dedup_q(spark, sf_dir):
             WHERE cnt > 8 AND nxt IS NOT NULL
         )
     )
+"""
+
+
+@query(
+    "video_frame_neardup",
+    oracle=f"""
+    WITH {_VFN_CTES}
     SELECT (fid1 >> 8)::BIGINT AS doc1, (fid1 & 255)::INT AS frame1,
            (fid2 >> 8)::BIGINT AS doc2, (fid2 & 255)::INT AS frame2,
            hamming::INT AS hamming
@@ -1748,6 +1755,68 @@ def video_frame_neardup_q(spark, sf_dir):
         F.shiftright("fid2", 8).alias("doc2"),
         F.col("fid2").bitwiseAND(F.lit(255)).cast("int").alias("frame2"),
         "hamming",
+    )
+
+
+@query(
+    "video_frame_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_VFN_CTES},
+    pairs AS (SELECT fid1, fid2 FROM cand WHERE hamming <= 3),
+    edges AS (
+        SELECT fid1 AS src, fid2 AS dst FROM pairs
+        UNION ALL SELECT fid2, fid1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS fid, min(b) AS cid FROM reach GROUP BY a)
+    SELECT (fid >> 8)::BIGINT AS doc_id, (fid & 255)::INT AS frame_idx,
+           (cid >> 8)::BIGINT AS cluster_doc,
+           (cid & 255)::INT AS cluster_frame
+    FROM comp
+    """,
+)
+def video_frame_neardup_clusters_q(spark, sf_dir):
+    """Connected components over the perceptual FRAME pair graph —
+    each near-dup frame group keeps one canonical (doc, frame)
+    representative (the min fid in the component), the
+    keep-one-per-cluster discipline a video corpus dedup applies after
+    the pair pass. Spark side: the shared Pregel-style min-label loop
+    over fid keys; oracle: the identical banded candidate generation
+    (shared CTE constant, so the two plans cannot diverge) + a
+    recursive-CTE reachability closure."""
+    from beavers_spark.functions.dedup import (
+        connected_components,
+        hamming_pairs,
+    )
+    from beavers_spark.functions.multimodal import avi_frames
+
+    frames = avi_frames(
+        _synth_frame_avis(spark, sf_dir), "payload"
+    ).select(
+        (F.col("doc_id") * 256 + F.col("frame_idx")).alias("fid"),
+        "ahash",
+        "n_bytes",
+    )
+    pairs = hamming_pairs(
+        frames, "fid", "ahash", bits=64, max_hamming=3,
+        bucket_cap=8, group_cols=("n_bytes",),
+    ).select(
+        F.col("fid1").alias("doc1"), F.col("fid2").alias("doc2")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.shiftright("doc_id", 8).alias("doc_id"),
+        F.col("doc_id").bitwiseAND(F.lit(255)).cast("int").alias(
+            "frame_idx"
+        ),
+        F.shiftright("cluster_id", 8).alias("cluster_doc"),
+        F.col("cluster_id").bitwiseAND(F.lit(255)).cast("int").alias(
+            "cluster_frame"
+        ),
     )
 
 

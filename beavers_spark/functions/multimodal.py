@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -582,6 +582,42 @@ def wav_segment_stats(
     for name in WAV_SEGMENT_COLS:
         out = out.withColumn(name, F.col(f"__sg.{name}"))
     return out.drop("__sg")
+
+
+def wav_envelope_fingerprint(segs: DataFrame, bits: int = 64) -> DataFrame:
+    """A ``bits``-bit PERCEPTUAL audio fingerprint per document from
+    ``wav_segment_stats`` rows: bit k is set iff segment k's peak
+    amplitude exceeds the file's mean segment peak (``peak * nseg >
+    sum(peak)`` — the integer-exact mean-threshold idiom shared with
+    ``ppm_ahash`` / ``avi_frames``' aHash, so SQL oracles reproduce it
+    bit for bit). This is the coarse ENERGY-ENVELOPE shape of the
+    audio — re-encoded or slightly-noised repeats keep it within a few
+    Hamming bits, which is what ``hamming_pairs`` bands on. Pure
+    Column math over the segment rows (the payload was already decoded
+    once by the segment kernel): a window sum + conditional bit
+    aggregate, JVM-side end to end. Files with more than ``bits``
+    segments fold extra segments in modulo ``bits`` (bit ``k % bits``
+    ORs energy from all its congruent segments — a fixed-length
+    fingerprint regardless of duration); files with fewer leave the
+    upper bits zero, so compare within duration classes when that
+    matters."""
+    wdoc = Window.partitionBy("doc_id")
+    # bit_or folds the per-segment bits into the mask — NOT sum/max,
+    # which both mishandle bit 63's negative two's-complement value
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(seg_idx % {bits} AS INT))"
+    )
+    return (
+        segs.withColumn("tot", F.sum("peak").over(wdoc))
+        .withColumn("nseg", F.count("*").over(wdoc))
+        .withColumn(
+            "__bit",
+            F.when(F.col("peak") * F.col("nseg") > F.col("tot"), bit)
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.expr("bit_or(__bit)").alias("afp"))
+    )
 
 
 def _parse_p6(b) -> tuple[int, int, int, int] | None:

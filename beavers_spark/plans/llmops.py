@@ -1235,6 +1235,226 @@ def wav_segment_stats_q(spark, sf_dir):
     )
 
 
+def _synth_neardup_wavs(spark, sf_dir):
+    """The deterministic NEAR-DUP audio corpus shared by the audio
+    fingerprint/near-dup plans — one generator so the plans and their
+    oracles' arithmetic cannot silently diverge. Doc d belongs to
+    group g = d % 40 and carries 1024 samples (64 segments of 16): a
+    square-ish wave whose per-segment amplitude is the group's
+    bimodal pattern ``a(g,k) = 100 + 900 * (((g*31 + k*17) % 97) % 2)``
+    with exactly ONE segment p = d % 64 flipped to the opposite level
+    (``1100 - a``). Same-group docs therefore share the whole energy
+    envelope except their two flipped segments — Hamming <= 2 on the
+    envelope fingerprint, the near-dup structure — while the mod-97
+    mix keeps distinct groups' envelopes ~32 bits apart. The 100/1000
+    level gap dwarfs the <= 900/64 threshold shift a single flip
+    causes, so no other bit wobbles."""
+    from beavers_spark.functions.multimodal import _le_hex, synth_wav
+
+    docs = t(spark, sf_dir, "documents")
+    g = F.pmod("doc_id", F.lit(40))
+    p = F.pmod("doc_id", F.lit(64))
+    idx = F.sequence(F.lit(0).cast("bigint"), F.lit(1023).cast("bigint"))
+
+    def samp(i):
+        k = F.floor(i / 16)
+        a = F.lit(100) + F.lit(900) * F.pmod(
+            F.pmod(g * 31 + k * 17, F.lit(97)), F.lit(2)
+        )
+        amp = F.when(k == p, F.lit(1100) - a).otherwise(a)
+        return amp * (F.lit(1) - F.pmod(i, F.lit(2)) * 2)
+
+    hexes = F.transform(
+        idx, lambda i: _le_hex(samp(i).bitwiseAND(F.lit(0xFFFF)), 2)
+    )
+    return docs.select(
+        "doc_id",
+        synth_wav(
+            F.unhex(F.array_join(hexes, "")),
+            F.lit(1), F.lit(16000), F.lit(16),
+        ).alias("payload"),
+    )
+
+
+#: per-doc envelope-amplitude arithmetic ending in ``sig(doc_id, afp)``
+#: — the oracle twin of synth corpus + segment decode + fingerprint,
+#: shared by the audio fingerprint / near-dup pairs / clusters plans
+_AUDIO_SIG_CTES = """params AS (
+        SELECT doc_id, doc_id % 40 AS g, doc_id % 64 AS p
+        FROM documents
+    ),
+    amps AS (
+        SELECT doc_id, k,
+               CASE WHEN k = p THEN 1100 - a ELSE a END AS amp
+        FROM (SELECT doc_id, p, k.i AS k,
+                     100 + 900 * (((g * 31 + k.i * 17) % 97) % 2) AS a
+              FROM params, (SELECT unnest(range(64)) AS i) k)
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN amp * 64 > tot THEN
+                        (CASE WHEN k = 63 THEN -9223372036854775808
+                              ELSE (1::BIGINT << k::INT) END)
+                   ELSE 0 END)::BIGINT AS afp
+        FROM (SELECT *, sum(amp) OVER (PARTITION BY doc_id) AS tot
+              FROM amps)
+        GROUP BY doc_id
+    )
+"""
+
+#: the envelope-fingerprint band/rank/chain candidate chain ending in
+#: ``cand(doc1, doc2, hamming)`` — shared by the audio near-dup pairs
+#: plan and its connected-components clusters plan
+_AUDIO_NEARDUP_CTES = f"""{_AUDIO_SIG_CTES},
+    bands AS (
+        SELECT doc_id, afp, b.i AS band_id,
+               (afp >> (b.i * 16)) & 65535 AS bv
+        FROM sig, (SELECT unnest(range(4)) AS i) b
+    ),
+    ranked AS (
+        SELECT doc_id, afp, band_id, bv,
+               count(*) OVER (PARTITION BY band_id, bv) AS cnt,
+               lead(doc_id) OVER (
+                   PARTITION BY band_id, bv ORDER BY doc_id
+               ) AS nxt,
+               lead(afp) OVER (
+                   PARTITION BY band_id, bv ORDER BY doc_id
+               ) AS nxt_sig
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
+        FROM (
+            SELECT a.doc_id AS doc1, b2.doc_id AS doc2,
+                   a.afp AS s1, b2.afp AS s2
+            FROM ranked a JOIN ranked b2
+              ON a.band_id = b2.band_id AND a.bv = b2.bv
+             AND a.doc_id < b2.doc_id
+            WHERE a.cnt <= 8 AND b2.cnt <= 8
+            UNION ALL
+            SELECT doc_id, nxt, afp, nxt_sig FROM ranked
+            WHERE cnt > 8 AND nxt IS NOT NULL
+        )
+    )
+"""
+
+
+@query(
+    "audio_fingerprint",
+    oracle=f"""
+    WITH {_AUDIO_SIG_CTES}
+    SELECT doc_id, afp FROM sig
+    """,
+)
+def audio_fingerprint_q(spark, sf_dir):
+    """PERCEPTUAL audio fingerprint, hash-checked end to end: build
+    the near-dup WAV corpus, decode it back into 16-sample segment
+    rows with the Arrow-batched ``wav_segment_stats`` kernel, then
+    fold the segment PEAKS into a 64-bit energy-envelope bitmap with
+    pure Column math (``wav_envelope_fingerprint``: bit k = segment
+    k's peak above the file's mean segment peak, integer-exact — the
+    audio sibling of ``ppm_ahash``). The oracle recomputes every
+    amplitude by independent arithmetic on the generator — it never
+    sees bytes, segments, or the kernel — so a build-, decode-, or
+    fold-side error on any segment fails the hash
+    (functions/multimodal.py wav_envelope_fingerprint)."""
+    from beavers_spark.functions.multimodal import (
+        wav_envelope_fingerprint,
+        wav_segment_stats,
+    )
+
+    wavs = _synth_neardup_wavs(spark, sf_dir)
+    segs = wav_segment_stats(wavs, "payload", seg_samples=16)
+    return wav_envelope_fingerprint(segs).select("doc_id", "afp")
+
+
+@query(
+    "audio_neardup",
+    oracle=f"""
+    WITH {_AUDIO_NEARDUP_CTES}
+    SELECT doc1, doc2, hamming::INT AS hamming
+    FROM cand WHERE hamming <= 3
+    """,
+)
+def audio_neardup_q(spark, sf_dir):
+    """Perceptual AUDIO near-dup — the third instantiation of the
+    banded-aHash tier (image_neardup / video_frame_neardup siblings),
+    completing the modality set: re-encoded or lightly-noised repeats
+    of a track keep the same coarse energy envelope, so their
+    ``wav_envelope_fingerprint`` bitmaps sit within a few Hamming
+    bits. Candidates come from the shared SimHash band/verify engine
+    (``hamming_pairs``: 4x16-bit pigeonhole bands, hot-bucket chain
+    cap=8 on from day one — same-group docs flood 3 of 4 band buckets
+    by construction, so the cap is EXERCISED here, not decorative —
+    popcount verify at hamming <= 3). The oracle recomputes the
+    envelope by generator arithmetic and runs the identical
+    band/rank/chain candidate generation, so the cap semantics are
+    hash-checked end to end. At 100 TB the shuffle carries (doc_id,
+    8-byte fingerprint) band rows — audio bytes never ride an
+    exchange after the one segment-decode pass."""
+    from beavers_spark.functions.dedup import hamming_pairs
+    from beavers_spark.functions.multimodal import (
+        wav_envelope_fingerprint,
+        wav_segment_stats,
+    )
+
+    wavs = _synth_neardup_wavs(spark, sf_dir)
+    segs = wav_segment_stats(wavs, "payload", seg_samples=16)
+    sig = wav_envelope_fingerprint(segs)
+    pairs = hamming_pairs(
+        sig, "doc_id", "afp", bits=64, max_hamming=3, bucket_cap=8
+    )
+    return pairs.withColumnsRenamed(
+        {"doc_id1": "doc1", "doc_id2": "doc2"}
+    )
+
+
+@query(
+    "audio_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_AUDIO_NEARDUP_CTES},
+    pairs AS (SELECT doc1, doc2 FROM cand WHERE hamming <= 3),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def audio_neardup_clusters_q(spark, sf_dir):
+    """Connected components over the perceptual audio pair graph
+    (cluster_id = min doc id in component) — keep-one-canonical-track
+    per near-dup group, the discipline an audio corpus dedup applies
+    after the pair pass. The chain pairs the hot-bucket cap emits keep
+    every flooded bucket member reachable, so capped groups still
+    collapse to one component. Spark side: the shared Pregel-style
+    min-label loop; oracle: the identical banded candidate generation
+    (shared CTE constant) + a recursive-CTE reachability closure."""
+    from beavers_spark.functions.dedup import (
+        connected_components,
+        hamming_pairs,
+    )
+    from beavers_spark.functions.multimodal import (
+        wav_envelope_fingerprint,
+        wav_segment_stats,
+    )
+
+    wavs = _synth_neardup_wavs(spark, sf_dir)
+    segs = wav_segment_stats(wavs, "payload", seg_samples=16)
+    sig = wav_envelope_fingerprint(segs)
+    pairs = hamming_pairs(
+        sig, "doc_id", "afp", bits=64, max_hamming=3, bucket_cap=8
+    ).select(
+        F.col("doc_id1").alias("doc1"), F.col("doc_id2").alias("doc2")
+    )
+    return connected_components(pairs)
+
+
 @query(
     "ppm_meta",
     oracle="""
@@ -1817,6 +2037,164 @@ def video_frame_neardup_clusters_q(spark, sf_dir):
         F.col("cluster_id").bitwiseAND(F.lit(255)).cast("int").alias(
             "cluster_frame"
         ),
+    )
+
+
+def _synth_scene_avis(spark, sf_dir):
+    """The deterministic SCENE-structured AVI corpus for the scene-cut
+    plan: doc d has 12 + d % 8 frames in 3-frame scenes — frame f's
+    bytes depend on its scene s = f // 3 through a QUADRATIC prime mix
+    (byte j = (k*k % 257) % 256 with k = (d*11 + s*29 + j*31) % 257;
+    squaring mod the prime scrambles the arithmetic progression, so
+    consecutive scenes' mean-threshold aHashes sit ~n/2 Hamming bits
+    apart — a plain linear mix leaves them a few bits apart and the
+    detector blind). Each scene's MIDDLE frame (f % 3 == 1) carries a
+    one-byte jitter (+3 on byte 5) — compression-noise-sized, <= 4
+    hash bits — so the detector's tolerance band is exercised, not
+    just its trigger. Frame size 24 + (d % 3) * 8 bytes — constant
+    per doc, so adjacent-frame hashes are always comparable."""
+    from beavers_spark.functions.multimodal import synth_avi, synth_movi
+
+    docs = t(spark, sf_dir, "documents")
+    nf = F.lit(12) + F.pmod("doc_id", F.lit(8))
+
+    def frame_bytes(f):
+        size = F.lit(24) + F.pmod("doc_id", F.lit(3)) * 8
+
+        def byte(j):
+            k = F.pmod(
+                F.col("doc_id") * 11 + F.floor(f / 3) * 29 + j * 31,
+                F.lit(257),
+            )
+            base = F.pmod(F.pmod(k * k, F.lit(257)), F.lit(256))
+            return F.when(
+                (F.pmod(f, F.lit(3)) == 1) & (j == F.lit(5)),
+                F.pmod(base + 3, F.lit(256)),
+            ).otherwise(base)
+
+        return F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("bigint"), (size - 1).cast("bigint")
+                ),
+                lambda j: F.lpad(F.hex(byte(j)), 2, "0"),
+            ),
+            "",
+        )
+
+    return docs.select(
+        "doc_id",
+        synth_avi(
+            synth_movi(nf, frame_bytes),
+            F.lit(33333), nf, F.lit(64), F.lit(48),
+        ).alias("payload"),
+    )
+
+
+@query(
+    "video_scene_cuts",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id, (12 + doc_id % 8)::BIGINT AS nf,
+               (24 + (doc_id % 3) * 8)::BIGINT AS n
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, n, unnest(generate_series(0, nf - 1)) AS f
+        FROM params
+    ),
+    ks AS (
+        SELECT doc_id, f, n, j,
+               (doc_id * 11 + (f // 3) * 29 + j * 31) % 257 AS k
+        FROM (SELECT doc_id, f, n,
+                     unnest(generate_series(0, n - 1)) AS j
+              FROM fr)
+    ),
+    bytes AS (
+        SELECT doc_id, f, n, j,
+               (CASE WHEN f % 3 = 1 AND j = 5
+                     THEN (k * k % 257 % 256 + 3) % 256
+                     ELSE k * k % 257 % 256 END)::BIGINT AS b
+        FROM ks
+    ),
+    sig AS (
+        SELECT doc_id, f,
+               sum(CASE WHEN b * n > tot
+                        THEN (1::BIGINT << j::INT) ELSE 0 END
+               )::BIGINT AS ahash
+        FROM (SELECT *, sum(b) OVER (PARTITION BY doc_id, f) AS tot
+              FROM bytes)
+        GROUP BY doc_id, f
+    ),
+    cuts AS (
+        SELECT doc_id, f,
+               CASE WHEN pv IS NULL THEN 0
+                    WHEN bit_count(xor(ahash, pv)) > 4 THEN 1
+                    ELSE 0 END AS cut
+        FROM (SELECT doc_id, f, ahash,
+                     lag(ahash) OVER (
+                         PARTITION BY doc_id ORDER BY f
+                     ) AS pv
+              FROM sig)
+    ),
+    scenes AS (
+        SELECT doc_id, f,
+               sum(cut) OVER (
+                   PARTITION BY doc_id ORDER BY f
+                   ROWS UNBOUNDED PRECEDING
+               ) AS scene_id
+        FROM cuts
+    )
+    SELECT doc_id, scene_id::BIGINT AS scene_id,
+           min(f)::INT AS start_frame, count(*)::BIGINT AS n_frames
+    FROM scenes GROUP BY doc_id, scene_id
+    """,
+)
+def video_scene_cuts_q(spark, sf_dir):
+    """SHOT/SCENE boundary detection — the segmentation pass a video
+    training pipeline runs before per-scene frame sampling (the scene
+    table IS the sample: ``start_frame`` is each scene's
+    representative frame). A cut is declared between adjacent frames
+    whose perceptual aHashes (``avi_frames``' mean-threshold bitmap,
+    decoded once from the payload) differ by more than 4 Hamming bits;
+    ``scene_id`` is the running cut count (a lag + bit_count(xor) +
+    cumulative-sum window chain, JVM-side end to end after the one
+    decode pass), and scenes aggregate to (start_frame, n_frames)
+    rows. The window partitions by doc_id — per-video state never
+    crosses documents, so the plan scales with the corpus, not the
+    longest video. The corpus makes BOTH sides of the threshold real:
+    scene boundaries sit ~n/2 bits apart (detected), the middle frame
+    of every scene carries a compression-noise-sized jitter of <= 4
+    bits (tolerated — never a false cut). The oracle recomputes every
+    frame hash from the scene generator's byte arithmetic and runs
+    the identical lag/threshold/cumsum chain — it never sees bytes or
+    the kernel (functions/multimodal.py avi_frames)."""
+    from pyspark.sql import Window
+
+    from beavers_spark.functions.multimodal import avi_frames
+
+    frames = avi_frames(
+        _synth_scene_avis(spark, sf_dir), "payload"
+    ).select("doc_id", "frame_idx", "ahash")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("ahash").over(w)
+    cut = (
+        F.when(prev.isNull(), F.lit(0))
+        .otherwise(
+            (
+                F.bit_count(F.col("ahash").bitwiseXOR(prev)) > 4
+            ).cast("int")
+        )
+    )
+    scenes = frames.withColumn("cut", cut).withColumn(
+        "scene_id",
+        F.sum("cut").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return scenes.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.count("*").alias("n_frames"),
     )
 
 

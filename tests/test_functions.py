@@ -1181,3 +1181,47 @@ def test_ppm_ahash_duplicate_invariance_and_hostiles(spark):
     assert got[3] is None and got[4] is None
     diff = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
     assert 0 < diff <= 3, diff
+
+
+def test_wav_envelope_fingerprint_bits_and_fold(spark):
+    """wav_envelope_fingerprint: bit k set iff segment k's peak beats
+    the file mean — including bit 63, whose two's-complement value a
+    sum()/max() fold would silently drop (it must ride bit_or) — and
+    segments past ``bits`` fold in modulo, leaving earlier bits set."""
+    from beavers_spark.functions.multimodal import (
+        wav_envelope_fingerprint,
+    )
+
+    rows = []
+    # doc 0: 64 segments, peaks 100 except segs 0 and 63 at 1000
+    for k in range(64):
+        rows.append((0, k, 1000 if k in (0, 63) else 100))
+    # doc 1: 65 segments — seg 64 (folds onto bit 0) is the only high
+    for k in range(65):
+        rows.append((1, k, 1000 if k == 64 else 100))
+    df = spark.createDataFrame(rows, "doc_id long, seg_idx int, peak long")
+    got = {r.doc_id: r.afp for r in wav_envelope_fingerprint(df).collect()}
+    want0 = (1 | (1 << 63)) - (1 << 64)  # bit 63 is negative in int64
+    assert got[0] == want0, got[0]
+    assert got[1] == 1, got[1]
+
+
+def test_wav_envelope_fingerprint_duplicate_invariance(spark):
+    """Identical envelopes fingerprint identically; one flipped segment
+    moves the fingerprint by exactly one Hamming bit (the near-dup
+    property audio_neardup's banded tier relies on)."""
+    from beavers_spark.functions.multimodal import (
+        wav_envelope_fingerprint,
+    )
+
+    base = [1000 if k % 3 == 0 else 100 for k in range(64)]
+    mut = list(base)
+    mut[7] = 1000  # was 100: flips bit 7 only (gap >> threshold shift)
+    rows = []
+    for d, peaks in ((0, base), (1, base), (2, mut)):
+        rows += [(d, k, p) for k, p in enumerate(peaks)]
+    df = spark.createDataFrame(rows, "doc_id long, seg_idx int, peak long")
+    got = {r.doc_id: r.afp for r in wav_envelope_fingerprint(df).collect()}
+    assert got[0] == got[1]
+    diff = (got[0] ^ got[2]) & ((1 << 64) - 1)
+    assert diff == 1 << 7, hex(diff)

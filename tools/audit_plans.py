@@ -624,6 +624,32 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BatchEvalPython",
          r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
     ],
+    "audio_fingerprint": [
+        # one Arrow-batched segment decode, map-side segment explode,
+        # then pure Column folds (window sum + bit_or) — never a
+        # second decode, a join, or a row-at-a-time UDF
+        [r"ArrowEvalPython", r"Generate", r"Window", r"Scan parquet"],
+        [r"Join", r"CartesianProduct", r"BatchEvalPython"],
+    ],
+    "audio_neardup": [
+        # same contract as image_neardup, audio instantiation: one
+        # Arrow-batched decode, map-side band fan-out, rank/chain
+        # window on the band key, payload pruned before any exchange
+        [r"ArrowEvalPython", r"Generate",
+         r"hashpartitioning\(band_id", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython",
+         r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
+    ],
+    "video_scene_cuts": [
+        # decode + map-side frame fan-out, then the lag/cumsum windows
+        # partitioned per doc — exactly one hash exchange key
+        # (doc_id), never a join, and the payload column pruned
+        # before it
+        [r"ArrowEvalPython", r"Generate",
+         r"hashpartitioning\(doc_id", r"Window"],
+        [r"Join", r"CartesianProduct", r"BatchEvalPython",
+         r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
+    ],
     "video_frame_dedup": [
         # decode + map-side fan-out, then ONE hash exchange on the
         # frame content key feeding the ownership window — and the

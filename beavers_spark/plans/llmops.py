@@ -1239,20 +1239,29 @@ def _synth_neardup_wavs(spark, sf_dir):
     """The deterministic NEAR-DUP audio corpus shared by the audio
     fingerprint/near-dup plans — one generator so the plans and their
     oracles' arithmetic cannot silently diverge. Doc d belongs to
-    group g = d % 40 and carries 1024 samples (64 segments of 16): a
+    group g = d // 12 and carries 1024 samples (64 segments of 16): a
     square-ish wave whose per-segment amplitude is the group's
     bimodal pattern ``a(g,k) = 100 + 900 * (((g*31 + k*17) % 97) % 2)``
     with exactly ONE segment p = d % 64 flipped to the opposite level
     (``1100 - a``). Same-group docs therefore share the whole energy
-    envelope except their two flipped segments — Hamming <= 2 on the
-    envelope fingerprint, the near-dup structure — while the mod-97
-    mix keeps distinct groups' envelopes ~32 bits apart. The 100/1000
-    level gap dwarfs the <= 900/64 threshold shift a single flip
-    causes, so no other bit wobbles."""
+    envelope except their two flipped segments — Hamming exactly 2 on
+    the envelope fingerprint (a 12-block's flip positions are 12
+    CONSECUTIVE values mod 64, always distinct), the near-dup
+    structure — while the mod-97 mix keeps distinct groups' envelopes
+    ~32 bits apart. The 100/1000 level gap dwarfs the <= 900/64
+    threshold shift a single flip causes, so no other bit wobbles.
+    Groups are fixed-size id BLOCKS, not residue classes (d % G):
+    group COUNT scales with the corpus while component size — and so
+    the clusters plan's label-propagation diameter and the oracle's
+    reachability closure — stays O(12) at every scale factor; a
+    residue-class design grows O(corpus/G)-diameter chain components
+    under the hot-bucket cap and both engines crawl. Block size 12 >
+    bucket_cap 8 keeps the cap exercised (a group floods its 3
+    shared band buckets past the cap, so chains appear)."""
     from beavers_spark.functions.multimodal import _le_hex, synth_wav
 
     docs = t(spark, sf_dir, "documents")
-    g = F.pmod("doc_id", F.lit(40))
+    g = F.floor(F.col("doc_id") / 12)
     p = F.pmod("doc_id", F.lit(64))
     idx = F.sequence(F.lit(0).cast("bigint"), F.lit(1023).cast("bigint"))
 
@@ -1280,7 +1289,7 @@ def _synth_neardup_wavs(spark, sf_dir):
 #: — the oracle twin of synth corpus + segment decode + fingerprint,
 #: shared by the audio fingerprint / near-dup pairs / clusters plans
 _AUDIO_SIG_CTES = """params AS (
-        SELECT doc_id, doc_id % 40 AS g, doc_id % 64 AS p
+        SELECT doc_id, doc_id // 12 AS g, doc_id % 64 AS p
         FROM documents
     ),
     amps AS (

@@ -40,6 +40,7 @@ from beavers_spark.streaming.frame_dedup import (  # noqa: F401
     IncrementalFrameDedup,
 )
 from beavers_spark.streaming.frame_neardup import (  # noqa: F401
+    IncrementalAudioNearDedup,
     IncrementalFrameNearDedup,
 )
 from beavers_spark.streaming.substring_dedup import (  # noqa: F401

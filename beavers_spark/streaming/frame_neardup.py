@@ -311,6 +311,22 @@ class IncrementalFrameNearDedup:
             f"{self.pairs_path}/w={batch_id}"
         )
 
+    def _decode_sig(self, batch: DataFrame) -> DataFrame:
+        """Batch payloads -> one signature row per comparable unit:
+        ``(doc_id, frame_idx, n_bytes, ahash)``. The ONLY
+        modality-specific step in the kernel — everything downstream
+        (wave write, band registry, Bloom probe, capped cross join,
+        compaction) operates on this schema alone, so subclasses swap
+        the decode to reuse the whole incremental machinery (see
+        ``IncrementalAudioNearDedup``)."""
+        sig = avi_frames(
+            batch.select(
+                F.col(self.id_col).alias("doc_id"), self.payload_col
+            ),
+            self.payload_col,
+        )
+        return sig.select("doc_id", "frame_idx", "n_bytes", "ahash")
+
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df
@@ -338,12 +354,7 @@ class IncrementalFrameNearDedup:
         # spread a NARROW batch before the decode fan-out; conditional
         # so a well-partitioned batch skips the payload exchange
         batch = fanout_repartition(batch, probe=batch_df)
-        sig = avi_frames(
-            batch.select(
-                F.col(self.id_col).alias("doc_id"), self.payload_col
-            ),
-            self.payload_col,
-        ).select("doc_id", "frame_idx", "n_bytes", "ahash")
+        sig = self._decode_sig(batch)
 
         # the sig-wave write is the decode's ONE materialization
         # barrier: band rows, the within-batch join and the bitmap all
@@ -487,3 +498,50 @@ class IncrementalFrameNearDedup:
                 f"{self.pairs_path}/w={batch_id}"
             )
         self._watermark.mark(batch_id)
+
+
+class IncrementalAudioNearDedup(IncrementalFrameNearDedup):
+    """``foreachBatch`` callable maintaining corpus-wide perceptual
+    AUDIO near-dup pairs over WAV payload columns — the audio
+    instantiation of the frame kernel: ``_decode_sig`` swaps the RIFF
+    frame walk for the ``wav_segment_stats`` decode +
+    ``wav_envelope_fingerprint`` fold (one Arrow-batched pass per
+    track, then pure Column math), and every other stage — wave-
+    partitioned band registry, Bloom-pruned broadcast probe with the
+    executor-side over-cap path, hot-bucket chain cap, auto-compaction
+    — is inherited untouched.
+
+    One signature row per TRACK: ``frame_idx`` is always 0 and
+    ``n_bytes`` a constant class (the envelope fingerprint keeps all
+    ``bits`` bits live regardless of duration via its modulo fold, so
+    cross-duration comparison is valid and no length grouping is
+    wanted — unlike frames, where hash width tracks byte length).
+    ``read_pairs(spark)`` therefore yields
+    ``(doc1, 0, doc2, 0, hamming)`` — one row per near-dup track
+    pair.
+
+    ``seg_samples`` is the envelope resolution (samples per segment;
+    None = the file's sample rate, one-second windows)."""
+
+    def __init__(self, *args, seg_samples: int | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.seg_samples = seg_samples
+
+    def _decode_sig(self, batch: DataFrame) -> DataFrame:
+        from beavers_spark.functions.multimodal import (
+            wav_envelope_fingerprint,
+            wav_segment_stats,
+        )
+
+        wavs = batch.select(
+            F.col(self.id_col).alias("doc_id"), self.payload_col
+        )
+        segs = wav_segment_stats(
+            wavs, self.payload_col, seg_samples=self.seg_samples
+        )
+        return wav_envelope_fingerprint(segs, bits=self.bits).select(
+            "doc_id",
+            F.lit(0).cast("int").alias("frame_idx"),
+            F.lit(0).cast("bigint").alias("n_bytes"),
+            F.col("afp").alias("ahash"),
+        )

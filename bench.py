@@ -779,6 +779,58 @@ def _inc_frame_neardup(
     return n, metrics
 
 
+def _inc_audio_neardup(
+    spark, sf_dir: str, workdir: str
+) -> tuple[int, dict]:
+    """PERCEPTUAL audio near-dup as a stream — the audio instantiation
+    of the frame kernel (IncrementalAudioNearDedup: per wave, one
+    Arrow-batched segment decode + the pure-Column envelope fold, one
+    64-bit signature per TRACK, then the inherited band registry /
+    Bloom probe / capped cross join). The near-dup WAV corpus floods
+    band buckets by construction (same-group docs share 3 of 4
+    bands), so bucket_cap=8 is load-bearing; bloom_min_waves=2 keeps
+    the probe ON the clock from wave 2 — no benched-off machinery
+    (the r9 frame-kernel lesson applied from day one)."""
+    from beavers_spark.plans.llmops import _synth_neardup_wavs
+    from beavers_spark.streaming import IncrementalAudioNearDedup
+
+    nd = IncrementalAudioNearDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "pairs"),
+        seg_samples=16,
+        bloom_min_waves=2,
+        bucket_cap=8,
+    )
+    wavs = _synth_neardup_wavs(spark, sf_dir)
+    # wave by 8-doc BLOCK: the corpus's 12-doc near-dup groups then
+    # straddle wave boundaries, so the cross-batch probe has real
+    # pairs to find (pmod(doc_id, _WAVES) would interleave groups
+    # across every wave instead — also fine — but block-split mirrors
+    # how an append-only ingest actually arrives: contiguous id runs)
+    wave_of = F.pmod(F.floor(F.col("doc_id") / 8), F.lit(_WAVES))
+    for i in range(_WAVES):
+        nd(wavs.filter(wave_of == i), i)
+    n = nd.read_pairs(spark).count()
+    cross = (
+        nd.read_pairs(spark)
+        .filter(
+            F.pmod(F.floor(F.col("doc1") / 8), F.lit(_WAVES))
+            != F.pmod(F.floor(F.col("doc2") / 8), F.lit(_WAVES))
+        )
+        .count()
+    )
+    _require(cross > 0, "no cross-batch pairs — probe found nothing")
+    metrics = _kernel_metrics(
+        probes=nd.probe_metrics,
+        phases=nd.phase_seconds,
+        bloom=nd._bloom,
+    )
+    _require(metrics["probe_batches"] > 0, "Bloom gate never opened")
+    _require(metrics["probe_waves_total"] > 0, "no prior waves probed")
+    _require(n > 0, "the corpus must contain near-dup tracks")
+    return n, metrics
+
+
 def _inc_classifier_capped(
     spark, sf_dir: str, workdir: str
 ) -> tuple[int, dict]:
@@ -890,6 +942,7 @@ INCREMENTAL = [
     ("inc_frame_dedup", _inc_frame_dedup),
     ("inc_frame_dedup_probed", _inc_frame_dedup_probed),
     ("inc_frame_neardup", _inc_frame_neardup),
+    ("inc_audio_neardup", _inc_audio_neardup),
 ]
 
 

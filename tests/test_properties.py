@@ -495,3 +495,76 @@ def test_wav_round_trip_matches_struct_pack_model(spark, rows):
         assert (r.channels, r.sample_rate, r.bits_per_sample) == (c, s, b)
         assert r.n_bytes == 44 + len(d)
         assert r.duration_ms == len(d) * 1000 // (s * c * (b // 8))
+
+
+sigs_strategy = st.lists(
+    st.integers(-(1 << 63), (1 << 63) - 1),
+    min_size=2,
+    max_size=24,
+)
+
+
+@_SETTINGS
+@given(sigs=sigs_strategy, max_hamming=st.sampled_from([1, 3]))
+def test_hamming_pairs_uncapped_matches_brute_force(
+    spark, sigs, max_hamming
+):
+    """Uncapped hamming_pairs == brute-force popcount over all pairs:
+    the pigeonhole banding must be a pure OPTIMIZATION — every pair
+    within the Hamming budget agrees on >= 1 whole band, so no pair
+    is lost, and the XOR-popcount verify admits no pair outside it.
+    Random 64-bit signatures (including negatives: bit 63 rides the
+    sign) over both band layouts (2 and 4 bands)."""
+    from beavers_spark.functions.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, sig long"
+    )
+    got = {
+        (r.doc_id1, r.doc_id2, r.hamming)
+        for r in hamming_pairs(
+            df, "doc_id", "sig", bits=64, max_hamming=max_hamming
+        ).collect()
+    }
+    mask = (1 << 64) - 1
+    want = set()
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            h = bin((a ^ sigs[j]) & mask).count("1")
+            if h <= max_hamming:
+                want.add((i, j, h))
+    assert got == want
+
+
+@_SETTINGS
+@given(sigs=sigs_strategy)
+def test_hamming_pairs_capped_is_verified_and_connected(spark, sigs):
+    """Capped hamming_pairs: every emitted pair is a TRUE pair (the
+    popcount verify runs on chain candidates too), and every doc that
+    has an uncapped partner keeps at least one emitted edge into its
+    component (the clustering-reachability contract the cap
+    guarantees) — checked for the identical-signature flood case the
+    cap exists for, plus whatever hypothesis generates."""
+    from beavers_spark.functions.dedup import hamming_pairs
+
+    # force a flood: half the docs share signature sigs[0]
+    all_sigs = sigs + [sigs[0]] * len(sigs)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(all_sigs)], "doc_id long, sig long"
+    )
+    got = {
+        (r.doc_id1, r.doc_id2, r.hamming)
+        for r in hamming_pairs(
+            df, "doc_id", "sig", bits=64, max_hamming=3, bucket_cap=2
+        ).collect()
+    }
+    mask = (1 << 64) - 1
+    for d1, d2, h in got:
+        assert bin((all_sigs[d1] ^ all_sigs[d2]) & mask).count("1") == h
+        assert h <= 3
+    # reachability: union-find over emitted edges must put every
+    # identical-signature doc in one component
+    comp = _union_find_components([(a, b) for a, b, _h in got]) if got else {}
+    flood = [i for i, s in enumerate(all_sigs) if s == sigs[0]]
+    roots = {comp.get(i, i) for i in flood}
+    assert len(roots) == 1, f"flood split into {len(roots)} components"

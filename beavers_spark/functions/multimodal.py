@@ -782,6 +782,81 @@ def ppm_resize(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
     )
 
 
+def wav_resample(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
+    """Integer-factor DECIMATION of 16-bit PCM WAV payloads — the
+    audio analog of ``ppm_resize``: output sample i is input sample
+    ``i*f`` (numpy strided slice, no anti-alias filter — naive
+    decimation, stated plainly), the header's sample rate divides by
+    ``f`` (duration is preserved; ``max(rate // f, 1)``), and the
+    result is itself a canonical PCM WAV, so kernels CHAIN (decode ->
+    resample -> ``wav_stats`` is the plans' hash-checked pipeline).
+    Adds ``resampled`` (binary, NULL on non-PCM/hostile payloads or
+    f < 1) and ``out_rate``. The RIFF chunk list is walked
+    (``_wav_pcm_data``), so non-canonical layouts decode.
+
+    MONO contract: samples are decimated as one stream, so a stereo
+    payload's interleaved channels would mix (extend ``_wav_pcm_data``
+    to return the channel count before lifting this); the output
+    header is stamped mono accordingly.
+
+    Arrow-batched pandas UDF; per blob the selection is one numpy
+    strided slice (``v[::f]``), never a per-sample loop. Pure
+    projection — no shuffle; at 100 TB the binary column rides the
+    scan and nothing else."""
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import _cached_udf
+
+    def _build():
+        @F.pandas_udf("struct<resampled:binary,out_rate:int>")
+        def _rs(p: pd.Series, fs: pd.Series) -> pd.DataFrame:
+            import struct as _struct
+
+            import numpy as np
+
+            rz: list = []
+            orate: list = []
+            for b, f in zip(p, fs):
+                loc = _wav_pcm_data(b)
+                f = int(f) if f is not None else 0
+                if loc is None or f < 1:
+                    rz.append(None)
+                    orate.append(None)
+                    continue
+                off, dlen, rate = loc
+                raw = bytes(b[off : off + dlen])
+                v = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+                out = np.ascontiguousarray(v[::f])
+                new_rate = max(rate // f, 1)
+                data = out.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + _struct.pack(
+                        "<IHHIIHH",
+                        16, 1, 1, new_rate, new_rate * 2, 2, 16,
+                    )
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                )
+                rz.append(hdr + data)
+                orate.append(new_rate)
+            return pd.DataFrame({"resampled": rz, "out_rate": orate})
+
+        return _rs
+
+    s = _cached_udf(("wav_resample",), _build)(
+        F.col(payload_col), factor_col.cast("int")
+    )
+    return (
+        df.withColumn("__wr", s)
+        .withColumn("resampled", F.col("__wr.resampled"))
+        .withColumn("out_rate", F.col("__wr.out_rate"))
+        .drop("__wr")
+    )
+
+
 def ppm_meta(df: DataFrame, payload_col: str) -> DataFrame:
     """Decode binary P6 PPM headers ('P6\\n<width> <height>\\n<maxval>\\n')
     from a binary column: the ASCII header rides in the first bytes, so

@@ -1235,6 +1235,83 @@ def wav_segment_stats_q(spark, sf_dir):
     )
 
 
+@query(
+    "wav_resample",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id, (50 + doc_id % 50)::BIGINT AS n,
+               (2 + doc_id % 3)::BIGINT AS f
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, f, i,
+               ((doc_id * 31 + i * f * 7) % 2001 - 1000)::DOUBLE AS v
+        FROM (SELECT doc_id, f,
+                     unnest(generate_series(0, (n + f - 1) // f - 1))
+                         AS i
+              FROM params)
+    ),
+    lagged AS (
+        SELECT doc_id, f, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM kept
+    )
+    SELECT doc_id, (16000 // f)::INT AS out_rate,
+           count(*)::BIGINT AS n_samples,
+           max(abs(v))::BIGINT AS peak,
+           round(sqrt(avg(v * v)), 6) AS rms,
+           coalesce(
+               sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END), 0
+           )::BIGINT AS zcr
+    FROM lagged GROUP BY doc_id, f
+    """,
+)
+def wav_resample_q(spark, sf_dir):
+    """A REAL audio resample, hash-checked through a CHAIN of payload
+    kernels (the audio sibling of ``ppm_resize``'s decode ->
+    transform -> feature-extract pipeline): build the deterministic
+    16-bit PCM payloads, decimate each by a per-doc factor
+    (``wav_resample`` — numpy strided slice, output is itself a
+    canonical PCM WAV with the rate divided so duration is
+    preserved), then run ``wav_stats`` on the RESAMPLED binary. The
+    oracle recomputes which input samples survive (positions i*f) and
+    their stats — including the zero-crossing count on the DECIMATED
+    sequence, which differs from the input's — by independent
+    arithmetic; it never sees bytes on either side of the chain
+    (functions/multimodal.py wav_resample)."""
+    from beavers_spark.functions.multimodal import (
+        _le_hex,
+        synth_wav,
+        wav_resample,
+        wav_stats,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    n = F.lit(50) + F.pmod("doc_id", F.lit(50))
+    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
+    samp = F.transform(
+        idx,
+        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
+        - 1000,
+    )
+    hexes = F.transform(
+        samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
+    )
+    wavs = docs.select(
+        "doc_id",
+        synth_wav(
+            F.unhex(F.array_join(hexes, "")),
+            F.lit(1), F.lit(16000), F.lit(16),
+        ).alias("payload"),
+    )
+    rs = wav_resample(
+        wavs, "payload", F.lit(2) + F.pmod("doc_id", F.lit(3))
+    ).select("doc_id", "out_rate", "resampled")
+    return wav_stats(rs, "resampled").select(
+        "doc_id", "out_rate", "n_samples", "peak", "rms", "zcr"
+    )
+
+
 def _synth_neardup_wavs(spark, sf_dir):
     """The deterministic NEAR-DUP audio corpus shared by the audio
     fingerprint/near-dup plans — one generator so the plans and their

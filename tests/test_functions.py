@@ -1225,3 +1225,54 @@ def test_wav_envelope_fingerprint_duplicate_invariance(spark):
     assert got[0] == got[1]
     diff = (got[0] ^ got[2]) & ((1 << 64) - 1)
     assert diff == 1 << 7, hex(diff)
+
+
+def test_wav_resample_round_trip_and_hostiles(spark):
+    """wav_resample: the decimated payload must be a REAL WAV (stdlib
+    `wave` parses it back: mono, 16-bit, rate // f), its samples must
+    equal the numpy strided-slice model, and hostile / f<1 inputs
+    yield NULLs."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import synth_wav, wav_resample
+
+    vals = [((7 * i) % 501) - 250 for i in range(60)]
+    data = b"".join(struct.pack("<h", v) for v in vals)
+    built = spark.range(1).select(
+        F.lit(0).alias("doc_id"),
+        synth_wav(
+            F.lit(data), F.lit(1), F.lit(8000), F.lit(16)
+        ).alias("payload"),
+        F.lit(3).alias("f"),
+    )
+    hostile = spark.createDataFrame(
+        [(1, bytearray(b"not a wav"), 2), (2, None, 2), (3, None, 0)],
+        "doc_id long, payload binary, f int",
+    )
+    got = {
+        r.doc_id: r
+        for r in wav_resample(
+            built.unionByName(
+                hostile.withColumn(
+                    "payload", F.col("payload").cast("binary")
+                )
+            ),
+            "payload",
+            F.col("f"),
+        ).collect()
+    }
+    assert got[1].resampled is None and got[2].resampled is None
+    assert got[3].resampled is None  # f < 1 on a fine payload row
+    out = bytes(got[0].resampled)
+    with wave_mod.open(io.BytesIO(out)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 8000 // 3
+        frames = w.readframes(w.getnframes())
+    want = np.array(vals, dtype="<i2")[::3]
+    assert np.array_equal(np.frombuffer(frames, dtype="<i2"), want)
+    assert got[0].out_rate == 8000 // 3

@@ -624,6 +624,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BatchEvalPython",
          r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
     ],
+    "wav_resample": [
+        # the decode -> decimate -> stats CHAIN stays a straight-line
+        # projection pipeline: Arrow-batched UDFs, no shuffle, no join
+        [r"ArrowEvalPython", r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
+    ],
     "audio_fingerprint": [
         # one Arrow-batched segment decode, map-side segment explode,
         # then pure Column folds (window sum + bit_or) — never a

@@ -42,6 +42,7 @@ from beavers_spark.streaming.frame_dedup import (  # noqa: F401
 from beavers_spark.streaming.frame_neardup import (  # noqa: F401
     IncrementalAudioNearDedup,
     IncrementalFrameNearDedup,
+    IncrementalImageNearDedup,
 )
 from beavers_spark.streaming.substring_dedup import (  # noqa: F401
     IncrementalSubstringDedup,

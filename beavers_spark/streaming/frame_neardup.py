@@ -545,3 +545,36 @@ class IncrementalAudioNearDedup(IncrementalFrameNearDedup):
             F.lit(0).cast("bigint").alias("n_bytes"),
             F.col("afp").alias("ahash"),
         )
+
+
+class IncrementalImageNearDedup(IncrementalFrameNearDedup):
+    """``foreachBatch`` callable maintaining corpus-wide perceptual
+    IMAGE near-dup pairs over P6 PPM payload columns — the third
+    modality on the same kernel: ``_decode_sig`` swaps the RIFF frame
+    walk for ``ppm_ahash`` (one Arrow-batched sampled-aHash pass per
+    image), and the wave registry / Bloom probe / hot-bucket cap /
+    auto-compaction stages are inherited untouched.
+
+    One signature row per IMAGE: ``frame_idx`` is always 0 and
+    ``n_bytes`` a constant class (all 64 aHash bits are live for any
+    image with >= 64 pixels — the strided sampling's cross-size
+    comparison property — so no length grouping is wanted).
+    Non-P6 payloads hash NULL and are dropped (filter-then-decode);
+    ``read_pairs(spark)`` yields ``(doc1, 0, doc2, 0, hamming)``."""
+
+    def _decode_sig(self, batch: DataFrame) -> DataFrame:
+        from beavers_spark.functions.multimodal import ppm_ahash
+
+        imgs = batch.select(
+            F.col(self.id_col).alias("doc_id"), self.payload_col
+        )
+        return (
+            ppm_ahash(imgs, self.payload_col)
+            .filter(F.col("ahash").isNotNull())
+            .select(
+                "doc_id",
+                F.lit(0).cast("int").alias("frame_idx"),
+                F.lit(0).cast("bigint").alias("n_bytes"),
+                "ahash",
+            )
+        )

@@ -107,6 +107,30 @@ bad = segs.join(whole, "doc_id").filter(
 ).count()
 assert bad == 0
 
+# REAL resample: decimate every track 2x (output is itself a canonical
+# WAV at half the rate, so the stats kernel re-decodes it) — kept
+# sample counts are ceil(n/2), and no decimation can raise the peak
+from beavers_spark.functions.multimodal import wav_resample  # noqa: E402
+
+rs = wav_resample(wavs, "payload", F.lit(2))
+rs_stats = wav_stats(
+    rs.select("doc_id", "out_rate", "resampled"), "resampled"
+)
+chk = (
+    rs_stats.join(
+        audio.select("doc_id", F.col("n_samples").alias("in_n"),
+                     F.col("peak").alias("in_peak")),
+        "doc_id",
+    )
+    .filter(
+        (F.col("out_rate") != 8000)
+        | (F.col("n_samples") != F.ceil(F.col("in_n") / 2))
+        | (F.col("peak") > F.col("in_peak"))
+    )
+    .count()
+)
+assert chk == 0
+
 # --- images: P6 PPMs -> header decode -> pixel stats -> REAL resize --
 w = (8 + F.pmod("doc_id", F.lit(8))).cast("bigint")
 h = F.lit(8).cast("bigint")
@@ -244,7 +268,7 @@ n_scenes = scenes.count()
 assert N <= n_scenes <= n_frames  # >= 1 scene per video, <= 1 per frame
 
 print(
-    f"media pipeline: {a0} wavs decoded ({n_segs} audio segments, "
+    f"media pipeline: {a0} wavs decoded+resampled ({n_segs} audio segments, "
     f"{n_tracks} envelope fingerprints), "
     f"{N} ppms resized+re-decoded, {n_frames} frames extracted, "
     f"{dups} duplicate frames, {uniq} unique, "

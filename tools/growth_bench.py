@@ -82,11 +82,52 @@ def synth_corpus(spark, sf_dir: str, out_dir: str, n_waves: int) -> int:
     return spark.read.parquet(out_dir).count()
 
 
+def _avi_payloads(batch):
+    """(doc_id, payload) frame-AVI batch from a (doc_id, text) one —
+    the bench/_synth_frame_avis generator shape (3-8 frames of 20-36
+    bytes, byte j = (d*11 + f*13 + j) % 256) over the growth corpus's
+    remapped ids: 256*5 content classes, so frames duplicate heavily
+    across copies — the regime the frame registry exists for."""
+    from beavers_spark.functions.multimodal import synth_avi, synth_movi
+
+    nf = 3 + F.pmod("doc_id", F.lit(6))
+
+    def frame_bytes(f):
+        size = F.lit(20) + F.pmod(f, F.lit(5)) * 4
+        return F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("bigint"), (size - 1).cast("bigint")
+                ),
+                lambda j: F.lpad(
+                    F.hex(
+                        F.pmod(
+                            F.col("doc_id") * 11 + f * 13 + j,
+                            F.lit(256),
+                        )
+                    ),
+                    2,
+                    "0",
+                ),
+            ),
+            "",
+        )
+
+    return batch.select(
+        "doc_id",
+        synth_avi(
+            synth_movi(nf, frame_bytes),
+            F.lit(33333), nf, F.lit(64), F.lit(48),
+        ).alias("payload"),
+    )
+
+
 def run_kernel(
     spark, name: str, corpus_dir: str, n_waves: int, compact_every=None
 ) -> dict:
     from beavers_spark.streaming import (
         IncrementalChunkDedup,
+        IncrementalFrameNearDedup,
         IncrementalNearDedup,
         IncrementalSubstringDedup,
     )
@@ -104,6 +145,16 @@ def run_kernel(
                 os.path.join(wd, "state"), os.path.join(wd, "out"),
                 text_col="text", id_col="doc_id", k=10, **kw,
             )
+        elif name == "frame":
+            # the MEDIA-tier growth evidence: per-wave payload decode
+            # is batch-sized by construction; what could grow is the
+            # band-registry probe — the default bloom_min_waves=8
+            # gate opens mid-run, so the same table shows cost before
+            # the probe, at gate-open (lazy backfill), and after
+            kern = IncrementalFrameNearDedup(
+                os.path.join(wd, "state"), os.path.join(wd, "pairs"),
+                bucket_cap=8, **kw,
+            )
         else:
             kern = IncrementalSubstringDedup(
                 os.path.join(wd, "state"), os.path.join(wd, "out"),
@@ -120,6 +171,8 @@ def run_kernel(
             batch = corpus.filter(F.col("wave") == i).select(
                 "doc_id", "text"
             )
+            if name == "frame":
+                batch = _avi_payloads(batch)
             total_rows += batch.count()
             t0 = time.perf_counter()
             kern(batch, i)

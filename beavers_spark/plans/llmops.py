@@ -1312,6 +1312,120 @@ def wav_resample_q(spark, sf_dir):
     )
 
 
+@query(
+    "audio_activity",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id, (50 + doc_id % 50)::BIGINT AS n FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, i,
+               ((doc_id * 31 + i * 7) % 2001 - 1000)::BIGINT AS v
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, n - 1)) AS i
+              FROM params)
+    ),
+    segs AS (
+        SELECT doc_id, (i // 16)::INT AS seg_idx,
+               max(abs(v)) AS peak
+        FROM samples GROUP BY doc_id, i // 16
+    ),
+    flagged AS (
+        SELECT doc_id, seg_idx,
+               CASE WHEN peak > 700 THEN 1 ELSE 0 END AS active
+        FROM segs
+    ),
+    islands AS (
+        SELECT doc_id, active,
+               seg_idx - row_number() OVER (
+                   PARTITION BY doc_id, active ORDER BY seg_idx
+               ) AS grp
+        FROM flagged
+    ),
+    runs AS (
+        SELECT doc_id, count(*) AS run_len
+        FROM islands WHERE active = 1 GROUP BY doc_id, grp
+    )
+    SELECT f.doc_id, count(*)::BIGINT AS n_segments,
+           sum(f.active)::BIGINT AS active_segments,
+           round(sum(f.active)::DOUBLE / count(*), 6)
+               AS activity_ratio,
+           coalesce(max(r.max_run), 0)::BIGINT AS longest_run
+    FROM flagged f
+    LEFT JOIN (SELECT doc_id, max(run_len) AS max_run
+               FROM runs GROUP BY doc_id) r
+      ON f.doc_id = r.doc_id
+    GROUP BY f.doc_id
+    """,
+)
+def audio_activity_q(spark, sf_dir):
+    """Energy-gated ACTIVITY profile per track — the audio quality
+    filter a speech/music ingest runs before keeping a clip (silence
+    and hiss-only tracks waste tokens): decode the wav_stats corpus
+    into 16-sample segments, flag each segment ACTIVE when its peak
+    clears an integer threshold (peak > 700 — integer-exact, so the
+    oracle reproduces the gate bit for bit; an RMS gate would compare
+    rounded floats at the boundary), and emit per-doc segment count,
+    active count, activity ratio, and the LONGEST consecutive active
+    run — the gaps-and-islands window idiom (seg_idx - row_number
+    within activity class), all JVM-side after the one decode pass
+    and partitioned per doc. The oracle recomputes every segment peak
+    from the sample generator and runs the identical island chain
+    (functions/multimodal.py wav_segment_stats)."""
+    from pyspark.sql import Window
+
+    from beavers_spark.functions.multimodal import (
+        _le_hex,
+        synth_wav,
+        wav_segment_stats,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    n = F.lit(50) + F.pmod("doc_id", F.lit(50))
+    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
+    samp = F.transform(
+        idx,
+        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
+        - 1000,
+    )
+    hexes = F.transform(
+        samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
+    )
+    wavs = docs.select(
+        "doc_id",
+        synth_wav(
+            F.unhex(F.array_join(hexes, "")),
+            F.lit(1), F.lit(16000), F.lit(16),
+        ).alias("payload"),
+    )
+    segs = wav_segment_stats(wavs, "payload", seg_samples=16).select(
+        "doc_id", "seg_idx", "peak"
+    )
+    flagged = segs.withColumn(
+        "active", (F.col("peak") > 700).cast("int")
+    )
+    wisl = Window.partitionBy("doc_id", "active").orderBy("seg_idx")
+    islands = flagged.withColumn(
+        "grp", F.col("seg_idx") - F.row_number().over(wisl)
+    )
+    # run length via a window count over the island key — keeps the
+    # whole profile ONE doc-keyed aggregation (no join), and every
+    # window here shares the doc_id hash partitioning: one exchange
+    wrun = Window.partitionBy("doc_id", "active", "grp")
+    runs = islands.withColumn("run_len", F.count("*").over(wrun))
+    return runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("active").alias("active_segments"),
+        F.round(
+            F.sum("active") / F.count("*"), 6
+        ).alias("activity_ratio"),
+        F.coalesce(
+            F.max(F.when(F.col("active") == 1, F.col("run_len"))),
+            F.lit(0),
+        ).cast("bigint").alias("longest_run"),
+    )
+
+
 def _synth_neardup_wavs(spark, sf_dir):
     """The deterministic NEAR-DUP audio corpus shared by the audio
     fingerprint/near-dup plans — one generator so the plans and their

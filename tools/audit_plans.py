@@ -624,6 +624,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BatchEvalPython",
          r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
     ],
+    "audio_activity": [
+        # one Arrow-batched segment decode, map-side explode, then the
+        # gaps-and-islands windows + final profile all on the SAME
+        # doc_id hash partitioning — no join, never a second decode
+        [r"ArrowEvalPython", r"Generate", r"Window",
+         r"hashpartitioning\(doc_id", r"Scan parquet"],
+        [r"Join", r"CartesianProduct", r"BatchEvalPython"],
+    ],
     "wav_resample": [
         # the decode -> decimate -> stats CHAIN stays a straight-line
         # projection pipeline: Arrow-batched UDFs, no shuffle, no join

@@ -170,19 +170,77 @@ _CHECKED_R09 = [
     "merge_sorted_union", "semi_join",
 ]
 
-#: exposure order after the never-checked plans (round 10's additions
-#: auto-front). VERDICT r9 item 5 fronts the 12 stalest rows in the
-#: lattice — the r03-block tail whose latest driver green is r05
-#: (asof/sessionize/interval/funnel/cohort/setops/corpus_shuffle/pack/
-#: repetition/stratified) — then round 7's block, then round 8's, and
-#: everything round 9 just re-greened queues last. Names in several
-#: lists dedupe to their FIRST position (queries() builds a dict); the
-#: union of these four blocks covers all registry plans.
+#: round 10's 50 rows, verbatim CORRECTNESS_r10.json keys: the 11
+#: round-10 perceptual-media additions + the r05-stale dozen + the
+#: r03-block remainder (48 green + the 2 by-construction ``no_oracle``
+#: rows ``ann_knn_join`` / ``approx_distinct``).
+_CHECKED_R10 = [
+    "wav_segment_stats", "wav_resample", "audio_activity",
+    "audio_fingerprint", "audio_neardup", "audio_neardup_clusters",
+    "image_neardup", "image_neardup_clusters", "video_frame_neardup",
+    "video_frame_neardup_clusters", "video_scene_cuts", "corpus_shuffle",
+    "repetition_quality", "stratified_sample", "pack_sequences",
+    "asof_join_events", "sessionize", "interval_join_events",
+    "funnel_conversion", "cohort_retention", "except_all",
+    "intersect_distinct", "grouping_sets", "simhash_pairs",
+    "chunk_documents", "bm25_top_terms", "bpe_token_count_holdout",
+    "ann_knn_join", "ann_knn_join_recall", "ann_lsh_exact_twin",
+    "ann_ivf_exact_twin", "ann_ivfpq_exact_twin", "substring_dedup",
+    "substring_dedup_apply", "dup_rate_by_source", "count_distinct",
+    "approx_distinct", "approx_distinct_error", "lead_lag",
+    "median_quantile", "gopher_quality", "pii_redact", "tfidf_top_terms",
+    "winnow_fingerprint", "winnow_near_dup", "live_view", "tpch_q20",
+    "dedup_exact", "doc_fingerprint", "dedup_ngram_jaccard",
+]
+
+#: the 23 plans whose LAST driver-window appearance is round 7 (the 19
+#: whose latest direct-oracle green is r07, plus the 4 by-construction
+#: rows-only approximates checked alongside them:
+#: dedup_embedding_cosine, semantic_dedup, ann_lsh_topk, ann_ivf_topk).
+#: VERDICT r10 item 1 fronts these for round 11.
+_LAST_SEEN_R07 = [
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash", "lang_id",
+    "quality_score", "token_count", "ann_cosine_topk",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_exact",
+    "dedup_embedding_recall", "semantic_dedup", "semantic_dedup_check",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_lsh_recall", "ann_ivf_recall",
+    "binary_meta", "dedup_apply", "deterministic_sample",
+    "train_val_test_split", "daily_uniques", "decontaminate_ngram",
+    "domain_cap",
+]
+
+#: the 50 plans whose LAST driver-window appearance is round 8 (the 49
+#: r08-stale greens plus the rows-only ``ann_ivfpq_topk``).
+_LAST_SEEN_R08 = [
+    "etf_valuation", "filter_predicate", "projection_rename",
+    "last_by_keys", "argmax_latest", "rolling_avg", "anomaly_zscore",
+    "time_weighted_avg", "dedup_tfidf_cosine", "dedup_tfidf_clusters",
+    "dedup_minhash_capped", "ann_knn_join_exact_twin", "ann_pq_topk",
+    "ann_pq_recall", "ann_ivfpq_topk", "ann_ivfpq_recall", "wav_meta",
+    "ppm_meta", "avi_meta", "video_frame_plan", "simhash_pairs_capped",
+    "chunk_dedup", "token_budget_mix", "temperature_mix",
+    "vocab_coverage", "unigram_logprob", "lm_perplexity_holdout",
+    "bigram_pmi", "label_centroids", "embedding_outliers",
+    "heavy_hitters", "bucketed_quantile", "vocab_drift",
+    "hashed_features", "zorder_scan", "dsir_logweights", "dsir_select",
+    "kmeans_assign", "kmeans_centroids", "cluster_balanced_sample",
+    "quality_classifier_weights", "quality_classifier_score",
+    "quality_classifier_select", "quality_threshold_by_source",
+    "pca_component", "pca_project", "pca_residual_outliers",
+    "bpe_merges", "bpe_vocab", "bpe_token_count",
+]
+
+#: exposure order after the never-checked plans (round 11's additions
+#: auto-front): strict least-recently-checked — the 23 r07-stale plans
+#: first (VERDICT r10 item 1), then the 50-plan r08-stale block, then
+#: the r09 window, then the r10 window. The four blocks partition all
+#: 173 registry plans (23+50+50+50); names dedupe to their FIRST
+#: position (queries() builds a dict).
 _DRIVER_CHECKED = (
-    [n for n in _CHECKED_R03 if n not in _R07_SET]
-    + _CHECKED_R07
-    + _CHECKED_R08
+    _LAST_SEEN_R07
+    + _LAST_SEEN_R08
     + _CHECKED_R09
+    + _CHECKED_R10
 )
 
 

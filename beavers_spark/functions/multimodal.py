@@ -377,17 +377,20 @@ def wav_meta(df: DataFrame, payload_col: str) -> DataFrame:
 WAV_STATS_COLS = ["n_samples", "peak", "rms", "zcr"]
 
 
-def _wav_pcm_data(b) -> tuple[int, int, int] | None:
-    """(data_offset, data_len, sample_rate) of a 16-bit PCM WAV
-    payload, located by WALKING the RIFF chunk list — not by assuming
-    the canonical 44-byte header. Spec-valid PCM WAVs routinely carry
-    extra chunks (``LIST`` INFO tags, ``fact``, padded ``fmt ``)
-    between the RIFF header and ``data``; a fixed-offset parse
-    silently NULLs them (ADVICE r9). Odd-sized chunks are followed by
-    a pad byte per the RIFF spec; a truncated final chunk is clamped
-    to the payload. None when the container isn't RIFF/WAVE, ``fmt ``
-    is missing or precedes no ``data``, or the format isn't
-    uncompressed 16-bit PCM.
+def _wav_pcm_data(b) -> tuple[int, int, int, int] | None:
+    """(data_offset, data_len, sample_rate, channels) of a 16-bit PCM
+    WAV payload, located by WALKING the RIFF chunk list — not by
+    assuming the canonical 44-byte header. Spec-valid PCM WAVs
+    routinely carry extra chunks (``LIST`` INFO tags, ``fact``, padded
+    ``fmt ``) between the RIFF header and ``data``; a fixed-offset
+    parse silently NULLs them (ADVICE r9). Odd-sized chunks are
+    followed by a pad byte per the RIFF spec; a truncated final chunk
+    is clamped to the payload. None when the container isn't
+    RIFF/WAVE, ``fmt `` is missing or precedes no ``data``, or the
+    format isn't uncompressed 16-bit PCM. The channel count
+    (fmt bytes 2:4) is returned so callers whose semantics are
+    per-channel (``wav_resample``'s mono decimation, ADVICE r10) can
+    reject interleaved payloads instead of mixing channels.
     """
     if (
         b is None
@@ -413,7 +416,8 @@ def _wav_pcm_data(b) -> tuple[int, int, int] | None:
             ):
                 return None
             rate = int.from_bytes(fmt[4:8], "little")
-            return (body, min(size, n - body), rate)
+            channels = int.from_bytes(fmt[2:4], "little")
+            return (body, min(size, n - body), rate, channels)
         pos = body + size + (size & 1)  # chunks are word-aligned
     return None
 
@@ -467,7 +471,7 @@ def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
                     rm.append(None)
                     zc.append(None)
                     continue
-                off, dlen, _rate = loc
+                off, dlen, _rate, _ch = loc
                 raw = bytes(b[off : off + dlen])
                 v = np.frombuffer(
                     raw[: len(raw) // 2 * 2], dtype="<i2"
@@ -540,7 +544,7 @@ def wav_segment_stats(
                 if loc is None:
                     out.append(None)
                     continue
-                off, dlen, rate = loc
+                off, dlen, rate, _ch = loc
                 raw = bytes(b[off : off + dlen])
                 v = np.frombuffer(
                     raw[: len(raw) // 2 * 2], dtype="<i2"
@@ -600,7 +604,12 @@ def wav_envelope_fingerprint(segs: DataFrame, bits: int = 64) -> DataFrame:
     ORs energy from all its congruent segments — a fixed-length
     fingerprint regardless of duration); files with fewer leave the
     upper bits zero, so compare within duration classes when that
-    matters."""
+    matters. ``nseg`` (segment count) is emitted alongside ``afp``
+    precisely so callers can form that class —
+    ``least(nseg, bits)`` groups short tracks by exact duration while
+    all full-width tracks stay mutually comparable (ADVICE r10: two
+    short tracks of DIFFERENT durations share zero upper bits and
+    would otherwise spuriously band-match)."""
     wdoc = Window.partitionBy("doc_id")
     # bit_or folds the per-segment bits into the mask — NOT sum/max,
     # which both mishandle bit 63's negative two's-complement value
@@ -616,7 +625,10 @@ def wav_envelope_fingerprint(segs: DataFrame, bits: int = 64) -> DataFrame:
             .otherwise(F.lit(0).cast("long")),
         )
         .groupBy("doc_id")
-        .agg(F.expr("bit_or(__bit)").alias("afp"))
+        .agg(
+            F.expr("bit_or(__bit)").alias("afp"),
+            F.count(F.lit(1)).alias("nseg"),
+        )
     )
 
 
@@ -737,7 +749,9 @@ def ppm_resize(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
             oh: list = []
             for b, f in zip(p, fs):
                 hd = _parse_p6(b)
-                f = int(f) if f is not None else 0
+                # a NULL factor arrives as NaN in a float64 series —
+                # int(nan) would crash the task (ADVICE r10)
+                f = 0 if f is None or pd.isna(f) else int(f)
                 if hd is None or f < 1:
                     rz.append(None)
                     ow.append(None)
@@ -790,14 +804,19 @@ def wav_resample(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
     ``f`` (duration is preserved; ``max(rate // f, 1)``), and the
     result is itself a canonical PCM WAV, so kernels CHAIN (decode ->
     resample -> ``wav_stats`` is the plans' hash-checked pipeline).
-    Adds ``resampled`` (binary, NULL on non-PCM/hostile payloads or
-    f < 1) and ``out_rate``. The RIFF chunk list is walked
-    (``_wav_pcm_data``), so non-canonical layouts decode.
+    Adds ``resampled`` (binary, NULL on non-PCM/hostile payloads,
+    non-mono payloads, f < 1, or a NULL factor) and ``out_rate``. The
+    RIFF chunk list is walked (``_wav_pcm_data``), so non-canonical
+    layouts decode.
 
-    MONO contract: samples are decimated as one stream, so a stereo
-    payload's interleaved channels would mix (extend ``_wav_pcm_data``
-    to return the channel count before lifting this); the output
-    header is stamped mono accordingly.
+    MONO contract — ENFORCED: samples are decimated as one stream, so
+    a stereo payload's interleaved channels would mix (even factors
+    would keep one channel, odd factors would alternate L/R — a
+    wrong-but-valid payload, ADVICE r10); ``_wav_pcm_data`` returns
+    the fmt channel count and any channels != 1 yields NULL, matching
+    the filter-then-decode convention. Multi-channel resampling needs
+    a per-channel strided slice and re-interleave — lift the gate only
+    with that.
 
     Arrow-batched pandas UDF; per blob the selection is one numpy
     strided slice (``v[::f]``), never a per-sample loop. Pure
@@ -818,12 +837,14 @@ def wav_resample(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
             orate: list = []
             for b, f in zip(p, fs):
                 loc = _wav_pcm_data(b)
-                f = int(f) if f is not None else 0
-                if loc is None or f < 1:
+                # a NULL factor arrives as NaN in a float64 series —
+                # int(nan) would crash the task (ADVICE r10)
+                f = 0 if f is None or pd.isna(f) else int(f)
+                if loc is None or f < 1 or loc[3] != 1:
                     rz.append(None)
                     orate.append(None)
                     continue
-                off, dlen, rate = loc
+                off, dlen, rate, _ch = loc
                 raw = bytes(b[off : off + dlen])
                 v = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
                 out = np.ascontiguousarray(v[::f])

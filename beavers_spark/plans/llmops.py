@@ -1495,7 +1495,8 @@ _AUDIO_SIG_CTES = """params AS (
                sum(CASE WHEN amp * 64 > tot THEN
                         (CASE WHEN k = 63 THEN -9223372036854775808
                               ELSE (1::BIGINT << k::INT) END)
-                   ELSE 0 END)::BIGINT AS afp
+                   ELSE 0 END)::BIGINT AS afp,
+               least(count(*), 64) AS cls
         FROM (SELECT *, sum(amp) OVER (PARTITION BY doc_id) AS tot
               FROM amps)
         GROUP BY doc_id
@@ -1507,18 +1508,18 @@ _AUDIO_SIG_CTES = """params AS (
 #: plan and its connected-components clusters plan
 _AUDIO_NEARDUP_CTES = f"""{_AUDIO_SIG_CTES},
     bands AS (
-        SELECT doc_id, afp, b.i AS band_id,
+        SELECT doc_id, afp, cls, b.i AS band_id,
                (afp >> (b.i * 16)) & 65535 AS bv
         FROM sig, (SELECT unnest(range(4)) AS i) b
     ),
     ranked AS (
-        SELECT doc_id, afp, band_id, bv,
-               count(*) OVER (PARTITION BY band_id, bv) AS cnt,
+        SELECT doc_id, afp, cls, band_id, bv,
+               count(*) OVER (PARTITION BY band_id, bv, cls) AS cnt,
                lead(doc_id) OVER (
-                   PARTITION BY band_id, bv ORDER BY doc_id
+                   PARTITION BY band_id, bv, cls ORDER BY doc_id
                ) AS nxt,
                lead(afp) OVER (
-                   PARTITION BY band_id, bv ORDER BY doc_id
+                   PARTITION BY band_id, bv, cls ORDER BY doc_id
                ) AS nxt_sig
         FROM bands
     ),
@@ -1529,7 +1530,7 @@ _AUDIO_NEARDUP_CTES = f"""{_AUDIO_SIG_CTES},
                    a.afp AS s1, b2.afp AS s2
             FROM ranked a JOIN ranked b2
               ON a.band_id = b2.band_id AND a.bv = b2.bv
-             AND a.doc_id < b2.doc_id
+             AND a.cls = b2.cls AND a.doc_id < b2.doc_id
             WHERE a.cnt <= 8 AND b2.cnt <= 8
             UNION ALL
             SELECT doc_id, nxt, afp, nxt_sig FROM ranked
@@ -1586,12 +1587,17 @@ def audio_neardup_q(spark, sf_dir):
     (``hamming_pairs``: 4x16-bit pigeonhole bands, hot-bucket chain
     cap=8 on from day one — same-group docs flood 3 of 4 band buckets
     by construction, so the cap is EXERCISED here, not decorative —
-    popcount verify at hamming <= 3). The oracle recomputes the
-    envelope by generator arithmetic and runs the identical
-    band/rank/chain candidate generation, so the cap semantics are
-    hash-checked end to end. At 100 TB the shuffle carries (doc_id,
-    8-byte fingerprint) band rows — audio bytes never ride an
-    exchange after the one segment-decode pass."""
+    popcount verify at hamming <= 3). Banding is grouped by the
+    duration class ``least(nseg, 64)`` (ADVICE r10: short tracks of
+    different durations share zero upper fingerprint bits and would
+    spuriously band-match; this corpus is all full-width 64-segment
+    tracks, so the class is exercised structurally and pinned
+    semantically). The oracle recomputes the envelope by generator
+    arithmetic and runs the identical band/rank/chain candidate
+    generation, so the cap semantics are hash-checked end to end. At
+    100 TB the shuffle carries (doc_id, 8-byte fingerprint) band rows
+    — audio bytes never ride an exchange after the one segment-decode
+    pass."""
     from beavers_spark.functions.dedup import hamming_pairs
     from beavers_spark.functions.multimodal import (
         wav_envelope_fingerprint,
@@ -1600,9 +1606,12 @@ def audio_neardup_q(spark, sf_dir):
 
     wavs = _synth_neardup_wavs(spark, sf_dir)
     segs = wav_segment_stats(wavs, "payload", seg_samples=16)
-    sig = wav_envelope_fingerprint(segs)
+    sig = wav_envelope_fingerprint(segs).withColumn(
+        "cls", F.least(F.col("nseg"), F.lit(64))
+    )
     pairs = hamming_pairs(
-        sig, "doc_id", "afp", bits=64, max_hamming=3, bucket_cap=8
+        sig, "doc_id", "afp", bits=64, max_hamming=3, bucket_cap=8,
+        group_cols=("cls",),
     )
     return pairs.withColumnsRenamed(
         {"doc_id1": "doc1", "doc_id2": "doc2"}
@@ -1646,9 +1655,12 @@ def audio_neardup_clusters_q(spark, sf_dir):
 
     wavs = _synth_neardup_wavs(spark, sf_dir)
     segs = wav_segment_stats(wavs, "payload", seg_samples=16)
-    sig = wav_envelope_fingerprint(segs)
+    sig = wav_envelope_fingerprint(segs).withColumn(
+        "cls", F.least(F.col("nseg"), F.lit(64))
+    )
     pairs = hamming_pairs(
-        sig, "doc_id", "afp", bits=64, max_hamming=3, bucket_cap=8
+        sig, "doc_id", "afp", bits=64, max_hamming=3, bucket_cap=8,
+        group_cols=("cls",),
     ).select(
         F.col("doc_id1").alias("doc1"), F.col("doc_id2").alias("doc2")
     )

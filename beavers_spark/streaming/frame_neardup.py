@@ -512,13 +512,15 @@ class IncrementalAudioNearDedup(IncrementalFrameNearDedup):
     — is inherited untouched.
 
     One signature row per TRACK: ``frame_idx`` is always 0 and
-    ``n_bytes`` a constant class (the envelope fingerprint keeps all
-    ``bits`` bits live regardless of duration via its modulo fold, so
-    cross-duration comparison is valid and no length grouping is
-    wanted — unlike frames, where hash width tracks byte length).
-    ``read_pairs(spark)`` therefore yields
-    ``(doc1, 0, doc2, 0, hamming)`` — one row per near-dup track
-    pair.
+    ``n_bytes`` carries the DURATION CLASS ``least(nseg, bits)`` —
+    tracks with >= ``bits`` segments keep every fingerprint bit live
+    via the modulo fold and all land in one cross-duration-comparable
+    class, while a SHORT track's upper bits are zero by construction,
+    so two short tracks of different durations would spuriously
+    band-match on their shared zero bits if not separated (ADVICE
+    r10); the class pins short tracks to exact segment counts.
+    ``read_pairs(spark)`` yields ``(doc1, 0, doc2, 0, hamming)`` —
+    one row per near-dup track pair.
 
     ``seg_samples`` is the envelope resolution (samples per segment;
     None = the file's sample rate, one-second windows)."""
@@ -542,7 +544,9 @@ class IncrementalAudioNearDedup(IncrementalFrameNearDedup):
         return wav_envelope_fingerprint(segs, bits=self.bits).select(
             "doc_id",
             F.lit(0).cast("int").alias("frame_idx"),
-            F.lit(0).cast("bigint").alias("n_bytes"),
+            F.least(F.col("nseg"), F.lit(self.bits))
+            .cast("bigint")
+            .alias("n_bytes"),
             F.col("afp").alias("ahash"),
         )
 

@@ -95,3 +95,35 @@ def test_capped_twin_equals_capped_batch(spark, tmp_path):
     assert got == want
     # every capped pair is verified: true hamming within budget
     assert all(h <= 3 for *_ignore, h in got)
+
+
+def test_short_tracks_of_different_durations_do_not_pair(spark, tmp_path):
+    """ADVICE r10: a track with fewer than 64 segments leaves its upper
+    fingerprint bits structurally zero, so two FLAT short tracks of
+    different durations both fingerprint to afp=0 and would spuriously
+    band-match on the shared zeros. The duration class least(nseg, 64)
+    carried in the kernel's n_bytes slot must separate them, while
+    same-duration short tracks still pair."""
+    import struct
+
+    from beavers_spark.functions.multimodal import synth_wav
+
+    def flat(doc_id, nseg):
+        # constant amplitude: no segment peak beats the mean -> afp 0
+        data = struct.pack("<h", 500) * (SEG * nseg)
+        return spark.range(1).select(
+            F.lit(doc_id).cast("long").alias("doc_id"),
+            synth_wav(
+                F.lit(data), F.lit(1), F.lit(16000), F.lit(16)
+            ).alias("payload"),
+        )
+
+    batch = flat(0, 10).unionByName(flat(1, 20)).unionByName(flat(2, 10))
+    nd = IncrementalAudioNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"), seg_samples=SEG
+    )
+    nd(batch, 0)
+    got = {(d1, d2) for d1, _f1, d2, _f2, _h in (
+        tuple(r) for r in nd.read_pairs(spark).collect()
+    )}
+    assert got == {(0, 2)}  # same 10-segment class pairs at hamming 0

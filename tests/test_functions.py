@@ -1018,6 +1018,14 @@ def test_ppm_stats_and_resize_match_numpy_model(spark):
     )
     r9 = ppm_resize(dim100, "payload", F.lit(2)).collect()[0]
     assert bytes(r9.resized).startswith(b"P6\n2 2\n100\n")
+    # NULL factor arrives as NaN in the UDF's float series and must
+    # yield a NULL row, not crash the task (ADVICE r10)
+    rn = ppm_resize(
+        df.filter(F.col("doc_id") == 1),
+        "payload",
+        F.lit(None).cast("int"),
+    ).collect()[0]
+    assert rn.resized is None and rn.out_w is None
 
 
 def test_avi_frames_walks_riff_tree_and_hostiles(spark):
@@ -1230,8 +1238,10 @@ def test_wav_envelope_fingerprint_duplicate_invariance(spark):
 def test_wav_resample_round_trip_and_hostiles(spark):
     """wav_resample: the decimated payload must be a REAL WAV (stdlib
     `wave` parses it back: mono, 16-bit, rate // f), its samples must
-    equal the numpy strided-slice model, and hostile / f<1 inputs
-    yield NULLs."""
+    equal the numpy strided-slice model, and hostile / f<1 / NULL-f /
+    STEREO inputs yield NULLs (ADVICE r10: a stereo payload's
+    interleaved channels would decimate as one mixed stream; a NULL
+    factor arrives as NaN and must not crash the task)."""
     import io
     import struct
     import wave as wave_mod
@@ -1249,6 +1259,20 @@ def test_wav_resample_round_trip_and_hostiles(spark):
         ).alias("payload"),
         F.lit(3).alias("f"),
     )
+    stereo = spark.range(1).select(
+        F.lit(4).alias("doc_id"),
+        synth_wav(
+            F.lit(data), F.lit(2), F.lit(8000), F.lit(16)
+        ).alias("payload"),
+        F.lit(2).alias("f"),
+    )
+    null_f = spark.range(1).select(
+        F.lit(5).alias("doc_id"),
+        synth_wav(
+            F.lit(data), F.lit(1), F.lit(8000), F.lit(16)
+        ).alias("payload"),
+        F.lit(None).cast("int").alias("f"),
+    )
     hostile = spark.createDataFrame(
         [(1, bytearray(b"not a wav"), 2), (2, None, 2), (3, None, 0)],
         "doc_id long, payload binary, f int",
@@ -1260,13 +1284,17 @@ def test_wav_resample_round_trip_and_hostiles(spark):
                 hostile.withColumn(
                     "payload", F.col("payload").cast("binary")
                 )
-            ),
+            )
+            .unionByName(stereo)
+            .unionByName(null_f),
             "payload",
             F.col("f"),
         ).collect()
     }
     assert got[1].resampled is None and got[2].resampled is None
     assert got[3].resampled is None  # f < 1 on a fine payload row
+    assert got[4].resampled is None  # stereo: mono contract enforced
+    assert got[5].resampled is None  # NULL factor: NULL row, no crash
     out = bytes(got[0].resampled)
     with wave_mod.open(io.BytesIO(out)) as w:
         assert w.getnchannels() == 1

@@ -62,6 +62,7 @@ from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     PROBE_BROADCAST_CAP,
     BatchWatermark,
+    DocSeenGuard,
     ProbeMetrics,
     WaveBloomIndex,
     ensure_layout,
@@ -122,6 +123,12 @@ class IncrementalChunkDedup:
             state_path, bloom_bits, min_waves=bloom_min_waves,
             keys_of=_wave_keys,
         )
+        #: per-wave doc-id Bloom sidecars on the registry — the
+        #: redelivery guard reads only Bloom-positive waves instead of
+        #: the full corpus's doc_id column (maintenance.DocSeenGuard)
+        self._doc_seen = DocSeenGuard(
+            state_path, m_bits=bloom_bits, min_waves=bloom_min_waves,
+        )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
         #: accumulated driver-observed wall seconds per __call__ phase
@@ -171,12 +178,16 @@ class IncrementalChunkDedup:
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
-        return self._bloom.compact_merge(
-            lambda: compact_parquet(
-                spark,
-                self.state_path,
-                partition_by=["w", "b"],
-                transform=lambda df: df.withColumn("w", F.lit(-1)),
+        # nested merges: the one rewrite destroys BOTH sidecar
+        # domains' per-wave bitmaps (span keys + doc ids)
+        return self._doc_seen.compact_merge(
+            lambda: self._bloom.compact_merge(
+                lambda: compact_parquet(
+                    spark,
+                    self.state_path,
+                    partition_by=["w", "b"],
+                    transform=lambda df: df.withColumn("w", F.lit(-1)),
+                )
             )
         )
 
@@ -209,17 +220,19 @@ class IncrementalChunkDedup:
         if had_state:
             # redelivered doc ids (producer retry, re-ingest) would
             # re-own their unique segments and duplicate output rows;
-            # the probe reads the doc_id column only, excluding this
-            # wave's own half-committed directory (crash-replay safety —
-            # same reasoning as IncrementalNearDedup), and runs through
-            # the broadcast semi/anti pair so the corpus-sized seen
-            # scan is never shuffled (maintenance.seen_anti_join)
-            seen = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select("doc_id")
-            )
-            batch = seen_anti_join(batch, seen, self.id_col)
+            # the probe reads the doc_id column restricted by the
+            # per-wave doc-id Bloom sidecars to waves that may contain
+            # a batch id (VERDICT r10 item 2 — a disjoint batch scans
+            # NO prior bytes), excluding this wave's own half-committed
+            # directory (crash-replay safety — same reasoning as
+            # IncrementalNearDedup), and runs through the broadcast
+            # semi/anti pair so the seen scan is never shuffled
+            with timed_phase(self.phase_seconds, "seen_probe"):
+                seen = self._doc_seen.pruned_seen(
+                    spark, batch, batch_id, self.id_col
+                )
+            if seen is not None:
+                batch = seen_anti_join(batch, seen, self.id_col)
 
         chunks = word_chunks(F.col(self.text_col), self.k)
         # spread a NARROW batch before the fan-out (same rationale as
@@ -349,6 +362,10 @@ class IncrementalChunkDedup:
                 self._bloom.save_wave_distributed(
                     wave_dir, new_owned.select("h"), "h"
                 )
+            # the wave's doc-id bitmap — what future batches' seen
+            # probes test against (maintenance.DocSeenGuard)
+            with timed_phase(self.phase_seconds, "seen_sidecar"):
+                self._doc_seen.save_wave(spark, wave_dir)
             self._has_state = True
             kept = new_owned.groupBy("doc_id").agg(
                 F.array_join(

@@ -68,6 +68,7 @@ from beavers_spark.functions.classifier import (
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    DocSeenGuard,
     ensure_layout,
     maybe_auto_compact,
     recover_compaction,
@@ -113,6 +114,8 @@ class IncrementalQualityClassifier:
         max_refit_docs: int | None = None,
         n_slice_buckets: int = 16,
         compact_every_waves: int | None = None,
+        bloom_bits: int | None = 1 << 23,
+        bloom_min_waves: int = 8,
     ) -> None:
         if refit_every < 1:
             raise ValueError("refit_every must be >= 1")
@@ -138,6 +141,15 @@ class IncrementalQualityClassifier:
         self.lr = lr
         self.refit_every = refit_every
         self.max_refit_docs = max_refit_docs
+        #: per-wave doc-id Bloom sidecars on the registry — the
+        #: redelivery guard reads only Bloom-positive waves instead of
+        #: the full corpus's id column (maintenance.DocSeenGuard); the
+        #: registry stores whatever the caller named, so state_id is
+        #: id_col itself
+        self._doc_seen = DocSeenGuard(
+            state_path, state_id=id_col, m_bits=bloom_bits,
+            min_waves=bloom_min_waves,
+        )
         #: refit-slice bucket-directory count: waves are
         #: sub-partitioned by ``sb = slice_hash >> (40 - log2(N))``
         #: (the slice hash's TOP bits), so a capped refit's
@@ -427,17 +439,19 @@ class IncrementalQualityClassifier:
             # probe reads the id column only, excluding this wave's own
             # half-committed directory (crash-replay safety), broadcast
             # semi/anti so the registry is never shuffled
-            seen = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select(self.id_col)
+            # restricted by the per-wave doc-id Bloom sidecars to
+            # waves that may contain a batch id (VERDICT r10 item 2 —
+            # a disjoint batch scans NO prior bytes)
+            seen = self._doc_seen.pruned_seen(
+                spark, batch, batch_id, self.id_col
             )
             # seen_id must name the STATE side's column: here that is
             # id_col itself (the dedup twins' registries store a
             # literal doc_id; ours stores whatever the caller named)
-            batch = seen_anti_join(
-                batch, seen, self.id_col, seen_id=self.id_col
-            )
+            if seen is not None:
+                batch = seen_anti_join(
+                    batch, seen, self.id_col, seen_id=self.id_col
+                )
 
         labels = batch.select(
             self.id_col, F.col(self.label_col).cast("int").alias("y")
@@ -469,6 +483,9 @@ class IncrementalQualityClassifier:
         self._has_state = self._has_state or table_exists(
             spark, f"{self.state_path}/w={batch_id}"
         )
+        # the wave's doc-id bitmap — what future batches' seen probes
+        # test against (empty waves save an exact zero bitmap)
+        self._doc_seen.save_wave(spark, f"{self.state_path}/w={batch_id}")
         # per-wave doc count from the WRITTEN wave (replay-safe: an
         # overwrite recounts), keyed by wave — the O(1) registry total
         # the capped refit's threshold sizing reads. An all-redelivered
@@ -574,11 +591,15 @@ class IncrementalQualityClassifier:
 
         guard_committed_waves(self._watermark, self.state_path)
         n_docs = self._registry_doc_count(spark)
-        out = compact_parquet(
-            spark,
-            self.state_path,
-            partition_by=["w", "sb"],
-            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        # the rewrite destroys the per-wave doc bitmaps with the wave
+        # dirs — OR them into the coalesced w=-1 wave
+        out = self._doc_seen.compact_merge(
+            lambda: compact_parquet(
+                spark,
+                self.state_path,
+                partition_by=["w", "sb"],
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
         )
         # waves collapsed into w=-1: the counts sidecar collapses with
         # them (ids are disjoint across waves, so the sum is exact)

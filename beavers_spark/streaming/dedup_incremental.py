@@ -66,6 +66,7 @@ from beavers_spark.functions.dedup import (
 )
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    DocSeenGuard,
     ProbeMetrics,
     WaveBloomIndex,
     WaveMetrics,
@@ -219,6 +220,12 @@ class IncrementalNearDedup:
         self._bloom = WaveBloomIndex(
             state_path, bloom_bits, min_waves=bloom_min_waves,
             keys_of=_wave_band_keys,
+        )
+        #: per-wave doc-id Bloom sidecars on the sig table — the
+        #: redelivery guard reads only Bloom-positive waves instead of
+        #: the full corpus's doc_id column (maintenance.DocSeenGuard)
+        self._doc_seen = DocSeenGuard(
+            state_path, m_bits=bloom_bits, min_waves=bloom_min_waves,
         )
         #: one WaveMetrics per applied wave over the wave's state
         #: directory — bytes appended to state per wave and its file
@@ -567,12 +574,16 @@ class IncrementalNearDedup:
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
-        out = self._bloom.compact_merge(
-            lambda: compact_parquet(
-                spark,
-                self.state_path,
-                partition_by="w",
-                transform=lambda df: df.withColumn("w", F.lit(-1)),
+        # nested merges: the one rewrite destroys BOTH sidecar
+        # domains' per-wave bitmaps (band keys + doc ids)
+        out = self._doc_seen.compact_merge(
+            lambda: self._bloom.compact_merge(
+                lambda: compact_parquet(
+                    spark,
+                    self.state_path,
+                    partition_by="w",
+                    transform=lambda df: df.withColumn("w", F.lit(-1)),
+                )
             )
         )
         # re-band the coalesced wave (both modes — the band registry's
@@ -628,12 +639,15 @@ class IncrementalNearDedup:
             # would anti-join against its own half-committed wave,
             # empty itself, and overwrite the wave with nothing —
             # destroying those documents' state.
-            seen = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select("doc_id")
-            )
-            batch = seen_anti_join(batch, seen, self.id_col)
+            # restricted by the per-wave doc-id Bloom sidecars to
+            # waves that may contain a batch id (VERDICT r10 item 2 —
+            # a disjoint batch scans NO prior bytes)
+            with self._phase("seen_probe"):
+                seen = self._doc_seen.pruned_seen(
+                    spark, batch, batch_id, self.id_col
+                )
+            if seen is not None:
+                batch = seen_anti_join(batch, seen, self.id_col)
         # One row-wise pass carries the shingle set AND the signature
         # columns (keep=) — no sets⋈signatures shuffle join. The state
         # table is hive-partitioned by wave (``w=<batch_id>/``), and the
@@ -652,6 +666,10 @@ class IncrementalNearDedup:
                 "overwrite"
             ).parquet(wave_dir)
         self._has_state = True
+        # the wave's doc-id bitmap — what future batches' seen probes
+        # test against (maintenance.DocSeenGuard)
+        with self._phase("seen_sidecar"):
+            self._doc_seen.save_wave(spark, wave_dir)
         # emptiness check from the just-written wave's parquet footers,
         # driver-local (same POSIX assumption as _band_keys_local) — the
         # Spark count() job this replaces was footer-only too but still

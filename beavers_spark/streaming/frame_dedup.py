@@ -45,6 +45,7 @@ from beavers_spark.functions.multimodal import avi_frames
 from beavers_spark.streaming.maintenance import (
     PROBE_BROADCAST_CAP,
     BatchWatermark,
+    DocSeenGuard,
     ProbeMetrics,
     WaveBloomIndex,
     ensure_layout,
@@ -107,6 +108,13 @@ class IncrementalFrameDedup:
             state_path, bloom_bits, min_waves=bloom_min_waves,
             keys_of=_wave_keys, **bloom_kwargs,
         )
+        #: per-wave doc-id Bloom sidecars on the registry — the
+        #: redelivery guard reads only Bloom-positive waves instead of
+        #: the full corpus's doc_id column (maintenance.DocSeenGuard)
+        self._doc_seen = DocSeenGuard(
+            state_path, m_bits=bloom_bits,
+            min_waves=bloom_min_waves, **bloom_kwargs,
+        )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
         #: accumulated driver-observed wall seconds per __call__ phase
@@ -155,12 +163,16 @@ class IncrementalFrameDedup:
             partition_by="w",
             transform=lambda df: df.withColumn("w", F.lit(-1)),
         )
-        return self._bloom.compact_merge(
-            lambda: compact_parquet(
-                spark,
-                self.state_path,
-                partition_by=["w", "b"],
-                transform=lambda df: df.withColumn("w", F.lit(-1)),
+        # nested merges: the one rewrite destroys BOTH sidecar
+        # domains' per-wave bitmaps (band keys + doc ids)
+        return self._doc_seen.compact_merge(
+            lambda: self._bloom.compact_merge(
+                lambda: compact_parquet(
+                    spark,
+                    self.state_path,
+                    partition_by=["w", "b"],
+                    transform=lambda df: df.withColumn("w", F.lit(-1)),
+                )
             )
         )
 
@@ -186,15 +198,18 @@ class IncrementalFrameDedup:
         had_state = self._state_exists(spark)
         if had_state:
             # redelivered videos (producer retry, re-ingest) would
-            # reprocess their payloads for nothing; the probe reads the
-            # registry's doc_id column only, excluding this wave's own
-            # half-committed directory (crash-replay safety)
-            seen = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select("doc_id")
-            )
-            batch = seen_anti_join(batch, seen, self.id_col)
+            # reprocess their payloads for nothing; the probe reads
+            # the registry's doc_id column restricted by the per-wave
+            # doc-id Bloom sidecars to waves that may contain a batch
+            # id (VERDICT r10 item 2) — a disjoint batch scans NO
+            # prior bytes; excludes this wave's own half-committed
+            # directory (crash-replay safety)
+            with timed_phase(self.phase_seconds, "seen_probe"):
+                seen = self._doc_seen.pruned_seen(
+                    spark, batch, batch_id, self.id_col
+                )
+            if seen is not None:
+                batch = seen_anti_join(batch, seen, self.id_col)
 
         # spread a NARROW batch before the decode fan-out: a
         # single-file (or single-partition) micro-batch — the common
@@ -311,6 +326,10 @@ class IncrementalFrameDedup:
                 self._bloom.save_wave_distributed(
                     wave_dir, new_owned.select("h"), "h"
                 )
+            # the wave's doc-id bitmap, from the committed read-back —
+            # what future batches' seen probes test against
+            with timed_phase(self.phase_seconds, "seen_sidecar"):
+                self._doc_seen.save_wave(spark, wave_dir)
             self._has_state = True
 
             with timed_phase(self.phase_seconds, "out_write"):

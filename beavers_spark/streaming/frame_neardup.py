@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from beavers_spark.functions.multimodal import avi_frames
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    DocSeenGuard,
     ProbeMetrics,
     WaveBloomIndex,
     ensure_layout,
@@ -178,6 +179,13 @@ class IncrementalFrameNearDedup:
             self.bands_path, bloom_bits, min_waves=bloom_min_waves,
             keys_of=_wave_band_keys, **bloom_kwargs,
         )
+        #: per-wave doc-id Bloom sidecars on the SIG table — the
+        #: redelivery guard reads only Bloom-positive waves instead of
+        #: the full corpus's doc_id column (maintenance.DocSeenGuard)
+        self._doc_seen = DocSeenGuard(
+            self.state_path, m_bits=bloom_bits,
+            min_waves=bloom_min_waves, **bloom_kwargs,
+        )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
         #: accumulated driver-observed wall seconds per __call__ phase
@@ -220,13 +228,22 @@ class IncrementalFrameNearDedup:
             self._watermark, self.state_path, self.bands_path,
             self.pairs_path,
         )
-        for p in (self.pairs_path, self.state_path):
-            compact_parquet(
+        compact_parquet(
+            spark,
+            self.pairs_path,
+            partition_by="w",
+            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        )
+        # the sig rewrite destroys the per-wave doc bitmaps with the
+        # wave dirs — OR them into the coalesced w=-1 wave
+        self._doc_seen.compact_merge(
+            lambda: compact_parquet(
                 spark,
-                p,
+                self.state_path,
                 partition_by="w",
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
             )
+        )
         return self._bloom.compact_merge(
             lambda: compact_parquet(
                 spark,
@@ -340,16 +357,19 @@ class IncrementalFrameNearDedup:
         had_state = self._state_exists(spark)
         if had_state:
             # redelivered videos would re-pair against their own
-            # earlier frames; the probe reads the FULL sig table's
-            # doc_id column (a band-registry read here would re-admit
-            # any doc whose band rows were all cap-evicted), excluding
-            # this wave's own half-committed directory
-            seen = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select("doc_id")
-            )
-            batch = seen_anti_join(batch, seen, self.id_col)
+            # earlier frames; the probe reads the SIG table's doc_id
+            # column (a band-registry read here would re-admit any doc
+            # whose band rows were all cap-evicted), restricted by the
+            # per-wave doc-id Bloom sidecars to waves that may contain
+            # a batch id — a disjoint batch scans NO prior bytes
+            # (VERDICT r10 item 2); excludes this wave's own
+            # half-committed directory
+            with timed_phase(self.phase_seconds, "seen_probe"):
+                seen = self._doc_seen.pruned_seen(
+                    spark, batch, batch_id, self.id_col
+                )
+            if seen is not None:
+                batch = seen_anti_join(batch, seen, self.id_col)
 
         # spread a NARROW batch before the decode fan-out; conditional
         # so a well-partitioned batch skips the payload exchange
@@ -381,6 +401,10 @@ class IncrementalFrameNearDedup:
             return
         self._has_state = True
         new_sig = spark.read.parquet(sig_dir)
+        # the wave's doc-id bitmap, from the committed read-back (one
+        # column scan) — what future batches' seen probes test against
+        with timed_phase(self.phase_seconds, "seen_sidecar"):
+            self._doc_seen.save_wave(spark, sig_dir)
 
         band_dir = f"{self.bands_path}/w={batch_id}"
         with timed_phase(self.phase_seconds, "band_write"):

@@ -412,20 +412,20 @@ def bloom_build_distributed(df, col: str, m_bits: int, k: int = BLOOM_K):
     return out.view(np.uint64)
 
 
-def bloom_save(wave_dir: str, bits) -> None:
+def bloom_save(wave_dir: str, bits, sidecar: str = BLOOM_SIDECAR) -> None:
     import numpy as np
 
     os.makedirs(wave_dir, exist_ok=True)
-    np.save(os.path.join(wave_dir, BLOOM_SIDECAR), bits)
+    np.save(os.path.join(wave_dir, sidecar), bits)
 
 
-def bloom_load(wave_dir: str):
+def bloom_load(wave_dir: str, sidecar: str = BLOOM_SIDECAR):
     """The wave's bitmap, or None when absent (absent = the wave is
     never prunable — conservative, correct)."""
     import numpy as np
 
-    p = os.path.join(wave_dir, BLOOM_SIDECAR)
-    # np.save appends .npy only when missing; BLOOM_SIDECAR includes it
+    p = os.path.join(wave_dir, sidecar)
+    # np.save appends .npy only when missing; the sidecar name includes it
     if not os.path.exists(p):
         return None
     return np.load(p)
@@ -500,8 +500,13 @@ class WaveBloomIndex:
         min_waves: int = 0,
         keys_of=None,
         probe_cap: int = BLOOM_PROBE_CAP,
+        sidecar: str = BLOOM_SIDECAR,
     ) -> None:
         self.state_path = state_path
+        #: per-wave sidecar file name — override when TWO key domains
+        #: index the same wave directories (the doc-seen guard's
+        #: ``_dbloom2.npy`` beside the band-key ``_bloom2.npy``)
+        self.sidecar = sidecar
         # round up to a power of two >= 64: positions mask with
         # m_bits-1 and the probe reconstructs the modulus as
         # len(bits)*64 — a mismatched modulus would produce Bloom
@@ -574,7 +579,7 @@ class WaveBloomIndex:
         unprunable."""
         if wave not in self._cache:
             wave_dir = os.path.join(self.state_path, f"w={wave}")
-            bits = bloom_load(wave_dir)
+            bits = bloom_load(wave_dir, self.sidecar)
             if (
                 bits is None
                 and spark is not None
@@ -600,7 +605,7 @@ class WaveBloomIndex:
                             keys_df, keys_df.columns[0], self.m_bits
                         )
                 self._note_fill(bits)
-                bloom_save(wave_dir, bits)
+                bloom_save(wave_dir, bits, self.sidecar)
             self._cache[wave] = bits
         return self._cache[wave]
 
@@ -621,7 +626,7 @@ class WaveBloomIndex:
         if self.m_bits:
             bits = bloom_build(hashes, self.m_bits)
             self._note_fill(bits)
-            bloom_save(wave_dir, bits)
+            bloom_save(wave_dir, bits, self.sidecar)
 
     def save_wave_distributed(self, wave_dir: str, df, col: str) -> None:
         """Build + persist one wave's bitmap executor-side — the
@@ -630,7 +635,7 @@ class WaveBloomIndex:
         if self.m_bits:
             bits = bloom_build_distributed(df, col, self.m_bits)
             self._note_fill(bits)
-            bloom_save(wave_dir, bits)
+            bloom_save(wave_dir, bits, self.sidecar)
 
     def live_waves_df(
         self,
@@ -792,7 +797,10 @@ class WaveBloomIndex:
             # the OR of every wave's bits: the most saturation-prone
             # bitmap, and the one every future probe tests against w=-1
             self._note_fill(merged)
-            bloom_save(os.path.join(self.state_path, "w=-1"), merged)
+            bloom_save(
+                os.path.join(self.state_path, "w=-1"), merged,
+                self.sidecar,
+            )
         return out
 
 
@@ -862,6 +870,128 @@ def seen_anti_join(
         return batch.join(F.broadcast(hits), id_col, "left_anti")
     seen = seen_src.distinct().withColumnRenamed(seen_id, id_col)
     return batch.join(seen, id_col, "left_anti")
+
+
+#: per-wave DOC-ID Bloom sidecar file name — a SECOND sidecar domain
+#: beside the band/span-key ``_bloom2.npy``, because several kernels
+#: root both indexes at the same wave directories (the sig/registry
+#: table); same position-scheme version stamp rules as BLOOM_SIDECAR.
+DOC_BLOOM_SIDECAR = "_dbloom2.npy"
+
+
+class DocSeenGuard:
+    """Per-wave doc-id Bloom sidecars for a wave-partitioned registry —
+    kills the last corpus-linear per-wave term in the dedup twins'
+    redelivery guard (VERDICT r10 item 2).
+
+    The guard used to feed ``seen_anti_join`` the FULL registry's
+    doc-id column every batch: column-pruned and never shuffled, but
+    O(corpus bytes) of scan per wave forever. This class keeps one
+    Bloom bitmap of ``xxhash64(doc_id)`` per wave (sidecar
+    ``_dbloom2.npy``, distinct from the band-key sidecar so both
+    domains can index the same wave dirs) and answers "which prior
+    waves MAY contain any of this batch's ids". At steady state —
+    every batch all-new docs — every wave prunes and the seen scan
+    reads NOTHING; a redelivery Bloom-hits only the wave(s) that
+    actually contain it. Exactness: a Bloom false positive costs one
+    wave's column scan; the bitmap's no-false-negative contract means
+    a seen doc can never slip past (pinned by
+    tests/test_doc_seen_bloom.py).
+
+    Shares all WaveBloomIndex machinery: ``min_waves`` gating (below
+    it the full scan is cheaper than the probe), ``probe_cap``
+    hand-off to the executor-side build/probe, lazy sidecar backfill
+    for waves written while gated, and OR-merge across compactions
+    (``compact_merge``). ``probe_metrics`` records one row per pruned
+    probe — the bench's evidence that the guard stays O(batch) as the
+    corpus grows.
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        state_id: str = "doc_id",
+        m_bits: int | None = 1 << 23,
+        min_waves: int = 0,
+        probe_cap: int = BLOOM_PROBE_CAP,
+    ) -> None:
+        self.state_path = state_path
+        self.state_id = state_id
+        self._index = WaveBloomIndex(
+            state_path, m_bits, min_waves=min_waves,
+            keys_of=self._wave_doc_keys, probe_cap=probe_cap,
+            sidecar=DOC_BLOOM_SIDECAR,
+        )
+        #: one ProbeMetrics per Bloom-pruned guard probe
+        self.probe_metrics: list[ProbeMetrics] = []
+
+    def _wave_doc_keys(self, spark, wave_dir: str):
+        """One wave's doc-id hash column (lazy backfill contract) —
+        the SAME hash expression the batch probe uses, so build and
+        probe can never disagree."""
+        return spark.read.parquet(wave_dir).select(
+            F.xxhash64(self.state_id).alias("dh")
+        )
+
+    def pruned_seen(self, spark, batch, batch_id: int, id_col: str):
+        """The registry's ``state_id`` column restricted to waves that
+        may contain any of ``batch[id_col]``'s ids. Returns None when
+        EVERY wave is Bloom-pruned — the caller skips the anti-join
+        entirely (no batch doc can have been seen). Falls back to the
+        full scan (today's behavior) when gated by ``min_waves`` or
+        when the bitmap is disabled."""
+        prior = spark.read.parquet(self.state_path).filter(
+            F.col("w") != batch_id
+        )
+        if not self._index.probe_active(exclude=batch_id):
+            return prior.select(self.state_id)
+        keys_df = batch.select(F.xxhash64(F.col(id_col)).alias("dh"))
+        keys = self._index.collect_keys(keys_df, "dh")
+        pruned = self._index.prune_prior(
+            prior, keys, batch_id, self.probe_metrics, spark,
+            keys_df=keys_df if keys is None else None, key_col="dh",
+        )
+        if pruned is None:
+            return None
+        return pruned.select(self.state_id)
+
+    def save_wave(self, spark, wave_dir: str) -> None:
+        """Persist the just-written wave's doc-id bitmap (call after
+        the wave commit; an over-cap wave builds executor-side)."""
+        if not self._index.m_bits:
+            return
+        if not table_exists(spark, wave_dir):
+            # a fully-redelivered batch writes an EMPTY wave whose
+            # partitionBy directory has no schema-bearing file — the
+            # read-back would raise UNABLE_TO_INFER_SCHEMA (the same
+            # hazard the band-bitmap path documents); an empty wave
+            # contains no docs, so the zero bitmap is exact
+            import numpy as np
+
+            self._index.save_wave(wave_dir, np.array([], dtype=np.int64))
+            return
+        keys_df = self._wave_doc_keys(spark, wave_dir)
+        keys = self._index.collect_keys(keys_df, "dh")
+        if keys is not None:
+            self._index.save_wave(wave_dir, keys)
+        else:
+            self._index.overcap_fallbacks += 1
+            self._index.save_wave_distributed(wave_dir, keys_df, "dh")
+
+    def compact_merge(self, compact_fn):
+        """Wrap the registry rewrite so the per-wave doc bitmaps OR
+        into the coalesced ``w=-1`` wave (WaveBloomIndex.compact_merge
+        semantics; nestable around the band index's own wrapper when
+        both domains root at the same table)."""
+        return self._index.compact_merge(compact_fn)
+
+    @property
+    def overcap_fallbacks(self) -> int:
+        return self._index.overcap_fallbacks
+
+    @property
+    def max_fill(self) -> float | None:
+        return self._index.max_fill
 
 
 def fanout_repartition(batch, probe=None, min_fraction: float = 0.5):

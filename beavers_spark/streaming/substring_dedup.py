@@ -71,6 +71,7 @@ from beavers_spark.functions.curation import sliding_spans
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    DocSeenGuard,
     ensure_layout,
     fanout_repartition,
     maybe_auto_compact,
@@ -142,6 +143,16 @@ class IncrementalSubstringDedup:
             state_path, bloom_bits, min_waves=bloom_min_waves,
             keys_of=_wave_keys,
         )
+        #: per-wave doc-id Bloom sidecars on BOTH tables (a fully-
+        #: duplicate doc traces only in the output; an all-unique doc
+        #: only in the registry) — the redelivery guard reads only
+        #: Bloom-positive waves of each (maintenance.DocSeenGuard)
+        self._doc_seen = DocSeenGuard(
+            state_path, m_bits=bloom_bits, min_waves=bloom_min_waves,
+        )
+        self._doc_seen_out = DocSeenGuard(
+            out_path, m_bits=bloom_bits, min_waves=bloom_min_waves,
+        )
         #: per-wave registry-append volume (see maintenance.WaveMetrics)
         self.metrics: list[WaveMetrics] = []
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
@@ -188,18 +199,24 @@ class IncrementalSubstringDedup:
         guard_committed_waves(
             self._watermark, self.state_path, self.out_path
         )
-        compact_parquet(
-            spark,
-            self.out_path,
-            partition_by="w",
-            transform=lambda df: df.withColumn("w", F.lit(-1)),
-        )
-        return self._bloom.compact_merge(
+        self._doc_seen_out.compact_merge(
             lambda: compact_parquet(
                 spark,
-                self.state_path,
-                partition_by=["w", "b"],
+                self.out_path,
+                partition_by="w",
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
+        )
+        # nested merges: each rewrite destroys its table's per-wave
+        # doc bitmaps (and the registry's span-key bitmaps)
+        return self._doc_seen.compact_merge(
+            lambda: self._bloom.compact_merge(
+                lambda: compact_parquet(
+                    spark,
+                    self.state_path,
+                    partition_by=["w", "b"],
+                    transform=lambda df: df.withColumn("w", F.lit(-1)),
+                )
             )
         )
 
@@ -232,23 +249,28 @@ class IncrementalSubstringDedup:
             # re-own their unique spans AND re-emit their dup ranges;
             # every doc with >= 1 span left a trace in the registry (its
             # owned spans) or the output (its dup ranges), so the union
-            # of both doc_id columns is the seen-set. Both probes are
-            # column-pruned and exclude this wave's own half-committed
+            # of both doc_id columns is the seen-set — each side
+            # restricted by its per-wave doc-id Bloom sidecars to waves
+            # that may contain a batch id (VERDICT r10 item 2: a
+            # disjoint batch scans NO prior bytes of either table).
+            # Both probes exclude this wave's own half-committed
             # directories (crash-replay safety); the anti-join runs
-            # through the broadcast semi/anti pair so the corpus-sized
-            # seen scan is never shuffled (maintenance.seen_anti_join)
-            seen = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select("doc_id")
-            )
-            if table_exists(spark, self.out_path):
-                seen = seen.unionByName(
-                    spark.read.parquet(self.out_path)
-                    .filter(F.col("w") != batch_id)
-                    .select("doc_id")
+            # through the broadcast semi/anti pair so the seen scan is
+            # never shuffled (maintenance.seen_anti_join)
+            with timed_phase(self.phase_seconds, "seen_probe"):
+                seen = self._doc_seen.pruned_seen(
+                    spark, batch, batch_id, self.id_col
                 )
-            batch = seen_anti_join(batch, seen, self.id_col)
+                if table_exists(spark, self.out_path):
+                    seen_out = self._doc_seen_out.pruned_seen(
+                        spark, batch, batch_id, self.id_col
+                    )
+                    if seen is None:
+                        seen = seen_out
+                    elif seen_out is not None:
+                        seen = seen.unionByName(seen_out)
+            if seen is not None:
+                batch = seen_anti_join(batch, seen, self.id_col)
 
         # spread a NARROW batch before the fan-out: a single-file (or
         # single-partition) batch would serialize span construction +
@@ -384,6 +406,10 @@ class IncrementalSubstringDedup:
                 self._bloom.save_wave_distributed(
                     wave_dir, new_owned.select("h"), "h"
                 )
+            # the wave's doc-id bitmap — what future batches' seen
+            # probes test against (maintenance.DocSeenGuard)
+            with timed_phase(self.phase_seconds, "seen_sidecar"):
+                self._doc_seen.save_wave(spark, wave_dir)
             self._has_state = True
 
             # every occurrence that did not become an owner is a
@@ -438,6 +464,10 @@ class IncrementalSubstringDedup:
             with timed_phase(self.phase_seconds, "out_write"):
                 ranges.write.mode("overwrite").parquet(
                     f"{self.out_path}/w={batch_id}"
+                )
+            with timed_phase(self.phase_seconds, "seen_sidecar"):
+                self._doc_seen_out.save_wave(
+                    spark, f"{self.out_path}/w={batch_id}"
                 )
             files, nbytes, mx = partition_stats(spark, [wave_dir])
             self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))

@@ -59,6 +59,7 @@ from beavers_spark.functions.dedup import (
 )
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
+    DocSeenGuard,
     WaveMetrics,
     ensure_layout,
     maybe_auto_compact,
@@ -98,6 +99,8 @@ class IncrementalTfidfDedup:
         max_df: int = 64,
         n_hash_buckets: int = 16,
         compact_every_waves: int | None = None,
+        bloom_bits: int | None = 1 << 23,
+        bloom_min_waves: int = 8,
     ) -> None:
         self.state_path = state_path
         self.cand_path = cand_path
@@ -115,6 +118,12 @@ class IncrementalTfidfDedup:
         self._has_state = False
         self._layout_checked = False
         self._watermark = BatchWatermark(state_path)
+        #: per-wave doc-id Bloom sidecars on the registry — the
+        #: redelivery guard reads only Bloom-positive waves instead of
+        #: the full corpus's doc_id column (maintenance.DocSeenGuard)
+        self._doc_seen = DocSeenGuard(
+            state_path, m_bits=bloom_bits, min_waves=bloom_min_waves,
+        )
         #: one WaveMetrics per applied wave over the wave's registry
         #: directory (bytes appended + file count — the compaction-due
         #: signal)
@@ -224,18 +233,23 @@ class IncrementalTfidfDedup:
         self._ensure_layout()
         if self._state_exists(spark):
             # redelivered doc ids would double their tf rows in every
-            # future statistic; the probe reads the id column only,
-            # excluding this wave's own half-committed directory
-            # (crash-replay safety), broadcast semi/anti so the
-            # registry is never shuffled
-            seen = (
-                spark.read.parquet(self.state_path)
-                .filter(F.col("w") != batch_id)
-                .select(F.col("doc_id").alias(self.id_col))
+            # future statistic; the probe reads the id column
+            # restricted by the per-wave doc-id Bloom sidecars to waves
+            # that may contain a batch id (VERDICT r10 item 2 — a
+            # disjoint batch scans NO prior bytes), excluding this
+            # wave's own half-committed directory (crash-replay
+            # safety), broadcast semi/anti so the registry is never
+            # shuffled
+            seen = self._doc_seen.pruned_seen(
+                spark, batch, batch_id, self.id_col
             )
-            batch = seen_anti_join(
-                batch, seen, self.id_col, seen_id=self.id_col
-            )
+            if seen is not None:
+                batch = seen_anti_join(
+                    batch,
+                    seen.withColumnRenamed("doc_id", self.id_col),
+                    self.id_col,
+                    seen_id=self.id_col,
+                )
 
         # the batch's hashed-term pass (the same _tfidf_tf the batch
         # operator runs) lands as this wave's registry partition,
@@ -291,6 +305,9 @@ class IncrementalTfidfDedup:
             self._watermark.mark(batch_id)
             return
         self._has_state = True
+        # the wave's doc-id bitmap — what future batches' seen probes
+        # test against (maintenance.DocSeenGuard)
+        self._doc_seen.save_wave(spark, wave_dir)
         new_tf = spark.read.parquet(wave_dir)
 
         # candidate generation: new docs' postings x registry postings
@@ -428,9 +445,13 @@ class IncrementalTfidfDedup:
                 )
             finally:
                 alive.unpersist(blocking=True)
-        return compact_parquet(
-            spark,
-            self.state_path,
-            partition_by=["w", "b"],
-            transform=lambda df: df.withColumn("w", F.lit(-1)),
+        # the rewrite destroys the per-wave doc bitmaps with the wave
+        # dirs — OR them into the coalesced w=-1 wave
+        return self._doc_seen.compact_merge(
+            lambda: compact_parquet(
+                spark,
+                self.state_path,
+                partition_by=["w", "b"],
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+            )
         )

@@ -2278,6 +2278,195 @@ def video_frame_neardup_clusters_q(spark, sf_dir):
     )
 
 
+@query(
+    "video_neardup_docs",
+    oracle=f"""
+    WITH {_VFN_CTES.format(docs_where="")},
+    xp AS (
+        SELECT (fid1 >> 8)::BIGINT AS doc1, (fid1 & 255) AS f1,
+               (fid2 >> 8)::BIGINT AS doc2, (fid2 & 255) AS f2
+        FROM cand
+        WHERE hamming <= 3 AND (fid1 >> 8) <> (fid2 >> 8)
+    ),
+    roll AS (
+        SELECT doc1, doc2,
+               count(DISTINCT f1) AS shared1,
+               count(DISTINCT f2) AS shared2
+        FROM xp GROUP BY doc1, doc2
+    )
+    SELECT doc1, doc2,
+           shared1::BIGINT AS shared1, shared2::BIGINT AS shared2,
+           round(greatest(shared1 / (3.0 + doc1 % 6),
+                          shared2 / (3.0 + doc2 % 6)), 6) AS shared_frac
+    FROM roll
+    WHERE greatest(shared1 / (3.0 + doc1 % 6),
+                   shared2 / (3.0 + doc2 % 6)) >= 0.5
+    """,
+)
+def video_neardup_docs_q(spark, sf_dir):
+    """DOC-level video near-dup verdicts (VERDICT r10 item 5) — a
+    training pipeline dedups DOCUMENTS, not frames: the perceptual
+    frame pairs (``video_frame_neardup``'s exact code path: banded
+    aHash, hot-bucket chain cap, popcount verify) roll up per
+    cross-video pair to the DISTINCT matched frames on each side, and
+    a video pair is a near-dup when either side's matched-frame
+    coverage reaches 1/2 (``shared_frac = max(shared1/nf1,
+    shared2/nf2)`` — the max makes a short clip fully contained in a
+    longer video a near-dup of it, the containment case re-encoded
+    excerpts actually present). ``nf`` comes from the REAL payloads
+    (``avi_meta``'s header ``total_frames`` — a pure-Column header
+    decode, no second frame walk), while the oracle recomputes it by
+    generator arithmetic (3 + doc % 6), so a decode- or rollup-side
+    error diverges. The audio twin needs no rollup: its fingerprint is
+    already one-per-track (``audio_neardup`` is doc-level by
+    construction). Plan shape at 100 TB: the rollup is a groupBy over
+    the (already cap-bounded) pair stream — O(pairs) shuffle of
+    4-column rows; the tiny rolled set is broadcast into the
+    frame-count joins, so the meta scan never shuffles
+    (streaming/frame_neardup.py holds the incremental twin of the
+    underlying pair kernel)."""
+    from beavers_spark.functions.dedup import hamming_pairs
+    from beavers_spark.functions.multimodal import avi_frames, avi_meta
+
+    avis = _synth_frame_avis(spark, sf_dir)
+    frames = avi_frames(avis, "payload").select(
+        (F.col("doc_id") * 256 + F.col("frame_idx")).alias("fid"),
+        "ahash",
+        "n_bytes",
+    )
+    pairs = hamming_pairs(
+        frames, "fid", "ahash", bits=64, max_hamming=3,
+        bucket_cap=8, group_cols=("n_bytes",),
+    ).select(
+        F.shiftright("fid1", 8).alias("doc1"),
+        F.col("fid1").bitwiseAND(F.lit(255)).alias("f1"),
+        F.shiftright("fid2", 8).alias("doc2"),
+        F.col("fid2").bitwiseAND(F.lit(255)).alias("f2"),
+    ).filter(F.col("doc1") != F.col("doc2"))
+    roll = pairs.groupBy("doc1", "doc2").agg(
+        F.countDistinct("f1").alias("shared1"),
+        F.countDistinct("f2").alias("shared2"),
+    )
+    nf = avi_meta(avis, "payload").select(
+        "doc_id", F.col("total_frames").cast("double").alias("nf")
+    )
+    j1 = nf.select(
+        F.col("doc_id").alias("doc1"), F.col("nf").alias("nf1")
+    ).join(F.broadcast(roll), "doc1")
+    j2 = nf.select(
+        F.col("doc_id").alias("doc2"), F.col("nf").alias("nf2")
+    ).join(F.broadcast(j1), "doc2")
+    frac = F.greatest(
+        F.col("shared1") / F.col("nf1"), F.col("shared2") / F.col("nf2")
+    )
+    return (
+        j2.filter(frac >= 0.5)
+        .select(
+            "doc1", "doc2", "shared1", "shared2",
+            F.round(frac, 6).alias("shared_frac"),
+        )
+    )
+
+
+@query(
+    "video_neardup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_VFN_CTES.format(
+        docs_where=f"WHERE doc_id < {_VFN_CLUSTER_DOCS}"
+    )},
+    xp AS (
+        SELECT (fid1 >> 8)::BIGINT AS doc1, (fid1 & 255) AS f1,
+               (fid2 >> 8)::BIGINT AS doc2, (fid2 & 255) AS f2
+        FROM cand
+        WHERE hamming <= 3 AND (fid1 >> 8) <> (fid2 >> 8)
+    ),
+    roll AS (
+        SELECT doc1, doc2,
+               count(DISTINCT f1) AS shared1,
+               count(DISTINCT f2) AS shared2
+        FROM xp GROUP BY doc1, doc2
+    ),
+    nd AS (
+        SELECT doc1, doc2 FROM roll
+        WHERE greatest(shared1 / (3.0 + doc1 % 6),
+                       shared2 / (3.0 + doc2 % 6)) >= 0.5
+    ),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM nd
+        UNION ALL SELECT doc2, doc1 FROM nd
+    ),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id < {_VFN_CLUSTER_DOCS}
+      AND NOT EXISTS (
+        SELECT 1 FROM labels l
+        WHERE l.doc_id = d.doc_id AND l.cluster_id <> l.doc_id
+    )
+    """,
+)
+def video_neardup_apply_q(spark, sf_dir):
+    """Keep-one-canonical-video curation over the doc-level near-dup
+    graph — ``dedup_apply``'s discipline on the video corpus: connected
+    components over the ``video_neardup_docs`` verdict pairs, keep each
+    component's min-id video plus every unpaired one. Closure
+    verification is GATE-BOUNDED to the first ``_VFN_CLUSTER_DOCS``
+    docs on BOTH engines (the clusters plan's documented rule: the
+    doc graph chains through the generator's shared frame classes and
+    a SQL transitive closure is O(sum |C|^2); the operator itself —
+    min-label loop + broadcast anti-join — is unbounded, and the
+    full-corpus rollup is verified by ``video_neardup_docs`` at every
+    scale)."""
+    from beavers_spark.functions.dedup import (
+        apply_dedup,
+        connected_components,
+        hamming_pairs,
+    )
+    from beavers_spark.functions.multimodal import avi_frames, avi_meta
+
+    avis = _synth_frame_avis(spark, sf_dir).filter(
+        F.col("doc_id") < _VFN_CLUSTER_DOCS
+    )
+    frames = avi_frames(avis, "payload").select(
+        (F.col("doc_id") * 256 + F.col("frame_idx")).alias("fid"),
+        "ahash",
+        "n_bytes",
+    )
+    fp = hamming_pairs(
+        frames, "fid", "ahash", bits=64, max_hamming=3,
+        bucket_cap=8, group_cols=("n_bytes",),
+    ).select(
+        F.shiftright("fid1", 8).alias("doc1"),
+        F.col("fid1").bitwiseAND(F.lit(255)).alias("f1"),
+        F.shiftright("fid2", 8).alias("doc2"),
+        F.col("fid2").bitwiseAND(F.lit(255)).alias("f2"),
+    ).filter(F.col("doc1") != F.col("doc2"))
+    roll = fp.groupBy("doc1", "doc2").agg(
+        F.countDistinct("f1").alias("shared1"),
+        F.countDistinct("f2").alias("shared2"),
+    )
+    nf = avi_meta(avis, "payload").select(
+        "doc_id", F.col("total_frames").cast("double").alias("nf")
+    )
+    j1 = nf.select(
+        F.col("doc_id").alias("doc1"), F.col("nf").alias("nf1")
+    ).join(F.broadcast(roll), "doc1")
+    j2 = nf.select(
+        F.col("doc_id").alias("doc2"), F.col("nf").alias("nf2")
+    ).join(F.broadcast(j1), "doc2")
+    frac = F.greatest(
+        F.col("shared1") / F.col("nf1"), F.col("shared2") / F.col("nf2")
+    )
+    nd = j2.filter(frac >= 0.5).select("doc1", "doc2")
+    clusters = connected_components(nd)
+    vids = avis.select("doc_id")
+    return apply_dedup(vids, clusters, "doc_id").select("doc_id")
+
+
 def _synth_scene_avis(spark, sf_dir):
     """The deterministic SCENE-structured AVI corpus for the scene-cut
     plan: doc d has 12 + d % 8 frames in 3-frame scenes — frame f's

@@ -113,9 +113,9 @@ class IncrementalQualityClassifier:
         refit_every: int = 1,
         max_refit_docs: int | None = None,
         n_slice_buckets: int = 16,
-        compact_every_waves: int | None = None,
+        compact_every_waves: int | None = 16,
         bloom_bits: int | None = 1 << 23,
-        bloom_min_waves: int = 8,
+        bloom_min_waves: int = 0,
     ) -> None:
         if refit_every < 1:
             raise ValueError("refit_every must be >= 1")
@@ -130,7 +130,11 @@ class IncrementalQualityClassifier:
         self.model_path = state_path.rstrip("/") + "/_model"
         #: live-wave-count threshold that triggers an automatic
         #: ``compact()`` right after a wave commits (None = manual
-        #: compaction only; see maintenance.maybe_auto_compact)
+        #: compaction only; see maintenance.maybe_auto_compact).
+        #: DEFAULT 16 since r11 — the growth bench measured the
+        #: no-maintenance slope as pure file-count fragmentation and
+        #: the 16-wave cadence returning the tail to the early plateau
+        #: (docs/concepts/growth.md); unbounded growth is now opt-in
         self.compact_every_waves = compact_every_waves
         self.auto_compactions = 0
         self.label_col = label_col

@@ -83,10 +83,10 @@ class IncrementalFrameDedup:
         payload_col: str = "payload",
         id_col: str = "doc_id",
         bloom_bits: int | None = 1 << 23,
-        bloom_min_waves: int = 8,
+        bloom_min_waves: int = 0,
         n_hash_buckets: int = 16,
         probe_cap: int | None = None,
-        compact_every_waves: int | None = None,
+        compact_every_waves: int | None = 16,
     ) -> None:
         self.state_path = state_path
         self.out_path = out_path
@@ -94,7 +94,11 @@ class IncrementalFrameDedup:
         self.id_col = id_col
         #: live-wave-count threshold that triggers an automatic
         #: ``compact()`` right after a wave commits (None = manual
-        #: compaction only; see maintenance.maybe_auto_compact)
+        #: compaction only; see maintenance.maybe_auto_compact).
+        #: DEFAULT 16 since r11 — the growth bench measured the
+        #: no-maintenance slope as pure file-count fragmentation and
+        #: the 16-wave cadence returning the tail to the early plateau
+        #: (docs/concepts/growth.md); unbounded growth is now opt-in
         self.compact_every_waves = compact_every_waves
         self.auto_compactions = 0
         #: bits per wave Bloom sidecar (None disables the probe filter)

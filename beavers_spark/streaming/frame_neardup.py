@@ -131,10 +131,10 @@ class IncrementalFrameNearDedup:
         max_hamming: int = 3,
         bucket_cap: int | None = None,
         bloom_bits: int | None = 1 << 23,
-        bloom_min_waves: int = 8,
+        bloom_min_waves: int = 0,
         n_hash_buckets: int = 16,
         probe_cap: int | None = None,
-        compact_every_waves: int | None = None,
+        compact_every_waves: int | None = 16,
     ) -> None:
         n_bands = max_hamming + 1
         if bits % n_bands:
@@ -167,7 +167,11 @@ class IncrementalFrameNearDedup:
         self.n_hash_buckets = n_hash_buckets
         #: live-wave-count threshold that triggers an automatic
         #: ``compact()`` right after a wave commits (None = manual
-        #: compaction only; see maintenance.maybe_auto_compact)
+        #: compaction only; see maintenance.maybe_auto_compact).
+        #: DEFAULT 16 since r11 — the growth bench measured the
+        #: no-maintenance slope as pure file-count fragmentation and
+        #: the 16-wave cadence returning the tail to the early plateau
+        #: (docs/concepts/growth.md); unbounded growth is now opt-in
         self.compact_every_waves = compact_every_waves
         self.auto_compactions = 0
         self._has_state = False

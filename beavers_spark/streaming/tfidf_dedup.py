@@ -98,15 +98,19 @@ class IncrementalTfidfDedup:
         n_buckets: int = 4096,
         max_df: int = 64,
         n_hash_buckets: int = 16,
-        compact_every_waves: int | None = None,
+        compact_every_waves: int | None = 16,
         bloom_bits: int | None = 1 << 23,
-        bloom_min_waves: int = 8,
+        bloom_min_waves: int = 0,
     ) -> None:
         self.state_path = state_path
         self.cand_path = cand_path
         #: live-wave-count threshold that triggers an automatic
         #: ``compact()`` right after a wave commits (None = manual
-        #: compaction only; see maintenance.maybe_auto_compact)
+        #: compaction only; see maintenance.maybe_auto_compact).
+        #: DEFAULT 16 since r11 — the growth bench measured the
+        #: no-maintenance slope as pure file-count fragmentation and
+        #: the 16-wave cadence returning the tail to the early plateau
+        #: (docs/concepts/growth.md); unbounded growth is now opt-in
         self.compact_every_waves = compact_every_waves
         self.auto_compactions = 0
         self.text_col = text_col

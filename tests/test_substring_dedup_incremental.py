@@ -257,10 +257,12 @@ def test_bloom_gating_and_lazy_backfill(spark, tmp_path):
     assert (3, 0, 6, 6) in got
 
 
-def test_default_gating_matches_batch(spark, tmp_path):
-    """With the default ``bloom_min_waves`` the 3-wave run never builds
-    sidecars, and the (broadcast-probe, hash-bucketed) registry path
-    alone still equals the batch operator."""
+def test_default_posture_matches_batch(spark, tmp_path):
+    """The r11 PRODUCTION defaults (``bloom_min_waves=0``,
+    ``compact_every_waves=16``): sidecars are written as waves commit,
+    the probe prunes from wave 1, and the result still equals the
+    batch operator — the posture an operator gets without reading
+    docs/concepts/state_kernels.md's defaults section."""
     import os
 
     docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(120)
@@ -268,14 +270,17 @@ def test_default_gating_matches_batch(spark, tmp_path):
         str(tmp_path / "state"), str(tmp_path / "out"),
         text_col="text", id_col="doc_id", k=5,
     )
+    assert dedup.compact_every_waves == 16
     _feed(spark, dedup, docs, waves=3)
     from beavers_spark.streaming.maintenance import BLOOM_SIDECAR
 
-    assert dedup.probe_metrics == []
-    assert not any(
-        f == BLOOM_SIDECAR
-        for _, _, fs in os.walk(tmp_path / "state") for f in fs
-    )
+    # default-on machinery: every committed wave carries its sidecar
+    # and every post-wave-0 batch recorded a probe decision
+    for w in (0, 1, 2):
+        assert os.path.exists(
+            tmp_path / "state" / f"w={w}" / BLOOM_SIDECAR
+        )
+    assert [m.batch_id for m in dedup.probe_metrics] == [1, 2]
     # hash-prefix bucket directories exist under each wave
     assert any(
         name.startswith("b=")

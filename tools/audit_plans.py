@@ -615,6 +615,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BatchEvalPython",
          r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
     ],
+    "video_neardup_docs": [
+        # the doc-level rollup rides the frame-pair engine (decode +
+        # map-side band fan-out + rank/chain window on the band key),
+        # then a groupBy over the cap-bounded pair stream whose tiny
+        # result is BROADCAST into the frame-count joins — the meta
+        # scan never shuffles, and the payload column is pruned before
+        # any exchange
+        [r"ArrowEvalPython", r"Generate",
+         r"hashpartitioning\(band_id", r"Window",
+         r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython",
+         r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*payload"],
+    ],
     "image_neardup": [
         # same contract as video_frame_neardup: Arrow-batched hash,
         # map-side band fan-out, rank/chain window on the band key,

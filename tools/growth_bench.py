@@ -133,7 +133,10 @@ def run_kernel(
     )
     from beavers_spark.streaming.maintenance import live_wave_count
 
-    kw = {"compact_every_waves": compact_every} if compact_every else {}
+    # pass the knob EXPLICITLY either way: the kernels now default to
+    # compact_every_waves=16 (the production posture, r11), and the
+    # no-flag run here must stay the NO-maintenance baseline
+    kw = {"compact_every_waves": compact_every}
     with tempfile.TemporaryDirectory() as wd:
         if name == "near":
             kern = IncrementalNearDedup(

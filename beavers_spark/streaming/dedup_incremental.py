@@ -376,6 +376,13 @@ class IncrementalNearDedup:
                 "b", F.pmod(F.col("bh"), F.lit(self.n_hash_buckets))
             )
             .repartition(self.n_hash_buckets, F.col("b"))
+            # clustered by the probe key (VERDICT r10 item 4): one
+            # already-bucketed task per directory, so the sort is
+            # wave-local and each file's row groups carry narrow
+            # band-key min/max — this is also how compact() keeps the
+            # COALESCED registry clustered (rebuild_anchors re-bands
+            # the w=-1 wave through this writer)
+            .sortWithinPartitions("b", *_BAND_KEYS)
             .write.mode("overwrite")
             .partitionBy("b")
             .parquet(band_dir)
@@ -580,6 +587,10 @@ class IncrementalNearDedup:
         )
         # nested merges: the one rewrite destroys BOTH sidecar
         # domains' per-wave bitmaps (band keys + doc ids)
+        # clustered by doc_id (VERDICT r10 item 4): the candidate
+        # lookup and the doc-seen guard both probe this table by id,
+        # and narrow per-row-group id min/max lets pushable id
+        # predicates skip the fat shingle-set column's row groups
         out = self._doc_seen.compact_merge(
             lambda: self._bloom.compact_merge(
                 lambda: compact_parquet(
@@ -587,6 +598,7 @@ class IncrementalNearDedup:
                     self.state_path,
                     partition_by="w",
                     transform=lambda df: df.withColumn("w", F.lit(-1)),
+                    cluster_by=("doc_id",),
                 )
             )
         )

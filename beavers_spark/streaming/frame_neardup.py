@@ -246,14 +246,20 @@ class IncrementalFrameNearDedup:
                 self.state_path,
                 partition_by="w",
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
+                cluster_by=("doc_id",),
             )
         )
+        # cluster the coalesced registry by its probe key (VERDICT
+        # r10 item 4): each bucket file's row groups carry narrow
+        # (band_id, bv) min/max, so band-key predicates reaching the
+        # parquet reader skip row groups instead of reading the bucket
         return self._bloom.compact_merge(
             lambda: compact_parquet(
                 spark,
                 self.bands_path,
                 partition_by=["w", "b"],
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
+                cluster_by=("band_id", "bv"),
             )
         )
 

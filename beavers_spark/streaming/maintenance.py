@@ -1208,6 +1208,7 @@ def compact_parquet(
     partition_by: str | Sequence[str] | None = None,
     files_per_partition: int = 1,
     transform=None,
+    cluster_by: Sequence[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory with a bounded file count.
 
@@ -1220,6 +1221,14 @@ def compact_parquet(
     given, is applied before the rewrite — the hook for layout changes
     that must ride the same swap, e.g. coarsening a wave-partition
     column so a hive-partitioned table stays hive-partitioned.
+
+    ``cluster_by`` sorts rows within the rewrite tasks (after the
+    partition-aligned repartition), so each compacted file's row
+    groups carry NARROW min/max statistics on the cluster columns
+    (VERDICT r10 item 4: the registries cluster by their probe key —
+    band value / span hash / doc id — so any probe predicate that
+    reaches the parquet reader can skip row groups instead of reading
+    the whole coalesced bucket). Layout-only: row SET is unchanged.
 
     The swap is NOT atomic (see module docstring): readers racing the
     two renames must tolerate a transient path-not-found.
@@ -1247,14 +1256,47 @@ def compact_parquet(
             if isinstance(partition_by, str)
             else list(partition_by)
         )
-        (
-            df.repartition(files_per_partition, *[F.col(c) for c in cols])
-            .write.mode("overwrite")
-            .partitionBy(*cols)
-            .parquet(tmp)
-        )
+        if cluster_by:
+            # the V1 writer re-sorts its input by the partition columns
+            # whenever the child's ordering doesn't name them — and the
+            # compaction transform pins the wave column to a LITERAL,
+            # which constant-folds out of any sort we add, so the
+            # writer's (unstable) re-sort would destroy the clustering.
+            # Write each leading-partition-value directory ourselves
+            # (the kernels' own wave writers' pattern: an explicit
+            # ``w=<v>`` path + partitionBy on the rest), so the only
+            # required ordering is the remaining partition cols — which
+            # our (rest + cluster) sort satisfies as a prefix.
+            lead, rest = cols[0], cols[1:]
+            vals = [r[0] for r in df.select(lead).distinct().collect()]
+            for v in vals:
+                sub = df.filter(F.col(lead) == v).drop(lead)
+                if rest:
+                    out = sub.repartition(
+                        files_per_partition, *[F.col(c) for c in rest]
+                    ).sortWithinPartitions(*rest, *cluster_by)
+                else:
+                    out = sub.coalesce(
+                        files_per_partition
+                    ).sortWithinPartitions(*cluster_by)
+                w = out.write.mode("overwrite")
+                if rest:
+                    w = w.partitionBy(*rest)
+                w.parquet(f"{tmp}/{lead}={v}")
+        else:
+            (
+                df.repartition(
+                    files_per_partition, *[F.col(c) for c in cols]
+                )
+                .write.mode("overwrite")
+                .partitionBy(*cols)
+                .parquet(tmp)
+            )
     else:
-        df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
+        out = df.coalesce(files_per_partition)
+        if cluster_by:
+            out = out.sortWithinPartitions(*cluster_by)
+        out.write.mode("overwrite").parquet(tmp)
 
     # carry sidecar metadata — Spark ignores underscore-prefixed
     # entries, but our operators depend on them: _*.json files

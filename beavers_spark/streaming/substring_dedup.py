@@ -209,10 +209,13 @@ class IncrementalSubstringDedup:
                 self.out_path,
                 partition_by="w",
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
+                cluster_by=("doc_id",),
             )
         )
         # nested merges: each rewrite destroys its table's per-wave
         # doc bitmaps (and the registry's span-key bitmaps)
+        # clustered by the probe key (VERDICT r10 item 4): narrow
+        # per-row-group h min/max in the coalesced bucket files
         return self._doc_seen.compact_merge(
             lambda: self._bloom.compact_merge(
                 lambda: compact_parquet(
@@ -220,6 +223,7 @@ class IncrementalSubstringDedup:
                     self.state_path,
                     partition_by=["w", "b"],
                     transform=lambda df: df.withColumn("w", F.lit(-1)),
+                    cluster_by=("h",),
                 )
             )
         )

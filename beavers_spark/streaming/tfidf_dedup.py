@@ -451,11 +451,14 @@ class IncrementalTfidfDedup:
                 alive.unpersist(blocking=True)
         # the rewrite destroys the per-wave doc bitmaps with the wave
         # dirs — OR them into the coalesced w=-1 wave
+        # clustered by the postings key (VERDICT r10 item 4): narrow
+        # per-row-group bucket min/max in the coalesced bucket files
         return self._doc_seen.compact_merge(
             lambda: compact_parquet(
                 spark,
                 self.state_path,
                 partition_by=["w", "b"],
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
+                cluster_by=("bucket",),
             )
         )

@@ -288,16 +288,22 @@ def _le_int(payload_col: str, offset: int, nbytes: int):
 
 
 def synth_wav(
-    data_col, channels_col, sample_rate_col, bits_col
+    data_col, channels_col, sample_rate_col, bits_col, fmt_code_col=None
 ):
-    """A canonical 44-byte-header PCM WAV blob Column: RIFF/WAVE/fmt/data
+    """A canonical 44-byte-header WAV blob Column: RIFF/WAVE/fmt/data
     chunks with the given parameters and ``data_col`` (binary) as the
     sample payload. Pure Column byte math — the builder the wav_meta
     plan feeds, byte-identical to what ``struct.pack``-based writers
-    (Python's wave module) produce for the same parameters."""
+    (Python's wave module) produce for the same parameters.
+    ``fmt_code_col`` (default 1 = PCM) stamps the fmt chunk's codec
+    field — 7 builds a G.711 u-law container for the
+    ``wav_ulaw_decode`` kernel's corpus."""
     ch = channels_col.cast("bigint")
     sr = sample_rate_col.cast("bigint")
     bits = bits_col.cast("bigint")
+    code = (
+        F.lit(1) if fmt_code_col is None else fmt_code_col
+    ).cast("bigint")
     block_align = ch * (bits / F.lit(8)).cast("bigint")
     byte_rate = sr * block_align
     dlen = F.octet_length(data_col).cast("bigint")
@@ -307,7 +313,7 @@ def synth_wav(
         F.lit("57415645"),                 # 'WAVE'
         F.lit("666d7420"),                 # 'fmt '
         _le_hex(F.lit(16), 4),             # fmt chunk size
-        _le_hex(F.lit(1), 2),              # PCM
+        _le_hex(code, 2),                  # codec (1 = PCM, 7 = u-law)
         _le_hex(ch, 2),
         _le_hex(sr, 4),
         _le_hex(byte_rate, 4),
@@ -392,6 +398,25 @@ def _wav_pcm_data(b) -> tuple[int, int, int, int] | None:
     per-channel (``wav_resample``'s mono decimation, ADVICE r10) can
     reject interleaved payloads instead of mixing channels.
     """
+    loc = _wav_data_chunk(b)
+    if loc is None:
+        return None
+    off, dlen, rate, channels, fmt_code, bits = loc
+    if fmt_code != 1 or bits != 16:
+        return None
+    return (off, dlen, rate, channels)
+
+
+def _wav_data_chunk(
+    b,
+) -> tuple[int, int, int, int, int, int] | None:
+    """(data_offset, data_len, sample_rate, channels, fmt_code,
+    bits_per_sample) of ANY RIFF/WAVE payload with a well-formed
+    ``fmt `` chunk preceding ``data`` — the codec-agnostic walk under
+    ``_wav_pcm_data`` (PCM16) and ``wav_ulaw_decode`` (G.711 u-law,
+    fmt code 7). Same chunk-list rules: pad bytes consumed, truncated
+    final chunk clamped, None on a non-WAVE container or missing
+    fmt/data."""
     if (
         b is None
         or len(b) < 12
@@ -409,17 +434,36 @@ def _wav_pcm_data(b) -> tuple[int, int, int, int] | None:
         if cid == b"fmt " and body + 16 <= n:
             fmt = bytes(b[body : body + 16])
         elif cid == b"data":
-            if (
-                fmt is None
-                or int.from_bytes(fmt[0:2], "little") != 1  # PCM
-                or int.from_bytes(fmt[14:16], "little") != 16
-            ):
+            if fmt is None:
                 return None
-            rate = int.from_bytes(fmt[4:8], "little")
-            channels = int.from_bytes(fmt[2:4], "little")
-            return (body, min(size, n - body), rate, channels)
+            return (
+                body,
+                min(size, n - body),
+                int.from_bytes(fmt[4:8], "little"),
+                int.from_bytes(fmt[2:4], "little"),
+                int.from_bytes(fmt[0:2], "little"),
+                int.from_bytes(fmt[14:16], "little"),
+            )
         pos = body + size + (size & 1)  # chunks are word-aligned
     return None
+
+
+def _pcm16_mono_wav(data: bytes, rate: int) -> bytes:
+    """A canonical 44-byte-header 16-bit mono PCM WAV around ``data``
+    — the byte builder shared by ``wav_resample`` and
+    ``wav_ulaw_decode``, byte-identical to the stdlib ``wave``
+    module's output for the same parameters (pinned by tests)."""
+    import struct as _struct
+
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+    )
 
 
 def wav_stats(df: DataFrame, payload_col: str) -> DataFrame:
@@ -829,8 +873,6 @@ def wav_resample(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
     def _build():
         @F.pandas_udf("struct<resampled:binary,out_rate:int>")
         def _rs(p: pd.Series, fs: pd.Series) -> pd.DataFrame:
-            import struct as _struct
-
             import numpy as np
 
             rz: list = []
@@ -849,19 +891,7 @@ def wav_resample(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
                 v = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
                 out = np.ascontiguousarray(v[::f])
                 new_rate = max(rate // f, 1)
-                data = out.tobytes()
-                hdr = (
-                    b"RIFF"
-                    + _struct.pack("<I", 36 + len(data))
-                    + b"WAVEfmt "
-                    + _struct.pack(
-                        "<IHHIIHH",
-                        16, 1, 1, new_rate, new_rate * 2, 2, 16,
-                    )
-                    + b"data"
-                    + _struct.pack("<I", len(data))
-                )
-                rz.append(hdr + data)
+                rz.append(_pcm16_mono_wav(out.tobytes(), new_rate))
                 orate.append(new_rate)
             return pd.DataFrame({"resampled": rz, "out_rate": orate})
 
@@ -875,6 +905,76 @@ def wav_resample(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
         .withColumn("resampled", F.col("__wr.resampled"))
         .withColumn("out_rate", F.col("__wr.out_rate"))
         .drop("__wr")
+    )
+
+
+def wav_ulaw_decode(df: DataFrame, payload_col: str) -> DataFrame:
+    """G.711 u-LAW expansion — a REAL second audio codec behind the
+    WAV surface (VERDICT r10 item 8: the one compressed format whose
+    decode is closed-form integer arithmetic, so it stays Arrow-batched
+    AND generator-oracle-able, unlike the JPEG/MP3/H.264 injection
+    boundaries this container cannot exercise): each stored byte ``b``
+    expands to a 16-bit sample via the CCITT formula
+
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        pcm = 0x84 - t  if u & 0x80  else  t - 0x84
+
+    (the classic Sun ``ulaw2linear``, |pcm| <= 32124). Adds ``decoded``
+    — itself a CANONICAL 16-bit mono PCM WAV, so kernels CHAIN
+    (decode -> ``wav_stats`` / ``wav_resample`` / the segment tier) —
+    and ``out_rate``. NULL for anything that is not a mono 8-bit
+    fmt-code-7 WAV (the filter-then-decode convention; the RIFF chunk
+    list is walked, so non-canonical layouts decode).
+
+    Arrow-batched pandas UDF; per blob the expansion is three
+    vectorized numpy ops over a zero-copy ``frombuffer`` view — never
+    a per-sample loop. Pure projection: no shuffle, cost rides the
+    scan."""
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import _cached_udf
+
+    def _build():
+        @F.pandas_udf("struct<decoded:binary,out_rate:int>")
+        def _ud(p: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            dec: list = []
+            orate: list = []
+            for b in p:
+                loc = _wav_data_chunk(b)
+                if (
+                    loc is None
+                    or loc[3] != 1  # mono contract, like wav_resample
+                    or loc[4] != 7  # G.711 u-law
+                    or loc[5] != 8
+                ):
+                    dec.append(None)
+                    orate.append(None)
+                    continue
+                off, dlen, rate, _ch, _code, _bits = loc
+                u = ~np.frombuffer(
+                    bytes(b[off : off + dlen]), dtype=np.uint8
+                )
+                t = ((((u & 0x0F).astype(np.int32)) << 3) + 0x84) << (
+                    (u >> 4) & 7
+                )
+                pcm = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(
+                    "<i2"
+                )
+                dec.append(_pcm16_mono_wav(pcm.tobytes(), rate))
+                orate.append(rate)
+            return pd.DataFrame({"decoded": dec, "out_rate": orate})
+
+        return _ud
+
+    s = _cached_udf(("wav_ulaw_decode",), _build)(F.col(payload_col))
+    return (
+        df.withColumn("__ul", s)
+        .withColumn("decoded", F.col("__ul.decoded"))
+        .withColumn("out_rate", F.col("__ul.out_rate"))
+        .drop("__ul")
     )
 
 

@@ -1304,3 +1304,55 @@ def test_wav_resample_round_trip_and_hostiles(spark):
     want = np.array(vals, dtype="<i2")[::3]
     assert np.array_equal(np.frombuffer(frames, dtype="<i2"), want)
     assert got[0].out_rate == 8000 // 3
+
+
+def test_wav_ulaw_decode_matches_audioop_and_hostiles(spark):
+    """wav_ulaw_decode: the expanded samples must equal the stdlib
+    audioop G.711 reference (an independent implementation of the
+    CCITT table), the output must be a REAL PCM WAV (stdlib wave
+    parses it back, chainable), and PCM-coded / stereo / hostile
+    payloads yield NULLs."""
+    import audioop
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import (
+        synth_wav,
+        wav_ulaw_decode,
+    )
+
+    enc = bytes((7 * i + 3) % 256 for i in range(100))
+
+    def row(doc_id, data, ch, bits, code):
+        return spark.range(1).select(
+            F.lit(doc_id).cast("long").alias("doc_id"),
+            synth_wav(
+                F.lit(data), F.lit(ch), F.lit(8000), F.lit(bits),
+                F.lit(code),
+            ).alias("payload"),
+        )
+
+    hostile = spark.createDataFrame(
+        [(3, bytearray(b"not a wav")), (4, None)],
+        "doc_id long, payload binary",
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    df = (
+        row(0, enc, 1, 8, 7)        # the real u-law mono payload
+        .unionByName(row(1, enc, 2, 8, 7))   # stereo: mono contract
+        .unionByName(row(2, enc + enc, 1, 16, 1))  # PCM, not u-law
+        .unionByName(hostile)
+    )
+    got = {r.doc_id: r for r in wav_ulaw_decode(df, "payload").collect()}
+    for bad in (1, 2, 3, 4):
+        assert got[bad].decoded is None and got[bad].out_rate is None
+    out = bytes(got[0].decoded)
+    with wave_mod.open(io.BytesIO(out)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 8000
+        frames = w.readframes(w.getnframes())
+    want = np.frombuffer(audioop.ulaw2lin(enc, 2), dtype="<i2")
+    assert np.array_equal(np.frombuffer(frames, dtype="<i2"), want)
+    assert got[0].out_rate == 8000

@@ -651,6 +651,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"Scan parquet"],
         [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
     ],
+    "wav_ulaw_decode": [
+        # the u-law expand -> stats CHAIN: same straight-line
+        # Arrow-batched projection contract as wav_resample
+        [r"ArrowEvalPython", r"Scan parquet"],
+        [r"Exchange", r"Join", r"BatchEvalPython", r"CartesianProduct"],
+    ],
     "audio_fingerprint": [
         # one Arrow-batched segment decode, map-side segment explode,
         # then pure Column folds (window sum + bit_or) — never a

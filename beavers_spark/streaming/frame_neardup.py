@@ -219,6 +219,47 @@ class IncrementalFrameNearDedup:
             "doc1", "frame1", "doc2", "frame2", "hamming"
         )
 
+    def read_doc_pairs(
+        self, spark: SparkSession, min_shared_frac: float = 0.5
+    ) -> DataFrame:
+        """DOC-level near-dup verdicts rolled up from the emitted
+        frame pairs — the ``video_neardup_docs`` plan's semantics over
+        the incremental state (a training pipeline dedups DOCUMENTS):
+        per cross-doc pair, the DISTINCT matched frames on each side;
+        near-dup when either side's coverage reaches
+        ``min_shared_frac`` (the max makes a short clip contained in a
+        longer video a near-dup of it). Frame counts come from the sig
+        table (one row per frame — always full, so the denominator is
+        exact even in capped mode). For the audio/image subclasses
+        every doc has one signature row, so any emitted pair is a doc
+        verdict at full coverage. Read-time derivation: the rolled-up
+        result is a pure function of the accumulated pair/sig SETS, so
+        it needs no extra state or replay contract."""
+        pairs = self.read_pairs(spark).filter(
+            F.col("doc1") != F.col("doc2")
+        )
+        roll = pairs.groupBy("doc1", "doc2").agg(
+            F.countDistinct("frame1").alias("shared1"),
+            F.countDistinct("frame2").alias("shared2"),
+        )
+        nf = self.read_state(spark).groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("nf")
+        )
+        j1 = nf.select(
+            F.col("doc_id").alias("doc1"), F.col("nf").alias("nf1")
+        ).join(F.broadcast(roll), "doc1")
+        j2 = nf.select(
+            F.col("doc_id").alias("doc2"), F.col("nf").alias("nf2")
+        ).join(F.broadcast(j1), "doc2")
+        frac = F.greatest(
+            F.col("shared1") / F.col("nf1"),
+            F.col("shared2") / F.col("nf2"),
+        )
+        return j2.filter(frac >= min_shared_frac).select(
+            "doc1", "doc2", "shared1", "shared2",
+            F.round(frac, 6).alias("shared_frac"),
+        )
+
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` (the band
         registry keeps its ``b`` hash-prefix layout); returns the band

@@ -176,3 +176,47 @@ def test_capped_redelivery_of_fully_evicted_doc_is_noop(spark, tmp_path):
     assert reg_docs < sig_docs, "cap=2 must evict some docs' band rows"
     nd(_avis(spark, 0, 70), 1)  # full redelivery under a NEW batch id
     assert _pairs(nd, spark) == before
+
+
+def test_read_doc_pairs_matches_batch_rollup(spark, tmp_path):
+    """read_doc_pairs: the video_neardup_docs rollup semantics over
+    the incremental state — distinct matched frames per side, verdict
+    at max-coverage >= 1/2 — must equal the same rollup computed from
+    the batch pair set + true per-doc frame counts."""
+    from collections import defaultdict
+
+    from beavers_spark.functions.multimodal import avi_frames
+
+    nd = IncrementalFrameNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs")
+    )
+    _feed(nd, spark)
+
+    # independent model: batch pairs (uncapped, same knobs) + real
+    # frame counts, rolled up in plain Python
+    nf = {
+        r.doc_id: r.n
+        for r in avi_frames(_avis(spark, 0, 200), "payload")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    shared1 = defaultdict(set)
+    shared2 = defaultdict(set)
+    for d1, f1, d2, f2, _h in _batch_pairs(spark, 200):
+        if d1 == d2:
+            continue
+        shared1[(d1, d2)].add(f1)
+        shared2[(d1, d2)].add(f2)
+    want = {}
+    for key in shared1:
+        d1, d2 = key
+        s1, s2 = len(shared1[key]), len(shared2[key])
+        frac = max(s1 / nf[d1], s2 / nf[d2])
+        if frac >= 0.5:
+            want[key] = (s1, s2, round(frac, 6))
+    got = {
+        (r.doc1, r.doc2): (r.shared1, r.shared2, r.shared_frac)
+        for r in nd.read_doc_pairs(spark).collect()
+    }
+    assert want and got == want

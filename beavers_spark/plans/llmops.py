@@ -1752,6 +1752,63 @@ def audio_neardup_clusters_q(spark, sf_dir):
 
 
 @query(
+    "audio_neardup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_AUDIO_NEARDUP_CTES},
+    pairs AS (SELECT doc1, doc2 FROM cand WHERE hamming <= 3),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM labels l
+        WHERE l.doc_id = d.doc_id AND l.cluster_id <> l.doc_id
+    )
+    """,
+)
+def audio_neardup_apply_q(spark, sf_dir):
+    """The audio corpus AFTER perceptual near-dup removal — each
+    envelope-fingerprint cluster keeps only its canonical (min-id)
+    track: ``dedup_apply``'s keep-one discipline completing the audio
+    tier (detect -> cluster -> APPLY). Audio is doc-level by
+    construction (one fingerprint per track), so this IS the doc-level
+    curation step — no rollup needed. Broadcast drop list; the scan
+    never shuffles."""
+    from beavers_spark.functions.dedup import (
+        apply_dedup,
+        connected_components,
+        hamming_pairs,
+    )
+    from beavers_spark.functions.multimodal import (
+        wav_envelope_fingerprint,
+        wav_segment_stats,
+    )
+
+    wavs = _synth_neardup_wavs(spark, sf_dir)
+    segs = wav_segment_stats(wavs, "payload", seg_samples=16)
+    sig = wav_envelope_fingerprint(segs).withColumn(
+        "cls", F.least(F.col("nseg"), F.lit(64))
+    )
+    pairs = hamming_pairs(
+        sig, "doc_id", "afp", bits=64, max_hamming=3, bucket_cap=8,
+        group_cols=("cls",),
+    ).select(
+        F.col("doc_id1").alias("doc1"), F.col("doc_id2").alias("doc2")
+    )
+    clusters = connected_components(pairs)
+    return apply_dedup(
+        wavs.select("doc_id"), clusters, "doc_id"
+    ).select("doc_id")
+
+
+@query(
     "ppm_meta",
     oracle="""
     WITH params AS (
@@ -1965,6 +2022,58 @@ def image_neardup_clusters_q(spark, sf_dir):
         F.col("doc_id1").alias("doc1"), F.col("doc_id2").alias("doc2")
     )
     return connected_components(pairs)
+
+
+@query(
+    "image_neardup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_IMG_NEARDUP_CTES},
+    pairs AS (SELECT doc1, doc2 FROM cand WHERE hamming <= 3),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM labels l
+        WHERE l.doc_id = d.doc_id AND l.cluster_id <> l.doc_id
+    )
+    """,
+)
+def image_neardup_apply_q(spark, sf_dir):
+    """The image corpus AFTER perceptual near-dup removal — each aHash
+    cluster keeps only its canonical (min-id) image, plus every
+    unclustered one: ``dedup_apply``'s keep-one discipline completing
+    the image tier (detect -> cluster -> APPLY, the step a curation
+    pipeline actually ships). The drop list (non-canonical members) is
+    tiny vs the corpus, so it broadcasts and the scan never
+    shuffles."""
+    from beavers_spark.functions.dedup import (
+        apply_dedup,
+        connected_components,
+        hamming_pairs,
+    )
+    from beavers_spark.functions.multimodal import ppm_ahash
+
+    docs = t(spark, sf_dir, "documents")
+    w, h = _ppm_dims()
+    ppms = docs.select("doc_id", _ppm_pixels(w, h).alias("payload"))
+    sig = ppm_ahash(ppms, "payload").select("doc_id", "ahash")
+    pairs = hamming_pairs(
+        sig, "doc_id", "ahash", bits=64, max_hamming=3, bucket_cap=8
+    ).select(
+        F.col("doc_id1").alias("doc1"), F.col("doc_id2").alias("doc2")
+    )
+    clusters = connected_components(pairs)
+    return apply_dedup(
+        ppms.select("doc_id"), clusters, "doc_id"
+    ).select("doc_id")
 
 
 def _ppm_dims():

@@ -267,9 +267,40 @@ scenes = cuts.groupBy("doc_id", "scene_id").agg(
 n_scenes = scenes.count()
 assert N <= n_scenes <= n_frames  # >= 1 scene per video, <= 1 per frame
 
+# compressed-audio decode: build fmt-code-7 G.711 u-law containers and
+# EXPAND them with the closed-form CCITT kernel — the output is itself
+# a canonical PCM16 WAV, so it chains straight back into wav_stats
+from beavers_spark.functions.multimodal import (  # noqa: E402
+    wav_stats,
+    wav_ulaw_decode,
+)
+
+ul_idx = F.sequence(F.lit(0).cast("bigint"), F.lit(79).cast("bigint"))
+ul_hex = F.transform(
+    ul_idx,
+    lambda j: F.lpad(
+        F.hex(F.pmod(F.col("doc_id") * 13 + j * 17, F.lit(256))), 2, "0"
+    ),
+)
+ulaws = docs.select(
+    "doc_id",
+    synth_wav(
+        F.unhex(F.array_join(ul_hex, "")),
+        F.lit(1), F.lit(8000), F.lit(8), F.lit(7),
+    ).alias("payload"),
+)
+ul = wav_stats(
+    wav_ulaw_decode(ulaws, "payload").select("doc_id", "decoded"),
+    "decoded",
+)
+n_ulaw = ul.filter(F.col("n_samples") == 80).count()
+assert n_ulaw == N  # every track expanded, sample-exact
+# u-law magnitudes are bounded by the CCITT table's +-32124
+assert ul.filter(F.abs(F.col("peak")) > 32124).count() == 0
+
 print(
     f"media pipeline: {a0} wavs decoded+resampled ({n_segs} audio segments, "
-    f"{n_tracks} envelope fingerprints), "
+    f"{n_tracks} envelope fingerprints), {n_ulaw} u-law tracks expanded, "
     f"{N} ppms resized+re-decoded, {n_frames} frames extracted, "
     f"{dups} duplicate frames, {uniq} unique, "
     f"{n_near} perceptual near-dup pairs, {n_scenes} scenes"

@@ -373,7 +373,7 @@ class IncrementalChunkDedup:
             # the wave's doc-id bitmap — what future batches' seen
             # probes test against (maintenance.DocSeenGuard)
             with timed_phase(self.phase_seconds, "seen_sidecar"):
-                self._doc_seen.save_wave(spark, wave_dir)
+                self._doc_seen.save_wave(spark, wave_dir, batch_id)
             self._has_state = True
             kept = new_owned.groupBy("doc_id").agg(
                 F.array_join(

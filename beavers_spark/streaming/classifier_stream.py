@@ -489,7 +489,9 @@ class IncrementalQualityClassifier:
         )
         # the wave's doc-id bitmap — what future batches' seen probes
         # test against (empty waves save an exact zero bitmap)
-        self._doc_seen.save_wave(spark, f"{self.state_path}/w={batch_id}")
+        self._doc_seen.save_wave(
+            spark, f"{self.state_path}/w={batch_id}", batch_id
+        )
         # per-wave doc count from the WRITTEN wave (replay-safe: an
         # overwrite recounts), keyed by wave — the O(1) registry total
         # the capped refit's threshold sizing reads. An all-redelivered

@@ -685,7 +685,7 @@ class IncrementalNearDedup:
         # the wave's doc-id bitmap — what future batches' seen probes
         # test against (maintenance.DocSeenGuard)
         with self._phase("seen_sidecar"):
-            self._doc_seen.save_wave(spark, wave_dir)
+            self._doc_seen.save_wave(spark, wave_dir, batch_id)
         # emptiness check from the just-written wave's parquet footers,
         # driver-local (same POSIX assumption as _band_keys_local) — the
         # Spark count() job this replaces was footer-only too but still

@@ -337,7 +337,7 @@ class IncrementalFrameDedup:
             # the wave's doc-id bitmap, from the committed read-back —
             # what future batches' seen probes test against
             with timed_phase(self.phase_seconds, "seen_sidecar"):
-                self._doc_seen.save_wave(spark, wave_dir)
+                self._doc_seen.save_wave(spark, wave_dir, batch_id)
             self._has_state = True
 
             with timed_phase(self.phase_seconds, "out_write"):

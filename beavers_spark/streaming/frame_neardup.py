@@ -455,7 +455,7 @@ class IncrementalFrameNearDedup:
         # the wave's doc-id bitmap, from the committed read-back (one
         # column scan) — what future batches' seen probes test against
         with timed_phase(self.phase_seconds, "seen_sidecar"):
-            self._doc_seen.save_wave(spark, sig_dir)
+            self._doc_seen.save_wave(spark, sig_dir, batch_id)
 
         band_dir = f"{self.bands_path}/w={batch_id}"
         with timed_phase(self.phase_seconds, "band_write"):

@@ -924,6 +924,12 @@ class DocSeenGuard:
         )
         #: one ProbeMetrics per Bloom-pruned guard probe
         self.probe_metrics: list[ProbeMetrics] = []
+        #: (batch_id, key array) stashed by the last ``pruned_seen``
+        #: so ``save_wave`` can build the wave's bitmap WITHOUT a
+        #: second Spark job — the batch id set is a SUPERSET of the
+        #: wave's surviving ids, and superset bits only add false
+        #: positives (an unnecessary wave scan), never wrong answers
+        self._batch_keys: tuple[int, object] | None = None
 
     def _wave_doc_keys(self, spark, wave_dir: str):
         """One wave's doc-id hash column (lazy backfill contract) —
@@ -947,6 +953,7 @@ class DocSeenGuard:
             return prior.select(self.state_id)
         keys_df = batch.select(F.xxhash64(F.col(id_col)).alias("dh"))
         keys = self._index.collect_keys(keys_df, "dh")
+        self._batch_keys = None if keys is None else (batch_id, keys)
         pruned = self._index.prune_prior(
             prior, keys, batch_id, self.probe_metrics, spark,
             keys_df=keys_df if keys is None else None, key_col="dh",
@@ -955,10 +962,25 @@ class DocSeenGuard:
             return None
         return pruned.select(self.state_id)
 
-    def save_wave(self, spark, wave_dir: str) -> None:
+    def save_wave(
+        self, spark, wave_dir: str, batch_id: int | None = None
+    ) -> None:
         """Persist the just-written wave's doc-id bitmap (call after
-        the wave commit; an over-cap wave builds executor-side)."""
+        the wave commit; an over-cap wave builds executor-side). With
+        ``batch_id``, a key set stashed by this batch's own
+        ``pruned_seen`` probe is reused — the batch ids are a superset
+        of the wave's surviving ids (superset bits cost a false-
+        positive wave scan, never a miss), and the wave read-back job
+        is skipped entirely."""
         if not self._index.m_bits:
+            return
+        if (
+            batch_id is not None
+            and self._batch_keys is not None
+            and self._batch_keys[0] == batch_id
+        ):
+            self._index.save_wave(wave_dir, self._batch_keys[1])
+            self._batch_keys = None
             return
         if not table_exists(spark, wave_dir):
             # a fully-redelivered batch writes an EMPTY wave whose

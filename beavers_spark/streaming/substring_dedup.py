@@ -417,7 +417,7 @@ class IncrementalSubstringDedup:
             # the wave's doc-id bitmap — what future batches' seen
             # probes test against (maintenance.DocSeenGuard)
             with timed_phase(self.phase_seconds, "seen_sidecar"):
-                self._doc_seen.save_wave(spark, wave_dir)
+                self._doc_seen.save_wave(spark, wave_dir, batch_id)
             self._has_state = True
 
             # every occurrence that did not become an owner is a
@@ -475,7 +475,7 @@ class IncrementalSubstringDedup:
                 )
             with timed_phase(self.phase_seconds, "seen_sidecar"):
                 self._doc_seen_out.save_wave(
-                    spark, f"{self.out_path}/w={batch_id}"
+                    spark, f"{self.out_path}/w={batch_id}", batch_id
                 )
             files, nbytes, mx = partition_stats(spark, [wave_dir])
             self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))

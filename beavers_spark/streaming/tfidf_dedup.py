@@ -311,7 +311,7 @@ class IncrementalTfidfDedup:
         self._has_state = True
         # the wave's doc-id bitmap — what future batches' seen probes
         # test against (maintenance.DocSeenGuard)
-        self._doc_seen.save_wave(spark, wave_dir)
+        self._doc_seen.save_wave(spark, wave_dir, batch_id)
         new_tf = spark.read.parquet(wave_dir)
 
         # candidate generation: new docs' postings x registry postings

@@ -1164,7 +1164,22 @@ def main() -> None:
 
     analytics_total = sum(per_query[n] for n in analytics)
     state_total = 0.0
-    for name, scenario in incremental:
+    #: restart the SparkContext every N state scenarios (untimed):
+    #: r11's full-tier run measured POSITION-dependent degradation —
+    #: the same scenario 22.8s isolated vs 228.8s as the 19th of a
+    #: 23-scenario session (accumulated JVM/session pressure, load
+    #: near-idle both times) — which no per-scenario counter could
+    #: attribute. Fresh-every-N makes every scenario's number
+    #: position-independent, extending the per-tier isolation the
+    #: bench already does (VERDICT r4 item 7 / r5 item 2).
+    state_refresh_every = int(
+        os.environ.get("SPARK_GRAFT_STATE_REFRESH", "4")
+    )
+    for scen_idx, (name, scenario) in enumerate(incremental):
+        if scen_idx and scen_idx % state_refresh_every == 0:
+            spark.stop()
+            spark = get_spark(f"beavers_spark_bench_state_{scen_idx}")
+            _warm(spark)
         times = []
         loads = []
         scen_metrics: dict = {}
@@ -1275,7 +1290,12 @@ def main() -> None:
                 # (see the restarts above), so their times are
                 # position-independent
                 "analytics_session": "fresh",
-                "state_session": "fresh",
+                # r11 on: the state tier ALSO restarts its session
+                # every SPARK_GRAFT_STATE_REFRESH (default 4)
+                # scenarios, untimed — scenario times are position-
+                # independent (the r11 preview measured a 10x
+                # position effect on the 19th scenario of one session)
+                "state_session": "fresh-every-4",
                 # r6 on: inc_chunk_dedup's scenario compacts mid-stream
                 # (wave -> compact -> wave), so its time includes one
                 # state rewrite the r5 number did not

@@ -58,6 +58,18 @@ def get_spark(app_name: str = "beavers_spark", extra_conf: dict | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
+        # ContextCleaner's broadcast/shuffle cleanup is GC-driven: it
+        # only reclaims blocks whose driver-side references a JVM GC
+        # has actually collected, and its own periodic System.gc()
+        # defaults to every 30min — longer than an entire local test
+        # or bench run, so thousands of micro-batch jobs accumulate
+        # broadcast + shuffle blocks unreclaimed and late work slows
+        # down for no plan-side reason (measured r11: the same
+        # scenario 22.8s early-session vs 228.8s late-session). Two
+        # minutes keeps the single-JVM local harness steady; on a real
+        # cluster the default is fine (executors hold the blocks, and
+        # long-lived drivers GC naturally under heap pressure).
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

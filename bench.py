@@ -111,6 +111,20 @@ ANALYTICS = [
 _WAVES = 4
 
 
+def _cpu_probe_ms() -> float:
+    """Milliseconds for a fixed pure-Python spin — a DIRECT measure of
+    currently-available compute. Recorded at every repetition's start
+    beside the loadavg because loadavg is unreliable on virtualized
+    hosts (r11 measured loadavg 8.8 with vmstat showing 99% idle —
+    steal/decay artifacts), while the spin slows in proportion to real
+    contention, foreign or hypervisor-side."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(200_000):
+        x += i * i
+    return (time.perf_counter() - t0) * 1000.0
+
+
 def _require(cond: bool, msg: str) -> None:
     """Scenario invariant guard. RuntimeError, not assert: a bare
     assert aborts the whole bench on a probabilistic Bloom false
@@ -1091,6 +1105,18 @@ def main() -> None:
         )
     )
     load_reruns: list[str] = []
+    #: spin-probe ms at each repetition's start (same order as reps);
+    #: the session's best spin is the contention baseline — a warm rep
+    #: starting >1.4x it gets the same +1-rep treatment as the loadavg
+    #: gate (the spin works where loadavg lies, see _cpu_probe_ms)
+    per_spins: dict[str, list[float]] = {}
+    best_spin = [float("inf")]
+
+    def _spin() -> float:
+        s = _cpu_probe_ms()
+        best_spin[0] = min(best_spin[0], s)
+        return round(s, 1)
+
     total = 0.0
     cold_total = 0.0
     cold_full = 0.0
@@ -1102,11 +1128,17 @@ def main() -> None:
             fn = QUERIES[name]
             times = []
             loads = []
+            spins = []
             reps = 3
             rep = 0
             while rep < reps:
                 loads.append(round(os.getloadavg()[0], 1))
-                if rep == 1 and loads[-1] > load_gate and reps == 3:
+                spins.append(_spin())
+                gated = (
+                    loads[-1] > load_gate
+                    or spins[-1] > 1.4 * best_spin[0]
+                )
+                if rep == 1 and gated and reps == 3:
                     # warm reps under ambient load: buy one more so the
                     # min has a fair shot at an unloaded run
                     reps += 1
@@ -1124,6 +1156,7 @@ def main() -> None:
             per_query[name] = round(warm, 3)
             per_reps[name] = [round(x, 3) for x in times]
             per_loads[name] = loads
+            per_spins[name] = spins
             total += warm
             cold_full += cold
             if name in HEADLINE:
@@ -1182,6 +1215,7 @@ def main() -> None:
             _warm(spark)
         times = []
         loads = []
+        spins = []
         scen_metrics: dict = {}
         reps = 2
         rep = 0
@@ -1195,7 +1229,12 @@ def main() -> None:
             gc.collect()
             spark.catalog.clearCache()
             loads.append(round(os.getloadavg()[0], 1))
-            if rep == 1 and loads[-1] > load_gate and reps == 2:
+            spins.append(_spin())
+            gated = (
+                loads[-1] > load_gate
+                or spins[-1] > 1.4 * best_spin[0]
+            )
+            if rep == 1 and gated and reps == 2:
                 # the warm rep starts under ambient load: buy one more
                 # so the recorded min has a fair shot (VERDICT r10
                 # item 3 — one loaded rep cost a whole comparison)
@@ -1215,6 +1254,7 @@ def main() -> None:
         per_query[name] = round(warm, 3)
         per_reps[name] = [round(x, 3) for x in times]
         per_loads[name] = loads
+        per_spins[name] = spins
         per_metrics[name] = scen_metrics
         total += warm
         state_total += warm
@@ -1240,6 +1280,11 @@ def main() -> None:
                 # as reps) + the gate that buys a loaded entry one
                 # extra rep — code-vs-machine attribution per entry
                 "rep_loads": per_loads,
+                # spin-probe ms per repetition start (contention that
+                # loadavg misses on virtualized hosts); session best =
+                # the baseline the gate compares against
+                "rep_spins": per_spins,
+                "best_spin_ms": round(best_spin[0], 1),
                 "load_gate": load_gate,
                 "load_reruns": load_reruns,
                 # per-scenario kernel counters from the last repetition
@@ -1274,6 +1319,13 @@ def main() -> None:
                 "rep_load": [
                     max(per_loads[n]) for n, _ in incremental
                 ],
+                # worst spin-probe ms per scenario (contention signal
+                # robust to loadavg's virtualization artifacts),
+                # normalized by the session best
+                "rep_spin": [
+                    max(per_spins[n]) for n, _ in incremental
+                ],
+                "best_spin_ms": round(best_spin[0], 1),
                 "load_gate": load_gate,
                 "load_reruns": load_reruns,
                 "reps_per_scenario": 2,

@@ -850,3 +850,115 @@ def time_weighted_avg(spark, sf_dir):
             F.sum(F.col("value") * F.col("dt_h")) / F.sum("dt_h"), 4
         ).alias("twa")
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, tile,
+           round(pct_rank, 6) AS pct_rank,
+           round(cume, 6) AS cume
+    FROM (
+        SELECT o_orderkey,
+               ntile(4) OVER w AS tile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    )
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution-rank window functions — ntile / percent_rank /
+    cume_dist per order-priority class (beyond-reference §2.7 breadth:
+    the quartile/percentile bucketing a feature pipeline derives from
+    ranked business keys). The window ORDER BY is made TOTAL with the
+    orderkey tiebreak, so tile boundaries and both rank fractions are
+    deterministic on both engines. One hash exchange on the partition
+    key; the output is a per-row projection of the sorted runs."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round(value, 6) AS value
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               'quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse of the pivot plans: four lineitem
+    measure columns become (metric, value) rows, the long format a
+    metrics store or feature pipeline ingests. Spark-native
+    ``unpivot`` (a Generate/Expand over the scan — ONE pass, no join,
+    no shuffle; the four-way UNION the oracle runs is the semantic
+    spec, not the plan). At 100 TB this is a 4x row fan-out of a
+    column-pruned scan — map-side only."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("substring(metric, 3)").alias("metric"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@query(
+    "mad_by_priority",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS m
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           round(any_value(med.m), 4) AS med_price,
+           round(median(abs(o.o_totalprice - med.m)), 4) AS mad_price
+    FROM orders o JOIN med USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def mad_by_priority(spark, sf_dir):
+    """Median absolute deviation per order-priority class — the robust
+    dispersion statistic an outlier gate uses where stddev is skewed
+    by the tail (the anomaly_zscore plan's robust sibling). Two-level
+    exact median: per-group median, broadcast back into the scan, then
+    the median of absolute deviations. Both engines interpolate even-
+    count medians identically (exact percentile, not a sketch); one
+    hash exchange per level on the 5-value priority key."""
+    orders = t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("m")
+    )
+    joined = orders.join(F.broadcast(med), "o_orderpriority")
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.first("m"), 4).alias("med_price"),
+        F.round(
+            F.median(F.abs(F.col("o_totalprice") - F.col("m"))), 4
+        ).alias("mad_price"),
+    )

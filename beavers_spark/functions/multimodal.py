@@ -908,6 +908,48 @@ def wav_resample(df: DataFrame, payload_col: str, factor_col) -> DataFrame:
     )
 
 
+def frame_doc_rollup(
+    pairs: DataFrame, nf: DataFrame, min_shared_frac: float = 0.5
+) -> DataFrame:
+    """DOC-level near-dup verdicts from a frame-pair stream — THE
+    rollup rule, defined once (shared by the ``video_neardup_docs`` /
+    ``video_neardup_apply`` plans and the incremental kernel's
+    ``read_doc_pairs``, so the three surfaces cannot diverge):
+    ``pairs`` is cross-doc frame matches ``(doc1, f1, doc2, f2)``
+    (canonical ``doc1 < doc2``), ``nf`` is per-doc frame counts
+    ``(doc_id, nf)``; per (doc1, doc2) the DISTINCT matched frames on
+    each side roll up, and the pair is a near-dup when EITHER side's
+    coverage reaches ``min_shared_frac`` — the max makes a short clip
+    fully contained in a longer video a near-dup of it (the
+    containment case re-encoded excerpts actually present). Emits
+    ``(doc1, doc2, shared1, shared2, shared_frac)``.
+
+    Plan shape at 100 TB: one groupBy over the (cap-bounded) pair
+    stream — O(pairs) shuffle of 4-column rows; the tiny rolled set is
+    BROADCAST into the two frame-count joins, so the count scan never
+    shuffles."""
+    roll = pairs.filter(F.col("doc1") != F.col("doc2")).groupBy(
+        "doc1", "doc2"
+    ).agg(
+        F.countDistinct("f1").alias("shared1"),
+        F.countDistinct("f2").alias("shared2"),
+    )
+    nfd = nf.select("doc_id", F.col("nf").cast("double").alias("nf"))
+    j1 = nfd.select(
+        F.col("doc_id").alias("doc1"), F.col("nf").alias("nf1")
+    ).join(F.broadcast(roll), "doc1")
+    j2 = nfd.select(
+        F.col("doc_id").alias("doc2"), F.col("nf").alias("nf2")
+    ).join(F.broadcast(j1), "doc2")
+    frac = F.greatest(
+        F.col("shared1") / F.col("nf1"), F.col("shared2") / F.col("nf2")
+    )
+    return j2.filter(frac >= min_shared_frac).select(
+        "doc1", "doc2", "shared1", "shared2",
+        F.round(frac, 6).alias("shared_frac"),
+    )
+
+
 def wav_ulaw_decode(df: DataFrame, payload_col: str) -> DataFrame:
     """G.711 u-LAW expansion — a REAL second audio codec behind the
     WAV surface (VERDICT r10 item 8: the one compressed format whose

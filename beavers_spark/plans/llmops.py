@@ -2519,7 +2519,11 @@ def video_neardup_docs_q(spark, sf_dir):
     (streaming/frame_neardup.py holds the incremental twin of the
     underlying pair kernel)."""
     from beavers_spark.functions.dedup import hamming_pairs
-    from beavers_spark.functions.multimodal import avi_frames, avi_meta
+    from beavers_spark.functions.multimodal import (
+        avi_frames,
+        avi_meta,
+        frame_doc_rollup,
+    )
 
     avis = _synth_frame_avis(spark, sf_dir)
     frames = avi_frames(avis, "payload").select(
@@ -2535,30 +2539,11 @@ def video_neardup_docs_q(spark, sf_dir):
         F.col("fid1").bitwiseAND(F.lit(255)).alias("f1"),
         F.shiftright("fid2", 8).alias("doc2"),
         F.col("fid2").bitwiseAND(F.lit(255)).alias("f2"),
-    ).filter(F.col("doc1") != F.col("doc2"))
-    roll = pairs.groupBy("doc1", "doc2").agg(
-        F.countDistinct("f1").alias("shared1"),
-        F.countDistinct("f2").alias("shared2"),
     )
     nf = avi_meta(avis, "payload").select(
-        "doc_id", F.col("total_frames").cast("double").alias("nf")
+        "doc_id", F.col("total_frames").alias("nf")
     )
-    j1 = nf.select(
-        F.col("doc_id").alias("doc1"), F.col("nf").alias("nf1")
-    ).join(F.broadcast(roll), "doc1")
-    j2 = nf.select(
-        F.col("doc_id").alias("doc2"), F.col("nf").alias("nf2")
-    ).join(F.broadcast(j1), "doc2")
-    frac = F.greatest(
-        F.col("shared1") / F.col("nf1"), F.col("shared2") / F.col("nf2")
-    )
-    return (
-        j2.filter(frac >= 0.5)
-        .select(
-            "doc1", "doc2", "shared1", "shared2",
-            F.round(frac, 6).alias("shared_frac"),
-        )
-    )
+    return frame_doc_rollup(pairs, nf, min_shared_frac=0.5)
 
 
 @query(
@@ -2619,7 +2604,11 @@ def video_neardup_apply_q(spark, sf_dir):
         connected_components,
         hamming_pairs,
     )
-    from beavers_spark.functions.multimodal import avi_frames, avi_meta
+    from beavers_spark.functions.multimodal import (
+        avi_frames,
+        avi_meta,
+        frame_doc_rollup,
+    )
 
     avis = _synth_frame_avis(spark, sf_dir).filter(
         F.col("doc_id") < _VFN_CLUSTER_DOCS
@@ -2637,24 +2626,13 @@ def video_neardup_apply_q(spark, sf_dir):
         F.col("fid1").bitwiseAND(F.lit(255)).alias("f1"),
         F.shiftright("fid2", 8).alias("doc2"),
         F.col("fid2").bitwiseAND(F.lit(255)).alias("f2"),
-    ).filter(F.col("doc1") != F.col("doc2"))
-    roll = fp.groupBy("doc1", "doc2").agg(
-        F.countDistinct("f1").alias("shared1"),
-        F.countDistinct("f2").alias("shared2"),
     )
     nf = avi_meta(avis, "payload").select(
-        "doc_id", F.col("total_frames").cast("double").alias("nf")
+        "doc_id", F.col("total_frames").alias("nf")
     )
-    j1 = nf.select(
-        F.col("doc_id").alias("doc1"), F.col("nf").alias("nf1")
-    ).join(F.broadcast(roll), "doc1")
-    j2 = nf.select(
-        F.col("doc_id").alias("doc2"), F.col("nf").alias("nf2")
-    ).join(F.broadcast(j1), "doc2")
-    frac = F.greatest(
-        F.col("shared1") / F.col("nf1"), F.col("shared2") / F.col("nf2")
+    nd = frame_doc_rollup(fp, nf, min_shared_frac=0.5).select(
+        "doc1", "doc2"
     )
-    nd = j2.filter(frac >= 0.5).select("doc1", "doc2")
     clusters = connected_components(nd)
     vids = avis.select("doc_id")
     return apply_dedup(vids, clusters, "doc_id").select("doc_id")

@@ -235,30 +235,18 @@ class IncrementalFrameNearDedup:
         verdict at full coverage. Read-time derivation: the rolled-up
         result is a pure function of the accumulated pair/sig SETS, so
         it needs no extra state or replay contract."""
-        pairs = self.read_pairs(spark).filter(
-            F.col("doc1") != F.col("doc2")
-        )
-        roll = pairs.groupBy("doc1", "doc2").agg(
-            F.countDistinct("frame1").alias("shared1"),
-            F.countDistinct("frame2").alias("shared2"),
+        from beavers_spark.functions.multimodal import frame_doc_rollup
+
+        pairs = self.read_pairs(spark).select(
+            "doc1",
+            F.col("frame1").alias("f1"),
+            "doc2",
+            F.col("frame2").alias("f2"),
         )
         nf = self.read_state(spark).groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("double").alias("nf")
+            F.count(F.lit(1)).alias("nf")
         )
-        j1 = nf.select(
-            F.col("doc_id").alias("doc1"), F.col("nf").alias("nf1")
-        ).join(F.broadcast(roll), "doc1")
-        j2 = nf.select(
-            F.col("doc_id").alias("doc2"), F.col("nf").alias("nf2")
-        ).join(F.broadcast(j1), "doc2")
-        frac = F.greatest(
-            F.col("shared1") / F.col("nf1"),
-            F.col("shared2") / F.col("nf2"),
-        )
-        return j2.filter(frac >= min_shared_frac).select(
-            "doc1", "doc2", "shared1", "shared2",
-            F.round(frac, 6).alias("shared_frac"),
-        )
+        return frame_doc_rollup(pairs, nf, min_shared_frac)
 
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` (the band

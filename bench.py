@@ -1329,6 +1329,9 @@ def main() -> None:
                 "load_gate": load_gate,
                 "load_reruns": load_reruns,
                 "reps_per_scenario": 2,
+                # scenarios the gate bought a 3rd repetition for are in
+                # load_reruns; their min() covers 3 warm-eligible reps
+                "gated_extra_reps": len(load_reruns),
                 "cold_value": round(cold_total, 3),
                 "cold_full_value": round(cold_full, 3),
                 # r1's BENCH covered only the stateless batch queries; the
@@ -1347,7 +1350,7 @@ def main() -> None:
                 # scenarios, untimed — scenario times are position-
                 # independent (the r11 preview measured a 10x
                 # position effect on the 19th scenario of one session)
-                "state_session": "fresh-every-4",
+                "state_session": f"fresh-every-{state_refresh_every}",
                 # r6 on: inc_chunk_dedup's scenario compacts mid-stream
                 # (wave -> compact -> wave), so its time includes one
                 # state rewrite the r5 number did not

@@ -163,6 +163,26 @@ class IncrementalChunkDedup:
             "doc_id", "clean_text", "n_kept", "n_chunks"
         )
 
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten: hard-delete the given doc ids from
+        the segment-ownership registry and the kept-document output
+        (maintenance.forget_doc_rows — Bloom-TARGETED via the doc-id
+        sidecars, so the rewrite touches only the waves that may hold
+        the ids). Removing ownership RE-OPENS the segments: the next
+        document to present a forgotten segment hash becomes its owner
+        — "first arrival after forgetting" — and a later redelivery of
+        the forgotten id itself is admitted as brand-new. Idempotent;
+        returns the number of wave directories rewritten."""
+        from beavers_spark.streaming.maintenance import forget_doc_rows
+
+        n = forget_doc_rows(
+            spark, self.state_path, ids, guard=self._doc_seen
+        )
+        if n:
+            self._bloom.invalidate()
+        n += forget_doc_rows(spark, self.out_path, ids)
+        return n
+
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` (see
         ``IncrementalNearDedup.compact`` for why the partition columns

@@ -554,6 +554,34 @@ class IncrementalNearDedup:
             "doc1", "doc2", "est_jaccard", "jaccard"
         )
 
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten: hard-delete the given doc ids from
+        the signature/shingle state, the band registry, and every
+        emitted pair that involves them (maintenance.forget_doc_rows —
+        Bloom-TARGETED: the doc-id sidecars name the only waves that
+        may hold the ids, so a forget request rewrites a handful of
+        wave directories, not the corpus). A LATER redelivery of a
+        forgotten id is admitted as a brand-new document ("first
+        arrival after forgetting"); pairs between remaining docs are
+        untouched. When any state wave was rewritten the band registry
+        is REBUILT from the cleansed state (restores the state/anchors
+        wave parity the kernel guards, and in capped mode re-opens
+        anchor slots a forgotten hot doc held). Idempotent — a crash
+        mid-forget is finished by re-running. Returns the number of
+        wave directories rewritten."""
+        from beavers_spark.streaming.maintenance import forget_doc_rows
+
+        touched = forget_doc_rows(
+            spark, self.state_path, ids, guard=self._doc_seen
+        )
+        n = touched
+        n += forget_doc_rows(spark, self.pairs_path, ids, id_col="doc1")
+        n += forget_doc_rows(spark, self.pairs_path, ids, id_col="doc2")
+        if touched:
+            self._bloom.invalidate()
+            self.rebuild_anchors(spark)
+        return n
+
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into the single ``w=-1`` directory
         (plus one-file-per-batch pairs cleanup); returns the state table's

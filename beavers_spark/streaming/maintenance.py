@@ -1016,6 +1016,123 @@ class DocSeenGuard:
         return self._index.max_fill
 
 
+def forget_doc_rows(
+    spark,
+    table_path: str,
+    ids,
+    id_col: str = "doc_id",
+    guard: "DocSeenGuard | None" = None,
+) -> int:
+    """Hard-delete every row of the given doc ids from a
+    wave-partitioned table — the right-to-be-forgotten maintenance
+    primitive for the incremental registries. Returns the number of
+    wave directories rewritten.
+
+    The deletion is TARGETED, not a table rewrite: with a ``guard``
+    (the table's ``DocSeenGuard``), the per-wave doc-id Bloom sidecars
+    name the only waves that MAY hold the ids — at 100 TB a
+    forget-request touches a handful of wave directories, not the
+    corpus. Each touched wave is rewritten in place WITHOUT its
+    dropped rows (per-wave overwrite — the kernels' idempotent-write
+    contract, so a crash mid-forget leaves some waves cleansed and a
+    re-run finishes the rest), and its sidecars (both Bloom domains)
+    are DELETED rather than patched — a Bloom bitmap cannot unlearn a
+    key, so the stale sidecar would only cost false-positive scans,
+    but deleting it lets the lazy backfill rebuild an exact one.
+
+    Semantics the kernels document on their ``forget`` methods: the
+    forgotten docs vanish from state and outputs; a LATER redelivery
+    of the same id is admitted as a brand-new document (its content
+    keys re-enter ownership — "first arrival after forgetting"); pairs
+    or ownership already derived from other docs are untouched.
+    """
+    import numpy as _np
+
+    ids = list(ids)
+    if not ids or not os.path.isdir(table_path):
+        return 0
+    id_df = spark.createDataFrame(
+        [(i,) for i in ids], f"{id_col} " + (
+            "string" if isinstance(ids[0], str) else "long"
+        )
+    )
+    waves = []
+    for name in os.listdir(table_path):
+        if name.startswith("w="):
+            try:
+                waves.append(int(name[2:]))
+            except ValueError:
+                continue
+    if guard is not None and guard._index.m_bits:
+        hashes = _np.array(
+            [
+                r[0]
+                for r in id_df.select(
+                    F.xxhash64(id_col).alias("dh")
+                ).collect()
+            ],
+            dtype=_np.int64,
+        )
+        # waves without a sidecar are conservatively kept (scanned)
+        waves = guard._index.live_waves(hashes, exclude=None, spark=spark)
+    rewritten = 0
+    for w in sorted(waves):
+        wave_dir = os.path.join(table_path, f"w={w}")
+        if not table_exists(spark, wave_dir):
+            continue
+        df = spark.read.parquet(wave_dir)
+        if id_col not in df.columns:
+            continue
+        if not df.join(F.broadcast(id_df), id_col, "left_semi").limit(
+            1
+        ).count():
+            continue  # Bloom false positive: nothing to drop here
+        kept = df.join(F.broadcast(id_df), id_col, "left_anti")
+        part_cols = [c for c in ("b", "sb") if c in df.columns]
+        tmp = wave_dir + ".__forget_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if kept.limit(1).count() == 0:
+            if part_cols:
+                # a fully-forgotten PARTITIONED wave: remove it — a
+                # zero-row partitionBy rewrite would leave a
+                # schema-less directory that wedges every later read
+                # (the empty-wave trap)
+                shutil.rmtree(wave_dir)
+            else:
+                # a plain wave keeps a zero-row schema-bearing file so
+                # the table's read_* contract stays valid even when
+                # the forgotten docs were its only rows
+                kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(wave_dir)
+                os.rename(tmp, wave_dir)
+                for sc in (BLOOM_SIDECAR, DOC_BLOOM_SIDECAR):
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(wave_dir, sc))
+            rewritten += 1
+            continue
+        if part_cols:
+            (
+                kept.repartition(1, *[F.col(c) for c in part_cols])
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(tmp)
+            )
+        else:
+            kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(wave_dir)
+        os.rename(tmp, wave_dir)
+        # both Bloom domains are stale for this wave: a bitmap cannot
+        # unlearn a key, so delete the sidecars and let the lazy
+        # backfill rebuild exact ones
+        for sc in (BLOOM_SIDECAR, DOC_BLOOM_SIDECAR):
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(wave_dir, sc))
+        rewritten += 1
+    if guard is not None:
+        guard._index.invalidate()
+    return rewritten
+
+
 def fanout_repartition(batch, probe=None, min_fraction: float = 0.5):
     """Spread a narrow micro-batch across the cluster BEFORE a per-row
     fan-out (payload decode, span/segment hashing) — but only when it

@@ -149,6 +149,25 @@ class IncrementalFrameDedup:
             "doc_id", "frame_idx", "n_bytes", "frame_md5"
         )
 
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten for video documents: hard-delete the
+        given doc ids from the frame-content ownership registry and
+        the kept-frame output (maintenance.forget_doc_rows — doc-id-
+        Bloom-TARGETED wave rewrites). Removing ownership RE-OPENS the
+        frame contents: the next video presenting a forgotten frame's
+        bytes becomes its owner, and a later redelivery of the
+        forgotten id is admitted as brand-new. Idempotent; returns the
+        number of wave directories rewritten."""
+        from beavers_spark.streaming.maintenance import forget_doc_rows
+
+        n = forget_doc_rows(
+            spark, self.state_path, ids, guard=self._doc_seen
+        )
+        if n:
+            self._bloom.invalidate()
+        n += forget_doc_rows(spark, self.out_path, ids)
+        return n
+
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` (the registry
         keeps its ``b`` hash-prefix layout); returns the

@@ -122,3 +122,38 @@ def test_near_forget_drops_pairs_and_rebuilds_anchors(spark, tmp_path):
         2,
     )
     assert kern.read_state(spark).filter(F.col("doc_id") == 7).count() == 1
+
+
+def test_frame_dedup_forget_reopens_frame_ownership(spark, tmp_path):
+    """Video twin: forgetting a video frees its frame contents for
+    re-ownership, and the video itself is re-admitted on redelivery."""
+    from beavers_spark.plans.llmops import _synth_frame_avis
+    from beavers_spark.streaming import IncrementalFrameDedup
+
+    avis = _synth_frame_avis(spark, SF_DIR).filter(F.col("doc_id") < 40)
+    kern = IncrementalFrameDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        bloom_min_waves=0,
+    )
+    kern(avis.filter(F.col("doc_id") < 20), 0)
+    kern(avis.filter(F.col("doc_id") >= 20), 1)
+    victim = 0
+    owned_before = (
+        kern.read_kept(spark).filter(F.col("doc_id") == victim).count()
+    )
+    assert owned_before > 0
+    n = kern.forget(spark, [victim])
+    assert n >= 1
+    assert kern.read_state(spark).filter(
+        F.col("doc_id") == victim
+    ).count() == 0
+    assert kern.read_kept(spark).filter(
+        F.col("doc_id") == victim
+    ).count() == 0
+    # redelivery: admitted as new; its frames re-enter ownership for
+    # every content class nobody else holds
+    kern(avis.filter(F.col("doc_id") == victim), 2)
+    assert kern.read_state(spark).filter(
+        F.col("doc_id") == victim
+    ).count() > 0
+    assert kern.forget(spark, [999999]) == 0  # unknown id: no-op

@@ -288,7 +288,8 @@ def _le_int(payload_col: str, offset: int, nbytes: int):
 
 
 def synth_wav(
-    data_col, channels_col, sample_rate_col, bits_col, fmt_code_col=None
+    data_col, channels_col, sample_rate_col, bits_col, fmt_code_col=None,
+    block_align_col=None,
 ):
     """A canonical 44-byte-header WAV blob Column: RIFF/WAVE/fmt/data
     chunks with the given parameters and ``data_col`` (binary) as the
@@ -297,14 +298,20 @@ def synth_wav(
     (Python's wave module) produce for the same parameters.
     ``fmt_code_col`` (default 1 = PCM) stamps the fmt chunk's codec
     field — 7 builds a G.711 u-law container for the
-    ``wav_ulaw_decode`` kernel's corpus."""
+    ``wav_ulaw_decode`` kernel's corpus, 17 an IMA ADPCM one (pass
+    ``block_align_col`` = the codec's block size there; the PCM
+    ``channels*bits/8`` default is meaningless for a block codec)."""
     ch = channels_col.cast("bigint")
     sr = sample_rate_col.cast("bigint")
     bits = bits_col.cast("bigint")
     code = (
         F.lit(1) if fmt_code_col is None else fmt_code_col
     ).cast("bigint")
-    block_align = ch * (bits / F.lit(8)).cast("bigint")
+    block_align = (
+        ch * (bits / F.lit(8)).cast("bigint")
+        if block_align_col is None
+        else block_align_col.cast("bigint")
+    )
     byte_rate = sr * block_align
     dlen = F.octet_length(data_col).cast("bigint")
     header_hex = F.concat(
@@ -407,16 +414,12 @@ def _wav_pcm_data(b) -> tuple[int, int, int, int] | None:
     return (off, dlen, rate, channels)
 
 
-def _wav_data_chunk(
+def _wav_data_chunk_ex(
     b,
-) -> tuple[int, int, int, int, int, int] | None:
-    """(data_offset, data_len, sample_rate, channels, fmt_code,
-    bits_per_sample) of ANY RIFF/WAVE payload with a well-formed
-    ``fmt `` chunk preceding ``data`` — the codec-agnostic walk under
-    ``_wav_pcm_data`` (PCM16) and ``wav_ulaw_decode`` (G.711 u-law,
-    fmt code 7). Same chunk-list rules: pad bytes consumed, truncated
-    final chunk clamped, None on a non-WAVE container or missing
-    fmt/data."""
+) -> tuple[int, int, int, int, int, int, int] | None:
+    """``_wav_data_chunk`` plus the fmt chunk's ``block_align`` field
+    (fmt bytes 12:14) — the block size the block-structured codecs
+    (IMA ADPCM, fmt code 17) need to split the data chunk."""
     if (
         b is None
         or len(b) < 12
@@ -443,9 +446,24 @@ def _wav_data_chunk(
                 int.from_bytes(fmt[2:4], "little"),
                 int.from_bytes(fmt[0:2], "little"),
                 int.from_bytes(fmt[14:16], "little"),
+                int.from_bytes(fmt[12:14], "little"),
             )
         pos = body + size + (size & 1)  # chunks are word-aligned
     return None
+
+
+def _wav_data_chunk(
+    b,
+) -> tuple[int, int, int, int, int, int] | None:
+    """(data_offset, data_len, sample_rate, channels, fmt_code,
+    bits_per_sample) of ANY RIFF/WAVE payload with a well-formed
+    ``fmt `` chunk preceding ``data`` — the codec-agnostic walk under
+    ``_wav_pcm_data`` (PCM16) and ``wav_ulaw_decode`` (G.711 u-law,
+    fmt code 7). Same chunk-list rules: pad bytes consumed, truncated
+    final chunk clamped, None on a non-WAVE container or missing
+    fmt/data."""
+    r = _wav_data_chunk_ex(b)
+    return None if r is None else r[:6]
 
 
 def _pcm16_mono_wav(data: bytes, rate: int) -> bytes:
@@ -1017,6 +1035,155 @@ def wav_ulaw_decode(df: DataFrame, payload_col: str) -> DataFrame:
         .withColumn("decoded", F.col("__ul.decoded"))
         .withColumn("out_rate", F.col("__ul.out_rate"))
         .drop("__ul")
+    )
+
+
+#: IMA/DVI ADPCM step-size table (89 entries) and per-nibble index
+#: adjustments — the published constants every IMA decoder shares
+#: (IMA "Recommended Practices for Enhancing Digital Audio
+#: Compatibility", 1992; same tables as the stdlib ``audioop`` had)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+
+
+def wav_adpcm_decode(df: DataFrame, payload_col: str) -> DataFrame:
+    """IMA/DVI ADPCM expansion (WAV fmt code 17) — the THIRD audio
+    codec behind the WAV surface, and unlike u-law a STATEFUL one:
+    each 4-bit nibble is a quantized delta against a running
+    predictor, with a step size walked through the 89-entry IMA table
+
+        step = STEPS[index]
+        diff = step>>3 (+ step>>2 if n&1) (+ step>>1 if n&2)
+               (+ step if n&4)
+        pred = clamp16(pred -/+ diff)      # sign = n&8
+        index = clamp(index + ADJ[n], 0, 88)
+
+    Data is split into ``block_align``-byte blocks, each opening with
+    a 4-byte state header (int16 predictor — emitted as the block's
+    first sample — plus the uint8 step index); nibbles unpack
+    low-first. Adds ``decoded`` — a canonical 16-bit mono PCM WAV, so
+    kernels CHAIN (decode -> ``wav_stats`` / ``wav_resample`` / the
+    segment tier) — and ``out_rate``. NULL for anything that is not a
+    mono 4-bit fmt-code-17 WAV (filter-then-decode).
+
+    Arrow-batched pandas UDF. The recursion is sequential in TIME but
+    not across tracks, so the kernel stacks every block of the batch
+    into one (blocks x samples) nibble matrix and walks the time axis
+    once — each of the <= samples-per-block iterations is pure
+    vectorized numpy over all blocks at once; the per-sample Python
+    loop the recursion seems to force never happens. Pure projection:
+    no shuffle, cost rides the scan."""
+    import pandas as pd
+
+    from beavers_spark.functions.vectorized import _cached_udf
+
+    def _build():
+        @F.pandas_udf("struct<decoded:binary,out_rate:int>")
+        def _ud(p: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            steps_t = np.array(_IMA_STEPS, dtype=np.int32)
+            adj_t = np.array(_IMA_INDEX_ADJ, dtype=np.int32)
+            # pass 1: parse every blob into per-block (pred0, idx0,
+            # nibbles) rows; remember which blocks belong to which blob
+            preds: list = []
+            idxs: list = []
+            nibs: list = []
+            owner: list = []  # blob ordinal per block
+            rates: list = []
+            for bi, b in enumerate(p):
+                loc = _wav_data_chunk_ex(b)
+                if (
+                    loc is None
+                    or loc[3] != 1  # mono contract, like wav_resample
+                    or loc[4] != 17  # IMA ADPCM
+                    or loc[5] != 4
+                ):
+                    rates.append(None)
+                    continue
+                off, dlen, rate, _c, _f, _b2, balign = loc
+                if balign < 5:
+                    balign = dlen  # degenerate fmt: single block
+                raw = bytes(b[off : off + dlen])
+                any_block = False
+                for s in range(0, len(raw), balign):
+                    blk = raw[s : s + balign]
+                    if len(blk) < 4:
+                        break
+                    data = np.frombuffer(blk, dtype=np.uint8)[4:]
+                    nb = np.empty(data.size * 2, dtype=np.uint8)
+                    nb[0::2] = data & 0x0F
+                    nb[1::2] = data >> 4
+                    preds.append(
+                        int.from_bytes(blk[0:2], "little", signed=True)
+                    )
+                    idxs.append(min(blk[2], 88))
+                    nibs.append(nb)
+                    owner.append(bi)
+                    any_block = True
+                rates.append(rate if any_block else None)
+            dec: list = [None] * len(p)
+            if nibs:
+                t_max = max(n.size for n in nibs)
+                mat = np.zeros((len(nibs), t_max), dtype=np.uint8)
+                for r, n in enumerate(nibs):
+                    mat[r, : n.size] = n
+                pred = np.array(preds, dtype=np.int32)
+                idx = np.array(idxs, dtype=np.int32)
+                out = np.empty((len(nibs), t_max), dtype=np.int16)
+                # the time walk: one vectorized step per SAMPLE slot,
+                # all blocks of the batch advanced together
+                for t in range(t_max):
+                    n = mat[:, t]
+                    step = steps_t[idx]
+                    diff = (
+                        (step >> 3)
+                        + np.where(n & 1, step >> 2, 0)
+                        + np.where(n & 2, step >> 1, 0)
+                        + np.where(n & 4, step, 0)
+                    )
+                    pred = np.clip(
+                        np.where(n & 8, pred - diff, pred + diff),
+                        -32768,
+                        32767,
+                    )
+                    out[:, t] = pred
+                    idx = np.clip(idx + adj_t[n], 0, 88)
+                # pass 2: reassemble per blob — header sample first,
+                # then the block's decoded deltas, blocks in order
+                chunks: dict[int, list] = {}
+                for r, bi in enumerate(owner):
+                    chunks.setdefault(bi, []).append(
+                        np.concatenate(
+                            (
+                                np.array([preds[r]], dtype=np.int16),
+                                out[r, : nibs[r].size],
+                            )
+                        )
+                    )
+                for bi, parts in chunks.items():
+                    dec[bi] = _pcm16_mono_wav(
+                        np.concatenate(parts).tobytes(), rates[bi]
+                    )
+            return pd.DataFrame({"decoded": dec, "out_rate": rates})
+
+        return _ud
+
+    s = _cached_udf(("wav_adpcm_decode",), _build)(F.col(payload_col))
+    return (
+        df.withColumn("__ad", s)
+        .withColumn("decoded", F.col("__ad.decoded"))
+        .withColumn("out_rate", F.col("__ad.out_rate"))
+        .drop("__ad")
     )
 
 

@@ -125,7 +125,7 @@ class IncrementalChunkDedup:
         self._watermark = BatchWatermark(state_path)
         self._bloom = WaveBloomIndex(
             state_path, bloom_bits, min_waves=bloom_min_waves,
-            keys_of=_wave_keys,
+            keys_of=_wave_keys, adaptive=True,
         )
         #: per-wave doc-id Bloom sidecars on the registry — the
         #: redelivery guard reads only Bloom-positive waves instead of
@@ -180,6 +180,10 @@ class IncrementalChunkDedup:
         )
         if n:
             self._bloom.invalidate()
+            # the forget may have removed the registry's LAST
+            # schema-bearing partition — re-probe rather than trust
+            # the cached flag (the empty-table trap)
+            self._has_state = table_exists(spark, self.state_path)
         n += forget_doc_rows(spark, self.out_path, ids)
         return n
 

@@ -428,6 +428,47 @@ class IncrementalQualityClassifier:
             self.n_buckets,
         )
 
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten: hard-delete the given doc ids'
+        labeled feature rows from the registry
+        (maintenance.forget_doc_rows — Bloom-TARGETED via the doc-id
+        sidecars) and REFIT, because unlike the dedup kernels' pure
+        set state the fitted model MEMORIZED the forgotten documents'
+        features — deleting the rows without refitting would leave
+        their influence in every future ``score()``. With no rows left
+        the model sidecar is removed (``model()`` returns the
+        documented empty frame). The per-wave counts sidecar is
+        dropped (loss-tolerant cache by contract — the next refit
+        falls back to the exact distinct count and the next wave heals
+        it). A later redelivery of a forgotten id is admitted as
+        brand-new labeled data. Idempotent; returns the number of wave
+        directories rewritten."""
+        import contextlib
+        import shutil
+
+        from beavers_spark.streaming.maintenance import forget_doc_rows
+
+        n = forget_doc_rows(
+            spark, self.state_path, ids, id_col=self.id_col,
+            guard=self._doc_seen,
+        )
+        if n:
+            with contextlib.suppress(OSError):
+                os.remove(self._counts_file)
+            # re-probe rather than trust the cached flag (a forget
+            # can leave the registry as zero-row schema waves)
+            self._has_state = table_exists(spark, self.state_path)
+            if (
+                self._has_state
+                and self.read_state(spark).limit(1).count()
+            ):
+                self.refit(spark)
+            else:
+                # nothing left to fit on: the documented empty-model
+                # state (``model()`` returns the empty frame)
+                shutil.rmtree(self.model_path, ignore_errors=True)
+        return n
+
     # -- the kernel -------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # restore a compaction crashed between its two renames BEFORE
@@ -488,10 +529,15 @@ class IncrementalQualityClassifier:
             spark, f"{self.state_path}/w={batch_id}"
         )
         # the wave's doc-id bitmap — what future batches' seen probes
-        # test against (empty waves save an exact zero bitmap)
-        self._doc_seen.save_wave(
-            spark, f"{self.state_path}/w={batch_id}", batch_id
-        )
+        # test against. Only for a wave that actually LANDED: an
+        # all-redelivered/empty batch writes no data file, and a
+        # sidecar-only phantom ``w=<id>`` directory would inflate
+        # live_wave_count (premature auto-compaction, skewed min_waves
+        # gating) — the dedup twins' wave-commit guard
+        if table_exists(spark, f"{self.state_path}/w={batch_id}"):
+            self._doc_seen.save_wave(
+                spark, f"{self.state_path}/w={batch_id}", batch_id
+            )
         # per-wave doc count from the WRITTEN wave (replay-safe: an
         # overwrite recounts), keyed by wave — the O(1) registry total
         # the capped refit's threshold sizing reads. An all-redelivered

@@ -75,6 +75,7 @@ from beavers_spark.streaming.maintenance import (
     partition_stats,
     recover_compaction,
     seen_anti_join,
+    shrink_small_wave,
     table_exists,
     timed_phase,
 )
@@ -223,7 +224,7 @@ class IncrementalNearDedup:
         self._watermark = BatchWatermark(state_path)
         self._bloom = WaveBloomIndex(
             state_path, bloom_bits, min_waves=bloom_min_waves,
-            keys_of=_wave_band_keys,
+            keys_of=_wave_band_keys, adaptive=True,
         )
         #: per-wave doc-id Bloom sidecars on the sig table — the
         #: redelivery guard reads only Bloom-positive waves instead of
@@ -579,6 +580,10 @@ class IncrementalNearDedup:
         n += forget_doc_rows(spark, self.pairs_path, ids, id_col="doc2")
         if touched:
             self._bloom.invalidate()
+            # the forget may have removed the registry's LAST
+            # schema-bearing partition — re-probe rather than trust
+            # the cached flag (the empty-table trap)
+            self._has_state = table_exists(spark, self.state_path)
             self.rebuild_anchors(spark)
         return n
 
@@ -709,6 +714,12 @@ class IncrementalNearDedup:
             _signatures_from_sets(sets, keep=("sh", "n_sh")).write.mode(
                 "overwrite"
             ).parquet(wave_dir)
+            # a SMALL wave otherwise lands one file per write task
+            # (32/wave seeded the growth-bench slope, VERDICT r11
+            # item 5); big waves are untouched — they want their files
+            shrink_small_wave(
+                spark, wave_dir, max_files=self.n_hash_buckets
+            )
         self._has_state = True
         # the wave's doc-id bitmap — what future batches' seen probes
         # test against (maintenance.DocSeenGuard)
@@ -843,6 +854,7 @@ class IncrementalNearDedup:
                 self.probe_metrics.append(
                     ProbeMetrics(batch_id, len(waves), len(kept))
                 )
+                self._bloom.note_probe(len(waves), len(kept))
                 old = old.filter(F.col("w").isin(kept)) if kept else None
             if old is not None:
                 old = old.drop("w")

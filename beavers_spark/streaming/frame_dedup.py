@@ -110,7 +110,7 @@ class IncrementalFrameDedup:
         bloom_kwargs = {} if probe_cap is None else {"probe_cap": probe_cap}
         self._bloom = WaveBloomIndex(
             state_path, bloom_bits, min_waves=bloom_min_waves,
-            keys_of=_wave_keys, **bloom_kwargs,
+            keys_of=_wave_keys, adaptive=True, **bloom_kwargs,
         )
         #: per-wave doc-id Bloom sidecars on the registry — the
         #: redelivery guard reads only Bloom-positive waves instead of
@@ -165,6 +165,10 @@ class IncrementalFrameDedup:
         )
         if n:
             self._bloom.invalidate()
+            # the forget may have removed the registry's LAST
+            # schema-bearing partition — re-probe rather than trust
+            # the cached flag (the empty-table trap)
+            self._has_state = table_exists(spark, self.state_path)
         n += forget_doc_rows(spark, self.out_path, ids)
         return n
 

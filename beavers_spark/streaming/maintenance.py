@@ -460,6 +460,21 @@ def _popcount_total(bits) -> int:
 #: the hand-offs so the slow-path engagement is visible in BENCH)
 BLOOM_PROBE_CAP = 1_000_000
 
+#: adaptive probe gate (WaveBloomIndex(adaptive=True)): a probe that
+#: scans at least this fraction of the live waves is "non-pruning"
+ADAPTIVE_SCAN_FRACTION = 0.8
+#: ... and triggers a sleep of this many batches, doubling on every
+#: consecutive non-pruning probe up to the max (so a persistently
+#: band-shared corpus pays the probe on ~1 batch in 16, amortizing the
+#: collect + bitmap + sidecar overhead to a few percent, while a
+#: corpus that turns disjoint is rediscovered within one backoff span)
+ADAPTIVE_BACKOFF_START = 2
+ADAPTIVE_BACKOFF_MAX = 16
+#: probes over fewer live waves than this never trigger backoff —
+#: a one-wave scan is cheap enough that the gate would only add
+#: hysteresis
+ADAPTIVE_MIN_WAVES = 2
+
 
 class WaveBloomIndex:
     """Per-wave Bloom sidecar manager for a hash-registry state table
@@ -501,6 +516,7 @@ class WaveBloomIndex:
         keys_of=None,
         probe_cap: int = BLOOM_PROBE_CAP,
         sidecar: str = BLOOM_SIDECAR,
+        adaptive: bool = False,
     ) -> None:
         self.state_path = state_path
         #: per-wave sidecar file name — override when TWO key domains
@@ -528,6 +544,22 @@ class WaveBloomIndex:
         #: below this many live waves the sidecar build + probe collect
         #: are skipped entirely (0 = always on)
         self.min_waves = min_waves
+        #: self-tuning gate (VERDICT r11 item 1): when ON, a probe that
+        #: scans >= ADAPTIVE_SCAN_FRACTION of the live waves (it pruned
+        #: ~nothing — the band-shared corpus regime, where every wave
+        #: legitimately holds the batch's band keys) puts the machinery
+        #: to sleep for an exponentially growing number of batches
+        #: (2, 4, ... ADAPTIVE_BACKOFF_MAX); any probe that DOES prune
+        #: resets the backoff. Waves written while asleep lack sidecars
+        #: and are lazily backfilled by ``bloom_for`` when the probe
+        #: re-engages, so no wave is ever permanently unprunable. The
+        #: doc-seen domain must NOT set this: doc ids are disjoint
+        #: across waves by construction, so that probe always prunes.
+        self.adaptive = adaptive
+        self._skip_remaining = 0
+        self._next_backoff = ADAPTIVE_BACKOFF_START
+        #: batches the adaptive gate put to sleep (BENCH observability)
+        self.adaptive_skips = 0
         #: callable ``(spark, wave_dir) -> DataFrame`` whose first column
         #: is the wave's int64 key set — enables lazy sidecar backfill
         self.keys_of = keys_of
@@ -564,10 +596,38 @@ class WaveBloomIndex:
     def probe_active(self, exclude: int | None = None) -> bool:
         """Whether the sidecar machinery should run this batch: filter
         enabled AND enough live waves that pruning beats the per-batch
-        collect + bitmap overhead."""
-        return bool(self.m_bits) and (
-            len(self.wave_ids(exclude=exclude)) >= self.min_waves
-        )
+        collect + bitmap overhead AND (adaptive mode) not asleep after
+        recent non-pruning probes. Called ONCE per batch by each
+        kernel — in adaptive mode the call itself ticks the backoff
+        counter down."""
+        if not self.m_bits:
+            return False
+        if len(self.wave_ids(exclude=exclude)) < self.min_waves:
+            return False
+        if self.adaptive and self._skip_remaining > 0:
+            self._skip_remaining -= 1
+            self.adaptive_skips += 1
+            return False
+        return True
+
+    def note_probe(self, waves_total: int, waves_kept: int) -> None:
+        """Feed a probe decision's own outcome back into the adaptive
+        gate (no-op unless ``adaptive``): a probe that failed to prune
+        puts the machinery to sleep with exponential backoff; a probe
+        that pruned resets it. Call right after computing the kept-wave
+        set (the same numbers the ProbeMetrics row records)."""
+        if not self.adaptive:
+            return
+        if (
+            waves_total >= ADAPTIVE_MIN_WAVES
+            and waves_kept >= waves_total * ADAPTIVE_SCAN_FRACTION
+        ):
+            self._skip_remaining = self._next_backoff
+            self._next_backoff = min(
+                self._next_backoff * 2, ADAPTIVE_BACKOFF_MAX
+            )
+        else:
+            self._next_backoff = ADAPTIVE_BACKOFF_START
 
     def bloom_for(self, wave: int, spark=None):
         """The wave's bitmap; on a sidecar miss, lazily BUILDS it from
@@ -782,6 +842,7 @@ class WaveBloomIndex:
                 spark, keys_df, key_col, exclude=batch_id
             )
         probe_log.append(ProbeMetrics(batch_id, len(waves), len(kept)))
+        self.note_probe(len(waves), len(kept))
         return prior_df.filter(F.col("w").isin(kept)) if kept else None
 
     def compact_merge(self, compact_fn):
@@ -1032,13 +1093,16 @@ def forget_doc_rows(
     (the table's ``DocSeenGuard``), the per-wave doc-id Bloom sidecars
     name the only waves that MAY hold the ids — at 100 TB a
     forget-request touches a handful of wave directories, not the
-    corpus. Each touched wave is rewritten in place WITHOUT its
-    dropped rows (per-wave overwrite — the kernels' idempotent-write
-    contract, so a crash mid-forget leaves some waves cleansed and a
-    re-run finishes the rest), and its sidecars (both Bloom domains)
-    are DELETED rather than patched — a Bloom bitmap cannot unlearn a
-    key, so the stale sidecar would only cost false-positive scans,
-    but deleting it lets the lazy backfill rebuild an exact one.
+    corpus. Each touched wave is rewritten WITHOUT its dropped rows
+    via the same stage→aside→swap order as ``compact_parquet`` (the
+    original is never deleted before the cleansed copy is in place, so
+    no crash window can lose a SURVIVING row; ``recover_compaction``
+    heals the intermediate states at kernel entry, and a re-run
+    finishes any waves a crash left uncleansed). The rewritten wave's
+    sidecars (both Bloom domains) are dropped rather than patched — a
+    Bloom bitmap cannot unlearn a key, so the stale sidecar would only
+    cost false-positive scans, but deleting it lets the lazy backfill
+    rebuild an exact one.
 
     Semantics the kernels document on their ``forget`` methods: the
     forgotten docs vanish from state and outputs; a LATER redelivery
@@ -1051,6 +1115,8 @@ def forget_doc_rows(
     ids = list(ids)
     if not ids or not os.path.isdir(table_path):
         return 0
+    # heal any crashed prior forget/compaction before re-listing waves
+    recover_compaction(table_path)
     id_df = spark.createDataFrame(
         [(i,) for i in ids], f"{id_col} " + (
             "string" if isinstance(ids[0], str) else "long"
@@ -1089,25 +1155,32 @@ def forget_doc_rows(
             continue  # Bloom false positive: nothing to drop here
         kept = df.join(F.broadcast(id_df), id_col, "left_anti")
         part_cols = [c for c in ("b", "sb") if c in df.columns]
-        tmp = wave_dir + ".__forget_tmp"
+        # swap staging lives INSIDE the table dir under underscore
+        # names — hidden from partition discovery at every instant
+        tmp = os.path.join(table_path, f"_swap_tmp.w={w}")
+        old = os.path.join(table_path, f"_swap_old.w={w}")
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         if kept.limit(1).count() == 0:
-            if part_cols:
-                # a fully-forgotten PARTITIONED wave: remove it — a
-                # zero-row partitionBy rewrite would leave a
-                # schema-less directory that wedges every later read
-                # (the empty-wave trap)
-                shutil.rmtree(wave_dir)
-            else:
-                # a plain wave keeps a zero-row schema-bearing file so
-                # the table's read_* contract stays valid even when
-                # the forgotten docs were its only rows
-                kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-                shutil.rmtree(wave_dir)
-                os.rename(tmp, wave_dir)
-                for sc in (BLOOM_SIDECAR, DOC_BLOOM_SIDECAR):
-                    with contextlib.suppress(OSError):
-                        os.remove(os.path.join(wave_dir, sc))
+            # a fully-forgotten wave keeps a zero-row schema-bearing
+            # file so the table's read_* contract stays valid even
+            # when the forgotten docs were its only rows (the
+            # empty-wave trap — a zero-row partitionBy rewrite would
+            # write NO files at all, and removing the wave outright
+            # can strip the TABLE's last schema file, wedging every
+            # later read; ADVICE r11). For a partitioned wave the
+            # empty file lands inside one literal ``<c>=0`` partition
+            # directory so discovery depth stays consistent with the
+            # sibling waves.
+            dest = tmp
+            for c in part_cols:
+                dest = os.path.join(dest, f"{c}=0")
+            kept.drop(*part_cols).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(dest)
+            os.rename(wave_dir, old)
+            os.rename(tmp, wave_dir)
+            shutil.rmtree(old)
             rewritten += 1
             continue
         if part_cols:
@@ -1119,18 +1192,59 @@ def forget_doc_rows(
             )
         else:
             kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(wave_dir)
+        # compact_parquet's safe order: stage the cleansed wave, move
+        # the original ASIDE (never delete-then-rename — a crash in
+        # that window would lose the wave's SURVIVING rows), swap the
+        # staged copy in, then drop the original. recover_compaction
+        # heals every intermediate state at kernel entry.
+        os.rename(wave_dir, old)
         os.rename(tmp, wave_dir)
+        shutil.rmtree(old)
         # both Bloom domains are stale for this wave: a bitmap cannot
-        # unlearn a key, so delete the sidecars and let the lazy
-        # backfill rebuild exact ones
-        for sc in (BLOOM_SIDECAR, DOC_BLOOM_SIDECAR):
-            with contextlib.suppress(OSError):
-                os.remove(os.path.join(wave_dir, sc))
+        # unlearn a key, so the sidecars stayed behind in ``old`` (the
+        # staged rewrite never had them) and the lazy backfill rebuilds
+        # exact ones
         rewritten += 1
     if guard is not None:
         guard._index.invalidate()
     return rewritten
+
+
+def shrink_small_wave(
+    spark,
+    wave_dir: str,
+    max_files: int = 16,
+    small_bytes: int = 32 << 20,
+    target_bytes: int = 8 << 20,
+) -> int:
+    """Bound a just-written SMALL plain wave directory's file count
+    (VERDICT r11 item 5: a 4-wave / 3.2 MB near-dedup registry held
+    128 files — one per write task — seeding the growth-bench slope's
+    constant). The decision is one driver-local directory listing: a
+    wave that is already few-file or carries real bytes is left
+    UNTOUCHED — at 100 TB every wave is big and WANTS its many files,
+    so this only engages in the small-wave / trickle-ingest regime,
+    where rewriting the wave is by definition cheap. The rewrite uses
+    the stage→aside→swap order (``_swap_tmp.``/``_swap_old.``
+    siblings, healed by ``recover_compaction`` at kernel entry), so no
+    crash window loses the wave. Call BEFORE the wave's sidecars are
+    written — the rewrite does not carry them. Returns the post-shrink
+    file count, or 0 when untouched."""
+    files, nbytes, _ = partition_stats(spark, [wave_dir])
+    if files <= max_files or nbytes > small_bytes:
+        return 0
+    n_out = max(1, min(max_files, int(nbytes // target_bytes) + 1))
+    df = spark.read.parquet(wave_dir)
+    head, base = os.path.split(wave_dir.rstrip("/"))
+    tmp = os.path.join(head, f"_swap_tmp.{base}")
+    old = os.path.join(head, f"_swap_old.{base}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    os.rename(wave_dir, old)
+    os.rename(tmp, wave_dir)
+    shutil.rmtree(old)
+    return n_out
 
 
 def fanout_repartition(batch, probe=None, min_fraction: float = 0.5):
@@ -1308,10 +1422,31 @@ def recover_compaction(path: str) -> bool:
     rename it back. Returns True if a recovery happened. Idempotent;
     call at startup when readers may precede maintenance."""
     old = path.rstrip("/") + ".__compact_old"
+    healed = False
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
-        return True
-    return False
+        healed = True
+    # heal per-wave swap leftovers (forget_doc_rows, shrink_small_wave):
+    # a crash between the two renames leaves either a stray
+    # ``_swap_tmp.w=<n>`` (incomplete rewrite: discard) or a
+    # ``_swap_old.w=<n>`` whose wave directory is missing (restore) or
+    # already swapped (drop the superseded original). Underscore-
+    # prefixed, so partition discovery never sees them even before
+    # recovery runs.
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if name.startswith("_swap_tmp."):
+                shutil.rmtree(full, ignore_errors=True)
+                healed = True
+            elif name.startswith("_swap_old."):
+                wave = os.path.join(path, name[len("_swap_old."):])
+                if os.path.exists(wave):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.rename(full, wave)
+                healed = True
+    return healed
 
 
 def _has_data_file(spark: SparkSession, path: str) -> bool:
@@ -1407,6 +1542,11 @@ def compact_parquet(
             # required ordering is the remaining partition cols — which
             # our (rest + cluster) sort satisfies as a prefix.
             lead, rest = cols[0], cols[1:]
+            # a table holding only zero-row schema files yields no
+            # distinct lead values — create tmp anyway so the sidecar
+            # copy below has a destination and the empty-rewrite guard
+            # (not a FileNotFoundError) decides the outcome
+            os.makedirs(tmp, exist_ok=True)
             vals = [r[0] for r in df.select(lead).distinct().collect()]
             for v in vals:
                 sub = df.filter(F.col(lead) == v).drop(lead)

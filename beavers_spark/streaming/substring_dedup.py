@@ -145,7 +145,7 @@ class IncrementalSubstringDedup:
         self._watermark = BatchWatermark(state_path)
         self._bloom = WaveBloomIndex(
             state_path, bloom_bits, min_waves=bloom_min_waves,
-            keys_of=_wave_keys,
+            keys_of=_wave_keys, adaptive=True,
         )
         #: per-wave doc-id Bloom sidecars on BOTH tables (a fully-
         #: duplicate doc traces only in the output; an all-unique doc
@@ -184,6 +184,33 @@ class IncrementalSubstringDedup:
         return spark.read.parquet(self.out_path).select(
             "doc_id", "span_start", "span_end", "n_dup_tokens"
         )
+
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten: hard-delete the given doc ids from
+        the span-ownership registry and the duplicate-range output
+        (maintenance.forget_doc_rows — Bloom-TARGETED via each table's
+        own doc-id sidecars, so the rewrite touches only the waves
+        that may hold the ids). Removing ownership RE-OPENS the spans:
+        the next document presenting a forgotten span hash becomes its
+        owner — "first arrival after forgetting" — and a later
+        redelivery of the forgotten id itself is admitted as
+        brand-new. Idempotent; returns the number of wave directories
+        rewritten."""
+        from beavers_spark.streaming.maintenance import forget_doc_rows
+
+        n = forget_doc_rows(
+            spark, self.state_path, ids, guard=self._doc_seen
+        )
+        if n:
+            self._bloom.invalidate()
+            # the forget may have removed the registry's LAST
+            # schema-bearing partition — re-probe rather than trust
+            # the cached flag (the empty-table trap)
+            self._has_state = table_exists(spark, self.state_path)
+        n += forget_doc_rows(
+            spark, self.out_path, ids, guard=self._doc_seen_out
+        )
+        return n
 
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` on both tables (the

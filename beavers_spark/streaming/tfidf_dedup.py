@@ -174,6 +174,32 @@ class IncrementalTfidfDedup:
             .distinct()
         )
 
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten: hard-delete the given doc ids from
+        the term registry (maintenance.forget_doc_rows — Bloom-TARGETED
+        via the doc-id sidecars) and every candidate pair that involves
+        them. A later redelivery of a forgotten id is admitted as
+        brand-new; candidates between remaining docs are untouched.
+        Removing a doc's term rows also shifts the corpus statistics
+        (df counts, norms) the read-time scoring derives — by design:
+        scores were always a pure function of the CURRENT registry
+        (``read_pairs`` docstring), so the forgotten doc stops
+        contributing to them the moment its rows are gone. Idempotent;
+        returns the number of wave directories rewritten."""
+        from beavers_spark.streaming.maintenance import forget_doc_rows
+
+        n = forget_doc_rows(
+            spark, self.state_path, ids, guard=self._doc_seen
+        )
+        if n:
+            # the forget may have removed the registry's LAST
+            # schema-bearing partition — re-probe rather than trust
+            # the cached flag (the empty-table trap)
+            self._has_state = table_exists(spark, self.state_path)
+        n += forget_doc_rows(spark, self.cand_path, ids, id_col="doc1")
+        n += forget_doc_rows(spark, self.cand_path, ids, id_col="doc2")
+        return n
+
     def read_pairs(self, spark: SparkSession) -> DataFrame:
         """Near-dup pairs ``(doc1, doc2, cos)`` under the CURRENT
         accumulated corpus — equal to ``tfidf_cosine_pairs`` on the

@@ -157,3 +157,205 @@ def test_frame_dedup_forget_reopens_frame_ownership(spark, tmp_path):
         F.col("doc_id") == victim
     ).count() > 0
     assert kern.forget(spark, [999999]) == 0  # unknown id: no-op
+
+
+def test_substring_forget_reopens_spans(spark, tmp_path):
+    from beavers_spark.streaming import IncrementalSubstringDedup
+
+    span = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{span} tail1a tail1b"), (2, "unrelated body of words here")],
+        "doc_id long, text string",
+    )
+    kern = IncrementalSubstringDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=8,
+    )
+    kern(df, 0)
+    # doc 3 repeats doc 1's span: flagged duplicate against ownership
+    dup = spark.createDataFrame(
+        [(3, f"{span} tail3a tail3b")], "doc_id long, text string"
+    )
+    kern(dup, 1)
+    assert kern.read_dup_ranges(spark).filter(
+        F.col("doc_id") == 3
+    ).count() > 0
+
+    n = kern.forget(spark, [1, 3])
+    assert n >= 1
+    assert kern.read_state(spark).filter(
+        F.col("doc_id").isin([1, 3])
+    ).count() == 0
+    assert kern.read_dup_ranges(spark).filter(
+        F.col("doc_id").isin([1, 3])
+    ).count() == 0
+    assert kern.forget(spark, [1, 3]) == 0  # idempotent
+
+    # span ownership RE-OPENED: the same span arriving now is owned,
+    # not flagged
+    kern(
+        spark.createDataFrame(
+            [(9, f"{span} tail9a tail9b")], "doc_id long, text string"
+        ),
+        2,
+    )
+    assert kern.read_state(spark).filter(
+        F.col("doc_id") == 9
+    ).count() > 0
+    assert kern.read_dup_ranges(spark).filter(
+        F.col("doc_id") == 9
+    ).count() == 0
+
+
+def test_tfidf_forget_drops_candidates_and_readmits(spark, tmp_path):
+    from beavers_spark.streaming import IncrementalTfidfDedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "something else entirely words")],
+        "doc_id long, text string",
+    )
+    kern = IncrementalTfidfDedup(
+        str(tmp_path / "state"), str(tmp_path / "cand"),
+        text_col="text", id_col="doc_id",
+    )
+    kern(df, 0)
+    assert {
+        (r.doc1, r.doc2) for r in kern.read_candidates(spark).collect()
+    } == {(1, 2)}
+
+    n = kern.forget(spark, [2])
+    assert n >= 1
+    assert kern.read_state(spark).filter(F.col("doc_id") == 2).count() == 0
+    assert kern.read_candidates(spark).count() == 0
+    # redelivery: admitted as brand-new, candidate vs survivor re-emitted
+    kern(df.filter(F.col("doc_id") == 2), 1)
+    assert {
+        (r.doc1, r.doc2) for r in kern.read_candidates(spark).collect()
+    } == {(1, 2)}
+
+
+def test_classifier_forget_refits_and_empties(spark, tmp_path):
+    from beavers_spark.streaming import IncrementalQualityClassifier
+
+    rows = [
+        (i, f"quality prose citation facts v{i}", 1) for i in range(4)
+    ] + [
+        (i + 10, f"spamword{i} lottery buy clicks now", 0)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    clf = IncrementalQualityClassifier(
+        str(tmp_path / "clf"), label_col="y", n_buckets=64
+    )
+    clf(df, 0)
+    before = {r.bucket: r.w for r in clf.model(spark).collect()}
+    assert before
+    refits_before = clf.refit_count
+
+    # forgetting half the corpus must REFIT: the model memorized the
+    # forgotten docs' features
+    n = clf.forget(spark, [0, 1, 2, 3])
+    assert n >= 1
+    assert clf.refit_count == refits_before + 1
+    after = {r.bucket: r.w for r in clf.model(spark).collect()}
+    assert after != before
+    assert clf.read_state(spark).filter(F.col("doc_id") < 4).count() == 0
+
+    # forgetting the rest empties state AND removes the model; the
+    # next batch must run clean (the empty-table trap)
+    clf.forget(spark, [10, 11, 12, 13])
+    assert clf.model(spark).count() == 0
+    clf(df.limit(2), 1)
+    assert clf.model(spark).count() > 0
+
+
+def test_image_neardup_forget_drops_pairs(spark, tmp_path):
+    from beavers_spark.plans.llmops import _ppm_dims, _ppm_pixels
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalImageNearDedup
+
+    docs = t(spark, SF_DIR, "documents").filter(F.col("doc_id") < 60)
+    w, h = _ppm_dims()
+    imgs = docs.select("doc_id", _ppm_pixels(w, h).alias("payload"))
+    nd = IncrementalImageNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs")
+    )
+    nd(imgs.filter(F.col("doc_id") < 30), 0)
+    nd(imgs.filter(F.col("doc_id") >= 30), 1)
+    pairs = {
+        (r.doc1, r.doc2) for r in nd.read_pairs(spark).collect()
+    }
+    assert pairs, "generator duplicate classes must collide"
+    victim = pairs.copy().pop()[0]
+    n = nd.forget(spark, [victim])
+    assert n >= 1
+    assert nd.read_state(spark).filter(
+        F.col("doc_id") == victim
+    ).count() == 0
+    left = {
+        (r.doc1, r.doc2) for r in nd.read_pairs(spark).collect()
+    }
+    assert all(victim not in p for p in left)
+    # redelivery re-admits and re-emits the duplicate relation
+    nd(imgs.filter(F.col("doc_id") == victim), 2)
+    again = {
+        (r.doc1, r.doc2) for r in nd.read_pairs(spark).collect()
+    }
+    assert any(victim in p for p in again)
+
+
+def test_forget_all_then_next_batch_runs(spark, tmp_path):
+    """ADVICE r11: forgetting EVERY doc removed the partitioned
+    table's last schema file while the kernel's cached _has_state
+    stayed True — the next batch crashed with UNABLE_TO_INFER_SCHEMA
+    in the seen probe."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "z y x w v")],
+        "doc_id long, text string",
+    )
+    kern = IncrementalChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    kern(df, 0)
+    kern.forget(spark, [1, 2])
+    kern(df, 1)  # must not raise
+    assert {r.doc_id for r in kern.read_kept(spark).collect()} == {1, 2}
+
+
+def test_forget_crash_window_recovery(spark, tmp_path):
+    """A crash between forget's two renames leaves the wave aside as
+    ``_swap_old.w=<n>`` (plus possibly a stale ``_forget_tmp``);
+    recover_compaction (run at every kernel entry and at the top of
+    forget_doc_rows) must restore the wave — the SURVIVING rows are
+    never lost."""
+    import os
+    import shutil
+
+    from beavers_spark.streaming.maintenance import recover_compaction
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "z y x w v")],
+        "doc_id long, text string",
+    )
+    kern = IncrementalChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5,
+    )
+    kern(df, 0)
+    state = str(tmp_path / "state")
+    # simulate the crash window: wave moved aside, swap never happened
+    os.rename(f"{state}/w=0", f"{state}/_swap_old.w=0")
+    shutil.copytree(
+        f"{state}/_swap_old.w=0", f"{state}/_swap_tmp.w=0"
+    )
+    assert recover_compaction(state)
+    assert os.path.isdir(f"{state}/w=0")
+    assert not os.path.exists(f"{state}/_swap_old.w=0")
+    assert not os.path.exists(f"{state}/_swap_tmp.w=0")
+    assert {r.doc_id for r in kern.read_state(spark).collect()} == {1, 2}
+    # the swapped-but-not-cleaned window: old present AND wave present
+    shutil.copytree(f"{state}/w=0", f"{state}/_swap_old.w=0")
+    assert recover_compaction(state)
+    assert not os.path.exists(f"{state}/_swap_old.w=0")

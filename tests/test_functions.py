@@ -1361,3 +1361,75 @@ def test_wav_ulaw_decode_matches_audioop_and_hostiles(spark):
     want = np.frombuffer(audioop.ulaw2lin(enc, 2), dtype="<i2")
     assert np.array_equal(np.frombuffer(frames, dtype="<i2"), want)
     assert got[0].out_rate == 8000
+
+
+def test_wav_adpcm_decode_multiblock_and_hostiles(spark):
+    """wav_adpcm_decode: every expanded sample must equal an
+    independent pure-Python IMA recursion (tables, mantissa sum,
+    clamps, per-block state reset from the 4-byte header, low-nibble-
+    first unpacking) across MULTI-block payloads; non-ADPCM/hostile
+    payloads yield NULLs."""
+    import struct
+
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import (
+        _IMA_INDEX_ADJ,
+        _IMA_STEPS,
+        _wav_data_chunk,
+        wav_adpcm_decode,
+    )
+
+    def ref_decode(pred, idx, nibbles):
+        out = [pred]
+        for nib in nibbles:
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            out.append(pred)
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib]))
+        return out
+
+    rng = np.random.default_rng(7)
+    rows, want = [], {}
+    balign = 4 + 10  # 20 nibbles per block
+    for doc in range(30):
+        data, samples = b"", []
+        for _blk in range(1 + doc % 3):
+            pred = int(rng.integers(-32768, 32768))
+            idx = int(rng.integers(0, 89))
+            nibs = [int(x) for x in rng.integers(0, 16, 20)]
+            packed = bytes(
+                nibs[2 * i] | (nibs[2 * i + 1] << 4) for i in range(10)
+            )
+            data += struct.pack("<hBB", pred, idx, 0) + packed
+            samples += ref_decode(pred, idx, nibs)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 17, 1, 8000, 8000, balign, 4)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        rows.append((doc, bytearray(hdr + data)))
+        want[doc] = samples
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    for r in wav_adpcm_decode(df, "payload").collect():
+        off, dlen = _wav_data_chunk(r.decoded)[:2]
+        got = list(
+            np.frombuffer(bytes(r.decoded[off : off + dlen]), "<i2")
+        )
+        assert got == want[r.doc_id] and r.out_rate == 8000
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"nope")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    assert all(
+        r.decoded is None and r.out_rate is None
+        for r in wav_adpcm_decode(bad, "payload").collect()
+    )

@@ -88,3 +88,29 @@ def test_hostile_payloads_dropped_and_redelivery_noop(spark, tmp_path):
     # full redelivery of wave 0 under a new id: anti-joined to nothing
     nd(_ppms(spark, SF_DIR, 0, 300), 2)
     assert _pairs(nd, spark) == before
+
+
+def test_read_doc_pairs_is_full_coverage_doc_verdict(spark, tmp_path):
+    """One image = one document in the corpus model (VERDICT r11
+    item 7): the inherited read_doc_pairs must pass every image pair
+    through as a doc verdict with shared1 = shared2 = 1 at coverage
+    1.0, for ANY min_shared_frac — no pair may be dropped or
+    double-counted by the rollup."""
+    nd = IncrementalImageNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs")
+    )
+    for i, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 500))):
+        nd(_ppms(spark, SF_DIR, lo, hi), i)
+    pairs = {
+        (r.doc1, r.doc2)
+        for r in nd.read_pairs(spark)
+        .filter(F.col("hamming").isNotNull())
+        .collect()
+    }
+    assert pairs
+    docs = {
+        (r.doc1, r.doc2): (r.shared1, r.shared2, r.shared_frac)
+        for r in nd.read_doc_pairs(spark, min_shared_frac=1.0).collect()
+    }
+    assert set(docs) == pairs
+    assert all(v == (1, 1, 1.0) for v in docs.values())

@@ -1187,6 +1187,47 @@ def wav_adpcm_decode(df: DataFrame, payload_col: str) -> DataFrame:
     )
 
 
+def wav_transcode(
+    df: DataFrame, payload_col: str, codec: str = "auto"
+) -> DataFrame:
+    """Normalize a WAV payload column to canonical 16-bit PCM: adds
+    ``pcm`` = the decoded blob where the payload is a supported
+    compressed codec (``ulaw`` = G.711 fmt 7, ``adpcm`` = IMA fmt 17,
+    ``auto`` = both), the payload itself otherwise. Each decoder NULLs
+    on foreign input (filter-then-decode), so ``auto`` is one coalesce
+    over at most two Arrow-batched passes — a MIXED-codec corpus
+    normalizes in a single projection, and anything undecodable passes
+    through for the downstream PCM16 consumers (``wav_stats``,
+    ``wav_segment_stats``, the envelope fingerprint) to drop under
+    their own contract. This is the composition point that lets the
+    audio kernels ingest compressed corpora without re-implementing
+    any feature extraction."""
+    if codec not in ("auto", "ulaw", "adpcm"):
+        raise ValueError(
+            f"codec must be 'auto', 'ulaw' or 'adpcm', got {codec!r}"
+        )
+    out = df
+    parts = []
+    if codec in ("ulaw", "auto"):
+        out = (
+            wav_ulaw_decode(out, payload_col)
+            .withColumnRenamed("decoded", "__ul")
+            .drop("out_rate")
+        )
+        parts.append(F.col("__ul"))
+    if codec in ("adpcm", "auto"):
+        out = (
+            wav_adpcm_decode(out, payload_col)
+            .withColumnRenamed("decoded", "__ad")
+            .drop("out_rate")
+        )
+        parts.append(F.col("__ad"))
+    out = out.withColumn(
+        "pcm", F.coalesce(*parts, F.col(payload_col))
+    )
+    return out.drop("__ul", "__ad")
+
+
 def ppm_meta(df: DataFrame, payload_col: str) -> DataFrame:
     """Decode binary P6 PPM headers ('P6\\n<width> <height>\\n<maxval>\\n')
     from a binary column: the ASCII header rides in the first bytes, so

@@ -635,28 +635,51 @@ class IncrementalAudioNearDedup(IncrementalFrameNearDedup):
     one row per near-dup track pair.
 
     ``seg_samples`` is the envelope resolution (samples per segment;
-    None = the file's sample rate, one-second windows)."""
+    None = the file's sample rate, one-second windows). ``codec``
+    (None | "ulaw" | "adpcm" | "auto") transparently TRANSCODES
+    compressed payloads to PCM16 before the segment decode
+    (``wav_transcode``) — a mixed-codec corpus dedups against itself,
+    and a compressed re-encode of a PCM track fingerprints identically
+    to its original (same samples -> same envelope). The codec rides
+    the signature scheme recorded in ``_layout.json``: restarting a
+    state table under a different transcode posture fails loudly."""
 
     #: v2 = n_bytes carries least(nseg, bits), the r11 duration-class
     #: change; v1 state (constant 0) band-keys differently and must
     #: fail loudly at open, not silently stop matching old waves
     SIG_SCHEME = "wav-envelope-v2"
 
-    def __init__(self, *args, seg_samples: int | None = None, **kwargs):
+    def __init__(
+        self,
+        *args,
+        seg_samples: int | None = None,
+        codec: str | None = None,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.seg_samples = seg_samples
+        self.codec = codec
+        if codec is not None:
+            # instance attribute shadows the class constant: the
+            # transcode posture changes what the stored envelope MEANS
+            self.SIG_SCHEME = f"wav-envelope-v2+{codec}"
 
     def _decode_sig(self, batch: DataFrame) -> DataFrame:
         from beavers_spark.functions.multimodal import (
             wav_envelope_fingerprint,
             wav_segment_stats,
+            wav_transcode,
         )
 
         wavs = batch.select(
             F.col(self.id_col).alias("doc_id"), self.payload_col
         )
+        pay = self.payload_col
+        if self.codec is not None:
+            wavs = wav_transcode(wavs, pay, codec=self.codec).drop(pay)
+            pay = "pcm"
         segs = wav_segment_stats(
-            wavs, self.payload_col, seg_samples=self.seg_samples
+            wavs, pay, seg_samples=self.seg_samples
         )
         return wav_envelope_fingerprint(segs, bits=self.bits).select(
             "doc_id",

@@ -265,9 +265,11 @@ def _near_dedup_scenario(spark, sf_dir, workdir, **kernel_kwargs):
 def _inc_near_dedup(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
     """documents fed in waves through IncrementalNearDedup: per wave, a
     new-vs-new plus new-vs-state band join emits only pairs touching the
-    wave (O(batch + candidates), never a corpus rescan). Default knobs:
-    the Bloom machinery stays gated (min_waves=8 > 4 waves), so this
-    times the pure wave-write + band-join path."""
+    wave (O(batch + candidates), never a corpus rescan). Default knobs
+    (r12): the band-key probe starts ON and the ADAPTIVE gate puts it
+    to sleep once its own history shows no pruning on this band-shared
+    corpus (probe_adaptive_skips > 0 in the metrics), while the
+    doc-seen guard stays always-on."""
     return _near_dedup_scenario(spark, sf_dir, workdir)
 
 
@@ -547,6 +549,62 @@ def _inc_chunk_dedup_auto(
         live_wave_count(dedup.state_path) <= 3,
         "the cadence must bound the live wave count",
     )
+    return n, metrics
+
+
+def _inc_forget(spark, sf_dir: str, workdir: str) -> tuple[int, dict]:
+    """Right-to-be-forgotten ON the clock: ingest the documents corpus
+    in waves through IncrementalChunkDedup, then ``forget`` a doc
+    sample drawn from ONE wave. The sweep must be Bloom-TARGETED —
+    the doc-id sidecars name the victims' home wave, so exactly that
+    wave is rewritten in each table (registry + output = 2 rewrites),
+    O(request) not O(corpus) — and the forgotten ids must vanish from
+    the kept output. Timed with the ingest so the number is comparable
+    to inc_chunk_dedup's: the delta between the two IS the sweep."""
+    from beavers_spark.plans.common import t
+    from beavers_spark.streaming import IncrementalChunkDedup
+
+    dedup = IncrementalChunkDedup(
+        os.path.join(workdir, "state"),
+        os.path.join(workdir, "out"),
+        text_col="text",
+        id_col="doc_id",
+        k=10,
+        compact_every_waves=None,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(_WAVES):
+        dedup(docs.filter(F.pmod("doc_id", F.lit(_WAVES)) == i), i)
+    # victims: every 10th doc of wave 1 — one home wave by construction
+    victims = [
+        r.doc_id
+        for r in docs.filter(
+            (F.pmod("doc_id", F.lit(_WAVES)) == 1)
+            & (F.pmod("doc_id", F.lit(10 * _WAVES)) == 1)
+        ).collect()
+    ]
+    t0 = time.perf_counter()
+    rewritten = dedup.forget(spark, victims)
+    forget_s = time.perf_counter() - t0
+    n = dedup.read_kept(spark).count()
+    metrics = _kernel_metrics(
+        phases=dedup.phase_seconds,
+        bloom=dedup._bloom,
+        doc_seen=dedup._doc_seen,
+        forgotten=len(victims),
+        waves_rewritten=rewritten,
+        forget_seconds=round(forget_s, 3),
+    )
+    _require(len(victims) > 0, "no victims sampled")
+    _require(
+        rewritten <= 2,
+        f"forget must rewrite only the victims' home wave per table "
+        f"(registry + output = 2), got {rewritten}",
+    )
+    left = dedup.read_kept(spark).filter(
+        F.col("doc_id").isin(victims)
+    ).count()
+    _require(left == 0, f"{left} forgotten docs survived in the output")
     return n, metrics
 
 
@@ -1074,6 +1132,7 @@ INCREMENTAL = [
     ("inc_chunk_dedup", _inc_chunk_dedup),
     ("inc_chunk_dedup_probed", _inc_chunk_dedup_probed),
     ("inc_chunk_dedup_auto", _inc_chunk_dedup_auto),
+    ("inc_forget", _inc_forget),
     ("inc_substring_dedup", _inc_substring_dedup),
     ("inc_substring_dedup_probed", _inc_substring_dedup_probed),
     ("inc_classifier", _inc_classifier),

@@ -127,3 +127,84 @@ def test_short_tracks_of_different_durations_do_not_pair(spark, tmp_path):
         tuple(r) for r in nd.read_pairs(spark).collect()
     )}
     assert got == {(0, 2)}  # same 10-segment class pairs at hamming 0
+
+
+def test_codec_auto_pairs_compressed_with_pcm_twin(spark, tmp_path):
+    """codec='auto': an IMA ADPCM track and a PCM16 track holding the
+    SAME samples must fingerprint identically through the transcode
+    path and pair at hamming 0 — and the transcode posture must be
+    recorded in the layout (a later plain-PCM restart on the same
+    state fails loudly)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from beavers_spark.functions.multimodal import (
+        _IMA_INDEX_ADJ,
+        _IMA_STEPS,
+        _pcm16_mono_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for doc in range(4):
+        pred = int(rng.integers(-2000, 2000))
+        idx = int(rng.integers(0, 60))
+        nibs = [int(x) for x in rng.integers(0, 16, 256)]
+        packed = bytes(
+            nibs[2 * i] | (nibs[2 * i + 1] << 4) for i in range(128)
+        )
+        data = struct.pack("<hBB", pred, idx, 0) + packed
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 17, 1, 8000, 8000, len(data), 4
+            )
+            + b"data" + struct.pack("<I", len(data))
+        )
+        rows.append((doc * 2, bytearray(hdr + data)))  # compressed
+        # the PCM16 twin: the decoded sample stream, independently
+        # recomputed by the reference recursion
+        samples, p, ix = [pred], pred, idx
+        for nib in nibs:
+            step = _IMA_STEPS[ix]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            p = max(-32768, min(32767, p - diff if nib & 8 else p + diff))
+            samples.append(p)
+            ix = max(0, min(88, ix + _IMA_INDEX_ADJ[nib]))
+        rows.append(
+            (
+                doc * 2 + 1,
+                bytearray(
+                    _pcm16_mono_wav(
+                        np.array(samples, "<i2").tobytes(), 8000
+                    )
+                ),
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    nd = IncrementalAudioNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"),
+        seg_samples=4, codec="auto",
+    )
+    nd(df.filter(F.col("doc_id") % 2 == 0), 0)  # compressed wave
+    nd(df.filter(F.col("doc_id") % 2 == 1), 1)  # PCM twins
+    got = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in nd.read_pairs(spark).collect()
+    }
+    want = {(2 * d, 2 * d + 1, 0) for d in range(4)}
+    assert want <= got  # every cross-codec twin pairs at hamming 0
+    # posture is layout-pinned: plain-PCM kernel refuses this state
+    plain = IncrementalAudioNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"), seg_samples=4
+    )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        plain(df.limit(1), 2)

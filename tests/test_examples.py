@@ -20,6 +20,7 @@ NEEDS_SPARK = {
     "etf_pipeline.py",
     "kafka_concepts.py",
     "media_pipeline.py",
+    "right_to_be_forgotten.py",
     "serving_dashboard.py",
     "streaming_watchdog.py",
     "tabular_concepts.py",

@@ -136,6 +136,34 @@ class IncrementalIVFIndex:
         rows.write.mode("append").partitionBy("cell").parquet(self.path)
         self._watermark.mark(batch_id)
 
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten: hard-delete the given ids' vectors —
+        an embedding (or its PQ codes) is derived personal data, so it
+        goes with the document (maintenance.forget_partition_rows: one
+        column-pruned scan names the victim CELLS, only those cell
+        directories rewrite — O(request x cell size), never the
+        index). The fitted model (coarse centroids, PQ codebooks) is
+        aggregate geometry trained once and kept: it stores no
+        per-document row, and re-training would re-cell the whole
+        index. A later redelivery of a forgotten id is indexed as
+        brand-new. Idempotent; returns the number of cell directories
+        rewritten or removed."""
+        from beavers_spark.streaming.maintenance import (
+            forget_partition_rows,
+        )
+
+        ids = list(ids)
+        if not ids:
+            return 0
+        id_df = spark.createDataFrame(
+            [(i,) for i in ids],
+            "neighbor_id "
+            + ("string" if isinstance(ids[0], str) else "long"),
+        )
+        return forget_partition_rows(
+            spark, self.path, id_df, ["neighbor_id"], "cell"
+        )
+
     # -- search -----------------------------------------------------------
     def read_index(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -343,6 +371,34 @@ class IncrementalIVFPQIndex:
         )
         rows.write.mode("append").partitionBy("cell").parquet(self.path)
         self._watermark.mark(batch_id)
+
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten: hard-delete the given ids' vectors —
+        an embedding (or its PQ codes) is derived personal data, so it
+        goes with the document (maintenance.forget_partition_rows: one
+        column-pruned scan names the victim CELLS, only those cell
+        directories rewrite — O(request x cell size), never the
+        index). The fitted model (coarse centroids, PQ codebooks) is
+        aggregate geometry trained once and kept: it stores no
+        per-document row, and re-training would re-cell the whole
+        index. A later redelivery of a forgotten id is indexed as
+        brand-new. Idempotent; returns the number of cell directories
+        rewritten or removed."""
+        from beavers_spark.streaming.maintenance import (
+            forget_partition_rows,
+        )
+
+        ids = list(ids)
+        if not ids:
+            return 0
+        id_df = spark.createDataFrame(
+            [(i,) for i in ids],
+            "neighbor_id "
+            + ("string" if isinstance(ids[0], str) else "long"),
+        )
+        return forget_partition_rows(
+            spark, self.path, id_df, ["neighbor_id"], "cell"
+        )
 
     # -- search -----------------------------------------------------------
     def read_index(self, spark: SparkSession) -> DataFrame:

@@ -86,6 +86,97 @@ class IncrementalClusters:
     def read_clusters(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path).drop(_BUCKET)
 
+    def forget(self, spark: SparkSession, ids) -> int:
+        """Right-to-be-forgotten: hard-delete the given doc ids' member
+        rows AND purge their ids from cluster labels — a min-id label
+        IS a doc id, so it must not outlive the doc: survivors of a
+        victim-labeled cluster relabel to their minimum surviving id.
+        Bucket-TARGETED: only the bucket directories holding members
+        of the victims' clusters rewrite (dynamic partition overwrite,
+        the kernel's own upsert path). Edges are NOT retained by this
+        kernel, so a component is never RE-SPLIT when the victim was
+        its only bridge — conservative over-grouping; the exact
+        recomputation is a rebuild from the upstream pair kernel's
+        cleansed pairs (``read_pairs`` -> ``connected_components`` ->
+        overwrite). Idempotent; returns the number of member rows
+        deleted."""
+        if not self._state_exists(spark):
+            return 0
+        ids = list(ids)
+        if not ids:
+            return 0
+        id_df = spark.createDataFrame(
+            [(i,) for i in ids],
+            "doc_id " + ("string" if isinstance(ids[0], str) else "long"),
+        )
+        state = spark.read.parquet(self.path)
+        victims = state.join(F.broadcast(id_df), "doc_id", "left_semi")
+        touched = victims.select("cluster_id").distinct()
+        # every row of a touched cluster participates: victims vanish,
+        # survivors relabel to their min surviving id — one bounded
+        # scan (the kernel's own member-propagation shape)
+        members = state.join(
+            F.broadcast(touched), "cluster_id"
+        ).localCheckpoint()
+        n_vic = members.join(
+            F.broadcast(id_df), "doc_id", "left_semi"
+        ).count()
+        if not n_vic:
+            return 0
+        survivors = members.join(F.broadcast(id_df), "doc_id", "left_anti")
+        relabel = survivors.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("__nl")
+        )
+        updates = (
+            survivors.join(F.broadcast(relabel), "cluster_id")
+            .select("doc_id", F.col("__nl").alias("cluster_id"), _BUCKET)
+            .localCheckpoint()
+        )
+        buckets = [
+            r[0]
+            for r in members.select(_BUCKET).distinct().collect()
+        ]
+        # untouched rows of the touched buckets ride along (dynamic
+        # overwrite replaces whole bucket directories)
+        current = state.filter(F.col(_BUCKET).isin(buckets))
+        untouched = current.join(
+            members.select("doc_id"), "doc_id", "left_anti"
+        )
+        merged = updates.unionByName(untouched).localCheckpoint()
+        kept_buckets = {
+            r[0] for r in merged.select(_BUCKET).distinct().collect()
+        }
+        if kept_buckets:
+            (
+                merged.repartition(len(kept_buckets), F.col(_BUCKET))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(_BUCKET)
+                .parquet(self.path)
+            )
+        # a bucket whose every row was a victim gets no output row, so
+        # the dynamic overwrite cannot clear it — remove it explicitly
+        # (the empty-partition trap, maintenance.forget_partition_rows)
+        import os
+        import shutil
+
+        for b in set(buckets) - kept_buckets:
+            shutil.rmtree(
+                os.path.join(self.path, f"{_BUCKET}={b}"),
+                ignore_errors=True,
+            )
+        from beavers_spark.streaming.maintenance import _has_data_file
+
+        if not _has_data_file(spark, self.path):
+            (
+                merged.drop(_BUCKET)
+                .limit(0)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, f"{_BUCKET}=-1"))
+            )
+        return n_vic
+
     #: per-batch graphs above this edge count fall back to the
     #: distributed component run; below it, driver-side union-find wins.
     #: imported from functions.dedup (whose RSS measurement justifies

@@ -141,7 +141,12 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     (a data file or partition directory) — a directory containing only
     ``_``-sidecars (e.g. a ``BatchWatermark`` written before the first
     parquet commit) is "no table yet", matching what
-    ``spark.read.parquet`` would conclude.
+    ``spark.read.parquet`` would conclude. "Hidden" matches Spark's own
+    rule (InMemoryFileIndex): a "."-prefix always hides; a "_"-prefix
+    hides ONLY names without "=" — ``__bucket=3`` is a real partition
+    directory Spark reads (the keyed-state/cluster layouts), not a
+    sidecar (review r12: the old prefix-only rule made a restarted
+    KeyedStateTable treat its whole table as missing).
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -149,10 +154,18 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     if not fs.exists(hpath):
         return False
     for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if not name.startswith(("_", ".")):
+        if not _hidden_name(status.getPath().getName()):
             return True
     return False
+
+
+def _hidden_name(name: str) -> bool:
+    """Spark's hidden-path rule (InMemoryFileIndex): "."-prefixed is
+    always hidden; "_"-prefixed is hidden unless the name contains
+    "=" (which makes it a partition directory)."""
+    return name.startswith(".") or (
+        name.startswith("_") and "=" not in name
+    )
 
 
 class BatchWatermark:
@@ -1155,10 +1168,14 @@ def forget_doc_rows(
             continue  # Bloom false positive: nothing to drop here
         kept = df.join(F.broadcast(id_df), id_col, "left_anti")
         part_cols = [c for c in ("b", "sb") if c in df.columns]
-        # swap staging lives INSIDE the table dir under underscore
-        # names — hidden from partition discovery at every instant
-        tmp = os.path.join(table_path, f"_swap_tmp.w={w}")
-        old = os.path.join(table_path, f"_swap_old.w={w}")
+        # swap staging lives INSIDE the table dir under DOT-prefixed
+        # names — Spark hides "."-prefixed entries unconditionally,
+        # while a "_"-prefixed name CONTAINING "=" is treated as a
+        # partition directory (an in-flight "_swap_tmp.w=3" would
+        # crash every concurrent read with
+        # CONFLICTING_PARTITION_COLUMN_NAMES — measured)
+        tmp = os.path.join(table_path, f".swap_tmp.w={w}")
+        old = os.path.join(table_path, f".swap_old.w={w}")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         if kept.limit(1).count() == 0:
@@ -1210,6 +1227,71 @@ def forget_doc_rows(
     return rewritten
 
 
+def forget_partition_rows(
+    spark,
+    table_path: str,
+    id_df,
+    id_cols: list[str],
+    part_col: str,
+) -> int:
+    """Hard-delete rows by id from a PARTITION-keyed (non-wave) state
+    table — the right-to-be-forgotten primitive for the cell/bucket
+    layouts (IVF index ``cell=``, keyed-state/cluster ``__bucket=``),
+    the sibling of ``forget_doc_rows``'s wave layout. ``id_df`` is a
+    small frame of victim keys (columns = ``id_cols``).
+
+    Partition-TARGETED: one column-pruned scan semi-joins the victim
+    keys to name the partitions that hold them; a dynamic partition
+    overwrite rewrites exactly those. A partition left EMPTY by the
+    delete is removed explicitly — a dynamic overwrite cannot clear a
+    partition it writes no rows into, so skipping this would silently
+    RESURRECT the victims (the empty-partition trap). When the delete
+    empties the whole table, one zero-row schema-bearing file is kept
+    (inside a literal ``<part_col>=-1`` directory — real partition
+    values are non-negative) so later reads stay valid. Returns the
+    number of partitions rewritten or removed."""
+    if not os.path.isdir(table_path):
+        return 0
+    recover_compaction(table_path)
+    df = spark.read.parquet(table_path)
+    if any(c not in df.columns for c in id_cols):
+        return 0
+    vict = df.join(F.broadcast(id_df), id_cols, "left_semi")
+    parts = [r[0] for r in vict.select(part_col).distinct().collect()]
+    if not parts:
+        return 0
+    sub = df.filter(F.col(part_col).isin(parts))
+    # materialize the survivors once: the kept-partition probe and the
+    # rewrite must see the same rows
+    kept = sub.join(F.broadcast(id_df), id_cols, "left_anti")
+    kept = kept.localCheckpoint()
+    kept_parts = {
+        r[0] for r in kept.select(part_col).distinct().collect()
+    }
+    if kept_parts:
+        (
+            kept.repartition(len(kept_parts), F.col(part_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(table_path)
+        )
+    for p in set(parts) - kept_parts:
+        shutil.rmtree(
+            os.path.join(table_path, f"{part_col}={p}"),
+            ignore_errors=True,
+        )
+    if not _has_data_file(spark, table_path):
+        (
+            kept.drop(part_col)
+            .limit(0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(table_path, f"{part_col}=-1"))
+        )
+    return len(parts)
+
+
 def shrink_small_wave(
     spark,
     wave_dir: str,
@@ -1225,7 +1307,7 @@ def shrink_small_wave(
     UNTOUCHED — at 100 TB every wave is big and WANTS its many files,
     so this only engages in the small-wave / trickle-ingest regime,
     where rewriting the wave is by definition cheap. The rewrite uses
-    the stage→aside→swap order (``_swap_tmp.``/``_swap_old.``
+    the stage→aside→swap order (``.swap_tmp.``/``.swap_old.``
     siblings, healed by ``recover_compaction`` at kernel entry), so no
     crash window loses the wave. Call BEFORE the wave's sidecars are
     written — the rewrite does not carry them. Returns the post-shrink
@@ -1236,8 +1318,8 @@ def shrink_small_wave(
     n_out = max(1, min(max_files, int(nbytes // target_bytes) + 1))
     df = spark.read.parquet(wave_dir)
     head, base = os.path.split(wave_dir.rstrip("/"))
-    tmp = os.path.join(head, f"_swap_tmp.{base}")
-    old = os.path.join(head, f"_swap_old.{base}")
+    tmp = os.path.join(head, f".swap_tmp.{base}")
+    old = os.path.join(head, f".swap_old.{base}")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
@@ -1428,19 +1510,20 @@ def recover_compaction(path: str) -> bool:
         healed = True
     # heal per-wave swap leftovers (forget_doc_rows, shrink_small_wave):
     # a crash between the two renames leaves either a stray
-    # ``_swap_tmp.w=<n>`` (incomplete rewrite: discard) or a
-    # ``_swap_old.w=<n>`` whose wave directory is missing (restore) or
-    # already swapped (drop the superseded original). Underscore-
-    # prefixed, so partition discovery never sees them even before
-    # recovery runs.
+    # ``.swap_tmp.w=<n>`` (incomplete rewrite: discard) or a
+    # ``.swap_old.w=<n>`` whose wave directory is missing (restore) or
+    # already swapped (drop the superseded original). DOT-prefixed,
+    # so partition discovery never sees them even before recovery
+    # runs (an underscore prefix would NOT hide a name containing
+    # "=" — Spark treats those as partition directories).
     if os.path.isdir(path):
         for name in os.listdir(path):
             full = os.path.join(path, name)
-            if name.startswith("_swap_tmp."):
+            if name.startswith(".swap_tmp."):
                 shutil.rmtree(full, ignore_errors=True)
                 healed = True
-            elif name.startswith("_swap_old."):
-                wave = os.path.join(path, name[len("_swap_old."):])
+            elif name.startswith(".swap_old."):
+                wave = os.path.join(path, name[len(".swap_old."):])
                 if os.path.exists(wave):
                     shutil.rmtree(full, ignore_errors=True)
                 else:
@@ -1464,7 +1547,7 @@ def _has_data_file(spark: SparkSession, path: str) -> bool:
     def walk(p) -> bool:
         for status in fs.listStatus(p):
             name = status.getPath().getName()
-            if name.startswith(("_", ".")):
+            if _hidden_name(name):
                 continue
             if status.isDirectory():
                 if walk(status.getPath()):

@@ -92,6 +92,37 @@ class KeyedStateTable:
         """Current latest-row-per-key table (without the bucket column)."""
         return spark.read.parquet(self.path).drop(_BUCKET)
 
+    def forget(self, spark: SparkSession, keys) -> int:
+        """Right-to-be-forgotten for keyed state: hard-delete the
+        given keys' rows. ``keys`` is a list of key values (single-key
+        tables) or of tuples aligned with ``self.keys``. Bucket-
+        TARGETED (maintenance.forget_partition_rows): only the bucket
+        directories holding the victims rewrite. A later upsert of a
+        forgotten key is admitted as brand-new state. Idempotent;
+        returns the number of bucket directories rewritten or
+        removed."""
+        from beavers_spark.streaming.maintenance import (
+            forget_partition_rows,
+        )
+
+        if not self._table_exists(spark):
+            return 0
+        rows = [
+            k if isinstance(k, tuple) else (k,) for k in keys
+        ]
+        if not rows:
+            return 0
+        id_df = spark.createDataFrame(rows, self.keys)
+        n = forget_partition_rows(
+            spark, self.path, id_df, self.keys, _BUCKET
+        )
+        if n:
+            # the forget may have emptied the table down to its
+            # zero-row schema file — re-probe rather than trust the
+            # cached flag
+            self._initialized = table_exists(spark, self.path)
+        return n
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # restore a compaction crashed between compact_parquet's two
         # renames BEFORE the watermark check or any write (review r8)

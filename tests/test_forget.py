@@ -326,7 +326,7 @@ def test_forget_all_then_next_batch_runs(spark, tmp_path):
 
 def test_forget_crash_window_recovery(spark, tmp_path):
     """A crash between forget's two renames leaves the wave aside as
-    ``_swap_old.w=<n>`` (plus possibly a stale ``_forget_tmp``);
+    ``.swap_old.w=<n>`` (plus possibly a stale ``_forget_tmp``);
     recover_compaction (run at every kernel entry and at the top of
     forget_doc_rows) must restore the wave — the SURVIVING rows are
     never lost."""
@@ -346,16 +346,102 @@ def test_forget_crash_window_recovery(spark, tmp_path):
     kern(df, 0)
     state = str(tmp_path / "state")
     # simulate the crash window: wave moved aside, swap never happened
-    os.rename(f"{state}/w=0", f"{state}/_swap_old.w=0")
+    os.rename(f"{state}/w=0", f"{state}/.swap_old.w=0")
     shutil.copytree(
-        f"{state}/_swap_old.w=0", f"{state}/_swap_tmp.w=0"
+        f"{state}/.swap_old.w=0", f"{state}/.swap_tmp.w=0"
     )
     assert recover_compaction(state)
     assert os.path.isdir(f"{state}/w=0")
-    assert not os.path.exists(f"{state}/_swap_old.w=0")
-    assert not os.path.exists(f"{state}/_swap_tmp.w=0")
+    assert not os.path.exists(f"{state}/.swap_old.w=0")
+    assert not os.path.exists(f"{state}/.swap_tmp.w=0")
     assert {r.doc_id for r in kern.read_state(spark).collect()} == {1, 2}
     # the swapped-but-not-cleaned window: old present AND wave present
-    shutil.copytree(f"{state}/w=0", f"{state}/_swap_old.w=0")
+    shutil.copytree(f"{state}/w=0", f"{state}/.swap_old.w=0")
     assert recover_compaction(state)
-    assert not os.path.exists(f"{state}/_swap_old.w=0")
+    assert not os.path.exists(f"{state}/.swap_old.w=0")
+
+
+def test_ivf_index_forget_is_cell_targeted(spark, tmp_path):
+    """Embeddings are derived personal data: forget deletes the ids'
+    vectors, rewrites only the victim cells, and a redelivered id is
+    indexed as brand-new."""
+    from beavers_spark.plans.common import t as _t
+    from beavers_spark.streaming import IncrementalIVFIndex
+
+    emb = _t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index = IncrementalIVFIndex(
+        str(tmp_path / "ivf"), id_col="vec_id", n_cells=4
+    )
+    for i in range(2):
+        index(emb.filter(F.col("vec_id") % 2 == i), i)
+    victims = [r.vec_id for r in emb.limit(3).collect()]
+    n = index.forget(spark, victims)
+    assert 1 <= n <= 3  # at most one rewrite per victim cell
+    left = index.read_index(spark)
+    assert left.filter(F.col("neighbor_id").isin(victims)).count() == 0
+    assert index.forget(spark, victims) == 0  # idempotent
+    # search still works and never returns a forgotten id
+    hits = index.search(emb.filter(F.col("vec_id") < 5), k=5, n_probe=4)
+    assert hits.filter(F.col("neighbor_id").isin(victims)).count() == 0
+    # redelivery: indexed as brand-new
+    index(emb.filter(F.col("vec_id") == victims[0]), 9)
+    assert index.read_index(spark).filter(
+        F.col("neighbor_id") == victims[0]
+    ).count() == 1
+
+
+def test_keyed_state_forget_and_empty_table(spark, tmp_path):
+    from beavers_spark.streaming import KeyedStateTable
+
+    state = KeyedStateTable(
+        str(tmp_path / "ks"), keys=["k"], order_by="seq", n_buckets=8
+    )
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0), ("c", 1, 30.0)],
+        "k string, seq long, v double",
+    )
+    state(df, 0)
+    assert state.forget(spark, ["a"]) >= 1
+    assert {r.k for r in state.read(spark).collect()} == {"b", "c"}
+    assert state.forget(spark, ["a"]) == 0  # idempotent
+    # forgetting everything leaves a readable empty table, and the
+    # next upsert works
+    state.forget(spark, ["b", "c"])
+    assert state.read(spark).count() == 0
+    state(df.filter(F.col("k") == "a"), 1)
+    assert {r.k for r in state.read(spark).collect()} == {"a"}
+
+
+def test_clusters_forget_purges_victim_labels(spark, tmp_path):
+    """A min-id cluster label IS a doc id: forgetting the label-doc
+    must relabel survivors to their min surviving id, and the
+    forgotten id must appear nowhere — rows or labels."""
+    from beavers_spark.streaming import IncrementalClusters
+
+    cl = IncrementalClusters(str(tmp_path / "cl"), n_buckets=8)
+    cl(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "doc1 long, doc2 long"
+        ),
+        0,
+    )
+    labels = {
+        (r.doc_id, r.cluster_id)
+        for r in cl.read_clusters(spark).collect()
+    }
+    assert labels == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+    n = cl.forget(spark, [1])
+    assert n == 1
+    after = {
+        (r.doc_id, r.cluster_id)
+        for r in cl.read_clusters(spark).collect()
+    }
+    # survivors relabel to min surviving id; untouched cluster intact
+    assert after == {(2, 2), (3, 2), (7, 7), (8, 7)}
+    assert cl.forget(spark, [1]) == 0  # idempotent
+    # forgetting a whole cluster leaves the table readable
+    cl.forget(spark, [7, 8])
+    assert {
+        (r.doc_id, r.cluster_id)
+        for r in cl.read_clusters(spark).collect()
+    } == {(2, 2), (3, 2)}

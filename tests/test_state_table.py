@@ -120,3 +120,37 @@ def test_order_tie_goes_to_incoming_batch(spark, tmp_path):
     state(spark.createDataFrame([("a", 2.0, 1)], "k string, v double, seq long"), 1)
     [row] = state.read(spark).collect()
     assert (row.k, row.v, row.seq) == ("a", 2.0, 1)
+
+
+def test_fresh_instance_sees_existing_bucket_state(spark, tmp_path):
+    """Restart regression (review r12): a keyed-state table's entries
+    are ALL underscore-prefixed (``__bucket=<n>`` partition dirs + the
+    watermark sidecar), and the old prefix-only hidden rule made a
+    fresh instance conclude "no table yet" — its first upsert then
+    skipped the merge and dynamic overwrite silently DROPPED the other
+    keys sharing the touched buckets. Spark itself treats a
+    "_"-prefixed name containing "=" as a partition directory, and
+    table_exists now matches that rule."""
+    from beavers_spark.streaming import KeyedStateTable
+    from beavers_spark.streaming.maintenance import table_exists
+
+    path = str(tmp_path / "ks")
+    first = KeyedStateTable(path, keys=["k"], order_by="seq", n_buckets=1)
+    first(
+        spark.createDataFrame(
+            [("a", 1, 10.0), ("b", 1, 20.0)], "k string, seq long, v double"
+        ),
+        0,
+    )
+    assert table_exists(spark, path)
+    # a RESTARTED instance (fresh object, no in-memory flag) upserts
+    # one key — every other key in the shared bucket must survive
+    second = KeyedStateTable(path, keys=["k"], order_by="seq", n_buckets=1)
+    second(
+        spark.createDataFrame(
+            [("a", 2, 11.0)], "k string, seq long, v double"
+        ),
+        1,
+    )
+    got = {(r.k, r.seq, r.v) for r in second.read(spark).collect()}
+    assert got == {("a", 2, 11.0), ("b", 1, 20.0)}

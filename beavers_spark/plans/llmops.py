@@ -1519,6 +1519,187 @@ def wav_adpcm_decode_q(spark, sf_dir):
 
 
 @query(
+    "wav_transcode_stats",
+    oracle=f"""
+    WITH RECURSIVE pcm AS (
+        SELECT doc_id, j,
+               ((doc_id * 31 + j * 7) % 2001 - 1000)::BIGINT AS v
+        FROM (SELECT doc_id,
+                     unnest(generate_series(
+                         0, 49 + doc_id % 30)) AS j
+              FROM documents WHERE doc_id % 3 = 0)
+    ),
+    ulaw AS (
+        SELECT doc_id, j,
+               (CASE WHEN u >= 128 THEN 132 - t
+                     ELSE t - 132 END)::BIGINT AS v
+        FROM (SELECT doc_id, j, u,
+                     ((u % 16) * 8 + 132)
+                     * (1::BIGINT << ((u // 16) % 8)::INT) AS t
+              FROM (SELECT doc_id, j,
+                           255 - (doc_id * 13 + j * 17) % 256 AS u
+                    FROM (SELECT doc_id,
+                                 unnest(generate_series(
+                                     0, 59 + doc_id % 40)) AS j
+                          FROM documents WHERE doc_id % 3 = 1)))
+    ),
+    aparams AS (
+        SELECT doc_id,
+               (60 + (doc_id % 20) * 2)::BIGINT AS n,
+               ((doc_id * 97) % 2048 - 1024)::BIGINT AS pred0,
+               (doc_id % 89)::BIGINT AS idx0
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    arec AS (
+        SELECT doc_id, n, -1::BIGINT AS j, pred0 AS pred, idx0 AS idx
+        FROM aparams
+        UNION ALL
+        SELECT doc_id, n, j,
+               GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN nb >= 8 THEN -diff ELSE diff END)),
+               GREATEST(0, LEAST(88, idx + adj))
+        FROM (
+            SELECT *,
+                   (step // 8)
+                   + CASE WHEN nb % 2 = 1 THEN step // 4 ELSE 0 END
+                   + CASE WHEN (nb // 2) % 2 = 1
+                          THEN step // 2 ELSE 0 END
+                   + CASE WHEN (nb // 4) % 2 = 1
+                          THEN step ELSE 0 END AS diff,
+                   ({_IMA_ADJ_SQL})[(nb + 1)::INT] AS adj
+            FROM (
+                SELECT doc_id, n, j + 1 AS j, pred, idx,
+                       ({_IMA_STEPS_SQL})[(idx + 1)::INT] AS step,
+                       ((doc_id * 11 + (j + 1) * (j + 1) * 3) % 16)
+                       AS nb
+                FROM arec WHERE j + 1 < n
+            )
+        )
+    ),
+    stream AS (
+        SELECT doc_id, j, v FROM pcm
+        UNION ALL SELECT doc_id, j, v FROM ulaw
+        UNION ALL SELECT doc_id, j, pred AS v FROM arec
+    ),
+    lagged AS (
+        SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+        FROM stream
+    )
+    SELECT doc_id, 8000::INT AS out_rate,
+           count(*)::BIGINT AS n_samples,
+           max(abs(v))::BIGINT AS peak,
+           round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms,
+           coalesce(
+               sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END), 0
+           )::BIGINT AS zcr
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def wav_transcode_stats_q(spark, sf_dir):
+    """A MIXED-codec audio corpus normalized in one projection
+    (``wav_transcode(codec="auto")``): a third of the docs carry plain
+    PCM16 WAVs, a third G.711 u-law, a third IMA ADPCM — each payload
+    a deterministic function of doc_id — and the plan chains
+    transcode -> ``wav_stats`` over the normalized ``pcm`` column.
+    The oracle recomputes all three sample streams independently (the
+    PCM generator arithmetic, the CCITT expansion, the IMA recursion)
+    and never sees bytes, so a mis-detected codec, a passthrough that
+    decoded, or any decode error on any sample fails the hash. This is
+    the plan-level pin for the kernel-level ``codec="auto"`` knob the
+    audio near-dup twin uses (functions/multimodal.py wav_transcode)."""
+    from beavers_spark.functions.multimodal import (
+        _le_hex,
+        synth_wav,
+        wav_stats,
+        wav_transcode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    m3 = F.pmod("doc_id", F.lit(3))
+
+    # PCM16: the wav_resample plan's sample generator
+    n_p = F.lit(50) + F.pmod("doc_id", F.lit(30))
+    pcm_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), (n_p - 1).cast("bigint")),
+            lambda i: _le_hex(
+                (F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
+                 - 1000).bitwiseAND(F.lit(0xFFFF)),
+                2,
+            ),
+        ),
+        "",
+    )
+    pcm_wav = synth_wav(
+        F.unhex(pcm_hex), F.lit(1), F.lit(8000), F.lit(16)
+    )
+
+    # u-law: the wav_ulaw_decode plan's byte generator
+    n_u = F.lit(60) + F.pmod("doc_id", F.lit(40))
+    ulaw_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), (n_u - 1).cast("bigint")),
+            lambda j: F.lpad(
+                F.hex(F.pmod(F.col("doc_id") * 13 + j * 17, F.lit(256))),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    ulaw_wav = synth_wav(
+        F.unhex(ulaw_hex), F.lit(1), F.lit(8000), F.lit(8), F.lit(7)
+    )
+
+    # IMA ADPCM: the wav_adpcm_decode plan's block generator
+    n_a = F.lit(60) + F.pmod("doc_id", F.lit(20)) * 2
+    pred0 = F.pmod(F.col("doc_id") * 97, F.lit(2048)) - F.lit(1024)
+    idx0 = F.pmod("doc_id", F.lit(89))
+
+    def nb(j):
+        return F.pmod(F.col("doc_id") * 11 + j * j * 3, F.lit(16))
+
+    adpcm_data = F.unhex(
+        F.concat(
+            _le_hex(pred0.bitwiseAND(F.lit(0xFFFF)), 2),
+            _le_hex(idx0, 1),
+            F.lit("00"),
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("bigint"),
+                        (n_a / 2 - 1).cast("bigint"),
+                    ),
+                    lambda k: _le_hex(nb(2 * k) + nb(2 * k + 1) * 16, 1),
+                ),
+                "",
+            ),
+        )
+    )
+    adpcm_wav = synth_wav(
+        adpcm_data, F.lit(1), F.lit(8000), F.lit(4), F.lit(17),
+        block_align_col=F.octet_length(adpcm_data),
+    )
+
+    wavs = docs.select(
+        "doc_id",
+        F.when(m3 == 0, pcm_wav)
+        .when(m3 == 1, ulaw_wav)
+        .otherwise(adpcm_wav)
+        .alias("payload"),
+    )
+    norm = wav_transcode(wavs, "payload", codec="auto").select(
+        "doc_id", "pcm"
+    )
+    return wav_stats(norm, "pcm").select(
+        "doc_id",
+        F.lit(8000).alias("out_rate"),
+        "n_samples", "peak", "rms", "zcr",
+    )
+
+
+@query(
     "audio_activity",
     oracle="""
     WITH params AS (

@@ -1206,6 +1206,16 @@ def wav_transcode(
         raise ValueError(
             f"codec must be 'auto', 'ulaw' or 'adpcm', got {codec!r}"
         )
+    # the output column and the two decode intermediates are reserved:
+    # an input frame already carrying one would be silently overwritten
+    # (pcm) or dropped by the final drop() (__ul/__ad) — fail loudly
+    # instead (ADVICE r12)
+    taken = {"pcm", "__ul", "__ad"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"wav_transcode reserves column(s) {sorted(taken)}; rename "
+            "them on the input frame first"
+        )
     out = df
     parts = []
     if codec in ("ulaw", "auto"):

@@ -130,6 +130,14 @@ class IncrementalFrameNearDedup:
     #: (ADVICE r11: the audio kernel's n_bytes became the duration
     #: class without any recorded versioning)
     SIG_SCHEME = "avi-ahash-v1"
+    #: the scheme every pre-r12 sidecar (written before sig_scheme was
+    #: stamped at all) is KNOWN to have used, or None when the
+    #: derivation has since changed. Non-None -> ensure_layout adopts
+    #: a missing key instead of refusing the restart (ADVICE r12: the
+    #: avi/ppm derivations are unchanged since day one, so their legacy
+    #: tables are compatible by construction; the audio kernel's v1->v2
+    #: n_bytes change means ITS legacy tables must still fail loudly).
+    SIG_SCHEME_LEGACY: str | None = "avi-ahash-v1"
 
     def __init__(
         self,
@@ -270,7 +278,21 @@ class IncrementalFrameNearDedup:
         untouched. The audio/image subclasses inherit this unchanged —
         their registries hold the same ``(doc_id, frame_idx, n_bytes,
         ahash)`` rows. Idempotent; returns the number of wave
-        directories rewritten."""
+        directories rewritten.
+
+        Targeting (ADVICE r12): the SIG and BANDS sweeps are both
+        Bloom-TARGETED through the sig table's doc-id sidecars — a
+        doc's band rows live in its home wave by construction (bands
+        derive from the same batch's sig rows, and compaction
+        coalesces both tables to ``w=-1`` together), so the sig
+        guard's live-wave verdict is exact for bands too. The PAIRS
+        sweeps remain full table scans: a victim's pair rows land in
+        the PARTNER doc's wave (pairs are emitted in the newer doc's
+        batch), so no home-wave sidecar can name them — a forget pays
+        two column-pruned probes of the pairs table (doc1 + doc2), and
+        only waves that actually hold a victim are rewritten. Pairs
+        tables are output-sized (hot-bucket-capped), not corpus-sized,
+        which keeps that sweep the cheapest of the three."""
         from beavers_spark.streaming.maintenance import forget_doc_rows
 
         n = forget_doc_rows(
@@ -281,7 +303,13 @@ class IncrementalFrameNearDedup:
             # schema-bearing partition — re-probe rather than trust
             # the cached flag (the empty-table trap)
             self._has_state = table_exists(spark, self.state_path)
-        bands = forget_doc_rows(spark, self.bands_path, ids)
+        # the sig guard's sidecars restrict the bands sweep too (see
+        # docstring): guard wave ids are the sig table's, bands waves
+        # are a subset of them, and a victim in bands wave w is in sig
+        # wave w — so the restriction cannot miss
+        bands = forget_doc_rows(
+            spark, self.bands_path, ids, guard=self._doc_seen
+        )
         if bands:
             # the band waves' band-key sidecars were dropped with the
             # rewrites; flush the in-memory bitmaps too
@@ -431,6 +459,13 @@ class IncrementalFrameNearDedup:
         batch = batch_df
         ensure_layout(
             self.state_path,
+            # pre-r12 sidecars lack sig_scheme; adopt only for kernels
+            # whose derivation never changed (SIG_SCHEME_LEGACY docs)
+            legacy=(
+                {"sig_scheme": self.SIG_SCHEME_LEGACY}
+                if self.SIG_SCHEME_LEGACY is not None
+                else None
+            ),
             bits=self.bits,
             max_hamming=self.max_hamming,
             n_hash_buckets=self.n_hash_buckets,
@@ -646,8 +681,11 @@ class IncrementalAudioNearDedup(IncrementalFrameNearDedup):
 
     #: v2 = n_bytes carries least(nseg, bits), the r11 duration-class
     #: change; v1 state (constant 0) band-keys differently and must
-    #: fail loudly at open, not silently stop matching old waves
+    #: fail loudly at open, not silently stop matching old waves —
+    #: hence NO legacy adoption for this kernel (a pre-sig_scheme
+    #: audio sidecar is v1 state, incompatible by definition)
     SIG_SCHEME = "wav-envelope-v2"
+    SIG_SCHEME_LEGACY = None
 
     def __init__(
         self,
@@ -719,6 +757,7 @@ class IncrementalImageNearDedup(IncrementalFrameNearDedup):
     not re-derived here."""
 
     SIG_SCHEME = "ppm-ahash-v1"
+    SIG_SCHEME_LEGACY = "ppm-ahash-v1"
 
     def _decode_sig(self, batch: DataFrame) -> DataFrame:
         from beavers_spark.functions.multimodal import ppm_ahash

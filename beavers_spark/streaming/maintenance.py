@@ -571,6 +571,11 @@ class WaveBloomIndex:
         self.adaptive = adaptive
         self._skip_remaining = 0
         self._next_backoff = ADAPTIVE_BACKOFF_START
+        #: idempotency anchor for ``tick`` — (last batch id ticked,
+        #: its sleep verdict), so repeated probe_active calls within
+        #: one batch never double-consume the backoff (ADVICE r12)
+        self._last_tick_batch: int | None = None
+        self._last_tick_asleep = False
         #: batches the adaptive gate put to sleep (BENCH observability)
         self.adaptive_skips = 0
         #: callable ``(spark, wave_dir) -> DataFrame`` whose first column
@@ -606,22 +611,37 @@ class WaveBloomIndex:
                     out.append(w)
         return sorted(out)
 
+    def tick(self, batch_id: int | None) -> bool:
+        """Advance the adaptive backoff by one BATCH and return whether
+        this batch sleeps (a consumed skip puts THIS batch to sleep).
+        Idempotent per ``batch_id`` (ADVICE r12: the tick used to live
+        inside ``probe_active`` as a hidden side effect, so any second
+        call in a batch silently shortened the sleep) — a repeated call
+        with the same id replays the first call's verdict; ``None``
+        always ticks (callers without a batch id keep the old
+        once-per-call contract)."""
+        if batch_id is not None and batch_id == self._last_tick_batch:
+            return self._last_tick_asleep
+        asleep = self.adaptive and self._skip_remaining > 0
+        if asleep:
+            self._skip_remaining -= 1
+            self.adaptive_skips += 1
+        self._last_tick_batch = batch_id
+        self._last_tick_asleep = asleep
+        return asleep
+
     def probe_active(self, exclude: int | None = None) -> bool:
         """Whether the sidecar machinery should run this batch: filter
         enabled AND enough live waves that pruning beats the per-batch
         collect + bitmap overhead AND (adaptive mode) not asleep after
-        recent non-pruning probes. Called ONCE per batch by each
-        kernel — in adaptive mode the call itself ticks the backoff
-        counter down."""
+        recent non-pruning probes. Ticks the backoff via ``tick``
+        (idempotent per ``exclude`` batch id, so calling this twice in
+        one batch cannot shorten the sleep)."""
         if not self.m_bits:
             return False
         if len(self.wave_ids(exclude=exclude)) < self.min_waves:
             return False
-        if self.adaptive and self._skip_remaining > 0:
-            self._skip_remaining -= 1
-            self.adaptive_skips += 1
-            return False
-        return True
+        return not self.tick(exclude)
 
     def note_probe(self, waves_total: int, waves_kept: int) -> None:
         """Feed a probe decision's own outcome back into the adaptive
@@ -805,7 +825,15 @@ class WaveBloomIndex:
         return out
 
     def invalidate(self) -> None:
+        """Drop cached bitmaps AND wake the adaptive gate: invalidate
+        is called when waves were rewritten (forget, compaction), so a
+        sleep earned on the OLD wave contents must not carry over —
+        the next batch re-probes against the new state (ADVICE r12:
+        forget-time invalidate used to leave the probe asleep for up
+        to 16 batches over rewritten waves)."""
         self._cache.clear()
+        self._skip_remaining = 0
+        self._next_backoff = ADAPTIVE_BACKOFF_START
 
     def collect_keys(self, df, col: str | None = None):
         """Bounded driver-side collect of ``df[col]`` as unique int64s —
@@ -1122,6 +1150,18 @@ def forget_doc_rows(
     of the same id is admitted as a brand-new document (its content
     keys re-enter ownership — "first arrival after forgetting"); pairs
     or ownership already derived from other docs are untouched.
+
+    Cost AFTER compaction (VERDICT r12 item 2): ``compact()``
+    coalesces every wave into one ``w=-1`` directory whose OR-merged
+    doc-id sidecar covers the whole compacted corpus, so any forget
+    landing after it targets that single giant wave and the rewrite
+    degrades from O(victim home waves) to O(compacted table) — the
+    targeting still prunes waves ingested SINCE the compaction, and
+    correctness is unchanged (pinned by tests/test_forget.py's
+    *_after_compaction cases), but the rewrite bytes scale with the
+    merged wave. Deployments balancing GDPR latency against read
+    amplification should size ``compact_every_waves`` with this in
+    mind: each compaction epoch is the forget blast radius.
     """
     import numpy as _np
 
@@ -1415,7 +1455,9 @@ def maybe_auto_compact(kernel, spark) -> bool:
     return True
 
 
-def ensure_layout(state_dir: str, **layout) -> None:
+def ensure_layout(
+    state_dir: str, legacy: dict | None = None, **layout
+) -> None:
     """Persist-or-validate a state table's IMMUTABLE layout knobs
     (hash-bucket modulus, span/segment length, signature shape).
 
@@ -1433,11 +1475,28 @@ def ensure_layout(state_dir: str, **layout) -> None:
     answers with no error (same invariant class as the Bloom word
     alignment and the bucket-cap anchors parity, which already fail
     loudly).
+
+    ``legacy`` maps knob -> the value every pre-existing sidecar that
+    LACKS the key is known to have had (a knob added to the layout
+    after tables already existed, where the underlying derivation never
+    changed — e.g. the frame kernel's ``sig_scheme``, stamped since
+    r12 while the avi-ahash-v1 derivation is unchanged since day one).
+    A missing key whose legacy value equals the configured value is
+    stamped on this open instead of raising (ADVICE r12); a missing
+    key NOT covered by ``legacy`` still raises, with the manual
+    migration spelled out in the message.
     """
     path = os.path.join(state_dir, "_layout.json")
     if os.path.exists(path):
         with open(path) as fh:
             saved = json.load(fh)
+        stamped = False
+        for k, v in layout.items():
+            if k not in saved and legacy and legacy.get(k) == v:
+                # knob introduced after this sidecar was written and
+                # the derivation never changed: adopt, don't refuse
+                saved[k] = v
+                stamped = True
         bad = {
             k: (saved.get(k), v)
             for k, v in layout.items()
@@ -1448,12 +1507,24 @@ def ensure_layout(state_dir: str, **layout) -> None:
                 f"{k}: state has {old!r}, kernel configured {new!r}"
                 for k, (old, new) in sorted(bad.items())
             )
+            missing = [k for k, (old, _) in bad.items() if old is None
+                       and k not in saved]
+            hint = (
+                "; if a knob is MISSING from an older sidecar and you "
+                "have verified the state's actual derivation matches, "
+                "add the key to _layout.json by hand"
+                if missing
+                else ""
+            )
             raise ValueError(
                 f"state layout mismatch at {state_dir} ({detail}); "
                 "these knobs are immutable for the life of a state "
                 "table — recreate the state or restore the original "
-                "configuration"
+                f"configuration{hint}"
             )
+        if stamped:
+            with open(path, "w") as fh:
+                json.dump(saved, fh)
         return
     # No sidecar: only a genuinely FRESH directory may record the
     # kernel's current knobs. A pre-existing registry whose sidecar

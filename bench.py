@@ -1391,8 +1391,9 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # isolated batch re-times (VERDICT r11 item 6): the 5 biggest
-    # batch-tier contributors re-timed in one brand-new session at the
+    # isolated batch re-times (VERDICT r11 item 6): the N biggest
+    # batch-tier contributors (N = SPARK_GRAFT_ISOLATED, default 8)
+    # re-timed in one brand-new session at the
     # END of the run — the batch tier runs first, so comparing a
     # query's in-session warm vs this late isolated number splits
     # code-vs-environment for the tier's round-over-round drift
@@ -1462,8 +1463,9 @@ def main() -> None:
                 # scenarios whose warm min exceeded 1.5x their own
                 # best committed value and got a fresh-session rep
                 "history_reruns": history_reruns,
-                # late fresh-session re-times of the 5 biggest batch
-                # queries (in-session numbers are in ``queries``)
+                # late fresh-session re-times of the N biggest batch
+                # queries (N = SPARK_GRAFT_ISOLATED, default 8;
+                # in-session numbers are in ``queries``)
                 "isolated": isolated,
                 # per-scenario kernel counters from the last repetition
                 "metrics": per_metrics,

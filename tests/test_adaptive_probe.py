@@ -115,3 +115,36 @@ def test_kernel_parity_with_band_shared_corpus(spark, tmp_path):
     }
     assert got == want
     assert dedup._bloom.adaptive_skips > 0  # the gate actually slept
+
+
+def test_tick_is_idempotent_per_batch(tmp_path):
+    """ADVICE r12: the backoff tick used to be a hidden side effect of
+    probe_active, so a second call in one batch silently shortened the
+    sleep. With a batch id (``exclude``), repeated calls replay the
+    first verdict and consume exactly one skip."""
+    idx = _idx(tmp_path)
+    idx.note_probe(4, 4)  # sleep for ADAPTIVE_BACKOFF_START batches
+    before = idx._skip_remaining
+    assert not idx.probe_active(exclude=7)
+    assert not idx.probe_active(exclude=7)  # same batch: no 2nd tick
+    assert not idx.probe_active(exclude=7)
+    assert idx._skip_remaining == before - 1
+    assert idx.adaptive_skips == 1
+    # a NEW batch id ticks again
+    for b in range(8, 8 + ADAPTIVE_BACKOFF_START - 1):
+        assert not idx.probe_active(exclude=b)
+    assert idx.probe_active(exclude=99)  # backoff spent: re-engaged
+
+
+def test_invalidate_wakes_the_adaptive_gate(tmp_path):
+    """ADVICE r12: forget/compaction call invalidate() because waves
+    were rewritten — a sleep earned on the OLD contents must not keep
+    the probe blind to the new state."""
+    idx = _idx(tmp_path)
+    idx.note_probe(4, 4)
+    idx.note_probe(4, 4)  # escalate the next backoff
+    assert idx._skip_remaining > 0
+    idx.invalidate()
+    assert idx._skip_remaining == 0
+    assert idx._next_backoff == ADAPTIVE_BACKOFF_START
+    assert idx.probe_active(exclude=1)

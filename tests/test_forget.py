@@ -445,3 +445,145 @@ def test_clusters_forget_purges_victim_labels(spark, tmp_path):
         (r.doc_id, r.cluster_id)
         for r in cl.read_clusters(spark).collect()
     } == {(2, 2), (3, 2)}
+
+
+def test_chunk_forget_after_compaction(spark, tmp_path):
+    """VERDICT r12 item 2: compact() coalesces every wave into ``w=-1``
+    with an OR-merged doc-seen sidecar — the WORST case for Bloom
+    targeting (one giant wave; the rewrite degrades toward O(table),
+    see forget_doc_rows' docstring). The contract must hold anyway:
+    ids vanish from registry + output, the rewrite touches exactly the
+    one merged wave per table, ownership re-opens, and a redelivered
+    victim is admitted as brand-new. Covers the partitioned (state:
+    ``w``/``b``, cluster_by h) and plain-wave (out: ``w``, cluster_by
+    doc_id) layouts in one pass."""
+    kern = IncrementalChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        text_col="text", id_col="doc_id", k=5, bloom_min_waves=0,
+    )
+    for i, (lo, hi) in enumerate(((0, 70), (70, 140), (140, 200))):
+        kern(_docs(spark, lo, hi), i)
+    victims = [
+        r.doc_id for r in _docs(spark, 70, 140).limit(2).collect()
+    ]
+    kern.compact(spark)
+    assert {
+        f.name
+        for f in (tmp_path / "state").iterdir()
+        if f.name.startswith("w=")
+    } == {"w=-1"}
+
+    # exactly the merged wave per table: registry + output = 2
+    assert kern.forget(spark, victims) == 2
+    assert not kern.read_state(spark).filter(
+        F.col("doc_id").isin(victims)
+    ).count()
+    assert not kern.read_kept(spark).filter(
+        F.col("doc_id").isin(victims)
+    ).count()
+    # idempotent against the merged layout too
+    assert kern.forget(spark, victims) == 0
+
+    # re-admission: the victim comes back as a brand-new doc and
+    # re-owns its (now-orphaned) segments; later waves still run
+    kern(_docs(spark, victims[0], victims[0] + 1), 3)
+    kept = {r.doc_id for r in kern.read_kept(spark).collect()}
+    assert victims[0] in kept, "redelivered victim must re-enter"
+    kern(_docs(spark, 200, 230), 4)
+    assert kern.read_state(spark).count() > 0
+
+
+def test_near_forget_after_compaction(spark, tmp_path):
+    """Same compact->forget->redeliver pin for the near-dup kernel
+    (state cluster_by doc_id; pairs plain ``w`` layout): forgetting one
+    side of a pair after compaction drops the pair from the merged
+    pairs wave, rebuilds anchors from the cleansed state, and a
+    redelivery re-emits the duplicate relation against the survivor."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different text here ok")],
+        "doc_id long, text string",
+    )
+    kern = IncrementalNearDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"),
+        text_col="text", id_col="doc_id", threshold=0.5,
+        bloom_min_waves=0,
+    )
+    kern(df.filter(F.col("doc_id") <= 1), 0)
+    kern(df.filter(F.col("doc_id") >= 2), 1)
+    assert {
+        (r.doc1, r.doc2) for r in kern.read_pairs(spark).collect()
+    } == {(1, 2)}
+    kern.compact(spark)
+
+    n = kern.forget(spark, [2])
+    assert n >= 2  # merged state wave + merged pairs wave
+    assert {r.doc_id for r in kern.read_state(spark).collect()} == {1, 3}
+    assert kern.read_pairs(spark).count() == 0
+
+    # redelivery after the compacted forget: brand-new admission, and
+    # the duplicate relation to the surviving doc 1 re-emitted
+    kern(df.filter(F.col("doc_id") == 2), 2)
+    assert {
+        (r.doc1, r.doc2) for r in kern.read_pairs(spark).collect()
+    } == {(1, 2)}
+
+
+def test_ivfpq_forget_keeps_codebook_contract(spark, tmp_path):
+    """VERDICT r12 item 5: the IVF-PQ forget contract, decided and
+    pinned. Forget deletes the victims' rows (codes AND raw vectors);
+    the trained model file — coarse centroids + PQ codebooks,
+    aggregate quantization geometry — is deliberately KEPT, byte-for-
+    byte (no silent refit: a refit would re-cell the whole index and
+    break train-once determinism; see the forget docstring for why
+    structure-not-output makes this sound where the classifier must
+    refit). Search after forget never returns a victim, and a
+    redelivered victim re-encodes DETERMINISTICALLY under the
+    preserved codebook."""
+    import os
+
+    from beavers_spark.plans.common import t as _t
+    from beavers_spark.streaming import IncrementalIVFPQIndex
+
+    emb = _t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    index = IncrementalIVFPQIndex(
+        str(tmp_path / "pq"), id_col="vec_id", n_cells=4, m=8, nbits=4
+    )
+    for i in range(2):
+        index(emb.filter(F.col("vec_id") % 2 == i), i)
+    model_path = os.path.join(str(tmp_path / "pq"), "_ivfpq_model.json")
+    with open(model_path, "rb") as fh:
+        model_before = fh.read()
+    victims = [r.vec_id for r in emb.limit(3).collect()]
+    victim_rows = {
+        r.neighbor_id: (list(r.code), r.cell)
+        for r in index.read_index(spark)
+        .filter(F.col("neighbor_id").isin(victims))
+        .select("neighbor_id", "code", "cell")
+        .collect()
+    }
+
+    n = index.forget(spark, victims)
+    assert 1 <= n <= 3
+    assert index.read_index(spark).filter(
+        F.col("neighbor_id").isin(victims)
+    ).count() == 0
+    # the codebook file is untouched — the documented keep decision
+    with open(model_path, "rb") as fh:
+        assert fh.read() == model_before
+    # victims can never come back through search
+    hits = index.search(
+        emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, refine=8
+    )
+    assert hits.filter(F.col("neighbor_id").isin(victims)).count() == 0
+    # redelivery under the preserved codebook: identical cell + codes
+    # (train-once determinism survives the forget)
+    index(emb.filter(F.col("vec_id") == victims[0]), 9)
+    r = (
+        index.read_index(spark)
+        .filter(F.col("neighbor_id") == victims[0])
+        .select("neighbor_id", "code", "cell")
+        .collect()
+    )
+    assert len(r) == 1
+    assert (list(r[0].code), r[0].cell) == victim_rows[victims[0]]

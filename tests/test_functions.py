@@ -1433,3 +1433,22 @@ def test_wav_adpcm_decode_multiblock_and_hostiles(spark):
         r.decoded is None and r.out_rate is None
         for r in wav_adpcm_decode(bad, "payload").collect()
     )
+
+
+def test_wav_transcode_refuses_reserved_columns(spark):
+    """ADVICE r12: an input frame already carrying ``pcm`` (the output)
+    or an intermediate name would be silently overwritten/dropped —
+    the transcode must refuse instead."""
+    from beavers_spark.functions.multimodal import wav_transcode
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), bytearray(b"y"))],
+        "doc_id long, payload binary, pcm binary",
+    )
+    with pytest.raises(ValueError, match="reserves column"):
+        wav_transcode(df, "payload")
+    df2 = spark.createDataFrame(
+        [(1, bytearray(b"x"), 2)], "doc_id long, payload binary, __ul int"
+    )
+    with pytest.raises(ValueError, match="__ul"):
+        wav_transcode(df2, "payload", codec="ulaw")

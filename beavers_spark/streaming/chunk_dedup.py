@@ -65,14 +65,17 @@ from beavers_spark.streaming.maintenance import (
     DocSeenGuard,
     ProbeMetrics,
     WaveBloomIndex,
+    WaveMetrics,
     ensure_layout,
     fanout_repartition,
     maybe_auto_compact,
+    partition_stats,
     prune_hash_buckets,
     recover_compaction,
     registry_anti_probe,
     timed_phase,
     seen_anti_join,
+    shrink_small_wave,
     table_exists,
 )
 from beavers_spark.streaming.substring_dedup import _wave_keys
@@ -133,8 +136,19 @@ class IncrementalChunkDedup:
         self._doc_seen = DocSeenGuard(
             state_path, m_bits=bloom_bits, min_waves=bloom_min_waves,
         )
+        #: doc-id sidecars on the OUTPUT table too (r13): forget's out
+        #: sweep targets the victims' home wave instead of scanning
+        #: every output wave (the growth bench measured the unguarded
+        #: sweep's wall time rising with live waves)
+        self._doc_seen_out = DocSeenGuard(
+            out_path, m_bits=bloom_bits, min_waves=bloom_min_waves,
+        )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
+        #: one WaveMetrics per applied wave over the wave's registry
+        #: directory (file count + bytes — the BENCH state_files
+        #: observable, VERDICT r12 item 4)
+        self.metrics: list[WaveMetrics] = []
         #: accumulated driver-observed wall seconds per __call__ phase
         #: (winners_count / bloom_fold / state_write / out_write /
         #: call_total) — the bench's named-cost table
@@ -184,14 +198,16 @@ class IncrementalChunkDedup:
             # schema-bearing partition — re-probe rather than trust
             # the cached flag (the empty-table trap)
             self._has_state = table_exists(spark, self.state_path)
-        n += forget_doc_rows(spark, self.out_path, ids)
+        n += forget_doc_rows(
+            spark, self.out_path, ids, guard=self._doc_seen_out
+        )
         return n
 
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` (see
         ``IncrementalNearDedup.compact`` for why the partition columns
-        must survive compaction; the registry keeps its ``b``
-        hash-prefix layout); returns the post-compaction file count."""
+        must survive compaction; registry rows stay clustered
+        by ``(b, h)``); returns the post-compaction file count."""
         from beavers_spark.streaming.maintenance import (
             compact_parquet,
             guard_committed_waves,
@@ -200,12 +216,14 @@ class IncrementalChunkDedup:
         guard_committed_waves(
             self._watermark, self.state_path, self.out_path
         )
-        compact_parquet(
-            spark,
-            self.out_path,
-            partition_by="w",
-            transform=lambda df: df.withColumn("w", F.lit(-1)),
-            cluster_by=("doc_id",),
+        self._doc_seen_out.compact_merge(
+            lambda: compact_parquet(
+                spark,
+                self.out_path,
+                partition_by="w",
+                transform=lambda df: df.withColumn("w", F.lit(-1)),
+                cluster_by=("doc_id",),
+            )
         )
         # nested merges: the one rewrite destroys BOTH sidecar
         # domains' per-wave bitmaps (span keys + doc ids)
@@ -216,9 +234,9 @@ class IncrementalChunkDedup:
                 lambda: compact_parquet(
                     spark,
                     self.state_path,
-                    partition_by=["w", "b"],
+                    partition_by="w",
                     transform=lambda df: df.withColumn("w", F.lit(-1)),
-                    cluster_by=("h",),
+                    cluster_by=("b", "h"),
                 )
             )
         )
@@ -246,7 +264,13 @@ class IncrementalChunkDedup:
         # hashes / b-partitions: refuse to mix layouts (silent missed
         # duplicates otherwise — see maintenance.ensure_layout)
         ensure_layout(
-            self.state_path, k=self.k, n_hash_buckets=self.n_hash_buckets
+            self.state_path,
+            k=self.k,
+            n_hash_buckets=self.n_hash_buckets,
+            # r13: b is a clustered DATA column, not a partition dir —
+            # pre-r13 (b=-partitioned) state must fail loudly at open
+            # (mixed directory depths break partition discovery)
+            reg_layout="b-clustered-v2",
         )
         had_state = self._state_exists(spark)
         if had_state:
@@ -362,8 +386,10 @@ class IncrementalChunkDedup:
                 return
 
             # overwriting one wave directory is idempotent under
-            # replays; b = pmod(h, N) sub-partitions by hash prefix
-            # (repartition on b first so each bucket gets one file)
+            # replays; b = pmod(h, N) rides as a CLUSTERED data column
+            # (r13 — sorted (b, h) row groups give the probe's b/h
+            # predicates min/max pruning without the old waves x
+            # buckets directory explosion)
             wave_dir = f"{self.state_path}/w={batch_id}"
             with timed_phase(self.phase_seconds, "state_write"):
                 (
@@ -372,10 +398,22 @@ class IncrementalChunkDedup:
                         F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
                     )
                     .repartition(self.n_hash_buckets, F.col("b"))
+                    .sortWithinPartitions("b", "h")
                     .write.mode("overwrite")
-                    .partitionBy("b")
                     .parquet(wave_dir)
                 )
+                # a SMALL wave otherwise lands one file per shuffle
+                # task (VERDICT r12 item 4); big waves keep their many
+                # b-sorted files. BEFORE the sidecars (shrink does not
+                # carry them).
+                shrink_small_wave(
+                    spark, wave_dir, max_files=2,
+                    cluster_by=("b", "h"),
+                )
+            files, nbytes, mx = partition_stats(spark, [wave_dir])
+            self.metrics.append(
+                WaveMetrics(batch_id, 1, files, nbytes, mx)
+            )
             if pre_h is not None:
                 # PRE-anti hash set: a superset bitmap only adds false
                 # positives (an unnecessary wave scan), never wrong
@@ -385,17 +423,18 @@ class IncrementalChunkDedup:
                 # executor-side bitmap over the PERSISTED new_owned
                 # frame (the wave's EXACT registered set) — bounded by
                 # the bitmap size, never the key count. NOT a read-back
-                # of wave_dir: a fully-redelivered over-cap batch
-                # writes an EMPTY wave, whose partitionBy directory has
-                # no schema-bearing data file — the read would raise
-                # UNABLE_TO_INFER_SCHEMA after the state write and
-                # before the mark, wedging every replay (review r9);
-                # the empty frame just builds a zero bitmap.
+                # of wave_dir: the persisted frame is already resident
+                # (a read-back would be a whole extra scan job), and a
+                # fully-redelivered over-cap batch's empty frame just
+                # builds a zero bitmap.
                 self._bloom.save_wave_distributed(
                     wave_dir, new_owned.select("h"), "h"
                 )
             # the wave's doc-id bitmap — what future batches' seen
-            # probes test against (maintenance.DocSeenGuard)
+            # probes test against (maintenance.DocSeenGuard); stash
+            # captured first so the OUT table's sidecar below can
+            # reuse the same key set (save_wave consumes it)
+            stash = self._doc_seen._batch_keys
             with timed_phase(self.phase_seconds, "seen_sidecar"):
                 self._doc_seen.save_wave(spark, wave_dir, batch_id)
             self._has_state = True
@@ -416,10 +455,18 @@ class IncrementalChunkDedup:
             # write and the mark — append mode duplicated the batch's
             # rows on exactly that replay); written even when empty so
             # read_kept() is valid from batch 0
+            out_dir = f"{self.out_path}/w={batch_id}"
             with timed_phase(self.phase_seconds, "out_write"):
-                kept.write.mode("overwrite").parquet(
-                    f"{self.out_path}/w={batch_id}"
-                )
+                kept.write.mode("overwrite").parquet(out_dir)
+            # out-table doc sidecar from the SAME batch key set the
+            # state sidecar used (stash captured above) — no read-back
+            with timed_phase(self.phase_seconds, "seen_sidecar"):
+                if stash is not None and stash[0] == batch_id:
+                    self._doc_seen_out.save_wave(
+                        spark, out_dir, keys=stash[1]
+                    )
+                else:
+                    self._doc_seen_out.save_wave(spark, out_dir)
             self._watermark.mark(batch_id)
         finally:
             # deterministic block release (see module docstring)

@@ -63,17 +63,19 @@ from beavers_spark.functions.multimodal import avi_frames
 from beavers_spark.streaming.maintenance import (
     BatchWatermark,
     DocSeenGuard,
-    ProbeMetrics,
-    WaveBloomIndex,
     ensure_layout,
     fanout_repartition,
     maybe_auto_compact,
+    partition_stats,
+    ProbeMetrics,
     prune_hash_buckets,
     recover_compaction,
     seen_anti_join,
     shrink_small_wave,
     table_exists,
     timed_phase,
+    WaveBloomIndex,
+    WaveMetrics,
 )
 
 
@@ -210,6 +212,10 @@ class IncrementalFrameNearDedup:
         )
         #: per-batch Bloom-prune accounting (see maintenance.ProbeMetrics)
         self.probe_metrics: list[ProbeMetrics] = []
+        #: one WaveMetrics per applied wave over the wave's sig table
+        #: directory (file count + bytes — the BENCH state_files
+        #: observable, VERDICT r12 item 4)
+        self.metrics: list[WaveMetrics] = []
         #: accumulated driver-observed wall seconds per __call__ phase
         self.phase_seconds: dict[str, float] = {}
 
@@ -503,8 +509,10 @@ class IncrementalFrameNearDedup:
             # a SMALL sig wave otherwise lands one file per write task
             # (VERDICT r11 item 5); big waves are untouched
             shrink_small_wave(
-                spark, sig_dir, max_files=self.n_hash_buckets
+                spark, sig_dir, max_files=2
             )
+        files, nbytes, mx = partition_stats(spark, [sig_dir])
+        self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))
         rows = _wave_rows_local(sig_dir)
         if rows is None:
             # non-listable root: schema-pinned count (never inference

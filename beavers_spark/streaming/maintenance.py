@@ -1065,7 +1065,8 @@ class DocSeenGuard:
         return pruned.select(self.state_id)
 
     def save_wave(
-        self, spark, wave_dir: str, batch_id: int | None = None
+        self, spark, wave_dir: str, batch_id: int | None = None,
+        keys=None,
     ) -> None:
         """Persist the just-written wave's doc-id bitmap (call after
         the wave commit; an over-cap wave builds executor-side). With
@@ -1073,8 +1074,14 @@ class DocSeenGuard:
         ``pruned_seen`` probe is reused — the batch ids are a superset
         of the wave's surviving ids (superset bits cost a false-
         positive wave scan, never a miss), and the wave read-back job
-        is skipped entirely."""
+        is skipped entirely. ``keys`` passes a precomputed hash array
+        directly (a kernel writing sidecars for a SECOND table from
+        the same batch — e.g. the chunk kernel's output table, r13 —
+        reuses one collect instead of paying a read-back per table)."""
         if not self._index.m_bits:
+            return
+        if keys is not None:
+            self._index.save_wave(wave_dir, keys)
             return
         if (
             batch_id is not None
@@ -1194,20 +1201,51 @@ def forget_doc_rows(
         )
         # waves without a sidecar are conservatively kept (scanned)
         waves = guard._index.live_waves(hashes, exclude=None, spark=spark)
+    waves = [
+        w
+        for w in sorted(waves)
+        if table_exists(spark, os.path.join(table_path, f"w={w}"))
+    ]
+    if not waves:
+        if guard is not None:
+            guard._index.invalidate()
+        return 0
+    # ONE column-pruned scan names the waves actually holding a victim
+    # (replacing a per-candidate-wave limit(1) probe job — measured
+    # r13: the per-wave probes made an UNGUARDED sweep's wall time
+    # O(live waves) in fixed job overhead even though the rewrite
+    # stayed at the home wave; the growth bench's forget row rose
+    # 9.4s -> 29s over 10 -> 50 waves on exactly this). Bloom false
+    # positives die here too — the loop below rewrites only waves
+    # with real victim rows.
+    tbl = spark.read.parquet(table_path)
+    if id_col not in tbl.columns:
+        return 0
+    hit = (
+        tbl.filter(F.col("w").isin([int(w) for w in waves]))
+        .join(F.broadcast(id_df), id_col, "left_semi")
+        .select("w")
+        .distinct()
+        .collect()
+    )
+    waves = sorted(int(r[0]) for r in hit)
     rewritten = 0
-    for w in sorted(waves):
+    for w in waves:
         wave_dir = os.path.join(table_path, f"w={w}")
-        if not table_exists(spark, wave_dir):
-            continue
         df = spark.read.parquet(wave_dir)
-        if id_col not in df.columns:
-            continue
-        if not df.join(F.broadcast(id_df), id_col, "left_semi").limit(
-            1
-        ).count():
-            continue  # Bloom false positive: nothing to drop here
         kept = df.join(F.broadcast(id_df), id_col, "left_anti")
-        part_cols = [c for c in ("b", "sb") if c in df.columns]
+        # sub-partition columns are detected from the wave's actual
+        # DIRECTORY layout, not df.columns: the tfidf registry carries
+        # b as a clustered DATA column since r13, and a partitionBy
+        # rewrite keyed off the column alone would silently change the
+        # wave's layout mid-table (mixed depths break discovery)
+        part_cols = [
+            c
+            for c in ("b", "sb")
+            if any(
+                n.startswith(f"{c}=") for n in os.listdir(wave_dir)
+            )
+        ]
         # swap staging lives INSIDE the table dir under DOT-prefixed
         # names — Spark hides "."-prefixed entries unconditionally,
         # while a "_"-prefixed name CONTAINING "=" is treated as a
@@ -1338,6 +1376,7 @@ def shrink_small_wave(
     max_files: int = 16,
     small_bytes: int = 32 << 20,
     target_bytes: int = 8 << 20,
+    cluster_by: Sequence[str] | None = None,
 ) -> int:
     """Bound a just-written SMALL plain wave directory's file count
     (VERDICT r11 item 5: a 4-wave / 3.2 MB near-dedup registry held
@@ -1350,13 +1389,20 @@ def shrink_small_wave(
     the stage→aside→swap order (``.swap_tmp.``/``.swap_old.``
     siblings, healed by ``recover_compaction`` at kernel entry), so no
     crash window loses the wave. Call BEFORE the wave's sidecars are
-    written — the rewrite does not carry them. Returns the post-shrink
-    file count, or 0 when untouched."""
+    written — the rewrite does not carry them. With ``cluster_by`` the
+    shrunk file(s) are re-sorted on those columns, so a wave whose
+    original files were each (b, key)-sorted keeps narrow row-group
+    min/max through the rewrite (a bare coalesce would concatenate the
+    sorted runs instead). Returns the post-shrink file count, or 0
+    when untouched."""
     files, nbytes, _ = partition_stats(spark, [wave_dir])
     if files <= max_files or nbytes > small_bytes:
         return 0
     n_out = max(1, min(max_files, int(nbytes // target_bytes) + 1))
     df = spark.read.parquet(wave_dir)
+    if cluster_by:
+        # a small wave's full shuffle is cheap by definition
+        df = df.repartition(n_out).sortWithinPartitions(*cluster_by)
     head, base = os.path.split(wave_dir.rstrip("/"))
     tmp = os.path.join(head, f".swap_tmp.{base}")
     old = os.path.join(head, f".swap_old.{base}")

@@ -82,6 +82,7 @@ from beavers_spark.streaming.maintenance import (
     registry_anti_probe,
     recover_compaction,
     seen_anti_join,
+    shrink_small_wave,
     table_exists,
     timed_phase,
     WaveBloomIndex,
@@ -215,8 +216,8 @@ class IncrementalSubstringDedup:
     def compact(self, spark: SparkSession) -> int:
         """Coarsen all wave partitions into ``w=-1`` on both tables (the
         partition columns must survive compaction — see
-        ``IncrementalNearDedup.compact``; the registry keeps its ``b``
-        hash-prefix layout); returns the registry's post-compaction file
+        ``IncrementalNearDedup.compact``; registry rows stay clustered
+        by ``(b, h)``); returns the registry's post-compaction file
         count. Wave Bloom sidecars are OR-merged into the coalesced
         wave (fixed ``m`` makes bitmaps mergeable) — if any wave lacks
         one, no merged sidecar is written and the coalesced wave is
@@ -248,9 +249,9 @@ class IncrementalSubstringDedup:
                 lambda: compact_parquet(
                     spark,
                     self.state_path,
-                    partition_by=["w", "b"],
+                    partition_by="w",
                     transform=lambda df: df.withColumn("w", F.lit(-1)),
-                    cluster_by=("h",),
+                    cluster_by=("b", "h"),
                 )
             )
         )
@@ -276,7 +277,13 @@ class IncrementalSubstringDedup:
         # hashes / b-partitions: refuse to mix layouts (silent missed
         # duplicates otherwise — see maintenance.ensure_layout)
         ensure_layout(
-            self.state_path, k=self.k, n_hash_buckets=self.n_hash_buckets
+            self.state_path,
+            k=self.k,
+            n_hash_buckets=self.n_hash_buckets,
+            # r13: b is a clustered DATA column, not a partition dir —
+            # pre-r13 (b=-partitioned) state must fail loudly at open
+            # (mixed directory depths break partition discovery)
+            reg_layout="b-clustered-v2",
         )
         had_state = self._state_exists(spark)
         if had_state:
@@ -408,9 +415,10 @@ class IncrementalSubstringDedup:
                 return
 
             # overwriting one wave directory is idempotent under
-            # replays; b = pmod(h, N) sub-partitions the wave by hash
-            # prefix (repartition on b first, so each bucket directory
-            # gets one file instead of one per task)
+            # replays; b = pmod(h, N) rides as a CLUSTERED data column
+            # (r13 — sorted (b, h) row groups give the probe's b/h
+            # predicates min/max pruning without the old waves x
+            # buckets directory explosion)
             wave_dir = f"{self.state_path}/w={batch_id}"
             with timed_phase(self.phase_seconds, "state_write"):
                 (
@@ -419,9 +427,17 @@ class IncrementalSubstringDedup:
                         F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
                     )
                     .repartition(self.n_hash_buckets, F.col("b"))
+                    .sortWithinPartitions("b", "h")
                     .write.mode("overwrite")
-                    .partitionBy("b")
                     .parquet(wave_dir)
+                )
+                # a SMALL wave otherwise lands one file per shuffle
+                # task (VERDICT r12 item 4); big waves keep their many
+                # b-sorted files. BEFORE the sidecars (shrink does not
+                # carry them).
+                shrink_small_wave(
+                    spark, wave_dir, max_files=2,
+                    cluster_by=("b", "h"),
                 )
             if pre_h is not None:
                 # bitmap from the PRE-anti hash set (a superset of the
@@ -432,12 +448,10 @@ class IncrementalSubstringDedup:
                 # executor-side bitmap over the PERSISTED new_owned
                 # frame (the wave's EXACT registered set) — bounded by
                 # the bitmap size, never the key count. NOT a read-back
-                # of wave_dir: a fully-redelivered over-cap batch
-                # writes an EMPTY wave, whose partitionBy directory has
-                # no schema-bearing data file — the read would raise
-                # UNABLE_TO_INFER_SCHEMA after the state write and
-                # before the mark, wedging every replay (review r9);
-                # the empty frame just builds a zero bitmap.
+                # of wave_dir: the persisted frame is already resident
+                # (a read-back would be a whole extra scan job), and a
+                # fully-redelivered over-cap batch's empty frame just
+                # builds a zero bitmap.
                 self._bloom.save_wave_distributed(
                     wave_dir, new_owned.select("h"), "h"
                 )

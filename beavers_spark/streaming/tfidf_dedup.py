@@ -32,12 +32,17 @@ splits the work by what is and isn't stable under corpus growth:
   scores included, equals ``tfidf_cosine_pairs`` on the union.
 
 Cost shape at 100 TB: per wave O(batch + candidates) — the registry
-side of the candidate join is partition-pruned to the wave's touched
-hash-prefix buckets (``b = pmod(bucket, n_hash_buckets)`` directories,
-the substring/chunk registries' layout) and postings-pruned by
-``max_df``; read-time scoring scans the registry once for the (4096-
-row) df aggregate and touches full postings only for candidate docs
-(broadcast semi-join). History is never re-tokenized.
+side of the candidate join is row-group-pruned to the wave's touched
+hash-prefix buckets (``b = pmod(bucket, n_hash_buckets)`` rides as a
+CLUSTERED data column: every wave file is written sorted by
+``(b, bucket)``, so the ``b`` predicate reaching the parquet reader
+skips row groups by min/max — r13, replacing the old ``b=`` directory
+partitioning whose waves x buckets directory explosion both bloated
+small-wave file counts 16x and costs fs metadata at scale) and
+postings-pruned by ``max_df``; read-time scoring scans the registry
+once for the (4096-row) df aggregate and touches full postings only
+for candidate docs (broadcast semi-join). History is never
+re-tokenized.
 
 Reference parity: composes the reference's state-node semantics
 (beavers dag.py:501-518 — durable value folded per cycle) with its
@@ -66,6 +71,7 @@ from beavers_spark.streaming.maintenance import (
     partition_stats,
     recover_compaction,
     seen_anti_join,
+    shrink_small_wave,
     table_exists,
 )
 
@@ -247,6 +253,13 @@ class IncrementalTfidfDedup:
             n_buckets=self.n_buckets,
             max_df=self.max_df,
             n_hash_buckets=self.n_hash_buckets,
+            # r13 layout change: b is a clustered DATA column, not a
+            # partition directory — a pre-r13 table (b= dirs) would
+            # make partition discovery see inconsistent depths, so it
+            # must fail loudly at open (no legacy adoption: the layout
+            # genuinely changed; migrate by compacting with the old
+            # code then rewriting, or rebuild)
+            reg_layout="b-clustered-v2",
         )
         self._layout_checked = True
 
@@ -282,11 +295,14 @@ class IncrementalTfidfDedup:
                 )
 
         # the batch's hashed-term pass (the same _tfidf_tf the batch
-        # operator runs) lands as this wave's registry partition,
-        # hash-prefix-bucketed by b = pmod(bucket, N) — repartition on
-        # b first so each bucket directory gets one file. The write is
-        # the batch's one materialization barrier: candidate generation
-        # reads the columnar result back.
+        # operator runs) lands as this wave's registry partition with
+        # b = pmod(bucket, N) as a CLUSTERED data column — repartition
+        # on b then sort by (b, bucket) so every file's row groups
+        # carry narrow b/bucket min/max (the pruning the old b=
+        # directory layout gave, without its waves x buckets file
+        # explosion: a small wave now shrinks to ONE file, r13). The
+        # write is the batch's one materialization barrier: candidate
+        # generation reads the columnar result back.
         wave_dir = f"{self.state_path}/w={batch_id}"
         (
             _tfidf_tf(
@@ -297,31 +313,36 @@ class IncrementalTfidfDedup:
                 "b", F.pmod(F.col("bucket"), F.lit(self.n_hash_buckets))
             )
             .repartition(self.n_hash_buckets, F.col("b"))
+            .sortWithinPartitions("b", "bucket")
             .write.mode("overwrite")
-            .partitionBy("b")
             .parquet(wave_dir)
+        )
+        # a SMALL wave otherwise lands one file per shuffle task
+        # (VERDICT r12 item 4); big waves are untouched — they want
+        # their many b-sorted files
+        shrink_small_wave(
+            spark, wave_dir, max_files=2, cluster_by=("b", "bucket")
         )
 
         cand_dir = f"{self.cand_path}/w={batch_id}"
-        # touched hash-prefix buckets, from the wave's partition
-        # DIRECTORIES (driver listing — no job): the registry side of
-        # the candidate join prunes to these directories. An empty or
-        # fully-redelivered batch leaves NO b= directories (and no data
-        # files — the wave must not be read back), so this listing is
-        # also the emptiness check.
+        # touched hash-prefix buckets, from the wave read-back (a
+        # <=n_hash_buckets-row aggregate): the registry side of the
+        # candidate join prunes its row groups to these b values. An
+        # empty or fully-redelivered batch touches nothing — the wave
+        # must not enter the registry.
         touched = [
-            int(name[2:])
-            for name in os.listdir(wave_dir)
-            if name.startswith("b=")
+            int(r[0])
+            for r in spark.read.parquet(wave_dir)
+            .select("b")
+            .distinct()
+            .collect()
         ]
         if not touched:
-            # an empty partitionBy write leaves NO schema-bearing data
-            # file — were the directory kept, every later read of
-            # state_path would crash with UNABLE_TO_INFER_SCHEMA when
-            # this is the only wave (a leading empty trigger used to
-            # wedge the kernel permanently). The wave dir holds only a
-            # _SUCCESS marker: remove it, registry-wise the batch never
-            # happened (replays rewrite and re-remove — idempotent).
+            # registry-wise the batch never happened: remove the
+            # zero-row wave (replays rewrite and re-remove —
+            # idempotent); keeping it would be harmless for schema
+            # (plain parquet writes a schema-bearing empty file) but
+            # would grow the wave count for nothing.
             import shutil
 
             shutil.rmtree(wave_dir, ignore_errors=True)
@@ -345,8 +366,9 @@ class IncrementalTfidfDedup:
         # so every pair the batch operator would generate against the
         # final corpus is generated here in its later member's wave;
         # read-time scoring drops the extras (module docstring). The
-        # registry scan is partition-pruned to touched b directories
-        # and column-pruned to (doc_id, bucket).
+        # registry scan is row-group-pruned to the touched b values
+        # (the b predicate pushes to the parquet reader of b-sorted
+        # files) and column-pruned to (doc_id, bucket).
         reg_touched = spark.read.parquet(self.state_path).filter(
             F.col("b").isin(touched)
         )
@@ -384,9 +406,9 @@ class IncrementalTfidfDedup:
 
     def compact(self, spark: SparkSession) -> int:
         """Coalesce all wave partitions into single ``w=-1`` directories
-        (registry keeps its ``b`` sub-partitioning; candidates also
-        dedupe AND dead candidates are pruned); returns the registry's
-        post-compaction file count. Raw tf counts and candidate ids are
+        (registry rows stay clustered by ``(b, bucket)``; candidates
+        also dedupe AND dead candidates are pruned); returns the
+        registry's post-compaction file count. Raw tf counts and candidate ids are
         both growth-stable, so compaction is a pure layout rewrite — no
         re-weighting is needed because the kernel never persists
         weights (module docstring).
@@ -477,14 +499,15 @@ class IncrementalTfidfDedup:
                 alive.unpersist(blocking=True)
         # the rewrite destroys the per-wave doc bitmaps with the wave
         # dirs — OR them into the coalesced w=-1 wave
-        # clustered by the postings key (VERDICT r10 item 4): narrow
-        # per-row-group bucket min/max in the coalesced bucket files
+        # clustered by (b, bucket) — the r13 layout's probe keys: the
+        # coalesced wave keeps narrow per-row-group b/bucket min/max
+        # so the candidate join's b predicate skips row groups
         return self._doc_seen.compact_merge(
             lambda: compact_parquet(
                 spark,
                 self.state_path,
-                partition_by=["w", "b"],
+                partition_by="w",
                 transform=lambda df: df.withColumn("w", F.lit(-1)),
-                cluster_by=("bucket",),
+                cluster_by=("b", "bucket"),
             )
         )

@@ -568,3 +568,194 @@ def test_hamming_pairs_capped_is_verified_and_connected(spark, sigs):
     flood = [i for i, s in enumerate(all_sigs) if s == sigs[0]]
     roots = {comp.get(i, i) for i in flood}
     assert len(roots) == 1, f"flood split into {len(roots)} components"
+
+
+# --------------------------------------------------------------------------
+# Codec round-trip properties (VERDICT r12 item 8): pin the u-law and
+# IMA ADPCM decoders against reference ENCODERS written here — the
+# encode->decode composition is testable algebraically, no oracle
+# needed, and it exercises encoder-shaped nibble/byte streams the
+# random-payload tests never produce.
+# --------------------------------------------------------------------------
+
+def _ulaw_encode(s: int) -> int:
+    """Classic Sun linear2ulaw (CCITT G.711)."""
+    BIAS, CLIP = 0x84, 32635
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    s = min(s, CLIP) + BIAS
+    exp, mask = 7, 0x4000
+    while exp > 0 and not (s & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (s >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def _ulaw_decode_scalar(code: int) -> int:
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=4, max_size=64),
+)
+@_SETTINGS
+def test_ulaw_encode_decode_round_trip(spark, samples):
+    """encode->decode stays within the u-law quantization interval of
+    the (clipped) original for EVERY sample, and re-encoding the
+    decoded value reproduces the decoded value exactly (value-level
+    round-trip — code-level would trip over the +0/-0 code duality).
+    The Spark decoder must agree with the scalar model bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import (
+        _wav_data_chunk,
+        wav_ulaw_decode,
+    )
+
+    codes = [_ulaw_encode(s) for s in samples]
+    data = bytes(codes)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + data))], "doc_id long, payload binary"
+    )
+    row = wav_ulaw_decode(df, "payload").first()
+    off, dlen = _wav_data_chunk(row.decoded)[:2]
+    got = np.frombuffer(bytes(row.decoded[off : off + dlen]), "<i2")
+    assert len(got) == len(samples)
+    for s, code, dec in zip(samples, codes, got):
+        dec = int(dec)
+        assert dec == _ulaw_decode_scalar(code)  # Spark == model
+        # quantization bound: the mantissa step at the encoder's
+        # chosen exponent (clip first — |s| caps at 32635)
+        clipped = max(-32635, min(32635, s))
+        exp = (~code & 0x70) >> 4
+        assert abs(dec - clipped) <= (1 << (exp + 3))
+        # value-level idempotence: a decoded value re-encodes to a
+        # code that decodes back to itself
+        assert _ulaw_decode_scalar(_ulaw_encode(dec)) == dec
+
+
+def _ima_encode_block(samples, pred, idx):
+    """Reference IMA ADPCM encoder (scalar): returns (nibbles,
+    reconstructed) where reconstructed is the DECODER's view — the
+    encoder must track its own quantized output, not the input."""
+    from beavers_spark.functions.multimodal import (
+        _IMA_INDEX_ADJ,
+        _IMA_STEPS,
+    )
+
+    nibbles, recon = [], []
+    for s in samples:
+        step = _IMA_STEPS[idx]
+        diff = s - pred
+        nib = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # decoder reconstruction
+        d = step >> 3
+        if nib & 1:
+            d += step >> 2
+        if nib & 2:
+            d += step >> 1
+        if nib & 4:
+            d += step
+        pred = pred - d if nib & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib]))
+        nibbles.append(nib)
+        recon.append(pred)
+    return nibbles, recon, idx
+
+
+@given(
+    st.lists(st.integers(-30000, 30000), min_size=2, max_size=6),
+    st.integers(0, 88),
+)
+@_SETTINGS
+def test_adpcm_encode_decode_round_trip(spark, targets, idx0):
+    """A piecewise-constant signal (each hypothesis target held for 64
+    samples) through the reference ENCODER then the Spark decoder:
+    the decoded stream must equal the encoder's own reconstruction
+    bit-for-bit (pins the vectorized time-major recursion on
+    encoder-shaped nibbles), and by the end of each 24-sample hold the
+    decoder must have CONVERGED to the plateau within the final step
+    size (the adaptive tracking property — a decoder with a wrong
+    index/step table drifts instead)."""
+    import struct
+
+    import numpy as np
+
+    from beavers_spark.functions.multimodal import (
+        _IMA_STEPS,
+        _wav_data_chunk,
+        wav_adpcm_decode,
+    )
+
+    hold = 64
+    signal = [v for v in targets for _ in range(hold)]
+    pred0, idx = int(signal[0]), idx0
+    # encode everything as ONE block: header carries (pred0, idx0),
+    # then 2 samples/byte low-nibble-first
+    nibbles, recon, idx_end = _ima_encode_block(signal[1:], pred0, idx0)
+    if len(nibbles) % 2:
+        n2, r2, _ = _ima_encode_block([recon[-1]], recon[-1], idx_end)
+        nibbles += n2
+        recon += r2
+    packed = bytes(
+        nibbles[2 * i] | (nibbles[2 * i + 1] << 4)
+        for i in range(len(nibbles) // 2)
+    )
+    data = struct.pack("<hBB", pred0, idx0, 0) + packed
+    balign = len(data)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 17, 1, 8000, 8000, balign, 4)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + data))], "doc_id long, payload binary"
+    )
+    row = wav_adpcm_decode(df, "payload").first()
+    off, dlen = _wav_data_chunk(row.decoded)[:2]
+    got = list(np.frombuffer(bytes(row.decoded[off : off + dlen]), "<i2"))
+    want = [pred0] + recon
+    assert got == want  # Spark vectorized == scalar encoder recon
+    # convergence: at each plateau's end the reconstruction is within
+    # one final-step of the target (adaptive quantizer tracking)
+    dec_stream = got[1:]  # aligns with signal[1:]
+    sig_stream = signal[1:]
+    pos = 0
+    for v in targets:
+        # end of this hold run within the encoded stream
+        end = min(pos + hold, len(sig_stream)) - 1
+        if end <= pos + 16:
+            pos += hold
+            continue
+        err = abs(dec_stream[end - 1] - v)
+        # the quantizer closes any jump in <=13 saturated samples
+        # (each covers ~1.75x a step that octuples in index), then the
+        # residual oscillates within the RECONSTRUCTION GRANULARITY
+        # step>>3 while the index decays at -1/sample — 64 samples is
+        # enough for step>>3 to fall under 512 from the worst case,
+        # while a wrong step/index table drifts by thousands (what
+        # this property is for)
+        assert err <= 512, f"no convergence at plateau {v}: err={err}"
+        pos += hold
+    assert row.out_rate == 8000

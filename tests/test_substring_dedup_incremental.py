@@ -281,8 +281,9 @@ def test_default_posture_matches_batch(spark, tmp_path):
             tmp_path / "state" / f"w={w}" / BLOOM_SIDECAR
         )
     assert [m.batch_id for m in dedup.probe_metrics] == [1, 2]
-    # hash-prefix bucket directories exist under each wave
-    assert any(
+    # r13 layout: b rides as a clustered data column — no bucket
+    # directories under the waves
+    assert not any(
         name.startswith("b=")
         for name in os.listdir(tmp_path / "state" / "w=0")
     )

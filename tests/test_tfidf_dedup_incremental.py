@@ -155,12 +155,18 @@ def test_layout_sidecar_locks_storage_knobs(spark, tmp_path):
     docs = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(30)
     dedup = _mk(tmp_path, name="l", n_hash_buckets=8)
     dedup(docs, 0)
+    import json
     import os
 
-    assert any(
+    # r13 layout: b rides as a clustered DATA column (no b= dirs), and
+    # the sidecar records the layout version so pre-r13 b=-partitioned
+    # tables fail loudly at open instead of breaking discovery
+    assert not any(
         name.startswith("b=")
         for name in os.listdir(os.path.join(dedup.state_path, "w=0"))
     )
+    with open(os.path.join(dedup.state_path, "_layout.json")) as fh:
+        assert json.load(fh)["reg_layout"] == "b-clustered-v2"
     other = _mk(tmp_path, name="l", n_hash_buckets=32)
     with pytest.raises(ValueError, match="n_hash_buckets"):
         other(docs, 1)

@@ -24,7 +24,8 @@ count and nothing else.
 Usage::
 
     python tools/growth_bench.py [sf_dir] [n_waves] [--compact-every N]
-        [--kernels near,chunk,substring]
+        [--kernels near,chunk,substring]   # or --kernels forget for
+        # the GDPR sweep-vs-corpus-size table (run_forget_growth)
 
 Prints one JSON line per kernel with the per-wave seconds, per-wave
 phase deltas and cumulative corpus rows, then a markdown summary
@@ -207,6 +208,68 @@ def run_kernel(
         }
 
 
+def run_forget_growth(
+    spark, corpus_dir: str, n_waves: int, every: int = 10
+) -> dict:
+    """Forget-sweep cost vs accumulated corpus size (VERDICT r12 item
+    6): ingest the chunk kernel's waves and, every ``every`` waves,
+    forget a bounded victim sample drawn from the JUST-INGESTED wave —
+    one home wave by construction — timing the sweep. The
+    Bloom-targeting claim ("a handful of wave dirs at 100 TB") holds
+    iff ``waves_rewritten`` stays at 2 (registry + output home wave)
+    and sweep seconds stay ~flat while the live wave count grows; a
+    sweep that scales with the corpus would rise with the checkpoint
+    index. Victims are REAL deletions (not re-ingested), so each
+    checkpoint's corpus is the accumulated stream minus prior
+    requests — exactly a production table's shape. Raises RuntimeError
+    if any sweep rewrites more than its O(request) bound."""
+    from beavers_spark.streaming import IncrementalChunkDedup
+
+    with tempfile.TemporaryDirectory() as wd:
+        kern = IncrementalChunkDedup(
+            os.path.join(wd, "state"), os.path.join(wd, "out"),
+            text_col="text", id_col="doc_id", k=10,
+            compact_every_waves=None,
+        )
+        corpus = spark.read.parquet(corpus_dir)
+        checkpoints: list[dict] = []
+        from beavers_spark.streaming.maintenance import live_wave_count
+
+        for i in range(n_waves):
+            batch = corpus.filter(F.col("wave") == i).select(
+                "doc_id", "text"
+            )
+            kern(batch, i)
+            if (i + 1) % every == 0:
+                victims = [
+                    r.doc_id
+                    for r in batch.filter(
+                        F.pmod("doc_id", F.lit(10)) == 3
+                    ).limit(64).collect()
+                ]
+                t0 = time.perf_counter()
+                rewritten = kern.forget(spark, victims)
+                sweep = time.perf_counter() - t0
+                live = live_wave_count(kern.state_path)
+                checkpoints.append(
+                    {
+                        "after_wave": i,
+                        "live_waves": live,
+                        "victims": len(victims),
+                        "waves_rewritten": rewritten,
+                        "sweep_seconds": round(sweep, 3),
+                    }
+                )
+                if rewritten > 2:
+                    raise RuntimeError(
+                        f"forget after wave {i} rewrote {rewritten} "
+                        "wave dirs — the Bloom targeting must bound "
+                        "this at 2 (registry + output home wave)"
+                    )
+        return {"kernel": "forget", "n_waves": n_waves,
+                "checkpoints": checkpoints}
+
+
 def _mean(xs) -> float:
     return round(sum(xs) / max(len(xs), 1), 3)
 
@@ -249,6 +312,19 @@ def main() -> None:
         n = synth_corpus(spark, sf_dir, corpus_dir, n_waves)
         print(f"# corpus: {n} docs in {n_waves} waves", file=sys.stderr)
         for name in kernels:
+            if name == "forget":
+                fr = run_forget_growth(spark, corpus_dir, n_waves)
+                print(json.dumps(fr))
+                print("\n| after wave | live waves | victims | "
+                      "waves rewritten | sweep sec |")
+                print("|---|---|---|---|---|")
+                for c in fr["checkpoints"]:
+                    print(
+                        f"| {c['after_wave']} | {c['live_waves']} | "
+                        f"{c['victims']} | {c['waves_rewritten']} | "
+                        f"{c['sweep_seconds']:.2f} |"
+                    )
+                continue
             r = run_kernel(
                 spark, name, corpus_dir, n_waves,
                 compact_every=compact_every,
@@ -256,17 +332,18 @@ def main() -> None:
             results.append(r)
             print(json.dumps(r))
     # markdown table: wave index vs per-kernel seconds
-    print(
-        "\n| wave | cum docs | "
-        + " | ".join(r["kernel"] for r in results)
-        + " |"
-    )
-    print("|---|---|" + "---|" * len(results))
-    for i in range(n_waves):
-        cells = " | ".join(
-            f"{r['per_wave_seconds'][i]:.2f}" for r in results
+    if results:
+        print(
+            "\n| wave | cum docs | "
+            + " | ".join(r["kernel"] for r in results)
+            + " |"
         )
-        print(f"| {i} | {results[0]['cum_rows'][i]} | {cells} |")
+        print("|---|---|" + "---|" * len(results))
+        for i in range(n_waves):
+            cells = " | ".join(
+                f"{r['per_wave_seconds'][i]:.2f}" for r in results
+            )
+            print(f"| {i} | {results[0]['cum_rows'][i]} | {cells} |")
     for r in results:
         summarize(r)
 

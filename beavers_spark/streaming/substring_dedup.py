@@ -82,7 +82,6 @@ from beavers_spark.streaming.maintenance import (
     registry_anti_probe,
     recover_compaction,
     seen_anti_join,
-    shrink_small_wave,
     table_exists,
     timed_phase,
     WaveBloomIndex,
@@ -426,18 +425,15 @@ class IncrementalSubstringDedup:
                         "b",
                         F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
                     )
-                    .repartition(self.n_hash_buckets, F.col("b"))
+                    # no explicit partition count: AQE coalesces
+                    # the shuffle by size, so a SMALL wave lands as
+                    # ONE file (VERDICT r12 item 4) and a big wave
+                    # gets as many b-hash partitions as its bytes
+                    # need — no post-write shrink job
+                    .repartition(F.col("b"))
                     .sortWithinPartitions("b", "h")
                     .write.mode("overwrite")
                     .parquet(wave_dir)
-                )
-                # a SMALL wave otherwise lands one file per shuffle
-                # task (VERDICT r12 item 4); big waves keep their many
-                # b-sorted files. BEFORE the sidecars (shrink does not
-                # carry them).
-                shrink_small_wave(
-                    spark, wave_dir, max_files=2,
-                    cluster_by=("b", "h"),
                 )
             if pre_h is not None:
                 # bitmap from the PRE-anti hash set (a superset of the

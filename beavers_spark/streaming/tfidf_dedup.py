@@ -71,7 +71,6 @@ from beavers_spark.streaming.maintenance import (
     partition_stats,
     recover_compaction,
     seen_anti_join,
-    shrink_small_wave,
     table_exists,
 )
 
@@ -312,16 +311,14 @@ class IncrementalTfidfDedup:
             .withColumn(
                 "b", F.pmod(F.col("bucket"), F.lit(self.n_hash_buckets))
             )
-            .repartition(self.n_hash_buckets, F.col("b"))
+            # no explicit partition count: AQE coalesces the shuffle
+            # by size, so a SMALL wave lands as ONE file (VERDICT r12
+            # item 4) and a big wave gets as many b-hash partitions as
+            # its bytes need — no post-write shrink job
+            .repartition(F.col("b"))
             .sortWithinPartitions("b", "bucket")
             .write.mode("overwrite")
             .parquet(wave_dir)
-        )
-        # a SMALL wave otherwise lands one file per shuffle task
-        # (VERDICT r12 item 4); big waves are untouched — they want
-        # their many b-sorted files
-        shrink_small_wave(
-            spark, wave_dir, max_files=2, cluster_by=("b", "bucket")
         )
 
         cand_dir = f"{self.cand_path}/w={batch_id}"

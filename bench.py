@@ -1432,12 +1432,12 @@ def main() -> None:
         rep = 0
         while rep < reps:
             # the state scenarios localCheckpoint per wave; dropping the
-            # Python references and forcing a GC lets the ContextCleaner
-            # release those blocks between repetitions — otherwise block-
-            # manager pressure from earlier scenarios bleeds into later
-            # ones (measured: the last scenario ran 2x slower in the full
-            # session than in isolation)
-            gc.collect()
+            # Python references and forcing Python AND JVM GC lets the
+            # ContextCleaner release those blocks between repetitions
+            # (the JVM side used to ride the 2-min periodic GC, which
+            # _bench_spark now defers out of the timed window — the
+            # explicit untimed call here replaces it)
+            _untimed_gc(spark)
             spark.catalog.clearCache()
             loads.append(round(os.getloadavg()[0], 1))
             spins.append(_spin())

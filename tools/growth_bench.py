@@ -266,6 +266,33 @@ def run_forget_growth(
                         "wave dirs — the Bloom targeting must bound "
                         "this at 2 (registry + output home wave)"
                     )
+        # the documented worst case, measured: compact() merges every
+        # wave into w=-1 (OR-merged sidecar), so the next forget's
+        # rewrite unit is the whole compacted table — still 2 wave
+        # DIRS (registry + output w=-1), but the bytes are the corpus
+        # (forget_doc_rows docstring "blast radius = the compaction
+        # epoch"). The row quantifies that degradation beside the
+        # targeted sweeps above.
+        kern.compact(spark)
+        victims = [
+            r.doc_id
+            for r in corpus.filter(F.col("wave") == n_waves - 1)
+            .select("doc_id")
+            .filter(F.pmod("doc_id", F.lit(10)) == 7)
+            .limit(64)
+            .collect()
+        ]
+        t0 = time.perf_counter()
+        rewritten = kern.forget(spark, victims)
+        checkpoints.append(
+            {
+                "after_wave": "post-compact",
+                "live_waves": live_wave_count(kern.state_path),
+                "victims": len(victims),
+                "waves_rewritten": rewritten,
+                "sweep_seconds": round(time.perf_counter() - t0, 3),
+            }
+        )
         return {"kernel": "forget", "n_waves": n_waves,
                 "checkpoints": checkpoints}
 

@@ -137,27 +137,41 @@ def logreg_fit_from_counts(
     = (id_col, bucket, tf)``, ``labels = (id_col, y∈{0,1})``. Weights
     are a pure deterministic function of the (doc_tf, labels) SET —
     feed it the same rows from any storage/partitioning and the model
-    is byte-identical (what the incremental refit relies on)."""
-    # one setup job for both bounded model-shaped aggregates: the doc
-    # count and the observed-bucket set (≤ n_buckets values)
-    setup = doc_tf.agg(
-        F.countDistinct(id_col).alias("n"),
-        F.collect_set("bucket").alias("buckets"),
-    ).collect()[0]
-    n_docs = setup["n"]
-    if n_docs == 0:
-        return spark.createDataFrame([], "bucket bigint, w double")
+    is byte-identical (what the incremental refit relies on).
 
-    # w0 = 0 for every observed bucket: iteration 1 needs no margin job.
-    weights = [(b, 0.0) for b in sorted(setup["buckets"])]
+    r13: the old separate setup job (countDistinct + collect_set to
+    seed w0 = 0 per observed bucket) is folded away — iteration 1's
+    gradient groupBy already emits exactly the observed-bucket set
+    (every doc_tf row participates, r = 0.5 - y is never NULL), and
+    the doc count rides IN-plan as a broadcast single-row aggregate
+    (the oracle SQL's own ``FROM s1, nn`` shape) — one driver action
+    per iteration instead of 1 + setup. Weights are byte-identical:
+    w1 = round(0 - lr*s/n, 6) + 0.0 either way."""
+    if iters < 1:
+        # w0 = 0 for every observed bucket (no gradient has run) —
+        # the degenerate contract the fused path below cannot serve
+        setup = doc_tf.agg(
+            F.collect_set("bucket").alias("buckets")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(b, 0.0) for b in sorted(setup["buckets"])],
+            "bucket bigint, w double",
+        )
+
+    nn = doc_tf.agg(F.countDistinct(id_col).alias("n"))
+    n_docs: int | None = None  # collected with iteration 1's rows
+    weights: list = []
+    w_df = None
     for step in range(iters):
-        w_df = spark.createDataFrame(weights, "bucket bigint, w double")
         if step == 0:
             # all margins are exactly 0 ⇒ p = 0.5 for every doc
             resid = labels.select(
                 id_col, F.round(0.5 - F.col("y"), 9).alias("r")
             )
         else:
+            w_df = spark.createDataFrame(
+                weights, "bucket bigint, w double"
+            )
             m = _margins(doc_tf, w_df, id_col)
             resid = m.join(labels, id_col).select(
                 id_col,
@@ -180,26 +194,57 @@ def logreg_fit_from_counts(
                 ).alias("s")
             )
         )
-        updated = (
-            w_df.join(grad, "bucket", "left")
-            .select(
-                "bucket",
-                (
-                    F.round(
-                        F.col("w")
-                        - F.lit(lr)
-                        * F.coalesce(
-                            F.col("s").cast("double"), F.lit(0.0)
+        if step == 0:
+            # w0 = 0: grad's bucket set IS the observed set, so the
+            # update needs no prior-weights join; the doc count rides
+            # out on every collected row (``n``), so iteration 2 can
+            # divide by a driver literal instead of re-running the
+            # countDistinct subtree
+            updated = (
+                grad.crossJoin(F.broadcast(nn))
+                .select(
+                    "bucket",
+                    (
+                        F.round(
+                            F.lit(0.0)
+                            - F.lit(lr)
+                            * F.col("s").cast("double")
+                            / F.col("n").cast("double"),
+                            6,
                         )
-                        / F.lit(float(n_docs)),
-                        6,
-                    )
-                    + F.lit(0.0)  # -0.0 -> +0.0
-                ).alias("w"),
+                        + F.lit(0.0)  # -0.0 -> +0.0
+                    ).alias("w"),
+                    "n",
+                )
+                .collect()
             )
-            .collect()
-        )
+            if updated:
+                n_docs = updated[0]["n"]
+        else:
+            updated = (
+                w_df.join(grad, "bucket", "left")
+                .select(
+                    "bucket",
+                    (
+                        F.round(
+                            F.col("w")
+                            - F.lit(lr)
+                            * F.coalesce(
+                                F.col("s").cast("double"), F.lit(0.0)
+                            )
+                            / F.lit(float(n_docs)),
+                            6,
+                        )
+                        + F.lit(0.0)  # -0.0 -> +0.0
+                    ).alias("w"),
+                )
+                .collect()
+            )
         weights = [(r["bucket"], r["w"]) for r in updated]
+        if not weights:
+            # empty doc_tf: every later iteration is empty too — the
+            # old early-return-on-zero-docs contract
+            break
     return spark.createDataFrame(weights, "bucket bigint, w double")
 
 

@@ -45,7 +45,11 @@ _HASH_SPACE = float(1 << 60)
 
 
 def hashed_ngram_features(
-    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    flag: Column | None = None,
 ) -> DataFrame:
     """Explode each document into hashed-n-gram feature buckets:
     ``(id_col, bucket)`` with one row per feature OCCURRENCE (unigrams
@@ -62,9 +66,10 @@ def hashed_ngram_features(
     # the bigram lambda would re-split the document (Catalyst does not
     # duplicate non-cheap exprs across a project boundary — the same
     # boundary fix as dedup.shingle_sets)
+    extra = [] if flag is None else [flag.alias("tgt")]
     toked = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism
-    ).select(id_col, tokens(F.col(text_col)).alias("tk"))
+    ).select(id_col, tokens(F.col(text_col)).alias("tk"), *extra)
     tk = F.col("tk")
     bigrams = F.when(
         F.size(tk) >= 2,
@@ -76,10 +81,11 @@ def hashed_ngram_features(
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(tk, bigrams)
+    keep = [id_col] if flag is None else [id_col, "tgt"]
     return toked.select(
-        id_col, F.explode(feats).alias("feat")
+        *keep, F.explode(feats).alias("feat")
     ).select(
-        id_col,
+        *keep,
         F.pmod(md5_hash64(F.col("feat")), F.lit(n_buckets)).alias("bucket"),
     )
 
@@ -131,6 +137,7 @@ def dsir_logweights(
     id_col: str,
     n_buckets: int = 4096,
     alpha: float = 1.0,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight: ``Σ_features
     log p_target(bucket) - log p_raw(bucket)`` over the document's
@@ -147,13 +154,40 @@ def dsir_logweights(
 
     Documents with no features (empty text) produce no feature rows and
     drop out — callers that need them keep a left join on the pool.
+
+    ``target_pred``: when the target IS a predicate-filtered slice of
+    ``raw`` (the plans' shape), pass the predicate instead of relying
+    on the separate ``target`` frame — the flag rides the ONE feature
+    pass and the target model's counts fall out of the same exchange
+    (ReuseExchange), instead of paying a second explode+md5 pass over
+    the target slice. Counts — and so every weight — are identical
+    either way (same tokenizer, same hash, same doc set).
     """
-    doc_tf = (
-        hashed_ngram_features(raw, text_col, id_col, n_buckets)
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("tf"))
-    )
-    p_t = hashed_ngram_model(target, text_col, id_col, n_buckets, alpha)
+    if target_pred is not None:
+        doc_tf = (
+            hashed_ngram_features(
+                raw, text_col, id_col, n_buckets, flag=target_pred
+            )
+            .groupBy(id_col, "tgt", "bucket")
+            .agg(F.count("*").alias("tf"))
+        )
+        p_t = _model_from_counts(
+            doc_tf.filter(F.col("tgt"))
+            .groupBy("bucket")
+            .agg(F.sum("tf").alias("c")),
+            n_buckets,
+            alpha,
+        )
+        doc_tf = doc_tf.drop("tgt")
+    else:
+        doc_tf = (
+            hashed_ngram_features(raw, text_col, id_col, n_buckets)
+            .groupBy(id_col, "bucket")
+            .agg(F.count("*").alias("tf"))
+        )
+        p_t = hashed_ngram_model(
+            target, text_col, id_col, n_buckets, alpha
+        )
     p_q = _model_from_counts(
         doc_tf.groupBy("bucket").agg(F.sum("tf").alias("c")),
         n_buckets,
@@ -234,6 +268,7 @@ def dsir_select(
     n_buckets: int = 4096,
     alpha: float = 1.0,
     salt: str = "gumbel",
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Select ``n`` documents from ``raw`` by Gumbel-top-k over the DSIR
     importance weights — the end-to-end DSIR selection step. Emits
@@ -244,7 +279,10 @@ def dsir_select(
     selection cost is one scan over the scored pool. Ties on the
     ROUNDED key break by id, keeping the sample engine-independent.
     """
-    w = dsir_logweights(raw, target, text_col, id_col, n_buckets, alpha)
+    w = dsir_logweights(
+        raw, target, text_col, id_col, n_buckets, alpha,
+        target_pred=target_pred,
+    )
     keyed = w.select(
         id_col, "logw", gumbel_key(id_col, "logw", salt).alias("sel_key")
     )

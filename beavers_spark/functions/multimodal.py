@@ -1396,23 +1396,31 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
         def _frames(p: pd.Series) -> pd.Series:
             import hashlib
 
-            import numpy as np
-
-            def _ahash(a) -> int:
+            def _ahash(body: bytes) -> int:
                 # mean-threshold bitmap over <=64 evenly-strided bytes
                 # (the perceptual aHash, integer-exact: byte*K > total
                 # avoids the float mean, so SQL oracles reproduce it
                 # bit for bit). Frames longer than 64 bytes sample
-                # position floor(k*n/K); short frames use every byte.
-                n_b = len(a)
+                # position floor(k*n/K); short frames use every byte
+                # ((k*n)//n == k). Pure-bytes arithmetic: frames are
+                # tiny (tens of bytes), so per-frame numpy array
+                # construction was ~all overhead — measured ~100us/
+                # frame np vs ~5us plain ints, identical values (r13)
+                n_b = len(body)
                 if not n_b:
                     return 0
-                kk = min(n_b, 64)
-                samp = a[(np.arange(kk) * n_b) // kk]
-                tot = int(samp.sum())
+                if n_b <= 64:
+                    samp, kk = body, n_b
+                else:
+                    kk = 64
+                    samp = bytes(
+                        body[(k * n_b) // 64] for k in range(64)
+                    )
+                tot = sum(samp)
                 ah = 0
-                for k in np.nonzero(samp * kk > tot)[0]:
-                    ah |= 1 << int(k)
+                for k, v in enumerate(samp):
+                    if v * kk > tot:
+                        ah |= 1 << k
                 return ah - (1 << 64) if ah >= 1 << 63 else ah
 
             out: list = []
@@ -1447,16 +1455,15 @@ def avi_frames(df: DataFrame, payload_col: str) -> DataFrame:
                             )
                             body = bb[q + 8 : min(q + 8 + cs, end)]
                             if cf[2:4] in (b"dc", b"db"):
-                                a = np.frombuffer(
-                                    body, dtype=np.uint8
-                                ).astype(np.int64)
                                 frames.append(
                                     (
                                         idx,
                                         len(body),
-                                        int(a.sum()),
+                                        # exact integer byte sum —
+                                        # bytes iterate as uint8 ints
+                                        sum(body),
                                         hashlib.md5(body).hexdigest(),
-                                        _ahash(a),
+                                        _ahash(body),
                                     )
                                 )
                                 idx += 1

@@ -1836,28 +1836,39 @@ def _synth_neardup_wavs(spark, sf_dir):
     under the hot-bucket cap and both engines crawl. Block size 12 >
     bucket_cap 8 keeps the cap exercised (a group floods its 3
     shared band buckets past the cap, so chains appear)."""
-    from beavers_spark.functions.multimodal import _le_hex, synth_wav
+    from beavers_spark.functions.multimodal import synth_wav
 
     docs = t(spark, sf_dir, "documents")
     g = F.floor(F.col("doc_id") / 12)
     p = F.pmod("doc_id", F.lit(64))
-    idx = F.sequence(F.lit(0).cast("bigint"), F.lit(1023).cast("bigint"))
 
-    def samp(i):
-        k = F.floor(i / 16)
-        a = F.lit(100) + F.lit(900) * F.pmod(
-            F.pmod(g * 31 + k * 17, F.lit(97)), F.lit(2)
-        )
-        amp = F.when(k == p, F.lit(1100) - a).otherwise(a)
-        return amp * (F.lit(1) - F.pmod(i, F.lit(2)) * 2)
+    # a segment's 16 samples are amp * (1 - 2*(i%2)) for i = 16k..16k+15
+    # — 16k is even, so every segment is the SAME [+amp, -amp] x 8 run
+    # and amp takes only two values (100 / 1000). The whole segment's
+    # 32-byte little-endian hex is therefore one of TWO precomputed
+    # constants, and the doc body is 64 per-segment whens instead of
+    # 1024 per-sample hex expressions (~6s -> ~0.4s per corpus pass at
+    # sf0.1; byte-identical, pinned by tests/test_synth_generators.py)
+    def _le2(v: int) -> str:
+        v &= 0xFFFF
+        return f"{v & 0xFF:02X}{v >> 8:02X}"
 
-    hexes = F.transform(
-        idx, lambda i: _le_hex(samp(i).bitwiseAND(F.lit(0xFFFF)), 2)
-    )
+    seg_hex = {
+        amp: (_le2(amp) + _le2(-amp)) * 8 for amp in (100, 1000)
+    }
+    kseq = F.sequence(F.lit(0).cast("bigint"), F.lit(63).cast("bigint"))
+
+    def seg(k):
+        b = F.pmod(F.pmod(g * 31 + k * 17, F.lit(97)), F.lit(2))
+        eff = F.when(k == p, F.lit(1) - b).otherwise(b)
+        return F.when(
+            eff == 1, F.lit(seg_hex[1000])
+        ).otherwise(F.lit(seg_hex[100]))
+
     return docs.select(
         "doc_id",
         synth_wav(
-            F.unhex(F.array_join(hexes, "")),
+            F.unhex(F.array_join(F.transform(kseq, seg), "")),
             F.lit(1), F.lit(16000), F.lit(16),
         ).alias("payload"),
     )
@@ -2156,24 +2167,41 @@ def ppm_meta_q(spark, sf_dir):
     )
 
 
+#: hex of the 256-byte cycle 00 01 .. FF — the pixel generator's whole
+#: value space: byte j of doc d is (d*7 + j) % 256, i.e. the cycle
+#: read from offset (d*7) % 256, so a payload is ONE substring of this
+#: literal repeated, not w*h*3 per-byte expressions (r13: the per-byte
+#: transform cost ~1.6s/corpus-pass at sf0.1 vs ~0.2s for the
+#: substring — same bytes, pinned by tests/test_synth_generators.py)
+_BYTE_CYCLE_HEX = "".join(f"{b:02X}" for b in range(256))
+
+#: cycle copies the substring draws from: start offset <= 255 plus the
+#: largest _ppm_dims payload (31*31*3 = 2883 bytes) needs 3139 bytes;
+#: 13 copies = 3328. _ppm_dims is the ONLY dims source (w,h <= 31).
+_PPM_CYCLE_REPS = 13
+
+
 def _ppm_pixels(w, h):
     """Deterministic P6 payload Column: header + pixel byte j =
     (doc_id*7 + j) % 256 over w*h RGB triples — the generator the
     ppm_stats/ppm_resize oracles recompute by independent arithmetic
-    (they never see the bytes)."""
+    (they never see the bytes). The mod-256 byte stream is periodic,
+    so the body is one substring over the repeated cycle literal
+    (start = (doc_id*7) % 256) instead of a per-byte transform —
+    byte-identical, ~10x cheaper per corpus pass, and the expression
+    stays whole-stage-codegen-compilable."""
     npx = (w * h * F.lit(3)).cast("bigint")
-    seq = F.sequence(F.lit(0).cast("bigint"), npx - 1)
-    hexes = F.transform(
-        seq,
-        lambda j: F.lpad(
-            F.hex(F.pmod(F.col("doc_id") * 7 + j, F.lit(256))), 2, "0"
-        ),
+    start = F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("int")
+    body = F.substring(
+        F.repeat(F.lit(_BYTE_CYCLE_HEX), _PPM_CYCLE_REPS),
+        start * 2 + 1,
+        (npx * 2).cast("int"),
     )
     header = F.concat(
         F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
         F.lit("\n255\n"),
     )
-    return F.concat(F.encode(header, "UTF-8"), F.unhex(F.array_join(hexes, "")))
+    return F.concat(F.encode(header, "UTF-8"), F.unhex(body))
 
 
 _PPM_DIMS_SQL = """
@@ -2486,23 +2514,23 @@ def _synth_frame_avis(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     nf = 3 + F.pmod("doc_id", F.lit(6))
 
+    # frame bytes are the mod-256 cycle read from offset
+    # (d*11 + f*13) % 256 for `size` bytes (max 36), so one substring
+    # over the doubled cycle literal (512 bytes covers 255 + 36)
+    # replaces the per-byte transform — byte-identical (pinned by
+    # tests/test_synth_generators.py), and the movi expression tree
+    # stops blowing the janino method limit (the r13 oracle run logged
+    # a whole-stage-codegen compile FAILURE on exactly this plan — the
+    # old tree silently ran interpreted)
+    two_cycles = _BYTE_CYCLE_HEX * 2
+
     def frame_bytes(f):
         size = F.lit(20) + F.pmod(f, F.lit(5)) * 4
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(0).cast("bigint"), (size - 1).cast("bigint")),
-                lambda j: F.lpad(
-                    F.hex(
-                        F.pmod(
-                            F.col("doc_id") * 11 + f * 13 + j,
-                            F.lit(256),
-                        )
-                    ),
-                    2,
-                    "0",
-                ),
-            ),
-            "",
+        start = F.pmod(F.col("doc_id") * 11 + f * 13, F.lit(256))
+        return F.substring(
+            F.lit(two_cycles),
+            (start * 2 + 1).cast("int"),
+            (size * 2).cast("int"),
         )
 
     return docs.select(

@@ -99,8 +99,12 @@ def dsir_logweights_q(spark, sf_dir):
     doc-bucket count shuffle, one doc-keyed reduce."""
     docs = t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin(*_TARGET_SOURCES))
+    # target_pred: the target model's counts ride the pool's ONE
+    # feature pass (ReuseExchange) — no second explode+md5 over the
+    # target slice; weights identical (r13, oracle re-verified)
     return dsir_logweights(
-        docs, target, "text", "doc_id", n_buckets=_N_BUCKETS, alpha=1.0
+        docs, target, "text", "doc_id", n_buckets=_N_BUCKETS, alpha=1.0,
+        target_pred=F.col("source").isin(*_TARGET_SOURCES),
     )
 
 
@@ -126,9 +130,11 @@ def dsir_select_q(spark, sf_dir):
     top-k runs as TakeOrderedAndProject (per-partition heaps)."""
     docs = t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin(*_TARGET_SOURCES))
+    # target_pred: one feature pass for both models (see dsir_logweights)
     return dsir_select(
         docs, target, "text", "doc_id", n=100,
         n_buckets=_N_BUCKETS, alpha=1.0,
+        target_pred=F.col("source").isin(*_TARGET_SOURCES),
     )
 
 

@@ -86,6 +86,38 @@ from beavers_spark.streaming.maintenance import (
 _SLICE_MOD = 1 << 40
 
 
+def _wave_distinct_local(wave_dir: str, id_col: str) -> int | None:
+    """Distinct-id count of one wave from its parquet files,
+    driver-local (no Spark job); None when the root isn't listable
+    (non-POSIX / object store) or the column can't be read — callers
+    fall back to the exact Spark distinct count. A wave is batch-sized
+    by construction, so the driver-side set is bounded like the Bloom
+    key collects."""
+    import glob as _glob
+
+    try:
+        if not os.path.isdir(wave_dir):
+            return None
+        files = _glob.glob(
+            os.path.join(wave_dir, "**", "*.parquet"), recursive=True
+        )
+        if not files:
+            return 0
+        import pyarrow.parquet as pq
+
+        seen: set = set()
+        for f in files:
+            seen.update(
+                pq.read_table(f, columns=[id_col])
+                .column(0)
+                .to_pylist()
+            )
+        return len(seen)
+    except Exception:  # pyarrow raises its own error tree; any
+        # failure means "fall back to the exact Spark count"
+        return None
+
+
 class IncrementalQualityClassifier:
     """``foreachBatch`` callable maintaining a labeled-feature registry
     and an always-current classifier.
@@ -517,7 +549,12 @@ class IncrementalQualityClassifier:
                 "sb",
                 F.shiftrightunsigned(self._slice_hash(), self._sb_shift),
             )
-            .repartition(self.n_slice_buckets, F.col("sb"))
+            # no explicit partition count: AQE sizes the exchange, so
+            # a SMALL wave's 16 sb directories are written by a
+            # handful of coalesced tasks instead of 16 (same dirs and
+            # files either way — the sb pruning contract is untouched;
+            # the e34214a registry-write lesson)
+            .repartition(F.col("sb"))
             .write.mode("overwrite")
             .partitionBy("sb")
             .parquet(f"{self.state_path}/w={batch_id}")
@@ -551,6 +588,15 @@ class IncrementalQualityClassifier:
             d = f"{self.state_path}/w={wv}"
             if not table_exists(spark, d):
                 return 0
+            # driver-local distinct over the wave's id column (pyarrow
+            # over the just-written files — the _wave_rows_local /
+            # _band_keys_local POSIX assumption): one wave is
+            # batch-sized by construction, and the Spark
+            # distinct().count() this replaces cost 2 scheduled jobs
+            # per wave (r13; measured 128 jobs/scenario on refit1)
+            n = _wave_distinct_local(d, self.id_col)
+            if n is not None:
+                return n
             return (
                 spark.read.parquet(d)
                 .select(self.id_col)
@@ -590,6 +636,24 @@ class IncrementalQualityClassifier:
         deterministic id-hash slice. Public so the sampled-refit parity
         is testable: ``logreg_fit_from_counts`` on THESE frames must
         equal the model sidecar byte-for-byte."""
+        state = self._sliced_state(spark)
+        doc_tf = state.select(self.id_col, "bucket", "tf")
+        # dropDuplicates on the id alone (not distinct() over the
+        # pair): y is constant per id by construction (one wave per id
+        # via the redelivery anti-join, one y per id per wave), so the
+        # row set is identical — but the aggregate can then reuse an
+        # id-hash partitioning instead of forcing its own (id, y)
+        # exchange (r13; refit() persists one id-partitioned base)
+        labels = state.select(self.id_col, "y").dropDuplicates(
+            [self.id_col]
+        )
+        return doc_tf, labels
+
+    def _sliced_state(self, spark: SparkSession) -> DataFrame:
+        """The registry restricted to the next refit's training rows
+        (full, or the deterministic id-hash slice under
+        ``max_refit_docs``) — the shared core of ``refit_inputs`` and
+        ``refit``'s cached base."""
         state = spark.read.parquet(self.state_path)
         if self.max_refit_docs is not None:
             # the slice threshold needs the CURRENT labeled-doc count —
@@ -622,9 +686,7 @@ class IncrementalQualityClassifier:
                     )
                 keep = self._slice_hash() < F.lit(thresh)
                 state = state.filter(keep)
-        doc_tf = state.select(self.id_col, "bucket", "tf")
-        labels = state.select(self.id_col, "y").distinct()
-        return doc_tf, labels
+        return state
 
     def compact(self, spark: SparkSession) -> int:
         """Coalesce the wave-per-batch registry into the single ``w=-1``
@@ -662,19 +724,29 @@ class IncrementalQualityClassifier:
         """Refit from the accumulated registry and overwrite the model
         sidecar. Runs automatically on every ``refit_every``-th wave;
         call directly after a stream stops to clear any staleness."""
-        # persist (NOT localCheckpoint) the refit inputs: every GD
-        # iteration re-reads both, and the blocking unpersist releases
-        # the blocks deterministically at batch end (the r5
-        # ContextCleaner-backlog lesson). doc_tf is persisted ALREADY
-        # id-partitioned — the per-iteration margin groupBy and the
-        # residual/gradient joins all key on id, so they reuse this one
-        # exchange instead of shuffling the registry every iteration;
-        # labels' distinct shuffle likewise runs once
-        doc_tf, labels = self.refit_inputs(spark)
-        doc_tf = doc_tf.repartition(
-            spark.sparkContext.defaultParallelism, self.id_col
-        ).persist()
-        labels = labels.persist()
+        # persist (NOT localCheckpoint) ONE id-partitioned base frame:
+        # every GD iteration re-reads it, and the blocking unpersist
+        # releases the blocks deterministically at batch end (the r5
+        # ContextCleaner-backlog lesson). The per-iteration margin
+        # groupBy and the residual/gradient joins all key on id, so
+        # they reuse this one exchange instead of shuffling the
+        # registry every iteration — and labels now DERIVE from the
+        # same cached base (dropDuplicates on id reuses the id
+        # partitioning) instead of paying a second registry scan plus
+        # their own distinct exchange (r13; same row sets as
+        # refit_inputs — the public parity surface — by construction)
+        base = (
+            self._sliced_state(spark)
+            .select(self.id_col, "bucket", "tf", "y")
+            .repartition(
+                spark.sparkContext.defaultParallelism, self.id_col
+            )
+            .persist()
+        )
+        doc_tf = base
+        labels = base.dropDuplicates([self.id_col]).select(
+            self.id_col, "y"
+        )
         try:
             fitted = logreg_fit_from_counts(
                 spark,
@@ -687,5 +759,4 @@ class IncrementalQualityClassifier:
             fitted.write.mode("overwrite").parquet(self.model_path)
             self.refit_count += 1
         finally:
-            doc_tf.unpersist(blocking=True)
-            labels.unpersist(blocking=True)
+            base.unpersist(blocking=True)

@@ -75,7 +75,6 @@ from beavers_spark.streaming.maintenance import (
     partition_stats,
     recover_compaction,
     seen_anti_join,
-    shrink_small_wave,
     table_exists,
     timed_phase,
 )
@@ -711,15 +710,16 @@ class IncrementalNearDedup:
         )
         wave_dir = f"{self.state_path}/w={batch_id}"
         with self._phase("state_write"):
-            _signatures_from_sets(sets, keep=("sh", "n_sh")).write.mode(
-                "overwrite"
-            ).parquet(wave_dir)
-            # a SMALL wave otherwise lands one file per write task
-            # (32/wave seeded the growth-bench slope, VERDICT r11
-            # item 5); big waves are untouched — they want their files
-            shrink_small_wave(
-                spark, wave_dir, max_files=self.n_hash_buckets
-            )
+            # REBALANCE: AQE sizes the exchange, so a SMALL wave lands
+            # as ONE file in the same job (the post-write shrink
+            # rewrite this replaces cost an extra read+write per wave
+            # — the e34214a registry lesson applied to the sig table;
+            # shingling stays map-side, upstream of the exchange) and
+            # a big wave gets as many size-split partitions as its
+            # bytes need
+            _signatures_from_sets(sets, keep=("sh", "n_sh")).hint(
+                "rebalance"
+            ).write.mode("overwrite").parquet(wave_dir)
         self._has_state = True
         # the wave's doc-id bitmap — what future batches' seen probes
         # test against (maintenance.DocSeenGuard)

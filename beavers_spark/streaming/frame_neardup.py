@@ -71,7 +71,6 @@ from beavers_spark.streaming.maintenance import (
     prune_hash_buckets,
     recover_compaction,
     seen_anti_join,
-    shrink_small_wave,
     table_exists,
     timed_phase,
     WaveBloomIndex,
@@ -505,11 +504,15 @@ class IncrementalFrameNearDedup:
         # derive from the columnar read-back, never a second decode
         sig_dir = f"{self.state_path}/w={batch_id}"
         with timed_phase(self.phase_seconds, "state_write"):
-            sig.write.mode("overwrite").parquet(sig_dir)
-            # a SMALL sig wave otherwise lands one file per write task
-            # (VERDICT r11 item 5); big waves are untouched
-            shrink_small_wave(
-                spark, sig_dir, max_files=2
+            # REBALANCE: AQE sizes the exchange, so a SMALL sig wave
+            # lands as ONE file in the same job (the post-write shrink
+            # rewrite this replaces cost an extra read+write per wave —
+            # the e34214a registry lesson; the payload decode stays
+            # map-side, upstream of the exchange, and only the narrow
+            # sig rows ride it) while a big wave gets as many
+            # size-split partitions as its bytes need
+            sig.hint("rebalance").write.mode("overwrite").parquet(
+                sig_dir
             )
         files, nbytes, mx = partition_stats(spark, [sig_dir])
         self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))

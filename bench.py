@@ -830,25 +830,29 @@ def _tagged_frame_avis(spark, sf_dir):
     nf = 3 + F.pmod("doc_id", F.lit(6))
     tag = F.pmod("doc_id", F.lit(_WAVES))
 
+    # byte j of frame f is ((d*11 + f*13 + j) % 64) + tag*64 — a
+    # 64-byte cycle per wave tag read from offset (d*11 + f*13) % 64,
+    # so each frame is ONE substring over the tag's doubled-cycle
+    # literal (128 bytes covers offset 63 + size 36) instead of a
+    # per-byte hex transform — byte-identical (same arithmetic), and
+    # the movi expression tree stays codegen-compilable (the
+    # _synth_frame_avis r13 lesson applied to the bench twin)
+    tag_cycles = F.array(
+        *(
+            F.lit(
+                "".join(f"{t * 64 + m:02X}" for m in range(64)) * 2
+            )
+            for t in range(_WAVES)
+        )
+    )
+
     def frame_bytes(f):
         size = F.lit(20) + F.pmod(f, F.lit(5)) * 4
-        return F.array_join(
-            F.transform(
-                F.sequence(
-                    F.lit(0).cast("bigint"), (size - 1).cast("bigint")
-                ),
-                lambda j: F.lpad(
-                    F.hex(
-                        F.pmod(
-                            F.col("doc_id") * 11 + f * 13 + j, F.lit(64)
-                        )
-                        + tag * 64
-                    ),
-                    2,
-                    "0",
-                ),
-            ),
-            "",
+        start = F.pmod(F.col("doc_id") * 11 + f * 13, F.lit(64))
+        return F.substring(
+            F.element_at(tag_cycles, (tag + 1).cast("int")),
+            (start * 2 + 1).cast("int"),
+            (size * 2).cast("int"),
         )
 
     return docs.select(

@@ -1099,6 +1099,55 @@ def wav_meta_q(spark, sf_dir):
     )
 
 
+def _le2_hex(v: int) -> str:
+    """Little-endian int16 hex of a (two's-complement) sample value."""
+    v &= 0xFFFF
+    return f"{v & 0xFF:02X}{v >> 8:02X}"
+
+
+#: The shared PCM16 corpus — sample i of doc d = (d*31 + i*7) % 2001
+#: - 1000 — walks Z_2001 with stride 7, so the whole sample stream is
+#: a contiguous run of the stride-7 ORBIT o(j) = (7j) % 2001 starting
+#: at orbit index j0 = (d*31) * 7^-1 = d*862 (mod 2001; 7*286 = 1
+#: mod 2001, 31*286 = 862 mod 2001). One substring over the doubled
+#: orbit literal replaces the per-sample transform+_le_hex chain
+#: (r13 — the _ppm_pixels cycle rewrite generalized to a strided
+#: modulus; byte-identical, pinned by tests/test_synth_generators.py)
+_PCM16_ORBIT_HEX = "".join(
+    _le2_hex((7 * j) % 2001 - 1000) for j in range(2001)
+) * 2
+
+
+def _pcm16_payload_hex(n):
+    """Hex string Column of doc_id's first ``n`` PCM16 corpus samples
+    (callers unhex; n must stay <= 2001 — every plan uses n <= 99)."""
+    j0 = F.pmod(F.col("doc_id") * 862, F.lit(2001))
+    return F.substring(
+        F.lit(_PCM16_ORBIT_HEX),
+        (j0 * 4 + 1).cast("int"),
+        (n * 4).cast("int"),
+    )
+
+
+#: The shared u-law byte corpus — byte j of doc d = (d*13 + j*17) %
+#: 256 — same orbit construction with stride 17 on Z_256 (17*241 = 1
+#: mod 256, 13*241 = 61 mod 256)
+_ULAW_ORBIT_HEX = "".join(
+    f"{(17 * j) % 256:02X}" for j in range(256)
+) * 2
+
+
+def _ulaw_payload_hex(n):
+    """Hex string Column of doc_id's first ``n`` u-law corpus bytes
+    (n <= 256; every plan uses n <= 99)."""
+    j0 = F.pmod(F.col("doc_id") * 61, F.lit(256))
+    return F.substring(
+        F.lit(_ULAW_ORBIT_HEX),
+        (j0 * 2 + 1).cast("int"),
+        (n * 2).cast("int"),
+    )
+
+
 @query(
     "wav_stats",
     oracle="""
@@ -1146,19 +1195,12 @@ def wav_stats_q(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     n = F.lit(50) + F.pmod("doc_id", F.lit(50))
-    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
-    samp = F.transform(
-        idx,
-        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
-        - 1000,
-    )
-    hexes = F.transform(
-        samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
-    )
+    # one substring over the stride-7 orbit literal (see
+    # _pcm16_payload_hex) instead of a per-sample transform chain
     wavs = docs.select(
         "doc_id",
         synth_wav(
-            F.unhex(F.array_join(hexes, "")),
+            F.unhex(_pcm16_payload_hex(n)),
             F.lit(1), F.lit(16000), F.lit(16),
         ).alias("payload"),
     )
@@ -1214,19 +1256,12 @@ def wav_segment_stats_q(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     n = F.lit(50) + F.pmod("doc_id", F.lit(50))
-    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
-    samp = F.transform(
-        idx,
-        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
-        - 1000,
-    )
-    hexes = F.transform(
-        samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
-    )
+    # one substring over the stride-7 orbit literal (see
+    # _pcm16_payload_hex) instead of a per-sample transform chain
     wavs = docs.select(
         "doc_id",
         synth_wav(
-            F.unhex(F.array_join(hexes, "")),
+            F.unhex(_pcm16_payload_hex(n)),
             F.lit(1), F.lit(16000), F.lit(16),
         ).alias("payload"),
     )
@@ -1288,19 +1323,12 @@ def wav_resample_q(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     n = F.lit(50) + F.pmod("doc_id", F.lit(50))
-    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
-    samp = F.transform(
-        idx,
-        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
-        - 1000,
-    )
-    hexes = F.transform(
-        samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
-    )
+    # one substring over the stride-7 orbit literal (see
+    # _pcm16_payload_hex) instead of a per-sample transform chain
     wavs = docs.select(
         "doc_id",
         synth_wav(
-            F.unhex(F.array_join(hexes, "")),
+            F.unhex(_pcm16_payload_hex(n)),
             F.lit(1), F.lit(16000), F.lit(16),
         ).alias("payload"),
     )
@@ -1372,19 +1400,12 @@ def wav_ulaw_decode_q(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     n = F.lit(60) + F.pmod("doc_id", F.lit(40))
-    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
-    hexes = F.transform(
-        idx,
-        lambda j: F.lpad(
-            F.hex(F.pmod(F.col("doc_id") * 13 + j * 17, F.lit(256))),
-            2,
-            "0",
-        ),
-    )
+    # one substring over the stride-17 orbit literal (see
+    # _ulaw_payload_hex) instead of a per-byte transform chain
     wavs = docs.select(
         "doc_id",
         synth_wav(
-            F.unhex(F.array_join(hexes, "")),
+            F.unhex(_ulaw_payload_hex(n)),
             F.lit(1), F.lit(8000), F.lit(8), F.lit(7),
         ).alias("payload"),
     )
@@ -1620,34 +1641,14 @@ def wav_transcode_stats_q(spark, sf_dir):
 
     # PCM16: the wav_resample plan's sample generator
     n_p = F.lit(50) + F.pmod("doc_id", F.lit(30))
-    pcm_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0).cast("bigint"), (n_p - 1).cast("bigint")),
-            lambda i: _le_hex(
-                (F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
-                 - 1000).bitwiseAND(F.lit(0xFFFF)),
-                2,
-            ),
-        ),
-        "",
-    )
+    pcm_hex = _pcm16_payload_hex(n_p)
     pcm_wav = synth_wav(
         F.unhex(pcm_hex), F.lit(1), F.lit(8000), F.lit(16)
     )
 
     # u-law: the wav_ulaw_decode plan's byte generator
     n_u = F.lit(60) + F.pmod("doc_id", F.lit(40))
-    ulaw_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0).cast("bigint"), (n_u - 1).cast("bigint")),
-            lambda j: F.lpad(
-                F.hex(F.pmod(F.col("doc_id") * 13 + j * 17, F.lit(256))),
-                2,
-                "0",
-            ),
-        ),
-        "",
-    )
+    ulaw_hex = _ulaw_payload_hex(n_u)
     ulaw_wav = synth_wav(
         F.unhex(ulaw_hex), F.lit(1), F.lit(8000), F.lit(8), F.lit(7)
     )
@@ -1769,19 +1770,12 @@ def audio_activity_q(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     n = F.lit(50) + F.pmod("doc_id", F.lit(50))
-    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
-    samp = F.transform(
-        idx,
-        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
-        - 1000,
-    )
-    hexes = F.transform(
-        samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
-    )
+    # one substring over the stride-7 orbit literal (see
+    # _pcm16_payload_hex) instead of a per-sample transform chain
     wavs = docs.select(
         "doc_id",
         synth_wav(
-            F.unhex(F.array_join(hexes, "")),
+            F.unhex(_pcm16_payload_hex(n)),
             F.lit(1), F.lit(16000), F.lit(16),
         ).alias("payload"),
     )
@@ -2987,29 +2981,46 @@ def _synth_scene_avis(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     nf = F.lit(12) + F.pmod("doc_id", F.lit(8))
 
+    # byte j walks k = (start + 31j) % 257 with start = (d*11 + s*29)
+    # % 257 through the quadratic map Q(k) = (k*k % 257) % 256 — i.e.
+    # the frame is one contiguous run of the stride-31 ORBIT
+    # o(m) = Q((31m) % 257), from index j0 = start * 31^-1 = start*199
+    # (mod 257; 31*199 = 1 mod 257). One substring over the doubled
+    # orbit literal + a 2-hex-char splice for the middle-frame jitter
+    # replaces the per-byte transform (r13 cycle rewrite; byte-
+    # identical, pinned by tests/test_synth_generators.py)
+    orbit2 = (
+        "".join(
+            f"{((31 * m) % 257) ** 2 % 257 % 256:02X}"
+            for m in range(257)
+        )
+        * 2
+    )
+
     def frame_bytes(f):
         size = F.lit(24) + F.pmod("doc_id", F.lit(3)) * 8
-
-        def byte(j):
-            k = F.pmod(
-                F.col("doc_id") * 11 + F.floor(f / 3) * 29 + j * 31,
-                F.lit(257),
-            )
-            base = F.pmod(F.pmod(k * k, F.lit(257)), F.lit(256))
-            return F.when(
-                (F.pmod(f, F.lit(3)) == 1) & (j == F.lit(5)),
-                F.pmod(base + 3, F.lit(256)),
-            ).otherwise(base)
-
-        return F.array_join(
-            F.transform(
-                F.sequence(
-                    F.lit(0).cast("bigint"), (size - 1).cast("bigint")
-                ),
-                lambda j: F.lpad(F.hex(byte(j)), 2, "0"),
-            ),
-            "",
+        start = F.pmod(
+            F.col("doc_id") * 11 + F.floor(f / 3) * 29, F.lit(257)
         )
+        j0 = F.pmod(start * 199, F.lit(257))
+        hexs = F.substring(
+            F.lit(orbit2),
+            (j0 * 2 + 1).cast("int"),
+            (size * 2).cast("int"),
+        )
+        # middle frame of each scene: byte 5 jitters by +3 (mod 256)
+        b5 = F.conv(F.substring(hexs, 11, 2), 16, 10).cast("bigint")
+        jit = F.lpad(F.hex(F.pmod(b5 + 3, F.lit(256))), 2, "0")
+        return F.when(
+            F.pmod(f, F.lit(3)) == 1,
+            F.concat(
+                F.substring(hexs, 1, 10),
+                jit,
+                F.substring(
+                    hexs, 13, (size * 2 - 12).cast("int")
+                ),
+            ),
+        ).otherwise(hexs)
 
     return docs.select(
         "doc_id",

@@ -140,6 +140,99 @@ def test_neardup_wavs_match_per_sample_transform(spark, sf_dir):
     _assert_identical(joined, F.col("old_payload"), F.col("payload"))
 
 
+def test_pcm16_orbit_matches_per_sample_transform(spark):
+    from beavers_spark.functions.multimodal import _le_hex
+    from beavers_spark.plans.llmops import _pcm16_payload_hex
+
+    # 2100 ids cross the full 2001 modulus; n spans both plan variants
+    df = _ids(spark, 0, 2100)
+    n = F.lit(50) + F.pmod("doc_id", F.lit(50))
+    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
+    samp = F.transform(
+        idx,
+        lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(2001))
+        - 1000,
+    )
+    old = F.unhex(
+        F.array_join(
+            F.transform(
+                samp, lambda v: _le_hex(v.bitwiseAND(F.lit(0xFFFF)), 2)
+            ),
+            "",
+        )
+    )
+    _assert_identical(df, old, F.unhex(_pcm16_payload_hex(n)))
+
+
+def test_ulaw_orbit_matches_per_byte_transform(spark):
+    from beavers_spark.plans.llmops import _ulaw_payload_hex
+
+    df = _ids(spark, 0, 600)
+    n = F.lit(60) + F.pmod("doc_id", F.lit(40))
+    idx = F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint"))
+    old = F.unhex(
+        F.array_join(
+            F.transform(
+                idx,
+                lambda j: F.lpad(
+                    F.hex(
+                        F.pmod(
+                            F.col("doc_id") * 13 + j * 17, F.lit(256)
+                        )
+                    ),
+                    2,
+                    "0",
+                ),
+            ),
+            "",
+        )
+    )
+    _assert_identical(df, old, F.unhex(_ulaw_payload_hex(n)))
+
+
+def test_scene_avis_match_per_byte_transform(spark, sf_dir):
+    from beavers_spark.functions.multimodal import synth_avi, synth_movi
+    from beavers_spark.plans.llmops import _synth_scene_avis
+
+    new = _synth_scene_avis(spark, sf_dir)
+    docs = new.select("doc_id")
+    nf = F.lit(12) + F.pmod("doc_id", F.lit(8))
+
+    def old_bytes(f):
+        size = F.lit(24) + F.pmod("doc_id", F.lit(3)) * 8
+
+        def byte(j):
+            k = F.pmod(
+                F.col("doc_id") * 11 + F.floor(f / 3) * 29 + j * 31,
+                F.lit(257),
+            )
+            base = F.pmod(F.pmod(k * k, F.lit(257)), F.lit(256))
+            return F.when(
+                (F.pmod(f, F.lit(3)) == 1) & (j == F.lit(5)),
+                F.pmod(base + 3, F.lit(256)),
+            ).otherwise(base)
+
+        return F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("bigint"), (size - 1).cast("bigint")
+                ),
+                lambda j: F.lpad(F.hex(byte(j)), 2, "0"),
+            ),
+            "",
+        )
+
+    old = docs.select(
+        "doc_id",
+        synth_avi(
+            synth_movi(nf, old_bytes),
+            F.lit(33333), nf, F.lit(64), F.lit(48),
+        ).alias("old_payload"),
+    )
+    joined = new.join(old, "doc_id")
+    _assert_identical(joined, F.col("old_payload"), F.col("payload"))
+
+
 def test_tagged_frame_avis_match_per_byte_transform(spark, sf_dir):
     """bench._tagged_frame_avis: the wave-disjoint twin's cycle rewrite
     against its original per-byte arithmetic ((d*11+f*13+j)%64 +

@@ -23,7 +23,10 @@ def main() -> int:
     import bench
     from beavers_spark.plans import QUERIES
 
-    names = [n for n in bench.HEADLINE + bench.ANALYTICS if not only or n in only]
+    tier = bench.HEADLINE + bench.ANALYTICS
+    names = [n for n in tier if not only or n in only]
+    # touched non-tier plans can be named explicitly
+    names += [n for n in only if n in QUERIES and n not in tier]
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(outdir, exist_ok=True)
 

@@ -382,17 +382,18 @@ def chunk_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_chunks(F.col(text_col), k)).alias("idx", "chunk"),
     ).withColumn("h", md5_hash64(F.col("chunk")))
-    # materialize once: owners, the kept join, AND totals each re-ran
-    # the segment explode+hash otherwise (3x Generate in the plan)
+    # materialize once: the kept aggregation AND totals each re-ran
+    # the segment explode+hash otherwise (2x Generate in the plan)
     segs = segs.localCheckpoint()
-    occ = F.struct(F.col("doc_id"), F.col("idx"))
-    owners = (
-        segs.groupBy("h").agg(F.min(occ).alias("owner")).withColumnRenamed(
-            "h", "oh"
-        )
-    )
-    kept = segs.join(
-        owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
+    # ONE partial-combined min aggregation yields the kept owner ROW
+    # directly: (doc_id, idx) is unique within a hash group and leads
+    # the struct, so the lexicographic min picks exactly the row the
+    # old owners-join-back selected — same rows, one exchange of segs
+    # instead of an aggregate plus a join (r13)
+    kept = (
+        segs.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "idx", "chunk")).alias("o"))
+        .select("h", "o.doc_id", "o.idx", "o.chunk")
     )
     totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
     return (

@@ -69,6 +69,7 @@ from beavers_spark.streaming.maintenance import (
     ensure_layout,
     fanout_repartition,
     maybe_auto_compact,
+    overlap_jobs,
     partition_stats,
     prune_hash_buckets,
     recover_compaction,
@@ -308,15 +309,23 @@ class IncrementalChunkDedup:
         ).withColumn("h", md5_hash64(F.col("chunk"))).persist()
         # lexicographic struct min — no packing range limit (mirrors
         # the batch twin in functions/curation.py)
-        occ = F.struct(F.col("doc_id"), F.col("idx"))
-        owners = (
+        # ONE partial-combined min aggregation yields the owner ROW
+        # directly: (doc_id, idx) is unique within a hash group and
+        # leads the struct, so the lexicographic min picks exactly the
+        # row the old owners-join-back selected — same rows, one
+        # exchange of segs instead of an aggregate plus a join (r13)
+        winners = (
             segs.groupBy("h")
-            .agg(F.min(occ).alias("owner"))
-            .withColumnRenamed("h", "oh")
+            .agg(
+                F.min(
+                    F.struct("doc_id", "idx", "chunk", "n_chunks")
+                ).alias("o")
+            )
+            .select(
+                "h", "o.doc_id", "o.idx", "o.chunk", "o.n_chunks"
+            )
+            .persist()
         )
-        winners = segs.join(
-            owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
-        ).select("h", "doc_id", "idx", "chunk", "n_chunks").persist()
         new_owned = winners
         try:
             with timed_phase(self.phase_seconds, "winners_count"):
@@ -390,50 +399,11 @@ class IncrementalChunkDedup:
             # predicates min/max pruning without the old waves x
             # buckets directory explosion)
             wave_dir = f"{self.state_path}/w={batch_id}"
-            with timed_phase(self.phase_seconds, "state_write"):
-                (
-                    new_owned.withColumn(
-                        "b",
-                        F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
-                    )
-                    # no explicit partition count: AQE coalesces
-                    # the shuffle by size, so a SMALL wave lands as
-                    # ONE file (VERDICT r12 item 4) and a big wave
-                    # gets as many b-hash partitions as its bytes
-                    # need — no post-write shrink job
-                    .repartition(F.col("b"))
-                    .sortWithinPartitions("b", "h")
-                    .write.mode("overwrite")
-                    .parquet(wave_dir)
-                )
-            files, nbytes, mx = partition_stats(spark, [wave_dir])
-            self.metrics.append(
-                WaveMetrics(batch_id, 1, files, nbytes, mx)
-            )
-            if pre_h is not None:
-                # PRE-anti hash set: a superset bitmap only adds false
-                # positives (an unnecessary wave scan), never wrong
-                # answers
-                self._bloom.save_wave(wave_dir, pre_h)
-            elif overcap:
-                # executor-side bitmap over the PERSISTED new_owned
-                # frame (the wave's EXACT registered set) — bounded by
-                # the bitmap size, never the key count. NOT a read-back
-                # of wave_dir: the persisted frame is already resident
-                # (a read-back would be a whole extra scan job), and a
-                # fully-redelivered over-cap batch's empty frame just
-                # builds a zero bitmap.
-                self._bloom.save_wave_distributed(
-                    wave_dir, new_owned.select("h"), "h"
-                )
-            # the wave's doc-id bitmap — what future batches' seen
-            # probes test against (maintenance.DocSeenGuard); stash
-            # captured first so the OUT table's sidecar below can
-            # reuse the same key set (save_wave consumes it)
+            out_dir = f"{self.out_path}/w={batch_id}"
+            # stash captured BEFORE the state sidecar consumes it (the
+            # overlapped thunks below must not share mutable driver
+            # state — see maintenance.overlap_jobs)
             stash = self._doc_seen._batch_keys
-            with timed_phase(self.phase_seconds, "seen_sidecar"):
-                self._doc_seen.save_wave(spark, wave_dir, batch_id)
-            self._has_state = True
             kept = new_owned.groupBy("doc_id").agg(
                 F.array_join(
                     F.transform(
@@ -447,22 +417,77 @@ class IncrementalChunkDedup:
                 F.count("*").alias("n_kept"),
                 F.first("n_chunks").alias("n_chunks"),
             )
-            # per-wave overwrite (idempotent under a crash between this
-            # write and the mark — append mode duplicated the batch's
-            # rows on exactly that replay); written even when empty so
-            # read_kept() is valid from batch 0
-            out_dir = f"{self.out_path}/w={batch_id}"
-            with timed_phase(self.phase_seconds, "out_write"):
-                kept.write.mode("overwrite").parquet(out_dir)
-            # out-table doc sidecar from the SAME batch key set the
-            # state sidecar used (stash captured above) — no read-back
-            with timed_phase(self.phase_seconds, "seen_sidecar"):
-                if stash is not None and stash[0] == batch_id:
-                    self._doc_seen_out.save_wave(
-                        spark, out_dir, keys=stash[1]
+
+            def _commit_state():
+                with timed_phase(self.phase_seconds, "state_write"):
+                    (
+                        new_owned.withColumn(
+                            "b",
+                            F.pmod(
+                                F.col("h"), F.lit(self.n_hash_buckets)
+                            ),
+                        )
+                        # no explicit partition count: AQE coalesces
+                        # the shuffle by size, so a SMALL wave lands as
+                        # ONE file (VERDICT r12 item 4) and a big wave
+                        # gets as many b-hash partitions as its bytes
+                        # need — no post-write shrink job
+                        .repartition(F.col("b"))
+                        .sortWithinPartitions("b", "h")
+                        .write.mode("overwrite")
+                        .parquet(wave_dir)
                     )
-                else:
-                    self._doc_seen_out.save_wave(spark, out_dir)
+                files, nbytes, mx = partition_stats(spark, [wave_dir])
+                self.metrics.append(
+                    WaveMetrics(batch_id, 1, files, nbytes, mx)
+                )
+                if pre_h is not None:
+                    # PRE-anti hash set: a superset bitmap only adds
+                    # false positives (an unnecessary wave scan), never
+                    # wrong answers
+                    self._bloom.save_wave(wave_dir, pre_h)
+                elif overcap:
+                    # executor-side bitmap over the PERSISTED new_owned
+                    # frame (the wave's EXACT registered set) — bounded
+                    # by the bitmap size, never the key count. NOT a
+                    # read-back of wave_dir: the persisted frame is
+                    # already resident (a read-back would be a whole
+                    # extra scan job), and a fully-redelivered over-cap
+                    # batch's empty frame just builds a zero bitmap.
+                    self._bloom.save_wave_distributed(
+                        wave_dir, new_owned.select("h"), "h"
+                    )
+                # the wave's doc-id bitmap — what future batches' seen
+                # probes test against (maintenance.DocSeenGuard)
+                with timed_phase(self.phase_seconds, "seen_sidecar"):
+                    self._doc_seen.save_wave(spark, wave_dir, batch_id)
+
+            def _commit_out():
+                # per-wave overwrite (idempotent under a crash between
+                # this write and the mark — append mode duplicated the
+                # batch's rows on exactly that replay); written even
+                # when empty so read_kept() is valid from batch 0
+                with timed_phase(self.phase_seconds, "out_write"):
+                    kept.write.mode("overwrite").parquet(out_dir)
+                # out-table doc sidecar from the SAME batch key set the
+                # state sidecar used (stash captured above) — no
+                # read-back
+                with timed_phase(self.phase_seconds, "out_sidecar"):
+                    if stash is not None and stash[0] == batch_id:
+                        self._doc_seen_out.save_wave(
+                            spark, out_dir, keys=stash[1]
+                        )
+                    else:
+                        self._doc_seen_out.save_wave(spark, out_dir)
+
+            # the two commit chains touch disjoint directories and
+            # read only persisted frames — run them as concurrent
+            # Spark jobs so one chain's straggler tail back-fills
+            # with the other's tasks; a crash with either half
+            # written replays the whole wave (both writes are
+            # idempotent per-wave overwrites, watermark unmarked)
+            overlap_jobs(_commit_state, _commit_out)
+            self._has_state = True
             self._watermark.mark(batch_id)
         finally:
             # deterministic block release (see module docstring)

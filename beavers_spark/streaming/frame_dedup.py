@@ -52,6 +52,7 @@ from beavers_spark.streaming.maintenance import (
     ensure_layout,
     fanout_repartition,
     maybe_auto_compact,
+    overlap_jobs,
     partition_stats,
     prune_hash_buckets,
     recover_compaction,
@@ -282,17 +283,27 @@ class IncrementalFrameDedup:
             .cast("bigint")
             .alias("h"),
         ).persist()
-        occ = F.struct(F.col("doc_id"), F.col("frame_idx"))
-        owners = (
+        # ONE partial-combined min aggregation yields the owner ROW
+        # directly: (doc_id, frame_idx) is unique within a content
+        # group and leads the struct, so the lexicographic min picks
+        # exactly the row the old owners-join-back selected — same
+        # rows, one exchange of segs instead of an aggregate plus a
+        # join (r13)
+        winners = (
             segs.groupBy("h")
-            .agg(F.min(occ).alias("owner"))
-            .withColumnRenamed("h", "oh")
+            .agg(
+                F.min(
+                    F.struct(
+                        "doc_id", "frame_idx", "n_bytes", "frame_md5"
+                    )
+                ).alias("o")
+            )
+            .select(
+                "h", "o.doc_id", "o.frame_idx", "o.n_bytes",
+                "o.frame_md5",
+            )
+            .persist()
         )
-        winners = segs.join(
-            owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
-        ).select(
-            "h", "doc_id", "frame_idx", "n_bytes", "frame_md5"
-        ).persist()
         new_owned = winners
         try:
             with timed_phase(self.phase_seconds, "winners_count"):
@@ -346,51 +357,65 @@ class IncrementalFrameDedup:
                 return
 
             wave_dir = f"{self.state_path}/w={batch_id}"
-            with timed_phase(self.phase_seconds, "state_write"):
-                (
-                    new_owned.select("h", "doc_id", "frame_idx")
-                    .withColumn(
-                        "b",
-                        F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
-                    )
-                    # no explicit partition count: AQE coalesces
-                    # the shuffle by size, so a SMALL wave lands as
-                    # ONE file (VERDICT r12 item 4) and a big wave
-                    # gets as many b-hash partitions as its bytes
-                    # need — no post-write shrink job
-                    .repartition(F.col("b"))
-                    .sortWithinPartitions("b", "h")
-                    .write.mode("overwrite")
-                    .parquet(wave_dir)
-                )
-            files, nbytes, mx = partition_stats(spark, [wave_dir])
-            self.metrics.append(
-                WaveMetrics(batch_id, 1, files, nbytes, mx)
-            )
-            if pre_h is not None:
-                # PRE-anti key set: a superset bitmap only adds false
-                # positives, never wrong answers
-                self._bloom.save_wave(wave_dir, pre_h)
-            elif overcap:
-                # executor-side bitmap over the PERSISTED new_owned
-                # frame (never a read-back of wave_dir: the persisted
-                # frame is already resident — a read-back would be a
-                # whole extra scan job)
-                self._bloom.save_wave_distributed(
-                    wave_dir, new_owned.select("h"), "h"
-                )
-            # the wave's doc-id bitmap, from the committed read-back —
-            # what future batches' seen probes test against
-            with timed_phase(self.phase_seconds, "seen_sidecar"):
-                self._doc_seen.save_wave(spark, wave_dir, batch_id)
-            self._has_state = True
 
-            with timed_phase(self.phase_seconds, "out_write"):
-                new_owned.select(
-                    "doc_id", "frame_idx", "n_bytes", "frame_md5"
-                ).write.mode("overwrite").parquet(
-                    f"{self.out_path}/w={batch_id}"
+            def _commit_state():
+                with timed_phase(self.phase_seconds, "state_write"):
+                    (
+                        new_owned.select("h", "doc_id", "frame_idx")
+                        .withColumn(
+                            "b",
+                            F.pmod(
+                                F.col("h"), F.lit(self.n_hash_buckets)
+                            ),
+                        )
+                        # no explicit partition count: AQE coalesces
+                        # the shuffle by size, so a SMALL wave lands as
+                        # ONE file (VERDICT r12 item 4) and a big wave
+                        # gets as many b-hash partitions as its bytes
+                        # need — no post-write shrink job
+                        .repartition(F.col("b"))
+                        .sortWithinPartitions("b", "h")
+                        .write.mode("overwrite")
+                        .parquet(wave_dir)
+                    )
+                files, nbytes, mx = partition_stats(spark, [wave_dir])
+                self.metrics.append(
+                    WaveMetrics(batch_id, 1, files, nbytes, mx)
                 )
+                if pre_h is not None:
+                    # PRE-anti key set: a superset bitmap only adds
+                    # false positives, never wrong answers
+                    self._bloom.save_wave(wave_dir, pre_h)
+                elif overcap:
+                    # executor-side bitmap over the PERSISTED new_owned
+                    # frame (never a read-back of wave_dir: the
+                    # persisted frame is already resident — a read-back
+                    # would be a whole extra scan job)
+                    self._bloom.save_wave_distributed(
+                        wave_dir, new_owned.select("h"), "h"
+                    )
+                # the wave's doc-id bitmap, from the committed
+                # read-back — what future batches' seen probes test
+                # against
+                with timed_phase(self.phase_seconds, "seen_sidecar"):
+                    self._doc_seen.save_wave(spark, wave_dir, batch_id)
+
+            def _commit_out():
+                with timed_phase(self.phase_seconds, "out_write"):
+                    new_owned.select(
+                        "doc_id", "frame_idx", "n_bytes", "frame_md5"
+                    ).write.mode("overwrite").parquet(
+                        f"{self.out_path}/w={batch_id}"
+                    )
+
+            # the two commit chains touch disjoint directories and
+            # read only the persisted new_owned frame — run them as
+            # concurrent Spark jobs so one chain's straggler tail
+            # back-fills with the other's tasks; a crash with either
+            # half written replays the whole wave (both writes are
+            # idempotent per-wave overwrites, watermark unmarked)
+            overlap_jobs(_commit_state, _commit_out)
+            self._has_state = True
             self._watermark.mark(batch_id)
         finally:
             if new_owned is not winners:

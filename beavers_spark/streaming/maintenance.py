@@ -1448,6 +1448,37 @@ def fanout_repartition(batch, probe=None, min_fraction: float = 0.5):
     return batch
 
 
+def overlap_jobs(*thunks) -> None:
+    """Run independent wave-commit Spark actions CONCURRENTLY so the
+    straggler tail of one job back-fills with the other's tasks
+    (Spark's scheduler runs several jobs at once inside one
+    application; actions are only sequential because driver code calls
+    them sequentially).
+
+    The caller must guarantee independence: no thunk may read a
+    directory another thunk writes, and any shared driver state must
+    be captured before the call. All thunks are awaited; the first
+    exception propagates only after every thunk has settled, so a
+    failed commit never leaves a sibling write still in flight when
+    the caller's crash-replay logic runs.
+    """
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs: list[BaseException] = []
+        for f in futures:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
+
+
 def live_wave_count(state_dir: str) -> int:
     """Number of live ``w=<id>`` wave partitions in a state table
     (the compaction-cadence trigger input — one driver-local listdir,

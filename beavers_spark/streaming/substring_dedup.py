@@ -75,6 +75,7 @@ from beavers_spark.streaming.maintenance import (
     ensure_layout,
     fanout_repartition,
     maybe_auto_compact,
+    overlap_jobs,
     partition_stats,
     PROBE_BROADCAST_CAP,
     ProbeMetrics,
@@ -333,15 +334,17 @@ class IncrementalSubstringDedup:
         # backlog raced later batches (the r5 rep-2 anomaly:
         # 8.0s -> 22.1s between consecutive bench repetitions)
         spans = spans.persist()
-        occ = F.struct(F.col("doc_id"), F.col("idx"))
-        owners = (
+        # ONE partial-combined min aggregation yields the owner
+        # occurrence directly: (doc_id, idx) is unique within a hash
+        # group, so the struct min IS the row the old owners-join-back
+        # selected — same rows, one exchange of spans instead of an
+        # aggregate plus a join (r13)
+        winners = (
             spans.groupBy("h")
-            .agg(F.min(occ).alias("owner"))
-            .withColumnRenamed("h", "oh")
+            .agg(F.min(F.struct("doc_id", "idx")).alias("o"))
+            .select("h", "o.doc_id", "o.idx")
+            .persist()
         )
-        winners = spans.join(
-            owners, (F.col("h") == F.col("oh")) & (occ == F.col("owner"))
-        ).select("h", "doc_id", "idx").persist()
         # post-probe registered owners; persisted so the wave write and
         # the duplicate pass share ONE registry probe execution
         new_owned = winners
@@ -419,43 +422,47 @@ class IncrementalSubstringDedup:
             # predicates min/max pruning without the old waves x
             # buckets directory explosion)
             wave_dir = f"{self.state_path}/w={batch_id}"
-            with timed_phase(self.phase_seconds, "state_write"):
-                (
-                    new_owned.withColumn(
-                        "b",
-                        F.pmod(F.col("h"), F.lit(self.n_hash_buckets)),
+
+            def _commit_state():
+                with timed_phase(self.phase_seconds, "state_write"):
+                    (
+                        new_owned.withColumn(
+                            "b",
+                            F.pmod(
+                                F.col("h"), F.lit(self.n_hash_buckets)
+                            ),
+                        )
+                        # no explicit partition count: AQE coalesces
+                        # the shuffle by size, so a SMALL wave lands as
+                        # ONE file (VERDICT r12 item 4) and a big wave
+                        # gets as many b-hash partitions as its bytes
+                        # need — no post-write shrink job
+                        .repartition(F.col("b"))
+                        .sortWithinPartitions("b", "h")
+                        .write.mode("overwrite")
+                        .parquet(wave_dir)
                     )
-                    # no explicit partition count: AQE coalesces
-                    # the shuffle by size, so a SMALL wave lands as
-                    # ONE file (VERDICT r12 item 4) and a big wave
-                    # gets as many b-hash partitions as its bytes
-                    # need — no post-write shrink job
-                    .repartition(F.col("b"))
-                    .sortWithinPartitions("b", "h")
-                    .write.mode("overwrite")
-                    .parquet(wave_dir)
-                )
-            if pre_h is not None:
-                # bitmap from the PRE-anti hash set (a superset of the
-                # registered one — extra bits only add false positives,
-                # which cost a wave scan, never correctness)
-                self._bloom.save_wave(wave_dir, pre_h)
-            elif overcap:
-                # executor-side bitmap over the PERSISTED new_owned
-                # frame (the wave's EXACT registered set) — bounded by
-                # the bitmap size, never the key count. NOT a read-back
-                # of wave_dir: the persisted frame is already resident
-                # (a read-back would be a whole extra scan job), and a
-                # fully-redelivered over-cap batch's empty frame just
-                # builds a zero bitmap.
-                self._bloom.save_wave_distributed(
-                    wave_dir, new_owned.select("h"), "h"
-                )
-            # the wave's doc-id bitmap — what future batches' seen
-            # probes test against (maintenance.DocSeenGuard)
-            with timed_phase(self.phase_seconds, "seen_sidecar"):
-                self._doc_seen.save_wave(spark, wave_dir, batch_id)
-            self._has_state = True
+                if pre_h is not None:
+                    # bitmap from the PRE-anti hash set (a superset of
+                    # the registered one — extra bits only add false
+                    # positives, which cost a wave scan, never
+                    # correctness)
+                    self._bloom.save_wave(wave_dir, pre_h)
+                elif overcap:
+                    # executor-side bitmap over the PERSISTED new_owned
+                    # frame (the wave's EXACT registered set) — bounded
+                    # by the bitmap size, never the key count. NOT a
+                    # read-back of wave_dir: the persisted frame is
+                    # already resident (a read-back would be a whole
+                    # extra scan job), and a fully-redelivered over-cap
+                    # batch's empty frame just builds a zero bitmap.
+                    self._bloom.save_wave_distributed(
+                        wave_dir, new_owned.select("h"), "h"
+                    )
+                # the wave's doc-id bitmap — what future batches' seen
+                # probes test against (maintenance.DocSeenGuard)
+                with timed_phase(self.phase_seconds, "seen_sidecar"):
+                    self._doc_seen.save_wave(spark, wave_dir, batch_id)
 
             # every occurrence that did not become an owner is a
             # duplicate: within-batch non-minimal occurrences AND
@@ -504,16 +511,27 @@ class IncrementalSubstringDedup:
                     ),
                 )
             )
-            # written even when empty so read_dup_ranges() is valid from
-            # batch 0; per-wave overwrite = replay-idempotent output
-            with timed_phase(self.phase_seconds, "out_write"):
-                ranges.write.mode("overwrite").parquet(
-                    f"{self.out_path}/w={batch_id}"
-                )
-            with timed_phase(self.phase_seconds, "seen_sidecar"):
-                self._doc_seen_out.save_wave(
-                    spark, f"{self.out_path}/w={batch_id}", batch_id
-                )
+            def _commit_out():
+                # written even when empty so read_dup_ranges() is valid
+                # from batch 0; per-wave overwrite = replay-idempotent
+                # output
+                with timed_phase(self.phase_seconds, "out_write"):
+                    ranges.write.mode("overwrite").parquet(
+                        f"{self.out_path}/w={batch_id}"
+                    )
+                with timed_phase(self.phase_seconds, "out_sidecar"):
+                    self._doc_seen_out.save_wave(
+                        spark, f"{self.out_path}/w={batch_id}", batch_id
+                    )
+
+            # the two commit chains touch disjoint directories and read
+            # only persisted frames — run them as concurrent Spark jobs
+            # so one chain's straggler tail back-fills with the other's
+            # tasks; a crash with either half written replays the whole
+            # wave (both writes are idempotent per-wave overwrites,
+            # watermark unmarked)
+            overlap_jobs(_commit_state, _commit_out)
+            self._has_state = True
             files, nbytes, mx = partition_stats(spark, [wave_dir])
             self.metrics.append(WaveMetrics(batch_id, 1, files, nbytes, mx))
             self._watermark.mark(batch_id)

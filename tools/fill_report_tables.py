@@ -26,19 +26,19 @@ ACTIONS_STATE = {
     "inc_ivf_index": "left alone (cell-partitioned ingest+search)",
     "inc_ivfpq_index": "left alone",
     "inc_clusters": "left alone (bounded union-find + broadcast)",
-    "inc_chunk_dedup": "left alone (r13-partial already AQE-coalesced)",
-    "inc_chunk_dedup_probed": "left alone",
-    "inc_chunk_dedup_auto": "left alone (compaction cadence = contract)",
-    "inc_forget": "left alone (O(request) sweep = contract)",
-    "inc_substring_dedup": "left alone",
-    "inc_substring_dedup_probed": "left alone",
+    "inc_chunk_dedup": "struct-min ownership; overlapped commits",
+    "inc_chunk_dedup_probed": "struct-min ownership; overlapped commits",
+    "inc_chunk_dedup_auto": "struct-min + overlap (cadence = contract)",
+    "inc_forget": "struct-min + overlap ingest (sweep = contract)",
+    "inc_substring_dedup": "struct-min ownership; overlapped commits",
+    "inc_substring_dedup_probed": "struct-min ownership; overlapped commits",
     "inc_classifier": "pyarrow wave counts; fused GD setup; shared base",
     "inc_classifier_refit1": "pyarrow wave counts; fused GD setup; shared base",
     "inc_classifier_capped": "pyarrow wave counts; fused GD setup; shared base",
     "inc_tfidf_dedup": "left alone (r13-partial already AQE-coalesced)",
     "inc_tfidf_dedup_pruned": "left alone",
-    "inc_frame_dedup": "cycle-literal synth; bytes-arith decode",
-    "inc_frame_dedup_probed": "cycle-literal tagged synth; decode",
+    "inc_frame_dedup": "cycle synth; bytes decode; struct-min; overlap",
+    "inc_frame_dedup_probed": "cycle tagged synth; decode; struct-min; overlap",
     "inc_frame_neardup": "cycle synth; decode; rebalance sig write",
     "inc_audio_neardup": "cycle-constant WAV synth; rebalance sig write",
     "inc_image_neardup": "cycle-literal PPM synth; rebalance sig write",

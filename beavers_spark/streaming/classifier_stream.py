@@ -67,6 +67,7 @@ from beavers_spark.functions.classifier import (
 )
 from beavers_spark.functions.dedup import md5_hash64
 from beavers_spark.streaming.maintenance import (
+    BLOOM_PROBE_CAP,
     BatchWatermark,
     DocSeenGuard,
     ensure_layout,
@@ -86,13 +87,21 @@ from beavers_spark.streaming.maintenance import (
 _SLICE_MOD = 1 << 40
 
 
-def _wave_distinct_local(wave_dir: str, id_col: str) -> int | None:
+def _wave_distinct_local(
+    wave_dir: str, id_col: str, row_cap: int = BLOOM_PROBE_CAP
+) -> int | None:
     """Distinct-id count of one wave from its parquet files,
     driver-local (no Spark job); None when the root isn't listable
-    (non-POSIX / object store) or the column can't be read — callers
-    fall back to the exact Spark distinct count. A wave is batch-sized
-    by construction, so the driver-side set is bounded like the Bloom
-    key collects."""
+    (non-POSIX / object store), the column can't be read, or the
+    wave's parquet FOOTERS already show more than ``row_cap`` rows —
+    callers fall back to the exact (distributed) Spark distinct count.
+    The cap mirrors ``WaveBloomIndex.probe_cap``: "a wave is
+    batch-sized" is an assumption, not a bound — a compacted ``w=-1``
+    wave holds the whole registry, and at scale a micro-batch can
+    carry more ids than the driver should ever hold in a Python set.
+    The footer pre-check reads metadata only, so an over-cap wave
+    costs no data bytes before the hand-off (the ``_band_keys_local``
+    precedent)."""
     import glob as _glob
 
     try:
@@ -105,6 +114,9 @@ def _wave_distinct_local(wave_dir: str, id_col: str) -> int | None:
             return 0
         import pyarrow.parquet as pq
 
+        # over-cap detection from footers alone, BEFORE any data read
+        if sum(pq.read_metadata(f).num_rows for f in files) > row_cap:
+            return None
         seen: set = set()
         for f in files:
             seen.update(

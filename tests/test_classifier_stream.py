@@ -500,3 +500,35 @@ def test_all_empty_first_wave_does_not_wedge(spark, tmp_path):
         )
     )
     assert _model_map(clf.model(spark)) == want
+
+
+def test_wave_distinct_local_row_cap_falls_back_to_spark(
+    spark, tmp_path, monkeypatch
+):
+    """The driver-local wave distinct count is BOUNDED: past ``row_cap``
+    total rows (checked from parquet footers alone, before any data
+    read) it returns None and the kernel takes the distributed Spark
+    distinct count instead — so a compacted ``w=-1`` wave holding the
+    whole registry, or any at-scale micro-batch, can never pull an
+    unbounded id column into a driver-side Python set (VERDICT r13
+    item 1 / ADVICE r13)."""
+    from beavers_spark.streaming import classifier_stream as cs
+
+    clf = _mk(spark, tmp_path)
+    clf(_docs(spark, POS + NEG), 0)
+    wave_dir = str(tmp_path / "clf_state" / "w=0")
+
+    # under the cap: exact distinct-id count, driver-local
+    assert cs._wave_distinct_local(wave_dir, "doc_id") == 10
+    # over the cap (footers already show > row_cap rows): hand-off
+    assert cs._wave_distinct_local(wave_dir, "doc_id", row_cap=3) is None
+
+    # end-to-end: with the driver-local path refusing, the kernel's
+    # Spark fallback must produce the same exact sidecar counts
+    monkeypatch.setattr(
+        cs, "_wave_distinct_local", lambda *a, **k: None
+    )
+    clf(_docs(spark, POS[:3], start=50), 1)
+    counts = clf._read_counts()
+    assert counts == {"0": 10, "1": 3}
+    assert clf._registry_doc_count(spark) == 13

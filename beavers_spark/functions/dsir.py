@@ -158,10 +158,22 @@ def dsir_logweights(
     ``target_pred``: when the target IS a predicate-filtered slice of
     ``raw`` (the plans' shape), pass the predicate instead of relying
     on the separate ``target`` frame — the flag rides the ONE feature
-    pass and the target model's counts fall out of the same exchange
-    (ReuseExchange), instead of paying a second explode+md5 pass over
-    the target slice. Counts — and so every weight — are identical
-    either way (same tokenizer, same hash, same doc set).
+    pass and the target model's counts aggregate from the same
+    materialized ``doc_tf``, instead of paying a second explode+md5
+    pass over the target slice. Counts — and so every weight — are
+    identical either way (same tokenizer, same hash, same doc set).
+
+    ``doc_tf`` (and each ≤``n_buckets``-row model table) is
+    materialized ONCE via a lazy ``localCheckpoint``: it has five
+    consumer subtrees (both model fits, both smoothing-floor totals,
+    the scoring join), and without the checkpoint Catalyst compiles a
+    separate copy of the explode+md5 feature pass into every one of
+    them — the r13 executed plan ran the full-pool feature pass 9
+    times and runtime exchange reuse never fired (column pruning makes
+    each consumer's exchange differ). Lazy (not eager) so the
+    materialization happens inside the caller's action, and a
+    checkpoint (not ``persist``) so no CacheManager entry outlives the
+    plan (the semdedup precedent).
     """
     if target_pred is not None:
         doc_tf = (
@@ -170,11 +182,13 @@ def dsir_logweights(
             )
             .groupBy(id_col, "tgt", "bucket")
             .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=False)
         )
         p_t = _model_from_counts(
             doc_tf.filter(F.col("tgt"))
             .groupBy("bucket")
-            .agg(F.sum("tf").alias("c")),
+            .agg(F.sum("tf").alias("c"))
+            .localCheckpoint(eager=False),
             n_buckets,
             alpha,
         )
@@ -184,12 +198,20 @@ def dsir_logweights(
             hashed_ngram_features(raw, text_col, id_col, n_buckets)
             .groupBy(id_col, "bucket")
             .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=False)
         )
-        p_t = hashed_ngram_model(
-            target, text_col, id_col, n_buckets, alpha
+        p_t = _model_from_counts(
+            hashed_ngram_features(target, text_col, id_col, n_buckets)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=False),
+            n_buckets,
+            alpha,
         )
     p_q = _model_from_counts(
-        doc_tf.groupBy("bucket").agg(F.sum("tf").alias("c")),
+        doc_tf.groupBy("bucket")
+        .agg(F.sum("tf").alias("c"))
+        .localCheckpoint(eager=False),
         n_buckets,
         alpha,
     )

@@ -139,6 +139,17 @@ def logreg_fit_from_counts(
     feed it the same rows from any storage/partitioning and the model
     is byte-identical (what the incremental refit relies on).
 
+    PRECONDITION (ADVICE r13): every ``doc_tf`` id must carry a label —
+    ``labels``' id set ⊇ ``doc_tf``'s. The fused iteration-1 path
+    derives the observed-bucket set from the gradient join with
+    ``labels``, so a bucket appearing only under unlabeled ids would no
+    longer emit its ``w = 0.0`` row (and a non-empty ``doc_tf`` with
+    EMPTY ``labels`` returns the empty model, not all-zero weights).
+    Every in-repo caller featurizes labeled docs, so the sets match by
+    construction; an external caller with partially-labeled counts must
+    filter ``doc_tf`` to labeled ids first (or seed missing buckets
+    itself) to get the same bytes as the pre-r13 two-pass form.
+
     r13: the old separate setup job (countDistinct + collect_set to
     seed w0 = 0 per observed bucket) is folded away — iteration 1's
     gradient groupBy already emits exactly the observed-bucket set

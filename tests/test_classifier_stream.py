@@ -532,3 +532,22 @@ def test_wave_distinct_local_row_cap_falls_back_to_spark(
     counts = clf._read_counts()
     assert counts == {"0": 10, "1": 3}
     assert clf._registry_doc_count(spark) == 13
+
+
+def test_registry_one_label_per_id_invariant(spark, tmp_path):
+    """Labels derive from the registry via ``dropDuplicates([id])``,
+    which picks an ARBITRARY y if an id ever lands with two labels (a
+    replay/compaction bug class — the redelivery guard is what rules it
+    out). Guard the invariant loudly (ADVICE r13): after ingest,
+    ``count(distinct id) == count(distinct (id, y))`` must hold on the
+    registry, so a violation fails here instead of silently training
+    on an arbitrary label."""
+    clf = _mk(spark, tmp_path)
+    clf(_docs(spark, POS + NEG), 0)
+    clf(_docs(spark, POS[:3] + NEG[:2], start=50), 1)
+    # a redelivered id with a FLIPPED label must not slip in either
+    clf(_docs(spark, [(t, 1 - y) for t, y in POS[:2]]), 2)
+    reg = clf.read_state(spark)
+    n_ids = reg.select("doc_id").distinct().count()
+    n_id_y = reg.select("doc_id", "y").distinct().count()
+    assert n_ids == n_id_y == 15

@@ -230,21 +230,33 @@ def frame_sample_plan(
     Frame timestamps cover [0, duration_ms): ``ceil(duration/every)``
     frames — a sequence bounded by ``duration/every`` emitted an
     out-of-range seek at ts == duration for every exact-multiple
-    duration (and one frame for a zero-length video)."""
+    duration (and one frame for a zero-length video).
+
+    The null/zero-duration guard rides INSIDE the generator expression
+    (``when(..., sequence).otherwise(empty)`` — an empty array explodes
+    to no rows, exactly what the old ``.filter()`` kept out). A
+    separate Filter looks cleaner but the optimizer pushes it through
+    the upstream projections by SUBSTITUTING their aliases, so with a
+    pure-Column decode chain (synth_avi + avi_meta) the filter
+    condition re-inlined the entire payload-synthesis expression a
+    dozen times — the single biggest term in the 64 KB codegen blowup
+    VERDICT r13 item 6 names. Row set and values are identical
+    (pinned by tests + the video_frame_plan oracle)."""
     n_frames = F.ceil(
         F.col("duration_ms") / F.lit(float(every_ms))
     ).cast("bigint")
+    frames_arr = F.when(
+        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0),
+        F.sequence(F.lit(0).cast("bigint"), n_frames - 1),
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.col("media_meta.duration_ms").alias("duration_ms"),
         )
-        .filter(F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0))
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), n_frames - 1)
-            ).alias("frame_idx"),
+            F.explode(frames_arr).alias("frame_idx"),
         )
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
     )
@@ -264,22 +276,36 @@ def frame_sample_plan(
 
 def _le_hex(col, nbytes: int):
     """Little-endian hex string of an integer Column, ``nbytes`` wide —
-    the build-side primitive for binary headers (JVM-side bit math)."""
-    parts = [
-        F.lpad(
-            F.hex(F.shiftright(col.cast("bigint"), 8 * i).bitwiseAND(255)),
-            2,
-            "0",
-        )
-        for i in range(nbytes)
-    ]
-    return F.concat(*parts)
+    the build-side primitive for binary headers (JVM-side bit math).
+
+    ONE ``hex``/``lpad`` over the arithmetically byte-swapped value
+    instead of the old per-byte ``hex``+``lpad``+``concat`` chain
+    (r14): the swap reads the same ``(v >> 8i) & 255`` bytes the old
+    chain emitted and reassembles them reversed, so the hex string is
+    identical for EVERY bigint input (two's-complement bytes included;
+    pinned against a verbatim copy of the old chain in
+    tests/test_multimodal_codegen.py) — at ~a third of the expression
+    nodes per field, which is what lets the ``synth_avi`` +
+    ``avi_meta`` projection fit whole-stage codegen's 64 KB method
+    limit (VERDICT r13 item 6)."""
+    v = col.cast("bigint")
+    swapped = None
+    for i in range(nbytes):
+        byte = F.shiftright(v, 8 * i).bitwiseAND(F.lit(255))
+        term = F.shiftleft(byte, 8 * (nbytes - 1 - i))
+        swapped = term if swapped is None else swapped.bitwiseOR(term)
+    return F.lpad(F.hex(swapped), 2 * nbytes, "0")
 
 
 def _le_int(payload_col: str, offset: int, nbytes: int):
     """Integer from ``nbytes`` little-endian bytes at 1-based ``offset``
     of a binary column — the parse-side primitive (substring + hex-pair
-    reorder + base-16 conv, all JVM-side)."""
+    reorder + base-16 conv, all JVM-side). Column expressions duplicate
+    shared subtrees (an arithmetic byte swap of one ``conv`` result
+    quadruples the tree — measured while fixing the 64 KB codegen
+    failure, r14), so decoders that read SEVERAL fields must hoist each
+    ``_le_int`` into an intermediate column that consumers reference as
+    an attribute (see ``avi_meta``) rather than repeat it inline."""
     h = F.hex(F.substring(F.col(payload_col), offset, nbytes))
     pairs = [
         F.substring(h, i * 2 + 1, 2) for i in reversed(range(nbytes))
@@ -1530,17 +1556,38 @@ def avi_meta(df: DataFrame, payload_col: str) -> DataFrame:
     ``height``, ``duration_ms`` (frames x frame period) and
     ``n_bytes``. Non-AVI payloads yield NULL metadata; a zero frame
     period is rejected as malformed (ANSI-safe, the wav_meta
-    precedent)."""
-    upf = _le_int(payload_col, 33, 4)
-    is_avi = (
+    precedent).
+
+    r14 (VERDICT r13 item 6): the shared header parses (``upf``,
+    ``frames``) and the ``is_avi`` gate are hoisted into intermediate
+    columns the field expressions reference as ATTRIBUTES. The old
+    single-projection form repeated the full ``_le_int`` subtree of
+    ``upf`` inside every field's ``when(is_avi, ...)`` (Column
+    expressions duplicate shared subtrees), and the optimizer's filter
+    pushdown re-duplicated them again — which pushed the synth_avi +
+    avi_meta + frame-explode span past whole-stage codegen's 64 KB
+    method limit (interpreted fallback). CollapseProject keeps
+    multi-referenced non-cheap aliases materialized, so the generated
+    code now parses each shared field once per row. Output columns are
+    byte-identical to the pre-r14 form (same expressions, shared via
+    attributes; oracle-pinned)."""
+    upf_c, frames_c, ok_c = "__avi_upf", "__avi_frames", "__avi_ok"
+    upf, frames = F.col(upf_c), F.col(frames_c)
+    tmp = df.withColumns(
+        {
+            upf_c: _le_int(payload_col, 33, 4),
+            frames_c: _le_int(payload_col, 49, 4),
+        }
+    ).withColumn(
+        ok_c,
         (F.octet_length(F.col(payload_col)) >= 88)
         & (F.substring(F.col(payload_col), 1, 4) == F.lit(b"RIFF"))
         & (F.substring(F.col(payload_col), 9, 8) == F.lit(b"AVI LIST"))
         & (F.substring(F.col(payload_col), 21, 12) == F.lit(b"hdrlavih"
                                                             b"\x38\x00\x00\x00"))
-        & (upf > 0)
+        & (upf > 0),
     )
-    frames = _le_int(payload_col, 49, 4)
+    is_avi = F.col(ok_c)
     meta = {
         "format": F.lit("avi"),
         "usec_per_frame": upf,
@@ -1559,7 +1606,7 @@ def avi_meta(df: DataFrame, payload_col: str) -> DataFrame:
         ),
         "n_bytes": F.octet_length(F.col(payload_col)).cast("bigint"),
     }
-    out = df
+    out = tmp
     for name, expr in meta.items():
         out = out.withColumn(name, F.when(is_avi, expr))
-    return out
+    return out.drop(upf_c, frames_c, ok_c)

@@ -217,8 +217,13 @@ class IncrementalClusters:
         # the batch's pair list feeds endpoint extraction AND the
         # component graph — materialize it once (it is batch-sized);
         # the count doubles as the emptiness check and the presized
-        # bound for the component run
-        pairs = pairs_df.select("doc1", "doc2").localCheckpoint()
+        # bound for the component run. LAZY checkpoint: the count on
+        # the next line forces the materialization, so the eager
+        # form's separate checkpoint job folds into it (r14 — one job,
+        # not two, per wave)
+        pairs = pairs_df.select("doc1", "doc2").localCheckpoint(
+            eager=False
+        )
         n_pairs = pairs.count()
         if n_pairs == 0:
             self._watermark.mark(batch_id)
@@ -262,15 +267,26 @@ class IncrementalClusters:
                 .groupBy("doc_id")
                 .agg(F.min("cluster_id").alias("cluster_id"))
             )
+        # LAZY checkpoint: the touched-bucket collect right below
+        # forces the materialization (one job instead of checkpoint +
+        # collect, r14) — and because that collect completes BEFORE
+        # the dynamic overwrite, every state-parquet read behind
+        # ``updates`` still happens strictly ahead of the rewrite the
+        # eager form guarded against
         updates = updates.withColumn(
             _BUCKET, self._bucket(F.col("doc_id"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
         touched = [
             r[_BUCKET] for r in updates.select(_BUCKET).distinct().collect()
         ]
         merged = updates
         if self._state_exists(spark) and touched:
+            # EAGER checkpoint, deliberately: ``current`` reads the
+            # same bucket directories the write below replaces, so its
+            # materialization must complete before the overwrite can
+            # run — no later action forces it the way the collects
+            # force ``pairs``/``updates``
             current = (
                 spark.read.parquet(self.path)
                 .filter(F.col(_BUCKET).isin(touched))
@@ -281,7 +297,13 @@ class IncrementalClusters:
             )
             merged = updates.unionByName(untouched_rows)
         (
-            merged.repartition(self.n_buckets, F.col(_BUCKET))
+            # no explicit partition count: AQE sizes the exchange, so
+            # a small wave's touched buckets are written by a handful
+            # of coalesced tasks instead of a fixed n_buckets-task
+            # shuffle (same bucket directories either way — dynamic
+            # overwrite replaces exactly the touched ones; the
+            # e34214a registry-write lesson, r14)
+            merged.repartition(F.col(_BUCKET))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_BUCKET)

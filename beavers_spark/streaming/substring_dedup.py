@@ -349,18 +349,24 @@ class IncrementalSubstringDedup:
         # the duplicate pass share ONE registry probe execution
         new_owned = winners
         try:
-            # one count materializes winners AND spans; n_winners also
-            # decides the probe strategy below
-            with timed_phase(self.phase_seconds, "winners_count"):
-                n_winners = winners.count()
+            # one bounded Arrow collect materializes winners (and
+            # spans) AND — one row per h by construction — reports the
+            # exact winner count: the separate winners.count() job
+            # folds into the Bloom fold whenever the probe runs
+            # (VERDICT r13 item 3); probe-off batches and the rare
+            # over-cap hand-off still pay the count job
             probe_on = had_state and self._bloom.probe_active(
                 exclude=batch_id
             )
-            with timed_phase(self.phase_seconds, "bloom_fold"):
-                pre_h = (
-                    self._bloom.collect_keys(winners, "h")
-                    if probe_on
-                    else None
+            pre_h = n_rows = None
+            if probe_on:
+                with timed_phase(self.phase_seconds, "bloom_fold"):
+                    pre_h, n_rows = self._bloom.collect_keys_counted(
+                        winners, "h"
+                    )
+            with timed_phase(self.phase_seconds, "winners_count"):
+                n_winners = (
+                    n_rows if n_rows is not None else winners.count()
                 )
             overcap = probe_on and pre_h is None
             if overcap:

@@ -63,6 +63,7 @@ from beavers_spark.functions.dedup import (
     _tfidf_weighted,
 )
 from beavers_spark.streaming.maintenance import (
+    BLOOM_PROBE_CAP,
     BatchWatermark,
     DocSeenGuard,
     WaveMetrics,
@@ -73,6 +74,39 @@ from beavers_spark.streaming.maintenance import (
     seen_anti_join,
     table_exists,
 )
+
+
+def _wave_touched_b_local(
+    wave_dir: str, row_cap: int = BLOOM_PROBE_CAP
+) -> list[int] | None:
+    """Distinct ``b`` hash-prefix values of one just-written wave,
+    driver-local from its parquet files (the ``_wave_rows_local`` /
+    ``_band_keys_local`` POSIX precedent) — replaces a per-wave Spark
+    ``distinct().collect()`` read-back job (VERDICT r13 items 3/4).
+    Bounded: the footer row-count pre-check (metadata only, no data
+    read) hands off past ``row_cap`` — and the value set itself is
+    ≤ ``n_hash_buckets`` ints either way. Returns None when the root
+    isn't listable (non-POSIX / object store), holds no data files
+    (the empty-wave read-back semantics stay Spark's), or is over-cap
+    — callers fall back to the exact Spark collect."""
+    import glob as _glob
+
+    try:
+        files = sorted(_glob.glob(os.path.join(wave_dir, "*.parquet")))
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        if sum(pq.read_metadata(f).num_rows for f in files) > row_cap:
+            return None
+        vals: set = set()
+        for f in files:
+            vals.update(
+                pq.read_table(f, columns=["b"]).column("b").to_pylist()
+            )
+        return sorted(int(v) for v in vals)
+    except Exception:
+        return None
 
 
 class IncrementalTfidfDedup:
@@ -211,16 +245,28 @@ class IncrementalTfidfDedup:
         union of every batch so far (scores included). Scoring is
         candidate-bounded: the registry is scanned once for the
         bucket-df aggregate and postings are fetched only for candidate
-        docs."""
+        docs.
+
+        ``cand`` and ``weighted`` are materialized ONCE via lazy
+        ``localCheckpoint`` (r14, the DSIR precedent): ``cand`` feeds
+        both the candidate-doc id set and the pair semi-join,
+        ``weighted`` both the norms aggregate and the postings join —
+        without the checkpoints Catalyst compiles a separate copy of
+        the candidate-table scan and of the full registry-semi-join +
+        weighting subtree into each consumer. Lazy, so the
+        materialization lands inside the caller's action; scores are
+        unchanged (pinned by the incremental == batch suites)."""
         reg = self.read_state(spark)
-        cand = self.read_candidates(spark)
+        cand = self.read_candidates(spark).localCheckpoint(eager=False)
         ids = (
             cand.select(F.col("doc1").alias("doc_id"))
             .unionByName(cand.select(F.col("doc2").alias("doc_id")))
             .distinct()
         )
         tf_c = reg.join(F.broadcast(ids), "doc_id", "left_semi")
-        weighted = _tfidf_weighted(tf_c, tf_stats=reg)
+        weighted = _tfidf_weighted(tf_c, tf_stats=reg).localCheckpoint(
+            eager=False
+        )
         return _tfidf_cos_pairs(
             weighted, self.threshold, self.max_df, cand=cand
         )
@@ -322,18 +368,23 @@ class IncrementalTfidfDedup:
         )
 
         cand_dir = f"{self.cand_path}/w={batch_id}"
-        # touched hash-prefix buckets, from the wave read-back (a
-        # <=n_hash_buckets-row aggregate): the registry side of the
-        # candidate join prunes its row groups to these b values. An
-        # empty or fully-redelivered batch touches nothing — the wave
-        # must not enter the registry.
-        touched = [
-            int(r[0])
-            for r in spark.read.parquet(wave_dir)
-            .select("b")
-            .distinct()
-            .collect()
-        ]
+        # touched hash-prefix buckets: the registry side of the
+        # candidate join prunes its row groups to these b values.
+        # Driver-local from the just-written files (footer-capped, the
+        # _wave_rows_local precedent) — the Spark distinct read-back
+        # this replaces cost one scheduled job per wave (r14); the
+        # exact Spark collect stays as the non-POSIX / over-cap
+        # fallback. An empty or fully-redelivered batch touches
+        # nothing — the wave must not enter the registry.
+        touched = _wave_touched_b_local(wave_dir)
+        if touched is None:
+            touched = [
+                int(r[0])
+                for r in spark.read.parquet(wave_dir)
+                .select("b")
+                .distinct()
+                .collect()
+            ]
         if not touched:
             # registry-wise the batch never happened: remove the
             # zero-row wave (replays rewrite and re-remove —
@@ -369,10 +420,16 @@ class IncrementalTfidfDedup:
         reg_touched = spark.read.parquet(self.state_path).filter(
             F.col("b").isin(touched)
         )
+        # the liveness restriction rides ONLY the registry side: the
+        # wave is already part of the registry (written above), so
+        # every new_tf bucket appears in reg_touched and the INNER
+        # join below can only pair buckets the live-restricted right
+        # side still carries — restricting the left too was a second
+        # full df-aggregate + broadcast per wave for the same
+        # candidate set (r14; same rows, pinned by the kernel's
+        # incremental == batch suites)
         df_live = self._live_buckets(reg_touched)
-        left = new_tf.join(F.broadcast(df_live), "bucket").select(
-            F.col("doc_id").alias("d1"), "bucket"
-        )
+        left = new_tf.select(F.col("doc_id").alias("d1"), "bucket")
         right = reg_touched.join(F.broadcast(df_live), "bucket").select(
             F.col("doc_id").alias("d2"), "bucket"
         )

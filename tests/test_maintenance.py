@@ -541,3 +541,27 @@ def test_frame_kernel_opens_pre_sig_scheme_state(spark, tmp_path):
         assert json.load(fh)["sig_scheme"] == "avi-ahash-v1"
     # audio: same surgery must still fail loudly
     assert IncrementalAudioNearDedup.SIG_SCHEME_LEGACY is None
+
+
+def test_collect_keys_counted_folds_count_into_collect(spark, tmp_path):
+    """``collect_keys_counted`` returns the EXACT collected row count
+    alongside the key set (the winners frame has one row per key, so
+    the dedup kernels' separate ``.count()`` job folds into the Bloom
+    collect — VERDICT r13 item 3), and hands off with ``(None, None)``
+    past ``probe_cap`` exactly like ``collect_keys``."""
+    from beavers_spark.streaming.maintenance import WaveBloomIndex
+
+    idx = WaveBloomIndex(str(tmp_path / "t"), 1 << 10, probe_cap=16)
+    df = spark.createDataFrame([(i,) for i in range(6)], "h long")
+    keys, n = idx.collect_keys_counted(df, "h")
+    assert n == 6 and sorted(keys.tolist()) == list(range(6))
+    # duplicate rows: count is ROW count, keys are unique
+    dup = df.unionByName(df)
+    keys, n = idx.collect_keys_counted(dup, "h")
+    assert n == 12 and len(keys) == 6
+    # over the cap (raw ROW count, like collect_keys): hand-off
+    big = spark.createDataFrame([(i,) for i in range(17)], "h long")
+    assert idx.collect_keys_counted(big, "h") == (None, None)
+    # disabled filter: both None
+    off = WaveBloomIndex(str(tmp_path / "t2"), None)
+    assert off.collect_keys_counted(df, "h") == (None, None)

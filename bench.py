@@ -1313,9 +1313,30 @@ def main() -> None:
     cold_full = 0.0
     batch_total = 0.0
 
-    def run_tier(names):
-        nonlocal total, cold_total, cold_full, batch_total
-        for name in names:
+    #: restart the session every N batch/analytics entries, untimed —
+    #: the state tier's fresh-every-1 methodology (r12) extended to
+    #: the stateless tiers (VERDICT r13 item 7: tpch_q2 measured 6x
+    #: in-session vs isolated swings that the end-of-run iso-fold only
+    #: TREATED; with every entry timed in its own session the
+    #: in-session number IS the isolated number by construction and
+    #: the fold degrades to a no-op — its deltas in BENCH_DETAIL.json
+    #: are the Done-criterion evidence). Restarts are untimed; 0
+    #: disables (the pre-r14 shared-tier-session behavior).
+    batch_refresh_every = int(
+        os.environ.get("SPARK_GRAFT_BATCH_REFRESH", "1")
+    )
+
+    def run_tier(names, tier_tag="tier"):
+        nonlocal total, cold_total, cold_full, batch_total, spark
+        for q_idx, name in enumerate(names):
+            if (
+                batch_refresh_every
+                and q_idx % batch_refresh_every == 0
+                and q_idx
+            ):
+                spark.stop()
+                spark = _bench_spark(f"bench_{tier_tag}_{q_idx}")
+                _warm(spark)
             fn = QUERIES[name]
             # reference-triggered block cleanup OUTSIDE the clock (the
             # in-window periodic System.gc() this replaces — see
@@ -1381,7 +1402,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    run_tier(headline)
+    run_tier(headline, tier_tag="batch")
 
     # analytics-tier session isolation (VERDICT r5 item 2): the tier
     # runs right after the heavyweight substring/PQ entries, where
@@ -1391,7 +1412,7 @@ def main() -> None:
     spark.stop()
     spark = _bench_spark("beavers_spark_bench_analytics")
     _warm(spark)
-    run_tier(analytics)
+    run_tier(analytics, tier_tag="analytics")
 
     # state-tier session isolation (VERDICT r4 item 7): the inc_*
     # scenarios used to run ~45 queries deep into the batch session,
@@ -1705,8 +1726,17 @@ def main() -> None:
                 # scenarios (r5 on) each run in a fresh SparkContext
                 # (see the restarts above), so their times are
                 # position-independent; r13 on the analytics tier also
-                # gets the history gate + end-of-run isolated fold
-                "analytics_session": "fresh+iso-fold",
+                # gets the history gate + end-of-run isolated fold;
+                # r14 on, BOTH stateless tiers restart the session
+                # every SPARK_GRAFT_BATCH_REFRESH entries (default 1 —
+                # every query times in its own session, the state
+                # tier's methodology; VERDICT r13 item 7) so the
+                # in-session number is the isolated number by
+                # construction and the iso-fold degrades to a no-op
+                "batch_session": f"fresh-every-{batch_refresh_every}",
+                "analytics_session": (
+                    f"fresh-every-{batch_refresh_every}+iso-fold"
+                ),
                 # r12 on: the state tier restarts its session every
                 # SPARK_GRAFT_STATE_REFRESH (default 1 — every
                 # scenario times in its own session; r11's committed

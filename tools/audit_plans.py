@@ -434,9 +434,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ],
     "dsir_logweights": [
         # model probes are BROADCAST hash joins on bucket (models are
-        # ≤ n_buckets rows); doc×bucket counts partial-combine; the only
-        # cross shapes are the two whitelisted 1-row smoothing totals
-        [r"BroadcastHashJoin", r"partial_count"],
+        # ≤ n_buckets rows); the doc×bucket count pass lives BEHIND a
+        # lazy localCheckpoint since r14 (one feature pass for all
+        # five consumers — its partial_count is inside the checkpointed
+        # subplan), so the outer plan must show the checkpoint scan
+        # (ExistingRDD) instead; the only cross shapes are the two
+        # whitelisted 1-row smoothing totals
+        [r"BroadcastHashJoin", r"ExistingRDD"],
         [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython"],
     ],
     "dsir_select": [
